@@ -1,0 +1,232 @@
+"""WCLS — weighted-and-centered least squares with cluster-robust
+(sandwich) inference, distributed (SURVEY.md §2.5 M1).
+
+Semantics parity: methods/wcls.R:116-194 + extras/helpers.R of
+eastonhuch/mrt-data-integration. Architecture is Spark-first, not a
+translation: the estimator is THREE distributed aggregation passes over
+an immutable DataFrame plus O(d³) numpy on the driver (d ≤ ~34):
+
+  pass 1 (optional): intercept-only propensity  = one avg(a);
+  pass 2: WLS sufficient statistics XᵀWX, XᵀWy  = one agg of
+          d(d+1)/2 + d fused product-sums (weight folded in — the
+          reference's sqrt(w)-scaling trick is unnecessary here);
+  pass 3: per-cluster score sums → meat, plus the M-estimation
+          cross-Hessian sums, all in ONE two-level aggregation.
+
+Each pass is a scan → partial agg → tiny exchange; nothing row-level
+ever reaches the driver, so the same code runs at 16k rows or 100 TB.
+
+Clustering is by explicit key column (`cluster_col`), never row order —
+see SURVEY.md §1.3 for the reference's balanced-path layout hazard (its
+golden outputs cluster consecutive row blocks; tests reproduce that by
+passing a block-derived cluster column, while real analyses use user_id).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mrt_data_integration_spark.functions import derive
+from mrt_data_integration_spark.linalg import (
+    chi2_stat,
+    final_sandwich_step,
+    se_from_var,
+    solve_wls,
+)
+
+ColumnLike = Column | str
+DesignSpec = list[tuple[str, ColumnLike]]
+
+
+def _c(col: ColumnLike) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+@dataclass
+class WclsFit:
+    """Result contract of methods/wcls.R:182-193."""
+
+    beta_r: np.ndarray
+    se_beta_r: np.ndarray
+    var_beta_r: np.ndarray
+    beta_h: np.ndarray
+    beta_r_z_scores: np.ndarray
+    beta_r_chi2: float
+    sandwich: np.ndarray
+    n: int
+    n_users: int
+    p: int
+    r_names: list[str] = field(default_factory=list)
+    h_names: list[str] = field(default_factory=list)
+    tilt_warning: bool = False
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        """(coef, estimate, se) result table."""
+        rows = [
+            (name, float(b), float(s))
+            for name, b, s in zip(self.r_names, self.beta_r, self.se_beta_r)
+        ]
+        return spark.createDataFrame(rows, "coef string, estimate double, se double")
+
+
+def wcls(
+    df: DataFrame,
+    x_h: DesignSpec,
+    moderators: DesignSpec,
+    y: ColumnLike = "y",
+    a: ColumnLike = "a",
+    p_behavior_a: ColumnLike = "p_h_a",
+    p_target: ColumnLike | float | None = None,
+    weight_override: ColumnLike | None = None,
+    cluster_col: str = "user_id",
+    beta_r_true: np.ndarray | None = None,
+) -> WclsFit:
+    """Fit WCLS of ``y ~ X_h + a_centered * moderators`` with weight
+    ``p_target_a / p_behavior_a`` and cluster-robust SEs.
+
+    - ``x_h``: nuisance design columns (include the intercept yourself:
+      ``("intercept", F.lit(1.0))``).
+    - ``moderators``: effect-moderator columns S; the causal design is
+      ``a_centered * S`` (reference's beta_r_formula terms).
+    - ``p_target=None`` → intercept-only propensity estimated from the
+      data (= avg(a), the closed form of the binomial GLM the reference
+      fits at wcls.R:123), and the propensity score equation joins the
+      sandwich exactly as at wcls.R:53-58,87-98.
+    - ``p_target=<float|Column>`` → known randomization probability; no
+      propensity block.
+    """
+    y_c, a_c = _c(y), _c(a)
+    estimate_p = p_target is None
+    if estimate_p:
+        # Pass 1: intercept-only binomial MLE is the sample mean.
+        p_hat_val = float(df.agg(F.avg(a_c.cast("double"))).collect()[0][0])
+        p_tgt = F.lit(p_hat_val)
+    else:
+        p_tgt = F.lit(float(p_target)) if isinstance(p_target, (int, float)) else _c(p_target)
+
+    a_centered = derive.centered_treatment(a_c, p_tgt)
+    p_tgt_a = derive.observed_arm_prob(a_c, p_tgt)
+    w = derive.ipw_weight(p_tgt_a, _c(p_behavior_a), override=weight_override)
+    # Tilting enters via weight_override / a pre-derived column in v1.
+    w_and_tilt = w
+
+    h_names = [n for n, _ in x_h]
+    r_names = [n for n, _ in moderators]
+    d_h, d_r = len(x_h), len(moderators)
+    d_hr = d_h + d_r
+    d_alpha = 1 if estimate_p else 0
+    d = d_alpha + d_hr
+
+    design: list[Column] = [_c(c).cast("double") for _, c in x_h] + [
+        (a_centered * _c(s)).cast("double") for _, s in moderators
+    ]
+
+    # Pass 2: WLS sufficient stats (gram doubles as the Hessian block).
+    gram_aggs = [
+        F.sum(w_and_tilt * design[i] * design[j]).alias(f"g_{i}_{j}")
+        for i in range(d_hr)
+        for j in range(i, d_hr)
+    ]
+    xty_aggs = [F.sum(w_and_tilt * design[i] * y_c).alias(f"xy_{i}") for i in range(d_hr)]
+    stat_row = df.agg(*gram_aggs, *xty_aggs, F.count(F.lit(1)).alias("n")).collect()[0]
+    gram = np.empty((d_hr, d_hr))
+    for i in range(d_hr):
+        for j in range(i, d_hr):
+            gram[i, j] = gram[j, i] = stat_row[f"g_{i}_{j}"]
+    xty = np.array([stat_row[f"xy_{i}"] for i in range(d_hr)])
+    n = int(stat_row["n"])
+    beta = solve_wls(gram, xty)
+    beta_h, beta_r = beta[:d_h], beta[d_h:]
+
+    # Pass 3: scores, meat, and cross-Hessian in one two-level agg.
+    fitted = derive.linear_predictor(list(beta), design)
+    resid = y_c - fitted
+    wres = w_and_tilt * resid
+
+    score_cols: list[Column] = []
+    if estimate_p:
+        score_cols.append(((a_c - p_tgt) * F.lit(1.0)).alias("s_alpha"))
+    for i in range(d_hr):
+        score_cols.append((wres * design[i]).alias(f"s_b{i}"))
+    score_names = (["s_alpha"] if estimate_p else []) + [f"s_b{i}" for i in range(d_hr)]
+
+    extra_sums: list[Column] = []
+    extra_names: list[str] = []
+    if estimate_p:
+        # Hessian blocks coupling the propensity equation (wcls.R:53-58,
+        # 87-98). X_alpha = [1] (intercept-only propensity).
+        p_var = p_tgt * (1 - p_tgt)
+        extra_sums.append(F.sum(p_var).alias("h_alpha"))
+        extra_names.append("h_alpha")
+        log_pa_deriv = (-(2 * a_c - 1) * p_var) / p_tgt_a
+        p_deriv = -(1 - p_tgt)
+        s_dot_beta_r = derive.linear_predictor(
+            list(beta_r), [_c(s) for _, s in moderators]
+        )
+        for i in range(d_hr):
+            t1 = design[i] * wres * log_pa_deriv
+            t3 = design[i] * (p_tgt * s_dot_beta_r * w_and_tilt) * p_deriv
+            term = t1 + t3
+            if i >= d_h:  # beta_r block gets the -p·S term (wcls.R:96)
+                s_raw = _c(moderators[i - d_h][1])
+                term = term + (-(p_tgt * s_raw) * wres) * p_deriv
+            extra_sums.append(F.sum(term).alias(f"x_{i}"))
+            extra_names.append(f"x_{i}")
+
+    level1 = df.groupBy(_c(cluster_col).alias("__cluster__")).agg(
+        *[F.sum(sc) .alias(nm) for sc, nm in zip(score_cols, score_names)],
+        *extra_sums,
+    )
+    meat_aggs = [
+        F.sum(F.col(score_names[i]) * F.col(score_names[j])).alias(f"m_{i}_{j}")
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    total_aggs = [F.sum(F.col(nm)).alias(nm) for nm in extra_names]
+    final_row = level1.agg(
+        *meat_aggs, *total_aggs, F.count(F.lit(1)).alias("n_users")
+    ).collect()[0]
+
+    meat = np.empty((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            meat[i, j] = meat[j, i] = final_row[f"m_{i}_{j}"]
+    n_users = int(final_row["n_users"])
+
+    hessian = np.zeros((d, d))
+    if estimate_p:
+        hessian[0, 0] = final_row["h_alpha"]
+        for i in range(d_hr):
+            hessian[d_alpha + i, 0] = final_row[f"x_{i}"]
+    hessian[d_alpha:, d_alpha:] = gram
+
+    sandwich = final_sandwich_step(hessian, meat, n_users, d)
+    pos_r = slice(d - d_r, d)
+    var_beta_r = sandwich[pos_r, pos_r]
+    se_beta_r = se_from_var(var_beta_r)
+    if beta_r_true is not None:
+        err = beta_r - np.asarray(beta_r_true, dtype=float)
+        z = err / se_beta_r
+        chi2 = chi2_stat(err, var_beta_r)
+    else:
+        z = np.full(d_r, np.nan)
+        chi2 = float("nan")
+
+    return WclsFit(
+        beta_r=beta_r,
+        se_beta_r=se_beta_r,
+        var_beta_r=var_beta_r,
+        beta_h=beta_h,
+        beta_r_z_scores=z,
+        beta_r_chi2=chi2,
+        sandwich=sandwich,
+        n=n,
+        n_users=n_users,
+        p=d,
+        r_names=r_names,
+        h_names=h_names,
+    )

@@ -1,0 +1,70 @@
+"""Driver-side small-matrix algebra (SURVEY.md §2.6 L1-L6).
+
+Everything here operates on d×d matrices with d <= ~34, collected from
+distributed aggregations — numpy is the right tool; nothing in this
+module ever sees row-level data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def final_sandwich_step(
+    hessian: np.ndarray, meat: np.ndarray, n_users: int, d: int
+) -> np.ndarray:
+    """Sandwich variance A⁻¹ B A⁻ᵀ with small-sample factor n/(n−d).
+
+    Parity: extras/helpers.R:1-5 — ``solve(hessian, t(chol(meat)))``
+    then tcrossprod. The meat Cholesky keeps the product symmetric PSD
+    even when the hessian is asymmetric (it is: the M-estimation
+    cross-blocks fill only one triangle).
+    """
+    # R's chol() is upper-triangular U with UᵀU = meat; t(chol) = lower L.
+    # numpy cholesky returns L directly with L Lᵀ = meat.
+    jitter = 0.0
+    for _ in range(3):
+        try:
+            half = np.linalg.cholesky(meat + jitter * np.eye(meat.shape[0]))
+            break
+        except np.linalg.LinAlgError:
+            jitter = max(jitter * 10, 1e-12 * max(np.trace(meat), 1.0))
+    else:  # pragma: no cover - pathological
+        half = np.linalg.cholesky(meat + 1e-8 * np.eye(meat.shape[0]))
+    half_sandwich = np.linalg.solve(hessian, half)
+    return half_sandwich @ half_sandwich.T * n_users / (n_users - d)
+
+
+def solve_wls(gram: np.ndarray, xty: np.ndarray) -> np.ndarray:
+    """β = (XᵀWX)⁻¹ XᵀWy with lstsq fallback for near-singular systems
+    (the reference pushes through with tol=1e-30 overrides; we fall back
+    to the minimum-norm solution)."""
+    try:
+        return np.linalg.solve(gram, xty)
+    except np.linalg.LinAlgError:
+        return np.linalg.lstsq(gram, xty, rcond=None)[0]
+
+
+def se_from_var(var: np.ndarray) -> np.ndarray:
+    """se = sqrt(diag(V)) (wcls.R:177)."""
+    return np.sqrt(np.clip(np.diag(var), 0.0, None))
+
+
+def chi2_stat(error: np.ndarray, var: np.ndarray) -> float:
+    """χ² = eᵀ V⁻¹ e (wcls.R:180)."""
+    try:
+        return float(error @ np.linalg.solve(var, error))
+    except np.linalg.LinAlgError:
+        return float(error @ np.linalg.lstsq(var, error, rcond=None)[0] @ error)
+
+
+def inverse_variance_pool(
+    estimates: list[np.ndarray], variances: list[np.ndarray]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Precision-weighted pooling of independent estimates
+    (etwcls.R:171-206 'full' mode): β = (ΣΛᵢ)⁻¹ ΣΛᵢβᵢ, V = (ΣΛᵢ)⁻¹."""
+    precisions = [np.linalg.pinv(v) for v in variances]
+    total_precision = np.sum(precisions, axis=0)
+    pooled_var = np.linalg.pinv(total_precision)
+    weighted = np.sum([p @ b for p, b in zip(precisions, estimates)], axis=0)
+    return pooled_var @ weighted, pooled_var

@@ -1,0 +1,185 @@
+"""Deduplication operators (SURVEY.md §2.9 E3): exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Scale design:
+- Exact dedup = hash aggregation on a fingerprint column (one shuffle of
+  (fingerprint, id) pairs — never the document bodies).
+- MinHash signatures are per-row array expressions (no shuffle at all);
+  LSH banding turns near-dup search into an equi-join on band keys, so
+  the only shuffle is keyed by band hash. Candidate verification happens
+  only within buckets — the quadratic step is bounded by bucket size.
+- All hashing is MD5-based (bit-identical across engines → DuckDB-
+  checkable), applied to shingles via JVM-side ``transform`` lambdas.
+  A production deployment would swap md5 for xxhash64 (same plan shape,
+  ~5× faster); md5 is chosen here for cross-engine verifiability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mrt_data_integration_spark.operators.text import fingerprint, tokens
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row (smallest id) per canonical-text fingerprint."""
+    fp = df.withColumn("__fp__", fingerprint(text_col))
+    keep = fp.groupBy("__fp__").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, ["__fp__", id_col], "left_semi").drop("__fp__")
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Array of distinct n-word shingles (space-joined).
+
+    Pure array expressions: sequence → transform → slice → concat_ws.
+    """
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+
+    def make_shingle(i: Column) -> Column:
+        return F.concat_ws(" ", F.slice(toks, i, n))
+
+    return F.array_distinct(F.transform(idx, make_shingle))
+
+
+def _seeded_minhash(shingles: Column, seed: int) -> Column:
+    """min over shingles of md5('seed{s}:' || shingle) — a valid uniform
+    min-hash (lexicographic min over uniform hex digests)."""
+
+    def hash_one(x: Column) -> Column:
+        return F.md5(F.concat(F.lit(f"seed{seed}:"), x))
+
+    return F.array_min(F.transform(shingles, hash_one))
+
+
+def minhash_signature(
+    text: Column | str, n_hashes: int = 8, shingle_n: int = 3
+) -> list[Column]:
+    """MinHash signature columns, aliased ``minhash_{s}``."""
+    sh = word_shingles(text, shingle_n)
+    return [_seeded_minhash(sh, s).alias(f"minhash_{s}") for s in range(n_hashes)]
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (id_a < id_b, band_id).
+
+    bands = n_hashes / band_size; docs sharing any full band collide.
+    The self-join runs per band bucket — the shuffle key is the band
+    hash, so cost is Σ bucket² not N².
+    """
+    sigs = df.select(F.col(id_col), *minhash_signature(text_col, n_hashes, shingle_n))
+    n_bands = n_hashes // band_size
+    band_rows = []
+    for b in range(n_bands):
+        cols = [F.col(f"minhash_{b * band_size + k}") for k in range(band_size)]
+        band_rows.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    bands = band_rows[0]
+    for extra in band_rows[1:]:
+        bands = bands.unionByName(extra)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.band_id").alias("band_id"),
+        )
+        .distinct()
+    )
+
+
+def _hex_nibble_bit(md5_col: Column, bit: int) -> Column:
+    """Bit ``bit`` of an md5 hex digest, via portable nibble arithmetic:
+    nibble = ascii(hex char) mapped 0-15; bit = (nibble >> (bit%4)) & 1.
+    Chosen over conv(hex,16,10) because the identical expression runs in
+    any ANSI engine (ascii/substr/shift) — oracle-checkable."""
+    ch = F.substring(md5_col, 1 + bit // 4, 1)
+    a = F.ascii(ch)
+    nibble = a - 48 - F.when(a >= 97, 39).otherwise(0)
+    return F.shiftright(nibble, bit % 4).bitwiseAND(F.lit(1))
+
+
+def simhash(text: Column | str, n_bits: int = 16) -> Column:
+    """SimHash over word tokens: per-bit majority vote of token-md5 bits.
+
+    For each bit position: +1 per token with the bit set, −1 otherwise;
+    a positive total sets the output bit. One fold per bit over the
+    token array, all fused by codegen — no shuffle, no UDF.
+    """
+    toks = tokens(text)
+
+    def vote_for_bit(i: int) -> Column:
+        def step(acc: Column, t: Column) -> Column:
+            b = _hex_nibble_bit(F.md5(t), i)
+            return acc + F.when(b == 1, 1).otherwise(-1)
+
+        return F.aggregate(toks, F.lit(0), step)
+
+    out = F.lit(0)
+    for i in range(n_bits):
+        out = out + F.when(vote_for_bit(i) > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return out.cast("long")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    explode(shingles) → equi-join on shingle → per-pair intersection
+    count → |A∪B| = |A|+|B|−|A∩B|. The shuffle is keyed by shingle, so
+    only co-shingled docs ever meet (no N² cross join); a frequency cap
+    on pathological shingles would bound skew at web scale.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", F.round("jaccard", 4).alias("jaccard"))
+    )

@@ -1,0 +1,169 @@
+"""Join / set-operation queries (SURVEY.md §2.3 J5 / §2.9 E1) — the
+relational extension surface the reference lacks (its model is single-
+table; pooling = union + filter).
+
+Join strategy notes (100 TB): region/nation/supplier/part/customer are
+dimensions → broadcast (hinted explicitly; AQE would also convert).
+lineitem⋈orders is the only fact-fact join → sort-merge on the shuffled
+key, which AQE re-plans if skewed. No join here shuffles the fact table
+more than once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mrt_data_integration_spark.queries.registry import query
+from mrt_data_integration_spark.sources import load_table
+
+
+@query(
+    "star_join_revenue",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('AMERICA', 'ASIA')
+    GROUP BY n_name
+    """,
+)
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: star-schema revenue rollup (TPC-H-Q5-shaped).
+
+    All three dimension joins are broadcasts — the fact table streams
+    through one codegen stage and shuffles only for the final groupBy.
+    The region filter prunes before the nation/supplier broadcast is
+    built, so the broadcast side is pre-filtered.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("AMERICA", "ASIA")
+    )
+    dim = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "fact_fact_join",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS n
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def fact_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: the one genuine fact-fact join (orders⋈lineitem). The status
+    filter lands on the orders scan (pushed down); at 100 TB both sides
+    shuffle once on orderkey and AQE handles skew/coalesce."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "semi_join_active_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    """,
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: left-semi join (EXISTS) — customers with at least one big
+    order. Semi joins never duplicate the left side, so no post-join
+    distinct is needed."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "anti_join_dormant_customers",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_dormant,
+           round(avg(c_acctbal), 4) AS avg_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: left-anti join (NOT EXISTS) — customers with no orders,
+    rolled up by segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_dormant"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+@query(
+    "brand_part_rollup",
+    oracle="""
+    SELECT p_brand,
+           round(sum(l_quantity), 2) AS total_qty,
+           round(avg(p_retailprice), 4) AS avg_retail,
+           count(DISTINCT l_partkey) AS n_parts
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 20
+    GROUP BY p_brand
+    """,
+)
+def brand_part_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: broadcast dimension join + rollup with a pushed-down dimension
+    filter (p_size) that prunes the broadcast side before it is built."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_retail"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )

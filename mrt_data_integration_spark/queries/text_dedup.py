@@ -1,0 +1,239 @@
+"""Text-analysis and dedup queries on the documents table (SURVEY.md
+§2.9 E3+E5), each with a DuckDB oracle (md5-based hashing is
+bit-identical across engines, so even MinHash/LSH/SimHash are
+exact-checkable — not just rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mrt_data_integration_spark.operators import dedup as dd
+from mrt_data_integration_spark.operators import text as tx
+from mrt_data_integration_spark.queries.registry import query
+from mrt_data_integration_spark.sources import load_table
+
+_STOP_SQL = "('the','a','an','of','to','and','in','is','it')"
+
+# DuckDB twin of operators.text/dedup building blocks.
+_TOKENS = "string_split_regex(text, '\\s+')"
+_SHINGLES = f"""
+  list_distinct(list_transform(
+    generate_series(1, greatest(len({_TOKENS}) - 2, 1)),
+    i -> array_to_string(({_TOKENS})[i:i+2], ' ')
+  ))
+"""
+
+
+@query(
+    "doc_quality_stats",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang, source,
+             len({_TOKENS}) AS n_tokens,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+               / len({_TOKENS}) AS avg_token_len,
+             CAST(len(list_filter({_TOKENS}, t -> t IN {_STOP_SQL})) AS DOUBLE)
+               / len({_TOKENS}) AS stop_ratio
+      FROM documents
+    )
+    SELECT source,
+           count(*)                        AS n_docs,
+           round(avg(n_tokens), 4)         AS avg_tokens,
+           round(avg(avg_token_len), 4)    AS avg_tok_len,
+           round(avg(stop_ratio), 4)       AS avg_stop_ratio
+    FROM feats
+    GROUP BY source
+    """,
+)
+def doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: per-source document quality profile — token counts, average
+    token length, stopword density (operators.text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "source",
+        tx.token_count("text").alias("n_tokens"),
+        tx.avg_token_length("text").alias("avg_token_len"),
+        tx.stopword_ratio("text").alias("stop_ratio"),
+    )
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("avg_token_len"), 4).alias("avg_tok_len"),
+        F.round(F.avg("stop_ratio"), 4).alias("avg_stop_ratio"),
+    )
+
+
+@query(
+    "doc_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CASE WHEN CAST(len(list_filter({_TOKENS}, t -> t IN {_STOP_SQL})) AS DOUBLE)
+                       / len({_TOKENS}) >= 0.02
+                  THEN 'en' ELSE 'other' END AS lang_pred
+      FROM documents
+    )
+    SELECT lang, lang_pred, count(*) AS n
+    FROM scored
+    GROUP BY lang, lang_pred
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: stopword-density language-ID heuristic vs the labeled lang
+    column (confusion-matrix counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", tx.lang_id_heuristic("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "doc_fingerprint_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+      FROM documents
+    )
+    SELECT count(*)                   AS n_docs,
+           count(DISTINCT fingerprint) AS n_distinct,
+           count(*) - count(DISTINCT fingerprint) AS n_exact_dups
+    FROM fp
+    """,
+)
+def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: exact dedup accounting via canonical md5 fingerprint
+    (operators.text.fingerprint / operators.dedup.exact_dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(tx.fingerprint("text").alias("fingerprint"))
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("fingerprint")).alias("n_exact_dups"),
+    )
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+    SELECT doc_id,
+           list_min(list_transform({_SHINGLES}, x -> md5('seed0:' || x))) AS minhash_0,
+           list_min(list_transform({_SHINGLES}, x -> md5('seed1:' || x))) AS minhash_1,
+           list_min(list_transform({_SHINGLES}, x -> md5('seed2:' || x))) AS minhash_2,
+           list_min(list_transform({_SHINGLES}, x -> md5('seed3:' || x))) AS minhash_3
+    FROM documents
+    WHERE doc_id % 5 = 0
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: MinHash signatures (4 seeds, 3-word shingles) on a doc sample
+    — the per-row, shuffle-free half of MinHash-LSH dedup."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return docs.select("doc_id", *dd.minhash_signature("text", n_hashes=4))
+
+
+@query(
+    "lsh_candidate_pairs",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id,
+             list_min(list_transform({_SHINGLES}, x -> md5('seed0:' || x))) AS mh0,
+             list_min(list_transform({_SHINGLES}, x -> md5('seed1:' || x))) AS mh1,
+             list_min(list_transform({_SHINGLES}, x -> md5('seed2:' || x))) AS mh2,
+             list_min(list_transform({_SHINGLES}, x -> md5('seed3:' || x))) AS mh3
+      FROM documents
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, md5(mh2 || '|' || mh3) AS band_key FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.band_id
+    FROM bands a
+    JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    """,
+)
+def lsh_candidate_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: MinHash-LSH banding (4 hashes × band size 2) → candidate
+    near-dup pairs via equi-join on band keys (operators.dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.lsh_candidate_pairs(docs, n_hashes=4, band_size=2)
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_inter,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: exact 3-gram Jaccard near-dup pairs (shingle-join — only
+    co-shingled docs meet; no N² cross join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+@query(
+    "simhash_buckets",
+    oracle=None,  # assembled below (needs a generated per-bit SQL body)
+)
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: 16-bit SimHash per doc (majority vote over token-md5 bits) +
+    bucket sizes. Oracle SQL is generated below with the identical
+    nibble arithmetic."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    sh = docs.select("doc_id", dd.simhash("text", n_bits=16).alias("simhash"))
+    return sh.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )
+
+
+def _simhash_oracle(n_bits: int = 16) -> str:
+    """DuckDB twin of operators.dedup.simhash's nibble-bit expression."""
+    def bit_expr(i: int) -> str:
+        ch = f"substr(md5(t), {1 + i // 4}, 1)"
+        nib = f"(ascii({ch}) - 48 - CASE WHEN ascii({ch}) >= 97 THEN 39 ELSE 0 END)"
+        return f"((({nib}) >> {i % 4}) & 1)"
+
+    votes = [
+        f"CASE WHEN list_sum(list_transform({_TOKENS}, "
+        f"t -> CASE WHEN {bit_expr(i)} = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {2**i} ELSE 0 END"
+        for i in range(n_bits)
+    ]
+    total = " + ".join(votes)
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, CAST({total} AS BIGINT) AS simhash
+      FROM documents
+      WHERE doc_id % 5 = 0
+    )
+    SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+    FROM sh
+    GROUP BY simhash
+    """
+
+
+from mrt_data_integration_spark.queries.registry import ORACLES  # noqa: E402
+
+ORACLES["simhash_buckets"] = _simhash_oracle()

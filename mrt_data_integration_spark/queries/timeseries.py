@@ -1,0 +1,185 @@
+"""Event-stream batch queries (SURVEY.md §2.9 E6-E7): tumbling windows,
+sessionization, as-of join, JSON extraction — all with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mrt_data_integration_spark.operators.asof import asof_join
+from mrt_data_integration_spark.operators.sessionize import sessionize
+from mrt_data_integration_spark.queries.registry import query
+from mrt_data_integration_spark.sources import load_table
+
+
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_key,
+           event_type,
+           count(*)                 AS n_events,
+           round(sum(value), 4)     AS sum_value,
+           count(DISTINCT user_id)  AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: tumbling 1-hour window aggregation. Batch form of
+    ``groupBy(window(ts, '1 hour'))`` — emitted as a string key so the
+    oracle compare is timezone-representation-proof. Streaming twin:
+    ``streaming.windows.hourly_counts``."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour_key"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "sessionization",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, ts, event_id, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('second', prev_ts, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM lagged
+    ),
+    sess AS (
+      SELECT user_id, value,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS session_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionization_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: gap-based sessionization (30-min inactivity) + per-session
+    rollup, via ``operators.sessionize`` (one per-user shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, gap_seconds=1800)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+@query(
+    "asof_latest_order",
+    oracle="""
+    WITH latest AS (
+      SELECT o_custkey, o_orderdate, max_by(o_orderkey, o_orderkey) AS o_orderkey,
+             max_by(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders
+      GROUP BY o_custkey, o_orderdate
+    ),
+    ev AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 20 = 0)
+    SELECT e.event_id, e.user_id,
+           l.o_orderkey AS last_orderkey,
+           round(l.o_totalprice, 2) AS last_totalprice
+    FROM ev e
+    ASOF LEFT JOIN latest l
+      ON e.user_id = l.o_custkey AND e.ts >= l.o_orderdate
+    """,
+)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: as-of join — each sampled event picks up the most recent order
+    of the same key. Right side deduped per (key, time) by greatest
+    orderkey first (ASOF tie-breaks are otherwise undefined).
+
+    Spark side uses ``operators.asof.asof_join`` (union + window: one
+    shuffle, no pair explosion)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 20 == 0)
+        .select("event_id", "user_id", "ts")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    latest = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max_by("o_orderkey", "o_orderkey").alias("o_orderkey"),
+        F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+    )
+    joined = asof_join(
+        ev,
+        latest,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.round("o_totalprice", 2).alias("last_totalprice"),
+    )
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INTEGER))          AS max_k,
+           count(*)                                                         AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: JSON field extraction from the props column + rollup.
+    ``get_json_object`` stays JVM-side (Jackson) — no Python in the path."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k.cast("double")), 4).alias("avg_k"),
+        F.max(k.cast("int")).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "user_activity_lag_features",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER w, 4)          AS value_delta,
+           date_diff('second', lag(ts) OVER w, ts)      AS secs_since_prev,
+           row_number() OVER w                          AS event_seq
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def user_activity_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: per-user lag features (delta, inter-arrival seconds, ordinal)
+    — the feature-engineering shape of a training-data pipeline. One
+    shuffle, three windows sharing the same frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias(
+            "secs_since_prev"
+        ),
+        F.row_number().over(w).alias("event_seq"),
+    )

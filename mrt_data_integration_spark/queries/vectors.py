@@ -1,0 +1,138 @@
+"""Embedding / similarity-search queries (SURVEY.md §2.9 E4) with
+DuckDB list-function oracles. All Spark-side array math is JVM-side
+``zip_with``/``aggregate`` — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mrt_data_integration_spark.operators import similarity as sim
+from mrt_data_integration_spark.queries.registry import ORACLES, query
+from mrt_data_integration_spark.sources import load_table
+
+_E_DBL = "CAST(embedding AS DOUBLE[])"
+
+
+def _hyperplanes(n_planes: int = 4, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from integer arithmetic
+    (identical literals reach both engines — no RNG, no Date.now)."""
+    return [
+        [(((p * dim + j) * 37) % 101 - 50) / 50.0 for j in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+@query(
+    "embedding_norm_stats",
+    oracle=f"""
+    SELECT label,
+           count(*) AS n_vecs,
+           round(avg(sqrt(list_dot_product({_E_DBL}, {_E_DBL}))), 4) AS avg_norm,
+           round(min(sqrt(list_dot_product({_E_DBL}, {_E_DBL}))), 4) AS min_norm,
+           round(max(sqrt(list_dot_product({_E_DBL}, {_E_DBL}))), 4) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: per-label L2-norm statistics (array fold, zero shuffle before
+    the tiny grouped agg)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = sim.norm("embedding")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(n), 4).alias("avg_norm"),
+        F.round(F.min(n), 4).alias("min_norm"),
+        F.round(F.max(n), 4).alias("max_norm"),
+    )
+
+
+@query(
+    "cosine_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, {_E_DBL} AS qv FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS corpus_id,
+             list_dot_product(qv, {_E_DBL})
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product({_E_DBL}, {_E_DBL}))) AS cs
+      FROM embeddings e, q
+      WHERE q.query_id <> e.vec_id
+    )
+    SELECT query_id, corpus_id, round(cs, 4) AS cosine_sim, rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cs DESC, corpus_id
+      ) AS rk
+      FROM scored
+    )
+    WHERE rk <= 3
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: brute-force exact cosine top-3 for a small query set against
+    the whole corpus (broadcast queries, one corpus scan, ranking
+    window) — the ANN correctness baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return sim.brute_force_topk(emb, queries_df, k=3)
+
+
+@query(
+    "label_centroids",
+    oracle="""
+    SELECT label, i AS dim_idx,
+           round(avg(embedding[i + 1]), 4) AS centroid_val
+    FROM embeddings, range(8) t(i)
+    GROUP BY label, i
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: per-label centroid of the first 8 embedding dimensions
+    (posexplode → grouped avg) — the aggregation shape of IVF centroid
+    maintenance."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim_idx", "val")
+    ).filter(F.col("dim_idx") < 8)
+    return exploded.groupBy("label", "dim_idx").agg(
+        F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid_val")
+    )
+
+
+@query("lsh_bucket_profile")
+def lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: random-hyperplane LSH bucket histogram — the candidate-
+    pruning structure of the approximate similarity path. Oracle SQL is
+    generated below with identical hyperplane literals."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    hps = _hyperplanes()
+    return (
+        emb.select(sim.hyperplane_bucket("embedding", hps).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+def _lsh_bucket_oracle() -> str:
+    hps = _hyperplanes()
+    terms = []
+    for i, hp in enumerate(hps):
+        lits = ", ".join(repr(x) for x in hp)
+        terms.append(
+            f"CASE WHEN list_dot_product({_E_DBL}, [{lits}]) >= 0 "
+            f"THEN {2**i} ELSE 0 END"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+    SELECT ({bucket}) AS bucket, count(*) AS n_vecs
+    FROM embeddings
+    GROUP BY 1
+    """
+
+
+ORACLES["lsh_bucket_profile"] = _lsh_bucket_oracle()

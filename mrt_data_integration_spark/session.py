@@ -1,0 +1,53 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[N]``; the same config block is what we would
+ship to a 1000-executor cluster (AQE on, skew-join handling on, broadcast
+threshold sized for dimension tables). Session timezone is pinned to UTC so
+timestamp semantics match the DuckDB oracle (naive == UTC).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "mrt-data-integration-spark") -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism (default: all cores).
+    On a real cluster the master/executor settings come from spark-submit;
+    everything set here is master-independent.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        # AQE: runtime re-planning, broadcast conversion, skew-join splitting.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Shuffle partitions sized for the local harness; AQE coalesces
+        # down, and on a big cluster this is overridden per-job.
+        .config("spark.sql.shuffle.partitions", str(int(cpus)))
+        # Dimension tables (region/nation/customer/supplier/part at test
+        # SF) stay under this; big-side tables never broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Arrow for every pandas_udf / applyInPandas / toPandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Read 128 MiB parquet splits — matches cluster default; at 100 TB
+        # this yields ~800k input partitions, which AQE coalesces post-scan.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Dlog4j2.level=error")
+        # The driver testdata stores events.ts as TIMESTAMP(NANOS), which
+        # vanilla Spark rejects; read as long and convert in the loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
