@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
+line with per-query wall-clock seconds.
+
+Headline set covers every physical shape the engine exercises: scan+agg,
+star broadcast join, fact-fact shuffle join, ranking window,
+sessionization windows, two-level cluster meat, JSON extraction, text
+shingle join, vector top-k, and the full distributed WCLS fit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mrt_data_integration_spark.queries import QUERIES  # noqa: E402
+from mrt_data_integration_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "star_join_revenue",
+    "fact_fact_join",
+    "topk_per_group",
+    "group_moment_stats",
+    "cluster_score_meat",
+    "sessionization",
+    "json_props_extract",
+    "derive_weight_chain",
+    "doc_quality_stats",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "wcls_cluster_robust",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("mrt-bench")
+    # Warm the JVM/codegen once so per-query numbers measure the queries.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+        _ = len(rows)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
