@@ -1,0 +1,217 @@
+"""Shared building blocks for the WCLS estimator family
+(SURVEY.md §2.5): weighted fits from sufficient statistics, the spline
+tilt-model ladder, and the recurring propensity cross-Hessian block.
+
+All helpers speak (list[Column], Column) — design matrices are never
+materialized; they are lists of codegen'd expressions over one scan.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mrt_data_integration_spark.estimators.glm import GlmFit, logistic_irls
+from mrt_data_integration_spark.estimators.mest import SandwichBuilder
+from mrt_data_integration_spark.functions.splines import bs_columns, bs_spec
+from mrt_data_integration_spark.linalg import solve_wls
+
+
+def prepare(
+    df: DataFrame, computed: dict[str, Column], keep: list[str]
+) -> DataFrame:
+    """Materialize computed expressions as flat columns in ONE narrow
+    projection and cache the result.
+
+    Multi-pass estimators reference design/weight columns dozens to
+    hundreds of times (IRLS iterations, gram sums, score sums, Hessian
+    cross-terms). Leaving them as raw expression trees makes every
+    aggregate re-inline the whole tree (spline bases are ~50-node
+    expressions), blowing up Catalyst analysis and codegen time — the
+    dominant cost, not the data. One projection + cache turns every
+    later reference into a plain attribute.
+
+    At cluster scale the cache spills to disk per executor
+    (MEMORY_AND_DISK); if evicted, lineage recomputes the projection
+    from the parquet scan — correctness never depends on the cache.
+    """
+    proj = df.select(*[F.col(k) for k in keep], *[v.alias(k) for k, v in computed.items()])
+    return proj.persist()
+
+
+def linear_combo(beta: np.ndarray | list[float], cols: list[Column]) -> Column:
+    out = F.lit(float(beta[0])) * cols[0]
+    for k in range(1, len(cols)):
+        out = out + F.lit(float(beta[k])) * cols[k]
+    return out
+
+
+def wls_fit(
+    df: DataFrame,
+    design: list[Column],
+    y: Column,
+    weight: Column | None = None,
+    mask: Column | None = None,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Weighted least squares from one sufficient-statistics pass.
+    Returns (beta, gram, n_rows_in_mask). ``mask`` restricts the fit to a
+    row subset without a separate filtered scan (filter fused as 0/1)."""
+    d = len(design)
+    w = weight
+    if mask is not None:
+        m = mask.cast("double")
+        w = m if w is None else w * m
+    aggs: list[Column] = []
+    for i in range(d):
+        for j in range(i, d):
+            term = design[i] * design[j]
+            if w is not None:
+                term = w * term
+            aggs.append(F.sum(term).alias(f"g_{i}_{j}"))
+    for i in range(d):
+        term = design[i] * y
+        if w is not None:
+            term = w * term
+        aggs.append(F.sum(term).alias(f"xy_{i}"))
+    n_expr = F.count(F.lit(1)) if mask is None else F.sum(mask.cast("long"))
+    aggs.append(n_expr.alias("n"))
+    row = df.agg(*aggs).collect()[0]
+    gram = np.empty((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            gram[i, j] = gram[j, i] = row[f"g_{i}_{j}"]
+    xty = np.array([row[f"xy_{i}"] for i in range(d)])
+    return solve_wls(gram, xty), gram, int(row["n"])
+
+
+@dataclass
+class TiltModel:
+    """Fitted exponential-tilting model (methods/etwcls.R:110-137)."""
+
+    omega: np.ndarray          # coefficients with adjusted intercept
+    design: list[Column]       # X_omega columns (intercept first)
+    warning: bool
+    pi_internal: float
+
+    @property
+    def d(self) -> int:
+        return len(self.omega)
+
+    def raw_tilt(self) -> Column:
+        return F.exp(linear_combo(self.omega, self.design))
+
+    def tilt_ratios(self, is_internal: Column) -> Column:
+        return F.when(is_internal, F.lit(1.0)).otherwise(self.raw_tilt())
+
+    def p_omega(self) -> Column:
+        """Implied P(internal|x) under the adjusted omega:
+        rho·exp(Xω) / (1 + rho·exp(Xω)) with rho = π/(1−π)."""
+        rho = self.pi_internal / (1.0 - self.pi_internal)
+        num = F.lit(rho) * self.raw_tilt()
+        return num / (F.lit(1.0) + num)
+
+
+def _tensor_spline_design(
+    df: DataFrame, x1: str, x2: str, df_: int, degree: int
+) -> list[Column]:
+    """model.matrix of ``is_internal ~ bs(x1)*I(bs(x2))``: intercept,
+    bs(x1) cols, bs(x2) cols, all pairwise products."""
+    s1 = bs_columns(F.col(x1), bs_spec(df, x1, df_, degree))
+    s2 = bs_columns(F.col(x2), bs_spec(df, x2, df_, degree))
+    cols: list[Column] = [F.lit(1.0)]
+    cols += s1
+    cols += s2
+    for b2 in s2:
+        for b1 in s1:
+            cols.append(b1 * b2)
+    return cols
+
+
+def fit_tilt_ladder(
+    df: DataFrame,
+    is_internal: Column | str = "is_internal",
+    x1: str = "x1",
+    x2: str = "x2",
+) -> TiltModel:
+    """The reference's adaptive tilt-model complexity ladder
+    (etwcls.R:112-130): bs(df=3,deg=2) tensor → on glm warning retry
+    df=2 → df=1 linear. tilt_warning ⇔ final model has ≤10 coefficients.
+    The fitted intercept is then offset by the sampling log-odds
+    (etwcls.R:132-133)."""
+    flag = (F.col(is_internal) if isinstance(is_internal, str) else is_internal).cast(
+        "double"
+    )
+    pi_internal = float(df.agg(F.avg(flag)).collect()[0][0])
+
+    fit: GlmFit | None = None
+    design: list[Column] | None = None
+    for df_, degree in [(3, 2), (2, 2), (1, 1)]:
+        design = _tensor_spline_design(df, x1, x2, df_, degree)
+        # Materialize the spline design once so each IRLS pass aggregates
+        # plain attributes, not re-inlined spline expression trees.
+        work = prepare(
+            df,
+            {"__flag__": flag, **{f"__om_{k}__": c for k, c in enumerate(design)}},
+            keep=[],
+        )
+        fit = logistic_irls(
+            work,
+            [F.col(f"__om_{k}__") for k in range(len(design))],
+            F.col("__flag__"),
+        )
+        work.unpersist()
+        if not fit.warning:
+            break
+    assert fit is not None and design is not None
+    omega = fit.beta.copy()
+    omega[0] -= math.log(pi_internal / (1.0 - pi_internal))
+    return TiltModel(
+        omega=omega,
+        design=design,
+        warning=len(omega) <= 10,
+        pi_internal=pi_internal,
+    )
+
+
+def add_propensity_cross_block(
+    builder: SandwichBuilder,
+    alpha_pos: int,
+    stage_pos: list[int],
+    design: list[Column],
+    n_nuisance: int,
+    raw_cols: list[Column],
+    beta_mod: np.ndarray,
+    p: Column,
+    p_a: Column,
+    a: Column,
+    weight: Column,
+    wres: Column,
+) -> None:
+    """The recurring Hessian cross block coupling a stage's (nuisance +
+    moderated) coefficients to an intercept-only propensity equation —
+    the three-term sum at wcls.R:94-97 / pwcls.R:98-101 / drwcls.R:85-88
+    / petwcls.R:96-99,116-120.
+
+    ``design`` = stage design columns (nuisance first, then moderated);
+    ``raw_cols`` = the moderated columns divided by a_centered;
+    ``beta_mod`` = fitted coefficients of the moderated block;
+    ``weight`` = the stage's full row weight (incl. tilt if any);
+    ``wres`` = weight * residual.
+    """
+    log_pa_deriv = (-(2.0 * a - 1.0) * p * (1.0 - p)) / p_a
+    p_deriv = -(1.0 - p)
+    fit_raw = linear_combo(beta_mod, raw_cols)
+    for k, pos in enumerate(stage_pos):
+        term = design[k] * wres * log_pa_deriv
+        term = term + design[k] * (p * fit_raw * weight) * p_deriv
+        if k >= n_nuisance:
+            term = term + (-(p * raw_cols[k - n_nuisance]) * wres) * p_deriv
+        builder.add_hessian_expr(pos, alpha_pos, term)
+
+
+def masked(mask: Column, expr: Column) -> Column:
+    return F.when(mask, expr).otherwise(F.lit(0.0))

@@ -58,6 +58,50 @@ def chi2_stat(error: np.ndarray, var: np.ndarray) -> float:
         return float(error @ np.linalg.lstsq(var, error, rcond=None)[0] @ error)
 
 
+def pool_full(
+    beta_stacked: np.ndarray, var: np.ndarray, n_blocks: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Precision-weighted pooling of ``n_blocks`` stacked d_r-estimates
+    with a JOINT covariance (etwcls.R:183-195 'full' mode; drwcls.R:
+    250-262 with 2 blocks; petwcls.R:234-246 with 3):
+
+      Λ = V⁻¹;  Λ_sum = Σ_jk Λ[j,k];  β = Λ_sum⁻¹ Σ_j (Λβ)_j;
+      V_pooled = Λ_sum⁻¹ (Σ_j Λ[j,:]) V (Σ_j Λ[j,:])ᵀ Λ_sum⁻¹.
+    """
+    m = n_blocks
+    d_r = beta_stacked.size // m
+    lam = np.linalg.inv(var)
+    lam_sum = np.zeros((d_r, d_r))
+    for j in range(m):
+        for k in range(m):
+            lam_sum += lam[j * d_r : (j + 1) * d_r, k * d_r : (k + 1) * d_r]
+    lam_sum_inv = np.linalg.inv(lam_sum)
+    z = lam @ beta_stacked
+    z_sum = sum(z[j * d_r : (j + 1) * d_r] for j in range(m))
+    beta_pooled = lam_sum_inv @ z_sum
+    lam_horiz = sum(lam[j * d_r : (j + 1) * d_r, :] for j in range(m))
+    var_pooled = lam_sum_inv @ lam_horiz @ var @ lam_horiz.T @ lam_sum_inv
+    return beta_pooled, var_pooled
+
+
+def pool_two_block_weights(
+    beta_stacked: np.ndarray, var: np.ndarray, lam_tilde: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """The reference's 'kronecker'/'equal' pooling of two d_r=2 blocks
+    (etwcls.R:171-182,196-203): scalar weights w_j = column sums of a
+    2×2 reduced precision Λ̃, applied via a Kronecker-structured map."""
+    d_r = 2
+    w1 = float(lam_tilde[:, 0].sum())
+    w2 = float(lam_tilde[:, 1].sum())
+    w_sum = w1 + w2
+    beta_pooled = (w1 * beta_stacked[:d_r] + w2 * beta_stacked[d_r:]) / w_sum
+    kron_mat = np.kron(lam_tilde[0, :][None, :], np.eye(2)) + np.kron(
+        lam_tilde[1, :][None, :], np.eye(2)
+    )
+    var_pooled = kron_mat @ var @ kron_mat.T / w_sum**2
+    return beta_pooled, var_pooled
+
+
 def inverse_variance_pool(
     estimates: list[np.ndarray], variances: list[np.ndarray]
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -11,10 +11,94 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mrt_data_integration_spark.estimators import wcls
+from mrt_data_integration_spark.estimators import drwcls, etwcls, petwcls, pwcls, wcls
 from mrt_data_integration_spark.queries.derived import _PANEL_SQL, _panelized
 from mrt_data_integration_spark.queries.registry import query
 from mrt_data_integration_spark.sources import load_table
+
+
+def _mrt_panel(spark: SparkSession, sf_dir: str):
+    """events → full MRT-panel stand-in with covariates for the tilt
+    model (x1, x2), outcome y, treatment a, and known behavior policy."""
+    df = _panelized(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("double")
+    return (
+        df.withColumn("y", F.col("value"))
+        .withColumn("x1", F.log1p(F.col("value")))
+        .withColumn("x2", k / 50.0)
+        .withColumn("p_h_col", F.col("p_h"))
+    )
+
+
+def _fit_to_df(spark, fit, method: str):
+    rows = [
+        (method, name, round(float(b), 4), round(float(s), 4))
+        for name, b, s in zip(fit.r_names, fit.beta_r, fit.se_beta_r)
+    ]
+    return spark.createDataFrame(
+        rows, "method string, coef string, estimate double, se double"
+    )
+
+
+def _std_designs():
+    x_h = [("intercept", F.lit(1.0)), ("x1", F.col("x1")), ("x2", F.col("x2"))]
+    mods = [("one", F.lit(1.0)), ("x1", F.col("x1"))]
+    s_mods = [("one", F.lit(1.0)), ("x1", F.col("x1")), ("x2", F.col("x2"))]
+    i = F.col("is_internal").cast("double")
+    e = 1.0 - F.col("is_internal").cast("double")
+    et_mods = [
+        ("int", i), ("int_x1", i * F.col("x1")),
+        ("ext", e), ("ext_x1", e * F.col("x1")),
+    ]
+    return x_h, mods, s_mods, et_mods
+
+
+@query("pwcls_fit")
+def pwcls_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: pooled two-stage P-WCLS on the events panel (rows-only check:
+    joint matrix solve is not SQL-expressible)."""
+    x_h, mods, s_mods, _ = _std_designs()
+    fit = pwcls(_mrt_panel(spark, sf_dir), x_h=x_h, s_moderators=s_mods, r_moderators=mods)
+    return _fit_to_df(spark, fit, "pwcls")
+
+
+@query("etwcls_fit")
+def etwcls_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: exponential-tilting WCLS (spline tilt ladder + IRLS + joint
+    sandwich + full precision pooling) on the events panel."""
+    _, mods, _, et_mods = _std_designs()
+    i = F.col("is_internal").cast("double")
+    e = 1.0 - i
+    x_h = [
+        ("int", i), ("int_x1", i * F.col("x1")), ("int_x2", i * F.col("x2")),
+        ("ext", e), ("ext_x1", e * F.col("x1")), ("ext_x2", e * F.col("x2")),
+    ]
+    fit = etwcls(_mrt_panel(spark, sf_dir), x_h=x_h, moderators=et_mods)
+    return _fit_to_df(spark, fit, "etwcls")
+
+
+@query("drwcls_fit")
+def drwcls_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: doubly-robust WCLS (counterfactual pseudo-outcomes + two
+    pooled target estimates) on the events panel."""
+    x_h, mods, s_mods, _ = _std_designs()
+    fit = drwcls(
+        _mrt_panel(spark, sf_dir),
+        x_h=x_h, s_moderators=s_mods, r_moderators=mods, p_behavior="p_h_col",
+    )
+    return _fit_to_df(spark, fit, "drwcls")
+
+
+@query("petwcls_fit")
+def petwcls_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: pooled + exponential-tilting WCLS (three-way precision
+    pooling, d=~30 joint sandwich) on the events panel."""
+    x_h, mods, s_mods, et_mods = _std_designs()
+    fit = petwcls(
+        _mrt_panel(spark, sf_dir),
+        x_h=x_h, s_moderators=s_mods, et_moderators=et_mods, r_moderators=mods,
+    )
+    return _fit_to_df(spark, fit, "petwcls")
 
 
 @query(

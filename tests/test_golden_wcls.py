@@ -20,7 +20,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from mrt_data_integration_spark.estimators import wcls
+from mrt_data_integration_spark.estimators import drwcls, etwcls, petwcls, pwcls, wcls
 
 GOLDEN_DIR = "/root/reference"
 DAT = os.path.join(GOLDEN_DIR, "example_dat.csv")
@@ -29,10 +29,18 @@ pytestmark = pytest.mark.skipif(
     not os.path.exists(DAT), reason="reference golden data not present"
 )
 
-# example_estimates.csv, columns WCLS-Internal / WCLS-Pooled.
+# example_estimates.csv (seed=1), per method: (Intercept, Slope).
 GOLDEN = {
     "WCLS-Internal": {"beta": (-1.876, 6.355), "se": (1.259, 1.379)},
     "WCLS-Pooled": {"beta": (-0.738, 4.281), "se": (0.751, 0.794)},
+    "P-WCLS-Internal": {"beta": (-1.814, 6.321), "se": (1.276, 1.385)},
+    "P-WCLS-Pooled": {"beta": (-2.363, 6.07), "se": (0.98, 0.994)},
+    "P-WCLS-Pooled-Obs": {"beta": (-2.441, 6.272), "se": (0.988, 1.037)},
+    "ET-WCLS-Equal": {"beta": (-1.802, 5.688), "se": (1.514, 1.682)},
+    "ET-WCLS-Kron": {"beta": (-1.826, 5.924), "se": (1.238, 1.365)},
+    "ET-WCLS": {"beta": (-2.003, 6.028), "se": (1.11, 1.22)},
+    "DR-WCLS": {"beta": (-2.164, 5.944), "se": (1.157, 1.286)},
+    "PET-WCLS": {"beta": (-2.561, 5.817), "se": (0.964, 0.959)},
 }
 
 X_H = lambda: [  # noqa: E731
@@ -82,17 +90,90 @@ def _fit(df, cluster_col):
     )
 
 
-@pytest.mark.parametrize("method", ["WCLS-Internal", "WCLS-Pooled"])
+S_MODS = lambda: [  # noqa: E731
+    ("one", F.lit(1.0)),
+    ("x1", F.col("x1")),
+    ("x2", F.col("x2")),
+]
+P_H_DESIGN = lambda: [  # noqa: E731
+    ("intercept", F.lit(1.0)),
+    ("is_internal_num", F.col("is_internal").cast("double")),
+    ("x1", F.col("x1")),
+    ("x2", F.col("x2")),
+    ("x3", F.col("x3")),
+]
+
+
+def _et_designs():
+    i = F.col("is_internal").cast("double")
+    e = 1.0 - F.col("is_internal").cast("double")
+    x_h = [
+        ("int", i), ("int_x1", i * F.col("x1")),
+        ("int_x2", i * F.col("x2")), ("int_x3", i * F.col("x3")),
+        ("ext", e), ("ext_x1", e * F.col("x1")),
+        ("ext_x2", e * F.col("x2")), ("ext_x3", e * F.col("x3")),
+    ]
+    mods = [
+        ("int_ac", i), ("int_ac_x1", i * F.col("x1")),
+        ("ext_ac", e), ("ext_ac_x1", e * F.col("x1")),
+    ]
+    return x_h, mods
+
+
+def _fit_method(panel, method, cluster_col):
+    kw = dict(
+        y="y", a="a", p_behavior_a="p_h_a",
+        cluster_col=cluster_col, beta_r_true=np.array([-2.0, 5.0]),
+    )
+    if method == "WCLS-Internal":
+        return wcls(panel.filter(F.col("is_internal")), x_h=X_H(), moderators=MODS(), p_target=None, **kw)
+    if method == "WCLS-Pooled":
+        return wcls(panel, x_h=X_H(), moderators=MODS(), p_target=None, **kw)
+    if method == "P-WCLS-Internal":
+        return pwcls(panel, x_h=X_H(), s_moderators=S_MODS(), r_moderators=MODS(), internal_only=True, **kw)
+    if method == "P-WCLS-Pooled":
+        return pwcls(panel, x_h=X_H(), s_moderators=S_MODS(), r_moderators=MODS(), **kw)
+    if method == "P-WCLS-Pooled-Obs":
+        return pwcls(panel, x_h=X_H(), s_moderators=S_MODS(), r_moderators=MODS(), p_h_design=P_H_DESIGN(), **kw)
+    if method.startswith("ET-WCLS"):
+        pooling = {"ET-WCLS-Equal": "equal", "ET-WCLS-Kron": "kronecker", "ET-WCLS": "full"}[method]
+        x_h, mods = _et_designs()
+        return etwcls(panel, x_h=x_h, moderators=mods, pooling=pooling, **kw)
+    if method == "DR-WCLS":
+        kw2 = {k: v for k, v in kw.items() if k != "p_behavior_a"}
+        return drwcls(
+            panel, x_h=X_H(), s_moderators=S_MODS(), r_moderators=MODS(),
+            p_behavior="p_h", **kw2,
+        )
+    if method == "PET-WCLS":
+        _, et_mods = _et_designs()
+        return petwcls(
+            panel, x_h=X_H(), s_moderators=S_MODS(), et_moderators=et_mods,
+            r_moderators=MODS(), **kw,
+        )
+    raise ValueError(method)
+
+
+@pytest.mark.parametrize("method", sorted(GOLDEN.keys()))
 def test_golden_estimates(spark, method):
     panel = _load_panel(spark)
     if method == "WCLS-Internal":
-        panel = panel.filter(F.col("is_internal"))
-    panel = _block_cluster(panel).cache()
-    fit = _fit(panel, "block_cluster")
+        # filter happens inside _fit_method; block clustering must be
+        # computed on the FILTERED frame for this method.
+        panel_f = _block_cluster(panel.filter(F.col("is_internal"))).cache()
+        fit = wcls(
+            panel_f, x_h=X_H(), moderators=MODS(), y="y", a="a",
+            p_behavior_a="p_h_a", p_target=None, cluster_col="block_cluster",
+            beta_r_true=np.array([-2.0, 5.0]),
+        )
+        panel_f.unpersist()
+    else:
+        panel_b = _block_cluster(panel).cache()
+        fit = _fit_method(panel_b, method, "block_cluster")
+        panel_b.unpersist()
     exp = GOLDEN[method]
     np.testing.assert_allclose(fit.beta_r, exp["beta"], atol=6e-4)
     np.testing.assert_allclose(fit.se_beta_r, exp["se"], atol=6e-4)
-    panel.unpersist()
 
 
 def test_user_cluster_path_differs(spark):
