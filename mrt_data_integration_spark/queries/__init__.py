@@ -20,6 +20,7 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
     derived,
     estimators,
     joins,
+    simulation,
     text_dedup,
     timeseries,
     vectors,

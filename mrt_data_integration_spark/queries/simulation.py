@@ -1,0 +1,54 @@
+"""Simulation-surface queries (SURVEY.md §2.7 R1-R6): synthetic panel
+generation and the Monte-Carlo fan-out. Rows-only checks (stochastic
+pipelines are not SQL-expressible), but fully deterministic in the
+fixed seeds — per-user RNG streams make results independent of
+partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mrt_data_integration_spark.queries.registry import query
+from mrt_data_integration_spark.simulation.harness import mc_summary, run_grid
+from mrt_data_integration_spark.sources.generator import generate_panel
+
+
+@query("synthetic_panel_stats")
+def synthetic_panel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+R1-R3: distributed MRT panel generation (seeded, chunked
+    mapInPandas) summarized per study arm."""
+    panel = generate_panel(spark, seed=42, n_internal=200, n_external=200)
+    return panel.groupBy("is_internal").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.avg("a"), 4).alias("treat_rate"),
+        F.round(F.avg("p_h"), 4).alias("avg_p_h"),
+        F.round(F.avg("y"), 4).alias("avg_y"),
+        F.round(F.stddev_pop("x1"), 4).alias("sd_x1"),
+    )
+
+
+@query("mc_simulation_grid")
+def mc_simulation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4-R5 + A9-A13: the Monte-Carlo study in miniature — a seeded
+    replication grid fanned out via mapInPandas (each task: generate +
+    fit all 10 estimators task-locally), then the full summary
+    aggregation stack (coverage, empirical SE, RMSE, relative
+    efficiency vs WCLS-Internal)."""
+    results = run_grid(spark, size_pairs=[(50, 50)], n_reps=4)
+    summ = mc_summary(results)
+    return summ.select(
+        "n_internal",
+        "n_external",
+        "method",
+        "coef",
+        F.round("avg_estimate", 4).alias("avg_estimate"),
+        F.round("empirical_se", 4).alias("empirical_se"),
+        F.round("analytical_se", 4).alias("analytical_se"),
+        F.round("rmse", 4).alias("rmse"),
+        F.round("coverage", 4).alias("coverage"),
+        "tilt_warnings",
+        F.round("rel_efficiency", 4).alias("rel_efficiency"),
+    )

@@ -21,6 +21,14 @@ def get_spark(app_name: str = "mrt-data-integration-spark") -> SparkSession:
     everything set here is master-independent.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
+    # Python workers (mapInPandas tasks) must be able to import this
+    # package regardless of the driver's cwd: export the repo root.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
@@ -45,6 +53,7 @@ def get_spark(app_name: str = "mrt-data-integration-spark") -> SparkSession:
         # The driver testdata stores events.ts as TIMESTAMP(NANOS), which
         # vanilla Spark rejects; read as long and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
     if not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
