@@ -425,6 +425,77 @@ def drwcls_np(df: pd.DataFrame) -> LocalFit:
     return LocalFit(b_p, se_from_var(v_p), v_p, tilt_warning=warn)
 
 
+def awcls_np(df: pd.DataFrame) -> LocalFit:
+    """A-WCLS — assisted WCLS (awcls.R:92-183; reference flags it
+    'not checked thoroughly'; kept for surface completeness).
+
+    WCLS stage + auxiliary cubic regression x2 ~ poly(x1,3) on internal
+    rows; β_r = Γ β_s with Γ carrying the fitted γ; delta-method
+    variance J V Jᵀ (awcls.R:161-165). Replicates the reference's own
+    conventions here: block clustering by consecutive t_max rows and
+    small-sample factor n/(n−d) (awcls.R:75-84)."""
+    X_h, S, R = _designs(df)
+    y, a = df["y"].to_numpy(), df["a"].to_numpy()
+    p_h_a = df["p_h_a"].to_numpy()
+    is_int = df["is_internal"].to_numpy().astype(bool)
+    x1, x2 = df["x1"].to_numpy(), df["x2"].to_numpy()
+
+    p_s = a.mean()
+    a_c = a - p_s
+    p_s_a = a * p_s + (1 - a) * (1 - p_s)
+    w = p_s_a / p_h_a
+
+    X_hs = np.column_stack([X_h, a_c[:, None] * S])
+    d_h, d_s = X_h.shape[1], S.shape[1]
+    gram_hs = (X_hs * w[:, None]).T @ X_hs
+    beta_hs = solve_wls(gram_hs, (X_hs * w[:, None]).T @ y)
+    beta_s = beta_hs[d_h:]
+
+    X_g = np.column_stack([np.ones(is_int.sum()), x1[is_int], x1[is_int] ** 2, x1[is_int] ** 3])
+    gram_g = X_g.T @ X_g
+    gamma = solve_wls(gram_g, X_g.T @ x2[is_int])
+    d_r = X_g.shape[1]
+    Gamma = np.column_stack(
+        [np.array([1.0, 0, 0, 0]), np.array([0, 1.0, 0, 0]), gamma]
+    )
+    beta_r = Gamma @ beta_s
+
+    n = len(df)
+    d = 1 + d_h + d_s + d_r
+    scores = np.zeros((n, d))
+    hess = np.zeros((d, d))
+    scores[:, 0] = a - p_s
+    hess[0, 0] = p_s * (1 - p_s) * n
+    pos_hs = slice(1, 1 + d_h + d_s)
+    pos_g = slice(1 + d_h + d_s, d)
+
+    resid = y - X_hs @ beta_hs
+    wres = w * resid
+    scores[:, pos_hs] = wres[:, None] * X_hs
+    hess[pos_hs, pos_hs] = gram_hs
+    hess[pos_hs, 0] = _cross3_np(X_hs, S, wres, S @ beta_s, p_s, p_s_a, a, w, d_h)
+
+    g_resid = x2[is_int] - X_g @ gamma
+    scores[is_int, pos_g] = g_resid[:, None] * X_g
+    hess[pos_g, pos_g] = gram_g
+
+    # awcls.R:75-84: block clustering by t_max consecutive rows and an
+    # n/(n−d) (row-count) small-sample factor.
+    n_users = int(df["user_id"].max())
+    t_max = n // n_users
+    blocks = np.arange(n) // t_max
+    agg = pd.DataFrame(scores).groupby(blocks).sum().to_numpy()
+    meat = agg.T @ agg
+    half = np.linalg.solve(hess, np.linalg.cholesky(meat))
+    sand = half @ half.T * n / (n - d)
+
+    pos_theta = np.arange(1 + d_h, d)
+    var_theta = sand[np.ix_(pos_theta, pos_theta)]
+    J = np.column_stack([Gamma, beta_s[2] * np.eye(d_r)])
+    var_r = J @ var_theta @ J.T
+    return LocalFit(beta_r, se_from_var(var_r), var_r)
+
+
 def petwcls_np(df: pd.DataFrame) -> LocalFit:
     """PET-WCLS (petwcls.R:141-264)."""
     X_h, S, R = _designs(df)
