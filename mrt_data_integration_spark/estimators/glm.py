@@ -43,6 +43,11 @@ class GlmFit:
     deviance: float
     n_iter: int
 
+    @property
+    def aic(self) -> float:
+        """Binomial AIC = deviance + 2·d (R's glm AIC for 0/1 y)."""
+        return self.deviance + 2.0 * len(self.beta)
+
 
 def logistic_irls(
     df: DataFrame,
@@ -135,6 +140,23 @@ def logistic_irls(
         deviance=float(row["dev"]),
         n_iter=n_iter,
     )
+
+
+def select_by_aic(
+    df: DataFrame,
+    candidates: dict[str, list[Column]],
+    y_col: Column,
+) -> tuple[str, GlmFit]:
+    """Model selection by AIC over candidate logistic designs
+    (SURVEY.md §2.5 M12; extras/et-model-selection.R:1-62): fit each
+    candidate, return the argmin-AIC (name, fit)."""
+    best_name, best_fit = None, None
+    for name, design in candidates.items():
+        fit = logistic_irls(df, design, y_col)
+        if best_fit is None or fit.aic < best_fit.aic:
+            best_name, best_fit = name, fit
+    assert best_name is not None and best_fit is not None
+    return best_name, best_fit
 
 
 def predict_logistic(beta: np.ndarray, x_cols: list[Column]) -> Column:

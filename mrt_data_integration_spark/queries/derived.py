@@ -193,6 +193,42 @@ def union_pooled_studies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "csv_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                  AS n,
+           round(sum(round(l_extendedprice, 2)), 2) AS sum_price,
+           round(min(l_quantity), 2) AS min_qty,
+           round(max(l_quantity), 2) AS max_qty
+    FROM lineitem
+    WHERE l_linenumber = 1
+    GROUP BY l_returnflag
+    """,
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2: CSV sink + source round-trip (write.csv → read.csv of the
+    reference, simulation.R:250-254): write a projected subset to a
+    temp CSV directory with headers, read it back with schema
+    inference, aggregate — the oracle aggregates the original rows
+    directly, so the round-trip must be value-preserving."""
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    subset = li.select(
+        "l_returnflag", F.round("l_extendedprice", 2).alias("price"), "l_quantity"
+    )
+    out_dir = tempfile.mkdtemp(prefix="mrt_csv_roundtrip_")
+    subset.write.mode("overwrite").option("header", True).csv(out_dir)
+    back = spark.read.csv(out_dir, header=True, inferSchema=True)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("price"), 2).alias("sum_price"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+    )
+
+
+@query(
     "string_report_format",
     oracle="""
     SELECT p_partkey,
