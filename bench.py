@@ -33,6 +33,7 @@ HEADLINE = [
     "doc_quality_stats",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "lsh_candidate_pairs",
     "cosine_topk",
     "wcls_cluster_robust",
 ]

@@ -22,7 +22,7 @@ from mrt_data_integration_spark.linalg import solve_wls
 
 
 def prepare(
-    df: DataFrame, computed: dict[str, Column], keep: list[str]
+    df: DataFrame, computed: dict[str, Column], keep: list[str], persist: bool = True
 ) -> DataFrame:
     """Materialize computed expressions as flat columns in ONE narrow
     projection and cache the result.
@@ -38,9 +38,14 @@ def prepare(
     At cluster scale the cache spills to disk per executor
     (MEMORY_AND_DISK); if evicted, lineage recomputes the projection
     from the parquet scan — correctness never depends on the cache.
+
+    Pass ``persist=False`` when the computed columns are cheap (plain
+    arithmetic): re-deriving them from the scan per pass beats paying
+    the cache write — caching only wins when the columns are expensive
+    (spline bases) or the passes are many (IRLS).
     """
     proj = df.select(*[F.col(k) for k in keep], *[v.alias(k) for k, v in computed.items()])
-    return proj.persist()
+    return proj.persist() if persist else proj
 
 
 def linear_combo(beta: np.ndarray | list[float], cols: list[Column]) -> Column:

@@ -121,8 +121,29 @@ def wcls(
     d_alpha = 1 if estimate_p else 0
     d = d_alpha + d_hr
 
-    design: list[Column] = [_c(c).cast("double") for _, c in x_h] + [
-        (a_centered * _c(s)).cast("double") for _, s in moderators
+    # Materialize design/weight columns once (narrow projection + cache)
+    # so the sufficient-stats and sandwich passes aggregate plain
+    # attributes instead of re-deriving them from the scan each pass.
+    from mrt_data_integration_spark.estimators.core import prepare
+
+    computed: dict[str, Column] = {
+        "__y__": y_c.cast("double"),
+        "__a__": a_c.cast("double"),
+        "__w__": w_and_tilt,
+        "__pa__": p_tgt_a,
+    }
+    for i, (_, c) in enumerate(x_h):
+        computed[f"__h_{i}__"] = _c(c).cast("double")
+    for j, (_, s) in enumerate(moderators):
+        computed[f"__r_{j}__"] = (a_centered * _c(s)).cast("double")
+        computed[f"__raw_{j}__"] = _c(s).cast("double")
+    df = prepare(df, computed, keep=[cluster_col], persist=False)
+    y_c, a_c = F.col("__y__"), F.col("__a__")
+    w_and_tilt = F.col("__w__")
+    p_tgt_a = F.col("__pa__")
+
+    design: list[Column] = [F.col(f"__h_{i}__") for i in range(d_h)] + [
+        F.col(f"__r_{j}__") for j in range(d_r)
     ]
 
     # Pass 2: WLS sufficient stats (gram doubles as the Hessian block).
@@ -165,14 +186,14 @@ def wcls(
         log_pa_deriv = (-(2 * a_c - 1) * p_var) / p_tgt_a
         p_deriv = -(1 - p_tgt)
         s_dot_beta_r = derive.linear_predictor(
-            list(beta_r), [_c(s) for _, s in moderators]
+            list(beta_r), [F.col(f"__raw_{j}__") for j in range(d_r)]
         )
         for i in range(d_hr):
             t1 = design[i] * wres * log_pa_deriv
             t3 = design[i] * (p_tgt * s_dot_beta_r * w_and_tilt) * p_deriv
             term = t1 + t3
             if i >= d_h:  # beta_r block gets the -p·S term (wcls.R:96)
-                s_raw = _c(moderators[i - d_h][1])
+                s_raw = F.col(f"__raw_{i - d_h}__")
                 term = term + (-(p_tgt * s_raw) * wres) * p_deriv
             extra_sums.append(F.sum(term).alias(f"x_{i}"))
             extra_names.append(f"x_{i}")

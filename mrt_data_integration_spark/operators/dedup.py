@@ -56,10 +56,15 @@ def _seeded_minhash(shingles: Column, seed: int) -> Column:
 
 
 def minhash_signature(
-    text: Column | str, n_hashes: int = 8, shingle_n: int = 3
+    text: Column | str,
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+    shingles: Column | None = None,
 ) -> list[Column]:
-    """MinHash signature columns, aliased ``minhash_{s}``."""
-    sh = word_shingles(text, shingle_n)
+    """MinHash signature columns, aliased ``minhash_{s}``. Pass a
+    pre-materialized ``shingles`` column to share one shingle
+    computation across all hash seeds (see queries/text_dedup.py)."""
+    sh = shingles if shingles is not None else word_shingles(text, shingle_n)
     return [_seeded_minhash(sh, s).alias(f"minhash_{s}") for s in range(n_hashes)]
 
 
@@ -77,7 +82,18 @@ def lsh_candidate_pairs(
     The self-join runs per band bucket — the shuffle key is the band
     hash, so cost is Σ bucket² not N².
     """
-    sigs = df.select(F.col(id_col), *minhash_signature(text_col, n_hashes, shingle_n))
+    # Small text files arrive in 1-2 input splits; fan the CPU-heavy
+    # hashing across the cluster before computing signatures. The
+    # signature frame (id + hex digests) is tiny → cache it so the
+    # band self-join doesn't recompute the md5 work per side.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    with_sh = df.repartition(par).select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh__")
+    )
+    sigs = with_sh.select(
+        F.col(id_col),
+        *minhash_signature(text_col, n_hashes, shingle_n, shingles=F.col("__sh__")),
+    ).persist()
     n_bands = n_hashes // band_size
     band_rows = []
     for b in range(n_bands):
@@ -157,8 +173,19 @@ def ngram_jaccard_pairs(
     only co-shingled docs ever meet (no N² cross join); a frequency cap
     on pathological shingles would bound skew at web scale.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
+    # Join on a 64-bit md5 prefix of the shingle, not the shingle text:
+    # the self-join shuffle then carries (8-byte-ish key, id) pairs
+    # instead of full n-gram strings — the shuffle payload is the cost
+    # driver at corpus scale. Collision probability ~2^-64 per pair.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(par).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                word_shingles(text_col, shingle_n),
+                lambda s: F.substring(F.md5(s), 1, 16),
+            )
+        ).alias("shingle"),
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")

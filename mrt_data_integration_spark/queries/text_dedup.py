@@ -131,9 +131,14 @@ def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3: MinHash signatures (4 seeds, 3-word shingles) on a doc sample
-    — the per-row, shuffle-free half of MinHash-LSH dedup."""
+    — the per-row, shuffle-free half of MinHash-LSH dedup. Shingles are
+    materialized once and shared across all hash seeds (one tokenize +
+    shingle pass instead of four)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    return docs.select("doc_id", *dd.minhash_signature("text", n_hashes=4))
+    with_sh = docs.select("doc_id", dd.word_shingles("text", 3).alias("__sh__"))
+    return with_sh.select(
+        "doc_id", *dd.minhash_signature("text", n_hashes=4, shingles=F.col("__sh__"))
+    )
 
 
 @query(
@@ -170,7 +175,8 @@ def lsh_candidate_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH sh AS (
-      SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+      SELECT doc_id, substr(md5(unnest({_SHINGLES})), 1, 16) AS shingle
+      FROM documents
     ),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (

@@ -1,0 +1,69 @@
+"""Physical-plan regression tests (the 100 TB contract): predicates and
+projections must reach the parquet scan, dimension joins must
+broadcast, aggregations must have a map-side partial phase. A plan
+regression here means a scale regression even if results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mrt_data_integration_spark.queries import QUERIES
+
+
+def _explain(spark, name, sf_dir, mode="formatted") -> str:
+    df = QUERIES[name](spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_scan_pushdown_and_pruning(spark, sf_smoke):
+    plan = _explain(spark, "filter_project", sf_smoke)
+    assert "EqualTo(l_returnflag,R)" in plan, "filter not pushed to parquet"
+    assert "GreaterThan(l_quantity,25.0)" in plan
+    # column pruning: the scan schema must not include unused columns
+    sched = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_shipdate" not in sched and "l_tax" not in sched
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_smoke):
+    plan = _explain(spark, "star_join_revenue", sf_smoke, "simple")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_aggregation_is_partial(spark, sf_smoke):
+    plan = _explain(spark, "pricing_summary", sf_smoke, "simple")
+    # partial (map-side) + final hash aggregation
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_no_python_udfs_in_relational_core(spark, sf_smoke):
+    # The relational/text/vector core must stay JVM-side: no
+    # BatchEvalPython / ArrowEvalPython stages in these plans.
+    for name in [
+        "pricing_summary",
+        "derive_weight_chain",
+        "doc_quality_stats",
+        "minhash_signatures",
+        "cosine_topk",
+        "sessionization",
+        "star_join_revenue",
+    ]:
+        plan = _explain(spark, name, sf_smoke, "simple")
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_semi_join_stays_semi(spark, sf_smoke):
+    plan = _explain(spark, "semi_join_active_customers", sf_smoke, "simple")
+    assert "LeftSemi" in plan
+
+
+@pytest.mark.parametrize("name", ["cluster_score_meat", "weighted_gram"])
+def test_meat_gram_single_exchange(spark, sf_smoke, name):
+    plan = _explain(spark, name, sf_smoke, "simple")
+    # level-1 exchange (by user) is the only wide dependency; the final
+    # global agg coalesces to a single partition, no extra shuffle of
+    # row data.
+    assert plan.count("Exchange") <= 2
