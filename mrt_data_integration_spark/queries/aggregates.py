@@ -297,6 +297,115 @@ def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rollup_hierarchy",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (grouping-sets family) — one
+    pass, partial-aggregated like a plain groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). The scale path swaps in
+    ``approx_percentile`` with a documented error bound — exact
+    percentiles need a per-group sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@query(
+    "running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING
+           ), 2) AS running_spend,
+           row_number() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS order_seq
+    FROM orders
+    """,
+)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend (cumulative window, unique tiebreak)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@query(
+    "distinct_exact",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_linenumber
+    FROM lineitem
+    """,
+)
+def distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 (exact dedup of a projection): SELECT DISTINCT — hash
+    aggregation with map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus", "l_linenumber").distinct()
+
+
+@query(
+    "argmax_per_group",
+    oracle="""
+    SELECT o_orderpriority,
+           max(o_totalprice)                            AS max_price,
+           arg_max(o_orderkey,
+                   printf('%018.4f|%012d', o_totalprice, o_orderkey)) AS best_orderkey
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: which.max as an aggregation — max_by over a zero-padded
+    (value, unique key) string so ties resolve identically in any
+    engine (struct comparators aren't portable to the oracle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    comparator = F.format_string("%018.4f|%012d", F.col("o_totalprice"), F.col("o_orderkey"))
+    return orders.groupBy("o_orderpriority").agg(
+        F.max("o_totalprice").alias("max_price"),
+        F.max_by("o_orderkey", comparator).alias("best_orderkey"),
+    )
+
+
+@query(
     "topk_per_group",
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice, rk

@@ -30,6 +30,46 @@ def synthetic_panel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sensitivity_scenarios")
+def sensitivity_scenarios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6: the sensitivity analysis — three data-generating regimes
+    (sensitivity.R:368-370) through the same fan-out, each with its own
+    generator parameters and true effect."""
+    from mrt_data_integration_spark.simulation.harness import METHODS
+
+    sub = {k: METHODS[k] for k in ["WCLS-Internal", "P-WCLS-Pooled", "PET-WCLS"]}
+    scenarios = [
+        ("linear_x2", (1.0, 2.0), {"x2_coef": 0.0}),
+        ("strong_x2", (3.0, 0.0), {"x2_coef": 2.0}),
+        ("quadratic_x1", (-2.0, 5.0), {"x21sq_coef": 0.3}),
+    ]
+    outs = []
+    for label, truth, gen_kw in scenarios:
+        res = run_grid(
+            spark,
+            size_pairs=[(50, 50)],
+            n_reps=3,
+            beta_r_true=truth,
+            methods=sub,
+            **gen_kw,
+        )
+        outs.append(
+            mc_summary(res, beta_r_true=truth).withColumn("scenario", F.lit(label))
+        )
+    unioned = outs[0]
+    for o in outs[1:]:
+        unioned = unioned.unionByName(o)
+    return unioned.select(
+        "scenario",
+        "method",
+        "coef",
+        F.round("avg_estimate", 4).alias("avg_estimate"),
+        F.round("empirical_se", 4).alias("empirical_se"),
+        F.round("coverage", 4).alias("coverage"),
+        F.round("rel_efficiency", 4).alias("rel_efficiency"),
+    )
+
+
 @query("mc_simulation_grid")
 def mc_simulation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R4-R5 + A9-A13: the Monte-Carlo study in miniature — a seeded
