@@ -45,7 +45,15 @@ def prepare(
     (spline bases) or the passes are many (IRLS).
     """
     proj = df.select(*[F.col(k) for k in keep], *[v.alias(k) for k, v in computed.items()])
-    return proj.persist() if persist else proj
+    if not persist:
+        return proj
+    # localCheckpoint (eager) both caches the rows AND truncates the
+    # logical plan: later passes analyze a flat LogicalRDD instead of
+    # re-walking the spline expression forest per aggregate — Catalyst
+    # analysis of the wide sandwich/IRLS aggs was the dominant cost.
+    # On a real cluster prefer a reliable checkpoint dir for fault
+    # tolerance; semantics are identical.
+    return proj.localCheckpoint(eager=True)
 
 
 def linear_combo(beta: np.ndarray | list[float], cols: list[Column]) -> Column:
@@ -63,34 +71,65 @@ def wls_fit(
     mask: Column | None = None,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Weighted least squares from one sufficient-statistics pass.
-    Returns (beta, gram, n_rows_in_mask). ``mask`` restricts the fit to a
-    row subset without a separate filtered scan (filter fused as 0/1)."""
+    Returns (beta, gram, n_rows_in_mask). ``mask`` restricts the fit to
+    a row subset without a separate filtered scan.
+
+    Physical plan: design/weight/y evaluate once in a projection; the
+    gram + XᵀWy partials reduce per partition in BLAS via mapInPandas
+    (fixed-size plan — the declarative d(d+1)/2-sum aggregate pays
+    Janino compilation per call at d ≳ 10).
+    """
+    import pandas as pd
+
     d = len(design)
     w = weight
     if mask is not None:
         m = mask.cast("double")
         w = m if w is None else w * m
-    aggs: list[Column] = []
-    for i in range(d):
-        for j in range(i, d):
-            term = design[i] * design[j]
-            if w is not None:
-                term = w * term
-            aggs.append(F.sum(term).alias(f"g_{i}_{j}"))
-    for i in range(d):
-        term = design[i] * y
-        if w is not None:
-            term = w * term
-        aggs.append(F.sum(term).alias(f"xy_{i}"))
-    n_expr = F.count(F.lit(1)) if mask is None else F.sum(mask.cast("long"))
-    aggs.append(n_expr.alias("n"))
-    row = df.agg(*aggs).collect()[0]
-    gram = np.empty((d, d))
-    for i in range(d):
-        for j in range(i, d):
-            gram[i, j] = gram[j, i] = row[f"g_{i}_{j}"]
-    xty = np.array([row[f"xy_{i}"] for i in range(d)])
-    return solve_wls(gram, xty), gram, int(row["n"])
+    cols = [c.cast("double").alias(f"x_{i}") for i, c in enumerate(design)]
+    cols.append(y.cast("double").alias("__y__"))
+    cols.append((w.cast("double") if w is not None else F.lit(1.0)).alias("__w__"))
+    cols.append(
+        (mask.cast("double") if mask is not None else F.lit(1.0)).alias("__m__")
+    )
+    proj = df.select(*cols)
+
+    n_tri = d * (d + 1) // 2
+    schema = (
+        ", ".join(f"g_{k} double" for k in range(n_tri))
+        + ", "
+        + ", ".join(f"xy_{i} double" for i in range(d))
+        + ", n double"
+    )
+
+    def reduce_task(batches):
+        G = np.zeros((d, d))
+        xy = np.zeros(d)
+        n = 0.0
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            X = pdf[[f"x_{i}" for i in range(d)]].to_numpy()
+            yv = pdf["__y__"].to_numpy()
+            wv = pdf["__w__"].to_numpy()
+            Xw = X * wv[:, None]
+            G += Xw.T @ X
+            xy += Xw.T @ yv
+            n += float(pdf["__m__"].sum())
+        if seen:
+            iu = np.triu_indices(d)
+            yield pd.DataFrame([list(G[iu]) + list(xy) + [n]])
+
+    parts = proj.mapInPandas(reduce_task, schema).toPandas()
+    iu = np.triu_indices(d)
+    gram = np.zeros((d, d))
+    gram[iu] = parts[[f"g_{k}" for k in range(n_tri)]].to_numpy().sum(axis=0)
+    gram = gram + gram.T - np.diag(np.diag(gram))
+    xty = parts[[f"xy_{i}" for i in range(d)]].to_numpy().sum(axis=0)
+    n = int(round(float(parts["n"].sum())))
+    return solve_wls(gram, xty), gram, n
 
 
 @dataclass
@@ -101,6 +140,9 @@ class TiltModel:
     design: list[Column]       # X_omega columns (intercept first)
     warning: bool
     pi_internal: float
+    gram: np.ndarray | None = None  # X_om' diag(mu(1-mu)) X_om at the MLE
+    # NOTE: the adjusted-omega p_omega (rho*exp(X om_adj)/(1+...)) equals
+    # the glm fitted mu, so this gram IS the tilt-equation Hessian block.
 
     @property
     def d(self) -> int:
@@ -179,6 +221,7 @@ def fit_tilt_ladder(
         design=design,
         warning=len(omega) <= 10,
         pi_internal=pi_internal,
+        gram=fit.final_gram,
     )
 
 

@@ -125,14 +125,15 @@ def etwcls(
     rho = tilt.pi_internal / (1.0 - tilt.pi_internal)
     p_om_num = F.lit(rho) * F.exp(linear_combo(tilt.omega, om))
     p_om = p_om_num / (1.0 + p_om_num)
-    pw = p_om * (1.0 - p_om)
     for k in range(d_om):
         b.set_score(pos_omega[k], (int_w - p_om) * om[k])
-        for k2 in range(k, d_om):
-            e = pw * om[k] * om[k2]
-            b.add_hessian_expr(pos_omega[k], pos_omega[k2], e)
-            if k2 != k:
-                b.add_hessian_expr(pos_omega[k2], pos_omega[k], e)
+    # Tilt-equation Hessian block = the IRLS gram at the MLE
+    # (p_omega equals the glm fitted mu) — reuse, don't re-sum.
+    b.add_hessian_block_const(
+        range(pos_omega[0], pos_omega[0] + d_om),
+        range(pos_omega[0], pos_omega[0] + d_om),
+        tilt.gram,
+    )
 
     resid = y_w - linear_combo(beta, design)
     wres = w_and_tilt * resid

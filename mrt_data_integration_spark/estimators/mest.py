@@ -6,22 +6,29 @@ row-product sums, per-cluster score aggregation, meat = crossprod of
 cluster sums, sandwich = H⁻¹ B H⁻ᵀ · n/(n−d).
 
 ``SandwichBuilder`` collects score expressions and Hessian-entry
-expressions, then evaluates EVERYTHING in one two-level aggregation:
+expressions and evaluates everything with ONE wide projection plus ONE
+cluster-partitioned Arrow pass:
 
-  level 1: groupBy(cluster) → sums of scores + partial sums of each
-           pending Hessian entry;
-  level 2: sums of score-products (meat, upper triangle) + Hessian
-           totals.
+  1. project: every score / Hessian term becomes a flat column
+     (expressions evaluate once, fused in a single codegen stage);
+  2. repartition by the cluster key (the only shuffle — same movement
+     a groupBy would pay) so each task holds whole clusters;
+  3. mapInPandas: per task, pandas-groupby cluster → cluster score
+     sums; accumulate meat partial SᵀS, Hessian-term sums, and the
+     cluster count in numpy/BLAS; emit one flattened row per task;
+  4. driver: sum the ≤(#partitions) partial rows.
 
-One shuffle keyed by the cluster column, regardless of how many blocks
-an estimator stacks. Hessian blocks already known as numbers (e.g. the
-WLS gram collected when solving) are passed as constants and skip the
-data entirely.
+Equivalent numbers to a d(d+1)/2-column SQL aggregation, but the plan
+is fixed-size: at d≈34 the declarative form pays tens of seconds of
+Catalyst/Janino work for ~900 aggregate expressions; the Arrow pass
+pays none and does the quadratic arithmetic in BLAS. At 100 TB the
+shuffle is identical and partials keep the reduce tiny.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -57,33 +64,55 @@ class SandwichBuilder:
                 self._hess_const[i, j] += block[bi, bj]
 
     def assemble(self, df: DataFrame) -> tuple[np.ndarray, np.ndarray, int]:
-        """Run the two-level aggregation; return (hessian, meat, n_users)."""
+        """Run the cluster-partitioned reduction; return
+        (hessian, meat, n_users)."""
         d = self.d
         missing = [i for i, s in enumerate(self._scores) if s is None]
         if missing:
             raise ValueError(f"scores not set for positions {missing}")
+        hess_keys = list(self._hess_exprs.keys())
+        n_h = len(hess_keys)
         score_names = [f"s_{i}" for i in range(d)]
-        hess_names = {k: f"h_{k[0]}_{k[1]}" for k in self._hess_exprs}
+        hess_names = [f"h_{k}" for k in range(n_h)]
 
-        level1 = df.groupBy(F.col(self.cluster_col).alias("__cluster__")).agg(
-            *[F.sum(s).alias(nm) for s, nm in zip(self._scores, score_names)],
-            *[F.sum(e).alias(nm) for (_, e), nm in zip(self._hess_exprs.items(), hess_names.values())],
+        row_level = df.select(
+            F.col(self.cluster_col).alias("__cluster__"),
+            *[s.alias(nm) for s, nm in zip(self._scores, score_names)],
+            *[self._hess_exprs[key].alias(nm) for key, nm in zip(hess_keys, hess_names)],
+        ).repartition("__cluster__")
+
+        n_tri = d * (d + 1) // 2
+        part_schema = (
+            ", ".join(f"m_{k} double" for k in range(n_tri))
+            + (", " if n_h else "")
+            + ", ".join(f"hh_{k} double" for k in range(n_h))
+            + ", n_users double"
         )
-        final = level1.agg(
-            *[
-                F.sum(F.col(score_names[i]) * F.col(score_names[j])).alias(f"m_{i}_{j}")
-                for i in range(d)
-                for j in range(i, d)
-            ],
-            *[F.sum(F.col(nm)).alias(nm) for nm in hess_names.values()],
-            F.count(F.lit(1)).alias("n_users"),
-        ).collect()[0]
 
-        meat = np.empty((d, d))
-        for i in range(d):
-            for j in range(i, d):
-                meat[i, j] = meat[j, i] = final[f"m_{i}_{j}"]
+        def reduce_task(batches):
+            frames = [pdf for pdf in batches if len(pdf)]
+            if not frames:
+                return
+            pdf = pd.concat(frames, ignore_index=True)
+            # whole clusters live in this task (hash-partitioned).
+            cl = pdf.groupby("__cluster__", sort=False)[score_names].sum().to_numpy()
+            meat = cl.T @ cl
+            iu = np.triu_indices(d)
+            row = list(meat[iu])
+            if n_h:
+                row += list(pdf[hess_names].sum().to_numpy())
+            row.append(float(cl.shape[0]))
+            yield pd.DataFrame([row])
+
+        parts = row_level.mapInPandas(reduce_task, part_schema).toPandas()
+        iu = np.triu_indices(d)
+        meat = np.zeros((d, d))
+        meat[iu] = parts[[f"m_{k}" for k in range(n_tri)]].to_numpy().sum(axis=0)
+        meat = meat + meat.T - np.diag(np.diag(meat))
         hessian = self._hess_const.copy()
-        for (i, j), nm in hess_names.items():
-            hessian[i, j] += final[nm]
-        return hessian, meat, int(final["n_users"])
+        if n_h:
+            hsums = parts[[f"hh_{k}" for k in range(n_h)]].to_numpy().sum(axis=0)
+            for key, v in zip(hess_keys, hsums):
+                hessian[key] += v
+        n_users = int(parts["n_users"].sum())
+        return hessian, meat, n_users

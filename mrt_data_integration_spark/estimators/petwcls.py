@@ -150,14 +150,15 @@ def petwcls(
     rho = tilt.pi_internal / (1.0 - tilt.pi_internal)
     p_om_num = F.lit(rho) * F.exp(linear_combo(tilt.omega, om))
     p_om = p_om_num / (1.0 + p_om_num)
-    pw = p_om * (1.0 - p_om)
     for k in range(d_om):
         b.set_score(pos_om[k], (int_w - p_om) * om[k])
-        for k2 in range(k, d_om):
-            e = pw * om[k] * om[k2]
-            b.add_hessian_expr(pos_om[k], pos_om[k2], e)
-            if k2 != k:
-                b.add_hessian_expr(pos_om[k2], pos_om[k], e)
+    # Tilt-equation Hessian block = the IRLS gram at the MLE
+    # (p_omega equals the glm fitted mu) — reuse, don't re-sum.
+    b.add_hessian_block_const(
+        range(pos_om[0], pos_om[0] + d_om),
+        range(pos_om[0], pos_om[0] + d_om),
+        tilt.gram,
+    )
 
     resid_hs = y_w - linear_combo(beta_hs, design_hs)
     wres_hs = w_w * resid_hs

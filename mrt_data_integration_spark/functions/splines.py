@@ -44,46 +44,54 @@ class BSplineSpec:
         return [lo] * ord_ + list(self.interior) + [hi] * ord_
 
 
-def _order_stat(df: DataFrame, col: str, k: int) -> float:
-    """k-th (0-based) order statistic — TakeOrdered plan, exact."""
-    row = df.select(col).orderBy(F.col(col)).limit(k + 1).agg(
-        F.max(col).alias("v")
-    ).collect()[0]
-    return float(row["v"])
-
-
-def quantile_type7(df: DataFrame, col: str, probs: list[float], approx: bool = False) -> list[float]:
-    """R type-7 quantiles: interpolate adjacent order statistics at
-    h = (n−1)p."""
+def quantile_type7(
+    df: DataFrame, col: str, probs: list[float], approx: bool = False
+) -> list[float]:
+    """R type-7 quantiles in ONE aggregation pass: Spark's exact
+    ``percentile`` interpolates at h = (n−1)p — the same definition
+    (verified bit-equal to numpy's default). ``approx=True`` swaps in
+    approxQuantile (ε-bounded Greenwald-Khanna) for extreme scale."""
     if approx:
         return df.approxQuantile(col, probs, 0.001)
-    n = df.count()
-    out = []
-    for p in probs:
-        h = (n - 1) * p
-        lo, hi = int(np.floor(h)), int(np.ceil(h))
-        v_lo = _order_stat(df, col, lo)
-        v_hi = v_lo if hi == lo else _order_stat(df, col, hi)
-        out.append(v_lo + (h - lo) * (v_hi - v_lo))
-    return out
+    plist = ", ".join(repr(float(p)) for p in probs)
+    row = df.agg(F.expr(f"percentile({col}, array({plist}))").alias("q")).collect()[0]
+    return [float(v) for v in row["q"]]
 
 
 def bs_spec(
     df: DataFrame, col: str, df_: int, degree: int, approx: bool = False
 ) -> BSplineSpec:
     """Knot placement matching ``bs(x, df=df_, degree=degree)``:
-    nIknots = df_ − degree interior knots at evenly spaced quantiles."""
+    nIknots = df_ − degree interior knots at evenly spaced quantiles.
+    One aggregation collects boundary and interior knots together."""
     n_iknots = df_ - degree
     if n_iknots < 0:
         raise ValueError("df must be >= degree")
-    bounds = df.agg(F.min(col), F.max(col)).collect()[0]
-    lo, hi = float(bounds[0]), float(bounds[1])
     if n_iknots == 0:
-        interior: tuple[float, ...] = ()
-    else:
-        probs = [i / (n_iknots + 1) for i in range(1, n_iknots + 1)]
-        interior = tuple(quantile_type7(df, col, probs, approx=approx))
-    return BSplineSpec(degree=degree, interior=interior, boundary=(lo, hi))
+        bounds = df.agg(F.min(col), F.max(col)).collect()[0]
+        return BSplineSpec(
+            degree=degree, interior=(), boundary=(float(bounds[0]), float(bounds[1]))
+        )
+    probs = [i / (n_iknots + 1) for i in range(1, n_iknots + 1)]
+    if approx:
+        interior = tuple(df.approxQuantile(col, probs, 0.001))
+        bounds = df.agg(F.min(col), F.max(col)).collect()[0]
+        return BSplineSpec(
+            degree=degree,
+            interior=interior,
+            boundary=(float(bounds[0]), float(bounds[1])),
+        )
+    plist = ", ".join(repr(float(p)) for p in probs)
+    row = df.agg(
+        F.min(col).alias("lo"),
+        F.max(col).alias("hi"),
+        F.expr(f"percentile({col}, array({plist}))").alias("q"),
+    ).collect()[0]
+    return BSplineSpec(
+        degree=degree,
+        interior=tuple(float(v) for v in row["q"]),
+        boundary=(float(row["lo"]), float(row["hi"])),
+    )
 
 
 def _cox_de_boor_exprs(x: Column, spec: BSplineSpec) -> list[Column]:

@@ -22,12 +22,18 @@ def _mrt_panel(spark: SparkSession, sf_dir: str):
     model (x1, x2), outcome y, treatment a, and known behavior policy."""
     df = _panelized(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("double")
-    return (
+    panel = (
         df.withColumn("y", F.col("value"))
         .withColumn("x1", F.log1p(F.col("value")))
         .withColumn("x2", k / 50.0)
         .withColumn("p_h_col", F.col("p_h"))
     )
+    # Multi-pass estimators (tilt knots + IRLS + WLS + sandwich) re-scan
+    # this panel many times; the JSON parse for x2 makes re-derivation
+    # the dominant cost. Cache once (LRU-evicted, correctness-neutral).
+    return panel.select(
+        "user_id", "y", "a", "x1", "x2", "p_h_a", "p_h_col", "is_internal"
+    ).cache()
 
 
 def _fit_to_df(spark, fit, method: str):
