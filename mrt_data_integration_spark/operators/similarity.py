@@ -73,6 +73,36 @@ def brute_force_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hyperplanes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the last dedup modality of
+    SURVEY.md §2.9 E3): id_a < id_b with cosine ≥ threshold.
+
+    With ``hyperplanes`` given, candidates come from an equi-join on
+    LSH bucket (near-dups at high thresholds collide with high
+    probability; cost Σ bucket²). Without, the exact quadratic join —
+    correctness baseline / oracle twin for small corpora.
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"))
+    if hyperplanes is not None:
+        a = a.withColumn("__bkt__", hyperplane_bucket("__va__", hyperplanes))
+        b = b.withColumn("__bkt__", hyperplane_bucket("__vb__", hyperplanes))
+        pairs = a.join(b, ["__bkt__"]).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", cosine("__va__", "__vb__").alias("cs"))
+        .filter(F.col("cs") >= threshold)
+        .select("id_a", "id_b", F.round("cs", 4).alias("cosine_sim"))
+    )
+
+
 def hyperplane_bucket(
     vec: Column | str, hyperplanes: list[list[float]]
 ) -> Column:

@@ -95,7 +95,47 @@ def drwcls_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fit_to_df(spark, fit, "drwcls")
 
 
-@query("petwcls_fit")
+@query("awcls_fit")
+def awcls_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: assisted WCLS (auxiliary cubic regression + Γ coefficient
+    mapping + delta-method variance) on the events panel."""
+    from mrt_data_integration_spark.estimators.awcls import awcls
+
+    x_h, _, s_mods, _ = _std_designs()
+    fit = awcls(_mrt_panel(spark, sf_dir), x_h=x_h, s_moderators=s_mods)
+    return _fit_to_df(spark, fit, "awcls")
+
+
+@query("estimator_report_pivot")
+def estimator_report_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2+W7: the reference's reporting artifact (example-analysis.R:
+    51-58) — per-method "estimate (se)" strings pivoted to one column
+    per method, built from the fast estimators' results."""
+    x_h, mods, s_mods, _ = _std_designs()
+    panel = _mrt_panel(spark, sf_dir)
+    fits = {
+        "wcls_pooled": wcls(
+            panel, x_h=x_h, moderators=mods, p_target=None
+        ),
+        "pwcls_pooled": pwcls(
+            panel, x_h=x_h, s_moderators=s_mods, r_moderators=mods
+        ),
+    }
+    rows = []
+    for method, fit in fits.items():
+        for name, b, s in zip(fit.r_names, fit.beta_r, fit.se_beta_r):
+            rows.append((method, name, float(b), float(s)))
+    long = spark.createDataFrame(
+        rows, "method string, coef string, estimate double, se double"
+    )
+    label = F.format_string("%.3f (%.3f)", F.col("estimate"), F.col("se"))
+    piv = (
+        long.withColumn("label", label)
+        .groupBy("coef")
+        .pivot("method", sorted(fits))
+        .agg(F.first("label"))
+    )
+    return piv
 def petwcls_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5: pooled + exponential-tilting WCLS (three-way precision
     pooling, d=~30 joint sandwich) on the events panel."""

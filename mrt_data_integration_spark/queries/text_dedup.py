@@ -200,6 +200,65 @@ def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bpe_ish_token_counts",
+    oracle=r"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+             AS whitespace_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]')))
+                AS BIGINT) AS subword_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def bpe_ish_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: token counting — whitespace tokens plus a BPE-ish regex
+    segmentation (lowercase runs / Capitalized runs / digit runs /
+    single punctuation), the pre-tokenizer shape of byte-pair
+    encoders. JVM-side regexp_count; no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe_pat = r"[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]"
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", r"\s+"))).alias("whitespace_tokens"),
+        F.sum(F.regexp_count("text", F.lit(bpe_pat))).alias("subword_tokens"),
+    )
+
+
+@query(
+    "char_ngram_min_sketch",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(length(text) - 7, 1)),
+               i -> md5(substr(text, i, 8))
+             ) AS hs
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id,
+           list_min(hs)                        AS min_gram_hash,
+           CAST(len(list_distinct(hs)) AS BIGINT) AS n_distinct_grams
+    FROM grams
+    """,
+)
+def char_ngram_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: rolling character-8-gram fingerprint sketch — the winnowing/
+    min-hash shape over character shingles (every position, md5-hashed,
+    min kept). Array expressions only; the per-doc sketch is the unit
+    that scales to content-defined chunking."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    idx = F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1)))
+    hs = F.transform(idx, lambda i: F.md5(F.col("text").substr(i, F.lit(8))))
+    return docs.select(
+        "doc_id",
+        F.array_min(hs).alias("min_gram_hash"),
+        F.size(F.array_distinct(hs)).cast("long").alias("n_distinct_grams"),
+    )
+
+
+@query(
     "simhash_buckets",
     oracle=None,  # assembled below (needs a generated per-bit SQL body)
 )

@@ -104,6 +104,33 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_similar_pairs",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, {_E_DBL} AS v FROM embeddings WHERE vec_id < 150
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+    """,
+)
+def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 (embedding-cosine near-dup): all pairs above a cosine
+    threshold via operators.similarity.cosine_near_dup_pairs (exact
+    path on the bounded id range; the LSH-bucketed path is the same
+    operator with hyperplanes — exercised in lsh_bucket_profile)."""
+    from mrt_data_integration_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    return cosine_near_dup_pairs(emb, threshold=0.3)
+
+
 @query("lsh_bucket_profile")
 def lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4: random-hyperplane LSH bucket histogram — the candidate-

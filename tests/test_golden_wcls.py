@@ -185,3 +185,27 @@ def test_user_cluster_path_differs(spark):
     np.testing.assert_allclose(fit_user.beta_r, fit_block.beta_r, atol=1e-9)
     assert not np.allclose(fit_user.se_beta_r, fit_block.se_beta_r, atol=1e-6)
     panel.unpersist()
+
+
+def test_awcls_distributed_matches_local(spark):
+    """Differential: distributed A-WCLS == numpy twin on the golden
+    panel (block clustering, matching the reference's conventions)."""
+    import pandas as pd
+
+    from mrt_data_integration_spark.estimators.awcls import awcls
+    from mrt_data_integration_spark.estimators.local import awcls_np
+
+    pdf = pd.read_csv(DAT)
+    pdf["is_internal"] = pdf["is_internal"].astype(bool)
+    fit_np = awcls_np(pdf)
+
+    panel = _block_cluster(_load_panel(spark)).cache()
+    fit = awcls(
+        panel,
+        x_h=X_H(),
+        s_moderators=[("one", F.lit(1.0)), ("x1", F.col("x1")), ("x2", F.col("x2"))],
+        cluster_col="block_cluster",
+    )
+    panel.unpersist()
+    np.testing.assert_allclose(fit.beta_r, fit_np.beta_r, rtol=1e-8)
+    np.testing.assert_allclose(fit.se_beta_r, fit_np.se_beta_r, rtol=1e-6)
