@@ -200,6 +200,55 @@ def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    df_ AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.term,
+             round(sum(tf.tf * ln((1.0 + n.n_docs) / (1.0 + df_.df)) ), 4)
+               AS total_tfidf,
+             max(df_.df) AS doc_freq
+      FROM tf JOIN df_ ON tf.term = df_.term CROSS JOIN n
+      GROUP BY tf.term
+    )
+    SELECT term, total_tfidf, doc_freq
+    FROM scored
+    ORDER BY total_tfidf DESC, term
+    LIMIT 15
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: TF-IDF scoring — term frequency per doc, document frequency,
+    smoothed idf ln((1+N)/(1+df)), corpus-level top terms. All JVM-side
+    (explode → two grouped aggs → broadcast join); total order on
+    (score, term) so LIMIT is engine-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((1.0 + float(n_docs)) / (1.0 + F.col("df")))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .groupBy("term")
+        .agg(
+            F.round(F.sum(F.col("tf") * idf), 4).alias("total_tfidf"),
+            F.max("df").alias("doc_freq"),
+        )
+    )
+    return scored.orderBy(F.col("total_tfidf").desc(), "term").limit(15)
+
+
+@query(
     "bpe_ish_token_counts",
     oracle=r"""
     SELECT source,
