@@ -36,6 +36,7 @@ HEADLINE = [
     "lsh_candidate_pairs",
     "cosine_topk",
     "wcls_cluster_robust",
+    "wcls_large_panel",
 ]
 
 

@@ -30,6 +30,70 @@ def synthetic_panel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver north star (multimodal columns): binary media assets →
+    Arrow-batched decode/feature extraction → resize planning →
+    pseudo-embeddings → aggregate profile. Decode is the deterministic
+    stub (no codecs in this container); every Spark-side seam — schema,
+    partitioning, batch shape — is the production one."""
+    from mrt_data_integration_spark.operators.multimodal import (
+        embed_stub,
+        extract_image_features,
+        resize_plan,
+        synthesize_media_table,
+    )
+    from mrt_data_integration_spark.operators.similarity import norm
+
+    media = synthesize_media_table(spark, n_assets=128)
+    feats = extract_image_features(media)
+    plan = resize_plan(feats, max_side=256)
+    emb = embed_stub(feats)
+    return (
+        plan.join(emb, "asset_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.round(F.avg("target_w"), 4).alias("avg_target_w"),
+            F.round(F.avg("target_h"), 4).alias("avg_target_h"),
+            F.round(F.avg(norm("embedding")), 4).alias("avg_emb_norm"),
+        )
+    )
+
+
+@query("wcls_large_panel")
+def wcls_large_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale exercise: generate a 400k-row panel distributed (20k users
+    × 20 decision points) and run the distributed WCLS fit — the
+    one-big-fit physical path (sufficient-stats passes + two-level
+    cluster meat) at a size where per-row work dominates overhead.
+    Deterministic in the fixed seed."""
+    from mrt_data_integration_spark.estimators import wcls
+
+    panel = generate_panel(
+        spark, seed=20260813, n_internal=10_000, n_external=10_000,
+        users_per_chunk=2_000,
+    )
+    fit = wcls(
+        panel,
+        x_h=[
+            ("intercept", F.lit(1.0)),
+            ("x1", F.col("x1")),
+            ("x2", F.col("x2")),
+            ("x3", F.col("x3")),
+        ],
+        moderators=[("one", F.lit(1.0)), ("x1", F.col("x1"))],
+        p_target=None,
+        cluster_col="user_id",
+        beta_r_true=None,
+    )
+    rows = [
+        (name, round(float(b), 4), round(float(s), 4))
+        for name, b, s in zip(fit.r_names, fit.beta_r, fit.se_beta_r)
+    ]
+    return spark.createDataFrame(rows, "coef string, estimate double, se double")
+
+
 @query("sensitivity_scenarios")
 def sensitivity_scenarios(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R6: the sensitivity analysis — three data-generating regimes
