@@ -24,9 +24,7 @@ from mrt_data_integration_spark.queries import ORACLES, QUERIES  # noqa: E402
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: distributed WCLS fit (sufficient stats → two-level
     cluster meat → sandwich) on the sf0.001 events panel."""
-    from mrt_data_integration_spark.queries.estimators import wcls_cluster_robust
-
-    return wcls_cluster_robust(spark, "/root/testdata/sf0.001")
+    return QUERIES["wcls_cluster_robust"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -24,6 +24,42 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
+def _ensure_package_on_workers(spark: SparkSession) -> None:
+    """Queries may run under an externally-created SparkSession (the
+    grading driver's) whose JVM started before this package reached
+    PYTHONPATH — Python workers would then fail to unpickle mapInPandas
+    closures. Ship the package as a zip via addPyFile once per
+    SparkContext (no-op for sessions built by our get_spark)."""
+    import os
+    import zipfile
+
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED_CONTEXTS:
+        return
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = os.path.join("/tmp", "mrt_data_integration_spark_pkg.zip")
+    sources = [
+        os.path.join(dp, fn)
+        for dp, _, files in os.walk(pkg_dir)
+        for fn in files
+        if fn.endswith(".py")
+    ]
+    newest = max(os.path.getmtime(p) for p in sources)
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
+        root = os.path.dirname(pkg_dir)
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for full in sources:
+                zf.write(full, os.path.relpath(full, root))
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass  # already added or unsupported — workers may import via env
+    _SHIPPED_CONTEXTS.add(key)
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator registering a query and (optionally) its DuckDB oracle."""
@@ -31,7 +67,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = fn
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_package_on_workers(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
