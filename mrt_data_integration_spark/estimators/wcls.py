@@ -35,7 +35,6 @@ from mrt_data_integration_spark.linalg import (
     chi2_stat,
     final_sandwich_step,
     se_from_var,
-    solve_wls,
 )
 
 ColumnLike = Column | str
@@ -146,84 +145,48 @@ def wcls(
         F.col(f"__r_{j}__") for j in range(d_r)
     ]
 
-    # Pass 2: WLS sufficient stats (gram doubles as the Hessian block).
-    gram_aggs = [
-        F.sum(w_and_tilt * design[i] * design[j]).alias(f"g_{i}_{j}")
-        for i in range(d_hr)
-        for j in range(i, d_hr)
-    ]
-    xty_aggs = [F.sum(w_and_tilt * design[i] * y_c).alias(f"xy_{i}") for i in range(d_hr)]
-    stat_row = df.agg(*gram_aggs, *xty_aggs, F.count(F.lit(1)).alias("n")).collect()[0]
-    gram = np.empty((d_hr, d_hr))
-    for i in range(d_hr):
-        for j in range(i, d_hr):
-            gram[i, j] = gram[j, i] = stat_row[f"g_{i}_{j}"]
-    xty = np.array([stat_row[f"xy_{i}"] for i in range(d_hr)])
-    n = int(stat_row["n"])
-    beta = solve_wls(gram, xty)
+    # Pass 2: WLS sufficient statistics (Arrow partial reduction —
+    # the gram doubles as the WLS Hessian block).
+    from mrt_data_integration_spark.estimators.core import wls_fit
+
+    beta, gram, n = wls_fit(df, design, y_c, weight=w_and_tilt)
     beta_h, beta_r = beta[:d_h], beta[d_h:]
 
-    # Pass 3: scores, meat, and cross-Hessian in one two-level agg.
+    # Pass 3: scores, meat, and cross-Hessian in one cluster-partitioned
+    # reduction (shared SandwichBuilder).
+    from mrt_data_integration_spark.estimators.core import (
+        add_propensity_cross_block,
+    )
+    from mrt_data_integration_spark.estimators.mest import SandwichBuilder
+
     fitted = derive.linear_predictor(list(beta), design)
     resid = y_c - fitted
     wres = w_and_tilt * resid
 
-    score_cols: list[Column] = []
+    b = SandwichBuilder(d, cluster_col=cluster_col)
+    pos_beta = list(range(d_alpha, d))
     if estimate_p:
-        score_cols.append(((a_c - p_tgt) * F.lit(1.0)).alias("s_alpha"))
+        b.set_score(0, a_c - p_tgt)
+        b.add_hessian_expr(0, 0, p_tgt * (1.0 - p_tgt))
     for i in range(d_hr):
-        score_cols.append((wres * design[i]).alias(f"s_b{i}"))
-    score_names = (["s_alpha"] if estimate_p else []) + [f"s_b{i}" for i in range(d_hr)]
-
-    extra_sums: list[Column] = []
-    extra_names: list[str] = []
+        b.set_score(pos_beta[i], wres * design[i])
+    b.add_hessian_block_const(range(d_alpha, d), range(d_alpha, d), gram)
     if estimate_p:
-        # Hessian blocks coupling the propensity equation (wcls.R:53-58,
-        # 87-98). X_alpha = [1] (intercept-only propensity).
-        p_var = p_tgt * (1 - p_tgt)
-        extra_sums.append(F.sum(p_var).alias("h_alpha"))
-        extra_names.append("h_alpha")
-        log_pa_deriv = (-(2 * a_c - 1) * p_var) / p_tgt_a
-        p_deriv = -(1 - p_tgt)
-        s_dot_beta_r = derive.linear_predictor(
-            list(beta_r), [F.col(f"__raw_{j}__") for j in range(d_r)]
+        add_propensity_cross_block(
+            b,
+            alpha_pos=0,
+            stage_pos=pos_beta,
+            design=design,
+            n_nuisance=d_h,
+            raw_cols=[F.col(f"__raw_{j}__") for j in range(d_r)],
+            beta_mod=beta_r,
+            p=p_tgt,
+            p_a=p_tgt_a,
+            a=a_c,
+            weight=w_and_tilt,
+            wres=wres,
         )
-        for i in range(d_hr):
-            t1 = design[i] * wres * log_pa_deriv
-            t3 = design[i] * (p_tgt * s_dot_beta_r * w_and_tilt) * p_deriv
-            term = t1 + t3
-            if i >= d_h:  # beta_r block gets the -p·S term (wcls.R:96)
-                s_raw = F.col(f"__raw_{i - d_h}__")
-                term = term + (-(p_tgt * s_raw) * wres) * p_deriv
-            extra_sums.append(F.sum(term).alias(f"x_{i}"))
-            extra_names.append(f"x_{i}")
-
-    level1 = df.groupBy(_c(cluster_col).alias("__cluster__")).agg(
-        *[F.sum(sc) .alias(nm) for sc, nm in zip(score_cols, score_names)],
-        *extra_sums,
-    )
-    meat_aggs = [
-        F.sum(F.col(score_names[i]) * F.col(score_names[j])).alias(f"m_{i}_{j}")
-        for i in range(d)
-        for j in range(i, d)
-    ]
-    total_aggs = [F.sum(F.col(nm)).alias(nm) for nm in extra_names]
-    final_row = level1.agg(
-        *meat_aggs, *total_aggs, F.count(F.lit(1)).alias("n_users")
-    ).collect()[0]
-
-    meat = np.empty((d, d))
-    for i in range(d):
-        for j in range(i, d):
-            meat[i, j] = meat[j, i] = final_row[f"m_{i}_{j}"]
-    n_users = int(final_row["n_users"])
-
-    hessian = np.zeros((d, d))
-    if estimate_p:
-        hessian[0, 0] = final_row["h_alpha"]
-        for i in range(d_hr):
-            hessian[d_alpha + i, 0] = final_row[f"x_{i}"]
-    hessian[d_alpha:, d_alpha:] = gram
+    hessian, meat, n_users = b.assemble(df)
 
     sandwich = final_sandwich_step(hessian, meat, n_users, d)
     pos_r = slice(d - d_r, d)
