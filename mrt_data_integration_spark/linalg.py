@@ -70,12 +70,20 @@ def pool_full(
     """
     m = n_blocks
     d_r = beta_stacked.size // m
-    lam = np.linalg.inv(var)
+    try:
+        lam = np.linalg.inv(var)
+    except np.linalg.LinAlgError:
+        # near-singular joint covariance (the reference pushes through
+        # with tol=1e-50 solves; we take the pseudo-inverse).
+        lam = np.linalg.pinv(var)
     lam_sum = np.zeros((d_r, d_r))
     for j in range(m):
         for k in range(m):
             lam_sum += lam[j * d_r : (j + 1) * d_r, k * d_r : (k + 1) * d_r]
-    lam_sum_inv = np.linalg.inv(lam_sum)
+    try:
+        lam_sum_inv = np.linalg.inv(lam_sum)
+    except np.linalg.LinAlgError:
+        lam_sum_inv = np.linalg.pinv(lam_sum)
     z = lam @ beta_stacked
     z_sum = sum(z[j * d_r : (j + 1) * d_r] for j in range(m))
     beta_pooled = lam_sum_inv @ z_sum
