@@ -4,8 +4,9 @@
 Parity target: R's ``glm(..., family=binomial())`` — same starting
 values (mu0 = (y + 1/2)/2), same update (Fisher scoring on the working
 response), same convergence criterion (relative deviance change <
-1e-8), same warning conditions (fitted probabilities within machine-eps
-of 0/1, or non-convergence in 25 iterations). The warning flag feeds
+1e-8), same warning conditions (FINAL fitted probabilities within
+machine-eps of 0/1 — R checks mu only after the IRLS loop exits — or
+non-convergence in 25 iterations). The warning flag feeds
 the reference's adaptive model-complexity fallback
 (methods/etwcls.R:112-130).
 
@@ -151,8 +152,6 @@ def logistic_irls(
             beta = np.linalg.lstsq(gram, xtz, rcond=None)[0]
 
         if it > 1:
-            if mu_min < _MU_EPS or mu_max > 1 - _MU_EPS:
-                boundary_warning = True
             if abs(dev - dev_old) / (abs(dev) + 0.1) < tol:
                 converged = True
                 break

@@ -61,12 +61,14 @@ def _logistic_irls_np(X: np.ndarray, y: np.ndarray, max_iter=25, tol=1e-8):
         eta = X @ beta
         mu = 1.0 / (1.0 + np.exp(-eta))
         dev = float(-2.0 * np.sum(y * np.log(mu) + (1 - y) * np.log1p(-mu)))
-        if mu.min() < _MU_EPS or mu.max() > 1 - _MU_EPS:
-            warning = True
         if abs(dev - dev_old) / (abs(dev) + 0.1) < tol:
             converged = True
             break
         dev_old = dev
+    # R's glm.fit warns on boundary mu only AFTER the loop exits, at the
+    # final fit — not on intermediate iterations.
+    if mu.min() < _MU_EPS or mu.max() > 1 - _MU_EPS:
+        warning = True
     return beta, (warning or not converged)
 
 

@@ -23,11 +23,12 @@ from mrt_data_integration_spark.simulation.harness import (  # noqa: E402
     run_grid,
 )
 
-# simulation.R:204-209: diagonal (n,n) + 100-vs-external crosses.
+# simulation.R:204-210: the paper's exact 13 pairs — 5 diagonal,
+# 100-vs-external crosses, and internal-vs-100 crosses.
 SIZE_PAIRS = [
-    (25, 25), (50, 50), (100, 100), (200, 200), (400, 400),
-    (800, 800), (1600, 1600), (3200, 3200), (6400, 6400),
+    (25, 25), (100, 100), (400, 400), (1600, 1600), (6400, 6400),
     (100, 25), (100, 400), (100, 1600), (100, 6400),
+    (25, 100), (400, 100), (1600, 100), (6400, 100),
 ]
 N_REPS = 400
 
