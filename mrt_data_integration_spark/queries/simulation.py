@@ -70,10 +70,13 @@ def wcls_large_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic in the fixed seed."""
     from mrt_data_integration_spark.estimators import wcls
 
+    # The input is a generative source, so materialize it once —
+    # otherwise each of the fit's aggregation passes re-runs the
+    # mapInPandas generation (3× the dominant cost).
     panel = generate_panel(
         spark, seed=20260813, n_internal=10_000, n_external=10_000,
         users_per_chunk=2_000,
-    )
+    ).localCheckpoint(eager=True)
     fit = wcls(
         panel,
         x_h=[
