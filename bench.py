@@ -17,8 +17,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from mrt_data_integration_spark.queries import QUERIES  # noqa: E402
 from mrt_data_integration_spark.session import get_spark  # noqa: E402
+from mrt_data_integration_spark.sources import load_table  # noqa: E402
 
 HEADLINE = [
     "pricing_summary",
@@ -44,8 +47,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("mrt-bench")
-    # Warm the JVM/codegen once so per-query numbers measure the queries.
+    # Warm the JVM once so per-query numbers measure the queries, not
+    # one-time machinery: codegen, the shuffle subsystem, the parquet
+    # reader, and the Python/Arrow worker pool all initialize lazily on
+    # first use.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(100_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
+    load_table(spark, sf_dir, "region").collect()
+    spark.range(10_000).mapInPandas(
+        lambda it: it, "id long"
+    ).selectExpr("sum(id)").collect()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -94,6 +94,29 @@ def wls_fit(
     )
     proj = df.select(*cols)
 
+    if d <= 6:
+        # Small designs: one declarative agg (d(d+1)/2 + d + 1 sums)
+        # stays entirely JVM-side / whole-stage-codegen — no Python
+        # workers in the hot path and Janino compile is negligible at
+        # this width. The wide-design path below keeps a fixed-size
+        # plan instead (codegen cost grows ~d², the BLAS partial
+        # doesn't).
+        wc, yc = F.col("__w__"), F.col("__y__")
+        xs = [F.col(f"x_{i}") for i in range(d)]
+        exprs = [F.sum(wc * xs[i] * xs[j]) for i in range(d) for j in range(i, d)]
+        exprs += [F.sum(wc * xs[i] * yc) for i in range(d)]
+        exprs.append(F.sum(F.col("__m__")))
+        vals = [float(v if v is not None else 0.0) for v in proj.agg(*exprs).collect()[0]]
+        gram = np.zeros((d, d))
+        k = 0
+        for i in range(d):
+            for j in range(i, d):
+                gram[i, j] = gram[j, i] = vals[k]
+                k += 1
+        xty = np.array(vals[k : k + d])
+        n = int(round(vals[k + d]))
+        return solve_wls(gram, xty), gram, n
+
     n_tri = d * (d + 1) // 2
     schema = (
         ", ".join(f"g_{k} double" for k in range(n_tri))

@@ -79,7 +79,40 @@ class SandwichBuilder:
             F.col(self.cluster_col).alias("__cluster__"),
             *[s.alias(nm) for s, nm in zip(self._scores, score_names)],
             *[self._hess_exprs[key].alias(nm) for key, nm in zip(hess_keys, hess_names)],
-        ).repartition("__cluster__")
+        )
+
+        if d * (d + 1) // 2 + n_h <= 24:
+            # Small systems: declarative two-level aggregation —
+            # groupBy(cluster) partial+final hash agg, then one global
+            # agg of the pairwise products. Fully JVM-side; no Python
+            # workers, no explicit repartition (the groupBy exchange
+            # hash-partitions by cluster on its own).
+            lvl1 = row_level.groupBy("__cluster__").agg(
+                *[F.sum(nm).alias(f"u_{i}") for i, nm in enumerate(score_names)],
+                *[F.sum(nm).alias(f"hu_{k}") for k, nm in enumerate(hess_names)],
+            )
+            us = [F.col(f"u_{i}") for i in range(d)]
+            exprs = [F.sum(us[i] * us[j]) for i in range(d) for j in range(i, d)]
+            exprs += [F.sum(F.col(f"hu_{k}")) for k in range(n_h)]
+            exprs.append(F.count(F.lit(1)))
+            vals = [
+                float(v if v is not None else 0.0)
+                for v in lvl1.agg(*exprs).collect()[0]
+            ]
+            meat = np.zeros((d, d))
+            k = 0
+            for i in range(d):
+                for j in range(i, d):
+                    meat[i, j] = meat[j, i] = vals[k]
+                    k += 1
+            hessian = self._hess_const.copy()
+            for key in hess_keys:
+                hessian[key] += vals[k]
+                k += 1
+            n_users = int(round(vals[k]))
+            return hessian, meat, n_users
+
+        row_level = row_level.repartition("__cluster__")
 
         n_tri = d * (d + 1) // 2
         part_schema = (
