@@ -120,14 +120,33 @@ def _one_scan_fit(
                  for k in range(d_hr) for j in range(d_r)]
         aggs += [F.sum(raws[j] * wc * yc).alias(f"s4_{j}") for j in range(d_r)]
 
-    lvl1 = proj.groupBy("__cluster__").agg(*aggs).persist()
+    lvl1 = proj.groupBy("__cluster__").agg(*aggs)
     stat_names = [c for c in lvl1.columns if c != "__cluster__"]
-    glob = lvl1.agg(
-        *[F.sum(nm).alias(nm) for nm in stat_names],
-        F.count(F.lit(1)).alias("__n_users__"),
-    ).collect()[0]
-    g = {nm: float(glob[nm] if glob[nm] is not None else 0.0) for nm in stat_names}
-    n_users = int(glob["__n_users__"])
+
+    # Driver-sized cluster counts (the common case even at 100 TB rows —
+    # the level-1 frame has ONE row per cluster) finish in a single
+    # Arrow collect: global sums, β, and the meat are numpy ops on the
+    # per-cluster stats. limit(cap+1) is an exact probe — a result with
+    # ≤ cap rows IS the complete frame. Beyond the cap (≳10⁵ clusters,
+    # sized so the collect stays ≲70 MB) the frame stays distributed
+    # and two more tiny aggs reduce it.
+    max_clusters = max(65_536, 8_388_608 // max(1, len(stat_names)))
+    pdf = lvl1.limit(max_clusters + 1).toPandas()
+    if len(pdf) <= max_clusters:
+        stats: np.ndarray | None = np.nan_to_num(
+            pdf[stat_names].to_numpy(dtype=float)
+        )
+        n_users = stats.shape[0]
+        g = {nm: float(v) for nm, v in zip(stat_names, stats.sum(axis=0))}
+    else:
+        stats = None
+        lvl1 = lvl1.persist()
+        glob = lvl1.agg(
+            *[F.sum(nm).alias(nm) for nm in stat_names],
+            F.count(F.lit(1)).alias("__n_users__"),
+        ).collect()[0]
+        g = {nm: float(glob[nm] if glob[nm] is not None else 0.0) for nm in stat_names}
+        n_users = int(glob["__n_users__"])
     n = int(round(g["n_u"]))
 
     gram = np.zeros((d_hr, d_hr))
@@ -159,7 +178,22 @@ def _one_scan_fit(
             hessian[d_alpha + k, 0] = t
 
     # Meat: per-cluster scores are linear in the level-1 stats with β
-    # as literals; one tiny agg over the persisted per-cluster frame.
+    # known — s_u = c_u − G_u β (and Σ_u(a−p̂) for the propensity row).
+    if stats is not None:
+        col_ix = {nm: k for k, nm in enumerate(stat_names)}
+        sc = np.empty((n_users, d))
+        if estimate_p:
+            sc[:, 0] = stats[:, col_ix["sa"]] - stats[:, col_ix["n_u"]] * p_hat
+        for i in range(d_hr):
+            v = stats[:, col_ix[f"c_{i}"]].copy()
+            for m in range(d_hr):
+                nm = f"g_{i}_{m}" if i <= m else f"g_{m}_{i}"
+                v -= float(beta[m]) * stats[:, col_ix[nm]]
+            sc[:, d_alpha + i] = v
+        meat = sc.T @ sc
+        return beta, gram, n, hessian, meat, n_users
+
+    # Distributed fallback: one more tiny agg over the persisted frame.
     def score(i: int) -> Column:
         expr = F.col(f"c_{i}")
         for m in range(d_hr):

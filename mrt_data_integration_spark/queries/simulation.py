@@ -75,7 +75,8 @@ def wcls_large_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mapInPandas generation (3× the dominant cost).
     panel = generate_panel(
         spark, seed=20260813, n_internal=10_000, n_external=10_000,
-        users_per_chunk=2_000,
+        users_per_chunk=625,  # 32 generation tasks = one per local core
+
     ).localCheckpoint(eager=True)
     fit = wcls(
         panel,
