@@ -57,6 +57,11 @@ def main() -> None:
     spark.range(10_000).mapInPandas(
         lambda it: it, "id long"
     ).selectExpr("sum(id)").collect()
+    # Arrow collect + CollectLimit machinery (the estimators' driver-side
+    # sufficient-stats path) also initializes lazily.
+    spark.range(10_000).groupBy((F.col("id") % 100).alias("k")).agg(
+        F.sum("id").alias("s")
+    ).limit(1_000).toPandas()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

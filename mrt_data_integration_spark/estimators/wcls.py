@@ -131,6 +131,11 @@ def _one_scan_fit(
     # sized so the collect stays ≲70 MB) the frame stays distributed
     # and two more tiny aggs reduce it.
     max_clusters = max(65_536, 8_388_608 // max(1, len(stat_names)))
+    # Without this, CollectLimit probes partitions incrementally
+    # (1, 4, 16, ... via spark.sql.limit.scaleUpFactor) — up to ~5 jobs
+    # when the frame is smaller than the cap. Scanning all partitions in
+    # the first attempt makes the probe exactly one job.
+    df.sparkSession.conf.set("spark.sql.limit.initialNumPartitions", "10000000")
     pdf = lvl1.limit(max_clusters + 1).toPandas()
     if len(pdf) <= max_clusters:
         stats: np.ndarray | None = np.nan_to_num(
