@@ -187,6 +187,12 @@ def ngram_jaccard_pairs(
             )
         ).alias("shingle"),
     )
+    # The exploded frame feeds three consumers (both self-join sides and
+    # the per-doc size agg). The join sides share one ReusedExchange, but
+    # the size agg shuffles by doc — without a persist it re-reads and
+    # re-shingles the corpus. MEMORY_AND_DISK (the default) spills at
+    # corpus scale; recomputing a 100 TB tokenize+md5 twice costs more.
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
