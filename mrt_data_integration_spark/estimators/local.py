@@ -40,6 +40,12 @@ class LocalFit:
     se_beta_r: np.ndarray
     var_beta_r: np.ndarray
     tilt_warning: bool = False
+    # CI dof inputs (simulation.R:38: dof <- model$n - model$p): n is the
+    # row count the fit actually used (internal-only methods: the filtered
+    # count, simulation.R:57), p the full sandwich dimension
+    # (wcls.R:189-190: n=nrow(data), p=nrow(sandwich)).
+    n: int = 0
+    p: int = 0
 
 
 def _logistic_irls_np(X: np.ndarray, y: np.ndarray, max_iter=25, tol=1e-8):
@@ -170,7 +176,7 @@ def wcls_np(df: pd.DataFrame, internal_only=False) -> LocalFit:
         d,
     )
     var = sand[-d_r:, -d_r:]
-    return LocalFit(beta_r, se_from_var(var), var)
+    return LocalFit(beta_r, se_from_var(var), var, n=len(df), p=d)
 
 
 def _grouped_crossprod(scores, user_ids):
@@ -244,7 +250,7 @@ def pwcls_np(df: pd.DataFrame, internal_only=False, observational=False) -> Loca
 
     sand = _sandwich_np(scores, hess, user, d)
     var = sand[pos_r, pos_r]
-    return LocalFit(beta_r, se_from_var(var), var)
+    return LocalFit(beta_r, se_from_var(var), var, n=len(data), p=d)
 
 
 def etwcls_np(df: pd.DataFrame, pooling="full") -> LocalFit:
@@ -310,7 +316,7 @@ def etwcls_np(df: pd.DataFrame, pooling="full") -> LocalFit:
         b_p, v_p = pool_two_block_weights(beta_r, var4, lt)
     else:
         b_p, v_p = pool_two_block_weights(beta_r, var4, np.eye(2) * 0.5)
-    return LocalFit(b_p, se_from_var(v_p), v_p, tilt_warning=warn)
+    return LocalFit(b_p, se_from_var(v_p), v_p, tilt_warning=warn, n=len(df), p=d)
 
 
 def drwcls_np(df: pd.DataFrame) -> LocalFit:
@@ -424,7 +430,7 @@ def drwcls_np(df: pd.DataFrame) -> LocalFit:
     idx = np.r_[np.arange(i_pi + 1, i_pi + 1 + d_r), np.arange(i_pi + 1 + d_r, d)]
     var4 = sand[np.ix_(idx, idx)]
     b_p, v_p = pool_full(np.concatenate([beta_r, beta_et]), var4, 2)
-    return LocalFit(b_p, se_from_var(v_p), v_p, tilt_warning=warn)
+    return LocalFit(b_p, se_from_var(v_p), v_p, tilt_warning=warn, n=len(df), p=d)
 
 
 def awcls_np(df: pd.DataFrame) -> LocalFit:
@@ -495,7 +501,7 @@ def awcls_np(df: pd.DataFrame) -> LocalFit:
     var_theta = sand[np.ix_(pos_theta, pos_theta)]
     J = np.column_stack([Gamma, beta_s[2] * np.eye(d_r)])
     var_r = J @ var_theta @ J.T
-    return LocalFit(beta_r, se_from_var(var_r), var_r)
+    return LocalFit(beta_r, se_from_var(var_r), var_r, n=n, p=d)
 
 
 def petwcls_np(df: pd.DataFrame) -> LocalFit:
@@ -581,4 +587,4 @@ def petwcls_np(df: pd.DataFrame) -> LocalFit:
     idx = np.r_[np.arange(start_rw, start_rw + d_et), np.arange(d - d_r, d)]
     var6 = sand[np.ix_(idx, idx)]
     b_p, v_p = pool_full(np.concatenate([beta_rw, beta_r]), var6, 3)
-    return LocalFit(b_p, se_from_var(v_p), v_p, tilt_warning=warn)
+    return LocalFit(b_p, se_from_var(v_p), v_p, tilt_warning=warn, n=len(df), p=d)

@@ -135,8 +135,20 @@ def _one_scan_fit(
     # (1, 4, 16, ... via spark.sql.limit.scaleUpFactor) — up to ~5 jobs
     # when the frame is smaller than the cap. Scanning all partitions in
     # the first attempt makes the probe exactly one job.
-    df.sparkSession.conf.set("spark.sql.limit.initialNumPartitions", "10000000")
-    pdf = lvl1.limit(max_clusters + 1).toPandas()
+    # Scoped set/restore: the engine runs inside externally-created
+    # sessions, so leaking this would pessimize the host's later
+    # genuinely-small .limit() probes.
+    conf = df.sparkSession.conf
+    _key = "spark.sql.limit.initialNumPartitions"
+    _prev = conf.get(_key, None)
+    conf.set(_key, "10000000")
+    try:
+        pdf = lvl1.limit(max_clusters + 1).toPandas()
+    finally:
+        if _prev is None:
+            conf.unset(_key)
+        else:
+            conf.set(_key, _prev)
     if len(pdf) <= max_clusters:
         stats: np.ndarray | None = np.nan_to_num(
             pdf[stat_names].to_numpy(dtype=float)

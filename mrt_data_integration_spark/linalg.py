@@ -55,7 +55,7 @@ def chi2_stat(error: np.ndarray, var: np.ndarray) -> float:
     try:
         return float(error @ np.linalg.solve(var, error))
     except np.linalg.LinAlgError:
-        return float(error @ np.linalg.lstsq(var, error, rcond=None)[0] @ error)
+        return float(error @ np.linalg.lstsq(var, error, rcond=None)[0])
 
 
 def pool_full(

@@ -22,6 +22,36 @@ from pyspark.sql import functions as F
 from mrt_data_integration_spark.operators.text import fingerprint, tokens
 
 
+def _spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Fan a small scan across the cluster before CPU-heavy hashing.
+
+    No-op when the scan already yields enough splits: at corpus scale the
+    input splits provide the parallelism, and a blanket ``repartition``
+    would full-shuffle the raw document bodies — the classic own-goal.
+    Only tiny local files (1-2 splits) take the shuffle.
+    """
+    par = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
+def release_cache(df: DataFrame) -> None:
+    """Unpersist every cached frame a dedup operator attached to its
+    result (``__graft_cached__``). Persisted inputs must outlive the
+    returned lazy DataFrame, so the operators can't unpersist them
+    themselves; callers release after the consuming action (the same
+    handle discipline the estimator paths use with their lvl1/work
+    frames)."""
+    for dep in getattr(df, "__graft_cached__", ()):
+        dep.unpersist()
+
+
+def _attach_cache(result: DataFrame, deps: list[DataFrame]) -> DataFrame:
+    result.__graft_cached__ = deps
+    return result
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -82,12 +112,10 @@ def lsh_candidate_pairs(
     The self-join runs per band bucket — the shuffle key is the band
     hash, so cost is Σ bucket² not N².
     """
-    # Small text files arrive in 1-2 input splits; fan the CPU-heavy
-    # hashing across the cluster before computing signatures. The
-    # signature frame (id + hex digests) is tiny → cache it so the
-    # band self-join doesn't recompute the md5 work per side.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    with_sh = df.repartition(par).select(
+    # The signature frame (id + hex digests) is tiny → cache it so the
+    # band self-join doesn't recompute the md5 work per side. Released
+    # via release_cache() on the returned frame.
+    with_sh = _spread(df).select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh__")
     )
     sigs = with_sh.select(
@@ -110,7 +138,7 @@ def lsh_candidate_pairs(
         bands = bands.unionByName(extra)
     a = bands.alias("a")
     b_ = bands.alias("b")
-    return (
+    out = (
         a.join(
             b_,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -124,6 +152,7 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+    return _attach_cache(out, [sigs])
 
 
 def _hex_nibble_bit(md5_col: Column, bit: int) -> Column:
@@ -141,22 +170,27 @@ def simhash(text: Column | str, n_bits: int = 16) -> Column:
     """SimHash over word tokens: per-bit majority vote of token-md5 bits.
 
     For each bit position: +1 per token with the bit set, −1 otherwise;
-    a positive total sets the output bit. One fold per bit over the
-    token array, all fused by codegen — no shuffle, no UDF.
+    a positive total sets the output bit. ONE md5 per token (hoisted via
+    a transform into a digest array), then a single fold accumulating
+    all ``n_bits`` vote counts at once — the digest is a bound lambda
+    value inside the fold, so the 16 bit extractions share it instead of
+    re-hashing per bit. No shuffle, no UDF.
     """
-    toks = tokens(text)
+    digests = F.transform(tokens(text), lambda t: F.md5(t))
 
-    def vote_for_bit(i: int) -> Column:
-        def step(acc: Column, t: Column) -> Column:
-            b = _hex_nibble_bit(F.md5(t), i)
-            return acc + F.when(b == 1, 1).otherwise(-1)
+    def votes(acc: Column, d: Column) -> Column:
+        bits = F.array(*[_hex_nibble_bit(d, i) for i in range(n_bits)])
+        # vote contribution: bit==1 → +1, bit==0 → −1  (= 2b − 1)
+        return F.zip_with(acc, bits, lambda a, b: a + b * 2 - 1)
 
-        return F.aggregate(toks, F.lit(0), step)
-
-    out = F.lit(0)
-    for i in range(n_bits):
-        out = out + F.when(vote_for_bit(i) > 0, F.lit(2**i)).otherwise(F.lit(0))
-    return out.cast("long")
+    counts = F.aggregate(
+        digests, F.array_repeat(F.lit(0), n_bits), votes
+    )
+    powers = F.array(*[F.lit(2**i) for i in range(n_bits)])
+    contrib = F.zip_with(
+        counts, powers, lambda c, p: F.when(c > 0, p).otherwise(F.lit(0))
+    )
+    return F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x).cast("long")
 
 
 def ngram_jaccard_pairs(
@@ -165,20 +199,28 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
     explode(shingles) → equi-join on shingle → per-pair intersection
     count → |A∪B| = |A|+|B|−|A∩B|. The shuffle is keyed by shingle, so
-    only co-shingled docs ever meet (no N² cross join); a frequency cap
-    on pathological shingles would bound skew at web scale.
+    only co-shingled docs ever meet (no N² cross join).
+
+    ``max_shingle_df`` bounds skew: a boilerplate shingle ("all rights
+    reserved") shared by k docs would alone emit k² join rows, so any
+    shingle whose document frequency exceeds the cap is dropped from the
+    shingle sets BEFORE the self-join (Jaccard is then computed over the
+    capped sets — sizes and intersections see the same universe, so the
+    metric stays a true Jaccard of the filtered sets). The worst-case
+    join fan-out per shingle becomes cap², independent of corpus size.
+    ``None`` disables the cap (exact semantics at any frequency).
     """
     # Join on a 64-bit md5 prefix of the shingle, not the shingle text:
     # the self-join shuffle then carries (8-byte-ish key, id) pairs
     # instead of full n-gram strings — the shuffle payload is the cost
     # driver at corpus scale. Collision probability ~2^-64 per pair.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sh = df.repartition(par).select(
+    exploded = _spread(df).select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -187,12 +229,28 @@ def ngram_jaccard_pairs(
             )
         ).alias("shingle"),
     )
-    # The exploded frame feeds three consumers (both self-join sides and
-    # the per-doc size agg). The join sides share one ReusedExchange, but
-    # the size agg shuffles by doc — without a persist it re-reads and
-    # re-shingles the corpus. MEMORY_AND_DISK (the default) spills at
-    # corpus scale; recomputing a 100 TB tokenize+md5 twice costs more.
-    sh = sh.persist()
+    # The exploded frame feeds several consumers (hot-shingle agg, both
+    # self-join sides, the per-doc size agg). The join sides share one
+    # ReusedExchange, but the other consumers shuffle differently —
+    # without a persist each would re-read and re-shingle the corpus.
+    # MEMORY_AND_DISK (the default) spills at corpus scale; recomputing
+    # a 100 TB tokenize+md5 several times costs more. Released via
+    # release_cache() on the returned frame.
+    exploded = exploded.persist()
+    if max_shingle_df is not None:
+        # Shingles are distinct per doc (array_distinct), so count(1)
+        # per shingle IS its document frequency. The hot set is tiny by
+        # construction (only ultra-frequent boilerplate) → broadcast
+        # anti-join, map-side, no extra shuffle on the exploded frame.
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        sh = exploded
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -206,7 +264,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
+    out = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -216,3 +274,4 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_inter", F.round("jaccard", 4).alias("jaccard"))
     )
+    return _attach_cache(out, [exploded])

@@ -76,13 +76,14 @@ def simulate_one(
         x2_coef=x2_coef,
         x21sq_coef=x21sq_coef,
     )
-    n_users = n_internal + n_external
     rows = []
     truth = np.asarray(beta_r_true)
     for name, fn in (methods or METHODS).items():
         fit = fn(panel)
-        # 95% CI with t quantile at (n_users − d_r) dof (simulation.R:39).
-        q = t_quantile(0.975, n_users - len(fit.beta_r))
+        # 95% CI with per-method dof = model$n − model$p: the row count
+        # the fit used minus the full sandwich dimension
+        # (simulation.R:38-39; wcls.R:189-190).
+        q = t_quantile(0.975, fit.n - fit.p)
         for k, coef in enumerate(COEF_NAMES[: len(fit.beta_r)]):
             est, se = float(fit.beta_r[k]), float(fit.se_beta_r[k])
             covered = bool(

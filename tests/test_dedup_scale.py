@@ -1,0 +1,102 @@
+"""Scale-hazard guards for the dedup operators (VERDICT r1 items 2-6):
+the shingle-frequency cap bounds hot-shingle join fan-out, the corpus
+repartition is conditional, persisted frames are releasable, and the
+chi2 singular fallback actually returns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from mrt_data_integration_spark.linalg import chi2_stat
+from mrt_data_integration_spark.operators import dedup as dd
+from mrt_data_integration_spark.sources import load_table
+
+
+def _hot_corpus(spark, n_docs: int = 40):
+    """Every doc shares one boilerplate shingle; each also has a unique
+    tail. Without a cap the shared shingle alone yields C(40,2)=780
+    candidate pairs."""
+    rows = [
+        (i, f"all rights reserved legal notice unique{i} tail{i} word{i}")
+        for i in range(n_docs)
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_shingle_cap_drops_hot_shingle_pairs(spark):
+    docs = _hot_corpus(spark)
+    uncapped = dd.ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_df=None)
+    capped = dd.ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_df=10)
+    n_unc, n_cap = uncapped.count(), capped.count()
+    # the boilerplate shingles pair every doc with every other
+    assert n_unc == 40 * 39 // 2
+    # with the cap the shared shingles are dropped and only genuinely
+    # co-shingled docs (none here) remain
+    assert n_cap == 0
+    dd.release_cache(uncapped)
+    dd.release_cache(capped)
+
+
+def test_shingle_cap_noop_below_threshold(spark, sf_smoke):
+    """Cap above the corpus's max document frequency ⇒ identical output
+    (the oracle-checked configuration)."""
+    docs = load_table(spark, sf_smoke, "documents").limit(60)
+    base = dd.ngram_jaccard_pairs(docs, threshold=0.2, max_shingle_df=None)
+    capped = dd.ngram_jaccard_pairs(docs, threshold=0.2, max_shingle_df=10_000)
+    rows_a = sorted(map(tuple, base.collect()))
+    rows_b = sorted(map(tuple, capped.collect()))
+    assert rows_a == rows_b
+    dd.release_cache(base)
+    dd.release_cache(capped)
+
+
+def test_spread_is_noop_when_partitioned(spark):
+    par = spark.sparkContext.defaultParallelism
+    df = spark.range(1000).repartition(par + 4)
+    assert dd._spread(df) is df
+    small = spark.range(10).coalesce(1)
+    assert dd._spread(small).rdd.getNumPartitions() >= par
+
+
+def test_release_cache_unpersists(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").limit(40)
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.2)
+    pairs.count()
+    cached = getattr(pairs, "__graft_cached__", [])
+    assert cached and any(d.storageLevel.useMemory for d in cached)
+    dd.release_cache(pairs)
+    assert all(not d.storageLevel.useMemory for d in cached)
+
+
+def test_lsh_release_cache(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").limit(40)
+    pairs = dd.lsh_candidate_pairs(docs, n_hashes=4, band_size=2)
+    pairs.count()
+    cached = getattr(pairs, "__graft_cached__", [])
+    assert cached
+    dd.release_cache(pairs)
+    assert all(not d.storageLevel.useMemory for d in cached)
+
+
+def test_chi2_singular_fallback():
+    var = np.array([[1.0, 1.0], [1.0, 1.0]])  # singular
+    err = np.array([1.0, 2.0])
+    out = chi2_stat(err, var)  # must not raise (r1 ADVICE: stray @ error)
+    assert np.isfinite(out)
+
+
+def test_limit_probe_config_restored(spark):
+    from mrt_data_integration_spark.estimators import wcls
+    from mrt_data_integration_spark.sources.generator import generate_panel
+
+    key = "spark.sql.limit.initialNumPartitions"
+    before = spark.conf.get(key, None)
+    panel = generate_panel(spark, seed=7, n_internal=20, n_external=20, t_max=5)
+    wcls(
+        panel,
+        x_h=[("intercept", F.lit(1.0)), ("x1", F.col("x1"))],
+        moderators=[("one", F.lit(1.0)), ("x1", F.col("x1"))],
+    )
+    assert spark.conf.get(key, None) == before
