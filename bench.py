@@ -37,7 +37,10 @@ HEADLINE = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "lsh_candidate_pairs",
+    "simhash_buckets",
     "cosine_topk",
+    "embedding_similar_pairs",
+    "embedding_similar_pairs_lsh",
     "wcls_cluster_robust",
     "wcls_large_panel",
 ]

@@ -51,16 +51,24 @@ def brute_force_topk(
     ranking window takes k. Ties broken by corpus id → total order.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec__")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec__"),
+        norm(vec_col).alias("__qn__"),
     )
-    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("__cvec__"))
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("__cvec__"),
+        norm(vec_col).alias("__cn__"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("corpus_id"))
         .select(
             "query_id",
             "corpus_id",
-            cosine("__qvec__", "__cvec__").alias("cosine_sim"),
+            (dot("__qvec__", "__cvec__") / (F.col("__qn__") * F.col("__cn__"))).alias(
+                "cosine_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -87,9 +95,21 @@ def cosine_near_dup_pairs(
     LSH bucket (near-dups at high thresholds collide with high
     probability; cost Σ bucket²). Without, the exact quadratic join —
     correctness baseline / oracle twin for small corpora.
+
+    Norms are hoisted to one fold PER ROW before the join; the per-pair
+    work (the Σ bucket² hot loop) is a single dot-product fold. Folding
+    norm(a)·norm(b) inside the pair loop would triple the dominant cost.
     """
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"))
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va__"),
+        norm(vec_col).alias("__na__"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb__"),
+        norm(vec_col).alias("__nb__"),
+    )
     if hyperplanes is not None:
         a = a.withColumn("__bkt__", hyperplane_bucket("__va__", hyperplanes))
         b = b.withColumn("__bkt__", hyperplane_bucket("__vb__", hyperplanes))
@@ -97,7 +117,11 @@ def cosine_near_dup_pairs(
     else:
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
-        pairs.select("id_a", "id_b", cosine("__va__", "__vb__").alias("cs"))
+        pairs.select(
+            "id_a",
+            "id_b",
+            (dot("__va__", "__vb__") / (F.col("__na__") * F.col("__nb__"))).alias("cs"),
+        )
         .filter(F.col("cs") >= threshold)
         .select("id_a", "id_b", F.round("cs", 4).alias("cosine_sim"))
     )
@@ -120,6 +144,97 @@ def hyperplane_bucket(
     return bucket
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+    max_iter: int = 20,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the KMeans alternative to
+    hyperplane LSH named in the module docstring.
+
+    Index: pyspark.ml KMeans partitions the corpus into ``n_centroids``
+    cells; each corpus row gets its cell id (one ML fit + one map-side
+    transform — the cluster centers live on the driver, d×k floats).
+    Search: each query scores the k centroids WITH EXPRESSIONS (literal
+    centroid arrays — no shuffle, no UDF), keeps its ``n_probe`` nearest
+    cells, and equi-joins the corpus on cell id. Cost is keyed-join over
+    ~n_probe/n_centroids of the corpus instead of a full scan per query;
+    recall rises with ``n_probe`` (``n_probe == n_centroids`` is exact
+    modulo ties). Same candidate-prune-then-verify shape as the LSH
+    path, but data-adaptive cells instead of data-oblivious ones.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("__cvec__"),
+        norm(vec_col).alias("__cn__"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__feat__"),
+    )
+    model = KMeans(
+        featuresCol="__feat__",
+        predictionCol="__cell__",
+        k=n_centroids,
+        seed=seed,
+        maxIter=max_iter,
+    ).fit(feats)
+    assigned = model.transform(feats).select(
+        "corpus_id", "__cvec__", "__cn__", "__cell__"
+    )
+
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def probe_cells(vec: Column | str) -> Column:
+        """Array of the n_probe nearest cell ids (squared-L2 to each
+        literal centroid; array_sort on (dist, cell) structs)."""
+        entries = []
+        for cid, c in enumerate(centers):
+            arr = F.array(*[F.lit(x) for x in c])
+            d2 = F.aggregate(
+                F.zip_with(
+                    _c(vec), arr, lambda x, y: (x.cast("double") - y) ** 2
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            entries.append(F.struct(d2.alias("dist"), F.lit(cid).alias("cell")))
+        ranked = F.slice(F.array_sort(F.array(*entries)), 1, n_probe)
+        return F.transform(ranked, lambda s: s["cell"])
+
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec__"),
+        norm(vec_col).alias("__qn__"),
+        F.explode(probe_cells(vec_col)).alias("__cell__"),
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "__cell__")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            (dot("__qvec__", "__cvec__") / (F.col("__qn__") * F.col("__cn__"))).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("corpus_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "corpus_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rk")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -134,17 +249,25 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec__"),
+        norm(vec_col).alias("__qn__"),
         hyperplane_bucket(vec_col, hyperplanes).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("__cvec__"),
+        norm(vec_col).alias("__cn__"),
         hyperplane_bucket(vec_col, hyperplanes).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("corpus_id"))
-        .select("query_id", "corpus_id", cosine("__qvec__", "__cvec__").alias("cosine_sim"))
+        .select(
+            "query_id",
+            "corpus_id",
+            (dot("__qvec__", "__cvec__") / (F.col("__qn__") * F.col("__cn__"))).alias(
+                "cosine_sim"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("corpus_id")

@@ -145,6 +145,61 @@ def lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("embedding_similar_pairs_lsh")
+def embedding_similar_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scale path: the SAME near-dup operator as
+    embedding_similar_pairs but candidate generation via the
+    hyperplane-LSH bucket equi-join over the FULL corpus — cost
+    Σ bucket² instead of N². The oracle (generated below with identical
+    hyperplane literals) buckets the same way, so the driver hash-checks
+    the bucketed plan, not just the exact baseline."""
+    from mrt_data_integration_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 8 planes → 256 buckets: candidate count ~N²/256, and the per-pair
+    # work is one dot fold (norms hoisted per row in the operator).
+    return cosine_near_dup_pairs(emb, threshold=0.3, hyperplanes=_hyperplanes(8))
+
+
+def _lsh_pairs_oracle() -> str:
+    hps = _hyperplanes(8)
+    terms = []
+    for i, hp in enumerate(hps):
+        lits = ", ".join(repr(x) for x in hp)
+        terms.append(
+            f"CASE WHEN list_dot_product({_E_DBL}, [{lits}]) >= 0 "
+            f"THEN {2**i} ELSE 0 END"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, {_E_DBL} AS v, ({bucket}) AS bucket FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine_sim
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+    """
+
+
+ORACLES["embedding_similar_pairs_lsh"] = _lsh_pairs_oracle()
+
+
+@query("ivf_topk")
+def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: IVF/KMeans approximate top-k (operators.similarity.ivf_topk).
+    No SQL oracle — the KMeans fit is iterative ML, not SQL-expressible;
+    the driver records the rows-only check and tests/test_similarity
+    pins recall against brute_force_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return sim.ivf_topk(emb, queries_df, k=3, n_centroids=8, n_probe=4)
+
+
 def _lsh_bucket_oracle() -> str:
     hps = _hyperplanes()
     terms = []

@@ -1,0 +1,68 @@
+"""ANN operator tests: IVF recall vs the exact baseline, and the LSH
+pair path agreeing with the exact path on high-cosine pairs it surfaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mrt_data_integration_spark.operators import similarity as sim
+from mrt_data_integration_spark.sources import load_table
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    return out
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(sim.brute_force_topk(emb, queries, k=5))
+    approx = _topk_sets(
+        sim.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3, seed=0)
+    )
+    assert set(exact) == set(approx)  # every query answered
+    hits = sum(len(exact[q] & approx[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.5, f"IVF recall {hits}/{total}"
+
+
+def test_ivf_full_probe_is_exact(spark, sf_smoke):
+    """n_probe == n_centroids searches every cell ⇒ identical to the
+    brute-force baseline (same tie-breaking)."""
+    emb = load_table(spark, sf_smoke, "embeddings").filter(F.col("vec_id") < 200)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = sorted(map(tuple, sim.brute_force_topk(emb, queries, k=4).collect()))
+    full = sorted(
+        map(
+            tuple,
+            sim.ivf_topk(
+                emb, queries, k=4, n_centroids=4, n_probe=4, seed=0
+            ).collect(),
+        )
+    )
+    assert exact == full
+
+
+def test_lsh_pairs_subset_of_exact(spark, sf_smoke):
+    """Every LSH-bucketed near-dup pair is an exact near-dup pair
+    (bucketing only prunes candidates, never invents similarity)."""
+    emb = load_table(spark, sf_smoke, "embeddings").filter(F.col("vec_id") < 150)
+    hps = [
+        [(((p * 64 + j) * 37) % 101 - 50) / 50.0 for j in range(64)]
+        for p in range(4)
+    ]
+    exact = set(
+        (r["id_a"], r["id_b"])
+        for r in sim.cosine_near_dup_pairs(emb, threshold=0.3).collect()
+    )
+    lsh = set(
+        (r["id_a"], r["id_b"])
+        for r in sim.cosine_near_dup_pairs(
+            emb, threshold=0.3, hyperplanes=hps
+        ).collect()
+    )
+    assert lsh <= exact
