@@ -30,7 +30,7 @@ from mrt_data_integration_spark.estimators.core import (
 from mrt_data_integration_spark.estimators.mest import SandwichBuilder
 from mrt_data_integration_spark.estimators.wcls import ColumnLike, DesignSpec, WclsFit, _c
 from mrt_data_integration_spark.functions import derive
-from mrt_data_integration_spark.linalg import se_from_var
+from mrt_data_integration_spark.linalg import se_from_var, solve_wls
 
 
 def awcls(
@@ -82,11 +82,26 @@ def awcls(
     )
     design_hs = h_cols + s_cols
 
-    beta_hs, gram_hs, n = wls_fit(work, design_hs, y_w, weight=w_w)
+    # The auxiliary cubic regression x2 ~ poly(x1,3) on internal rows is
+    # entirely β-free (raw response, raw design), so its sufficient
+    # statistics ride along in the stage-1 scan as extra_moments.
+    int_mask = int_w == 1.0
+    x2_w = F.col("__x2__")
+    moments = {}
+    for i in range(4):
+        for j in range(i, 4):
+            moments[f"gg_{i}_{j}"] = int_w * g_cols[i] * g_cols[j]
+        moments[f"gx_{i}"] = int_w * g_cols[i] * x2_w
+    beta_hs, gram_hs, n, mom = wls_fit(
+        work, design_hs, y_w, weight=w_w, extra_moments=moments
+    )
     beta_h, beta_s = beta_hs[:d_h], beta_hs[d_h:]
 
-    int_mask = int_w == 1.0
-    gamma, gram_g, _ = wls_fit(work, g_cols, F.col("__x2__"), mask=int_mask)
+    gram_g = np.zeros((4, 4))
+    for i in range(4):
+        for j in range(i, 4):
+            gram_g[i, j] = gram_g[j, i] = mom[f"gg_{i}_{j}"]
+    gamma = solve_wls(gram_g, np.array([mom[f"gx_{i}"] for i in range(4)]))
     d_r = 4
     Gamma = np.column_stack([np.eye(4)[:, 0], np.eye(4)[:, 1], gamma])
     beta_r = Gamma @ beta_s

@@ -69,10 +69,21 @@ def wls_fit(
     y: Column,
     weight: Column | None = None,
     mask: Column | None = None,
-) -> tuple[np.ndarray, np.ndarray, int]:
+    extra_moments: dict[str, Column] | None = None,
+) -> (
+    tuple[np.ndarray, np.ndarray, int]
+    | tuple[np.ndarray, np.ndarray, int, dict[str, float]]
+):
     """Weighted least squares from one sufficient-statistics pass.
     Returns (beta, gram, n_rows_in_mask). ``mask`` restricts the fit to
     a row subset without a separate filtered scan.
+
+    ``extra_moments``: named β-free row expressions whose global sums
+    ride along in the SAME scan (returned as a 4th dict element). This
+    is how two-stage estimators fuse their stage-2 sufficient statistics
+    into the stage-1 pass: any stage-2 normal equation whose response is
+    linear in stage-1 coefficients (X_rᵀ(Sβ_s) = [X_rᵀS]β_s) needs only
+    β-free cross-moments, so the big table is scanned once, not twice.
 
     Physical plan: design/weight/y evaluate once in a projection; the
     gram + XᵀWy partials reduce per partition in BLAS via mapInPandas
@@ -92,6 +103,11 @@ def wls_fit(
     cols.append(
         (mask.cast("double") if mask is not None else F.lit(1.0)).alias("__m__")
     )
+    em_names = list(extra_moments) if extra_moments else []
+    cols += [
+        extra_moments[nm].cast("double").alias(f"__em_{k}__")
+        for k, nm in enumerate(em_names)
+    ]
     proj = df.select(*cols)
 
     if d <= 6:
@@ -106,6 +122,7 @@ def wls_fit(
         exprs = [F.sum(wc * xs[i] * xs[j]) for i in range(d) for j in range(i, d)]
         exprs += [F.sum(wc * xs[i] * yc) for i in range(d)]
         exprs.append(F.sum(F.col("__m__")))
+        exprs += [F.sum(F.col(f"__em_{k}__")) for k in range(len(em_names))]
         vals = [float(v if v is not None else 0.0) for v in proj.agg(*exprs).collect()[0]]
         gram = np.zeros((d, d))
         k = 0
@@ -115,20 +132,27 @@ def wls_fit(
                 k += 1
         xty = np.array(vals[k : k + d])
         n = int(round(vals[k + d]))
-        return solve_wls(gram, xty), gram, n
+        if extra_moments is None:
+            return solve_wls(gram, xty), gram, n
+        extras = dict(zip(em_names, vals[k + d + 1 :]))
+        return solve_wls(gram, xty), gram, n, extras
 
     n_tri = d * (d + 1) // 2
+    n_em = len(em_names)
     schema = (
         ", ".join(f"g_{k} double" for k in range(n_tri))
         + ", "
         + ", ".join(f"xy_{i} double" for i in range(d))
         + ", n double"
     )
+    if n_em:
+        schema += ", " + ", ".join(f"em_{k} double" for k in range(n_em))
 
     def reduce_task(batches):
         G = np.zeros((d, d))
         xy = np.zeros(d)
         n = 0.0
+        em = np.zeros(n_em)
         seen = False
         for pdf in batches:
             if not len(pdf):
@@ -141,9 +165,13 @@ def wls_fit(
             G += Xw.T @ X
             xy += Xw.T @ yv
             n += float(pdf["__m__"].sum())
+            if n_em:
+                em += np.nan_to_num(
+                    pdf[[f"__em_{k}__" for k in range(n_em)]].to_numpy()
+                ).sum(axis=0)
         if seen:
             iu = np.triu_indices(d)
-            yield pd.DataFrame([list(G[iu]) + list(xy) + [n]])
+            yield pd.DataFrame([list(G[iu]) + list(xy) + [n] + list(em)])
 
     parts = proj.mapInPandas(reduce_task, schema).toPandas()
     iu = np.triu_indices(d)
@@ -152,7 +180,12 @@ def wls_fit(
     gram = gram + gram.T - np.diag(np.diag(gram))
     xty = parts[[f"xy_{i}" for i in range(d)]].to_numpy().sum(axis=0)
     n = int(round(float(parts["n"].sum())))
-    return solve_wls(gram, xty), gram, n
+    if extra_moments is None:
+        return solve_wls(gram, xty), gram, n
+    extras = dict(
+        zip(em_names, parts[[f"em_{k}" for k in range(n_em)]].to_numpy().sum(axis=0))
+    )
+    return solve_wls(gram, xty), gram, n, extras
 
 
 @dataclass

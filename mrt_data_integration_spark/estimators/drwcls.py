@@ -109,8 +109,20 @@ def drwcls(
     denom = F.col("__denom__")
     design_hs = h_cols + s_cols
 
-    # 2. stage-1 WLS (drwcls.R:152-160).
-    beta_hs, gram_hs, n = wls_fit(work, design_hs, y_w, weight=w_w)
+    # 2. stage-1 WLS (drwcls.R:152-160) with the internal-OLS stage-2
+    # sufficient statistics fused into the same scan (the stage-2
+    # response Sβ_s is linear in β_s ⇒ only β-free moments X_rᵀX_r and
+    # X_rᵀS over internal rows are needed — no second pass).
+    moments: dict[str, F.Column] = {}
+    for i in range(d_r):
+        for j in range(i, d_r):
+            moments[f"gr_{i}_{j}"] = int_w * xr[i] * xr[j]
+    for i in range(d_r):
+        for j in range(d_s):
+            moments[f"xs_{i}_{j}"] = int_w * xr[i] * sraw_cols[j]
+    beta_hs, gram_hs, n, mom = wls_fit(
+        work, design_hs, y_w, weight=w_w, extra_moments=moments
+    )
     beta_h, beta_s = beta_hs[:d_h], beta_hs[d_h:]
 
     # 3. counterfactuals & pseudo-outcome (drwcls.R:161-176).
@@ -127,11 +139,19 @@ def drwcls(
     )
     pi = tilt.pi_internal
 
-    # 5a. internal OLS (drwcls.R:210-212). NOTE the reference regresses
-    # the fitted causal effect S·β_s on X_r here (r_formula's response
-    # is wcls_s_causal_effects), while the sandwich score for this block
+    # 5a. internal OLS (drwcls.R:210-212) from the moments fused into
+    # the stage-1 scan. NOTE the reference regresses the fitted causal
+    # effect S·β_s on X_r here (r_formula's response is
+    # wcls_s_causal_effects), while the sandwich score for this block
     # uses the DR pseudo-outcome ỹ (drwcls.R:104) — replicated as-is.
-    beta_r, gram_r_int, _ = wls_fit(work, xr, ce, mask=int_w == 1.0)
+    gram_r_int = np.zeros((d_r, d_r))
+    for i in range(d_r):
+        for j in range(i, d_r):
+            gram_r_int[i, j] = gram_r_int[j, i] = mom[f"gr_{i}_{j}"]
+    xs_mat = np.array(
+        [[mom[f"xs_{i}_{j}"] for j in range(d_s)] for i in range(d_r)]
+    )
+    beta_r = solve_wls(gram_r_int, xs_mat @ beta_s)
 
     # 5b. external tilt-weighted moment estimator (drwcls.R:214-223).
     rhs_aggs = []

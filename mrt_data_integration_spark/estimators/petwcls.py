@@ -38,6 +38,7 @@ from mrt_data_integration_spark.linalg import (
     final_sandwich_step,
     pool_full,
     se_from_var,
+    solve_wls,
 )
 
 
@@ -116,9 +117,21 @@ def petwcls(
     )
     w_and_tilt = w_w * tilt_ratios
 
-    # 3. β_hs (petwcls.R:180-190).
+    # 3. β_hs (petwcls.R:180-190) with the stage-2 internal-OLS moments
+    # (X_rᵀX_r, X_rᵀS over internal rows — β-free because the stage-2
+    # response Sβ_s is linear in β_s) fused into the same scan.
+    int_mask = int_w == 1.0
     design_hs = h_cols + s_cols
-    beta_hs, gram_hs, n = wls_fit(work, design_hs, y_w, weight=w_w)
+    moments: dict[str, F.Column] = {}
+    for i in range(d_r):
+        for j in range(i, d_r):
+            moments[f"gr_{i}_{j}"] = int_w * xr[i] * xr[j]
+    for i in range(d_r):
+        for j in range(d_s):
+            moments[f"xs_{i}_{j}"] = int_w * xr[i] * sraw_cols[j]
+    beta_hs, gram_hs, n, mom = wls_fit(
+        work, design_hs, y_w, weight=w_w, extra_moments=moments
+    )
     beta_h, beta_s = beta_hs[:d_h], beta_hs[d_h:]
     ce = linear_combo(beta_s, sraw_cols)
 
@@ -127,9 +140,16 @@ def petwcls(
     beta_hr_full, gram_hr, _ = wls_fit(work, design_hr, y_w, weight=w_and_tilt)
     beta_h_r, beta_r_wcls = beta_hr_full[:d_h], beta_hr_full[d_h:]
 
-    # 5. β_r: stage-2 OLS on internal (petwcls.R:202-206).
-    int_mask = int_w == 1.0
-    beta_r, gram_r_int, _ = wls_fit(work, xr, ce, mask=int_mask)
+    # 5. β_r: stage-2 OLS on internal (petwcls.R:202-206), solved from
+    # the fused moments — zero extra scans.
+    gram_r_int = np.zeros((d_r, d_r))
+    for i in range(d_r):
+        for j in range(i, d_r):
+            gram_r_int[i, j] = gram_r_int[j, i] = mom[f"gr_{i}_{j}"]
+    xs_mat = np.array(
+        [[mom[f"xs_{i}_{j}"] for j in range(d_s)] for i in range(d_r)]
+    )
+    beta_r = solve_wls(gram_r_int, xs_mat @ beta_s)
 
     # 6. joint sandwich (petwcls_sandwich, petwcls.R:1-139).
     d = 1 + d_om + d_h + d_s + d_h + d_et + d_r

@@ -32,6 +32,7 @@ from mrt_data_integration_spark.linalg import (
     chi2_stat,
     final_sandwich_step,
     se_from_var,
+    solve_wls,
 )
 
 
@@ -76,19 +77,41 @@ def pwcls(
     p_s_a = derive.observed_arm_prob(a_c, p_s_c)
     w = p_s_a / p_h_a_eff
 
-    # Stage 1 WLS (pwcls.R:183-191).
+    # Stage 1 WLS (pwcls.R:183-191) with the stage-2 sufficient
+    # statistics FUSED into the same scan: the stage-2 response Sβ_s is
+    # linear in β_s, so its normal equations need only the β-free
+    # moments X_rᵀX_r and X_rᵀS over the masked rows — summed here as
+    # extra_moments instead of a second pass over the table.
     d_h, d_s = len(x_h), len(s_moderators)
+    d_r = len(r_moderators)
     s_raw = [_c(c).cast("double") for _, c in s_moderators]
     design_hs = [_c(c).cast("double") for _, c in x_h] + [a_centered * s for s in s_raw]
-    beta_hs, gram_hs, n = wls_fit(data, design_hs, y_c, weight=w)
-    beta_h, beta_s = beta_hs[:d_h], beta_hs[d_h:]
-
-    # Stage 2 OLS of causal effects on X_r, internal rows (pwcls.R:192-216).
-    ce = linear_combo(beta_s, s_raw)
-    d_r = len(r_moderators)
     x_r = [_c(c).cast("double") for _, c in r_moderators]
     stage2_mask = F.lit(True) if internal_only else int_flag
-    beta_r, gram_r, _ = wls_fit(data, x_r, ce, mask=stage2_mask)
+    m2 = stage2_mask.cast("double")
+    moments: dict[str, F.Column] = {}
+    for i in range(d_r):
+        for j in range(i, d_r):
+            moments[f"gr_{i}_{j}"] = m2 * x_r[i] * x_r[j]
+    for i in range(d_r):
+        for j in range(d_s):
+            moments[f"xs_{i}_{j}"] = m2 * x_r[i] * s_raw[j]
+    beta_hs, gram_hs, n, mom = wls_fit(
+        data, design_hs, y_c, weight=w, extra_moments=moments
+    )
+    beta_h, beta_s = beta_hs[:d_h], beta_hs[d_h:]
+
+    # Stage 2 OLS of causal effects on X_r, internal rows
+    # (pwcls.R:192-216) — solved from the fused moments, zero extra scans.
+    ce = linear_combo(beta_s, s_raw)
+    gram_r = np.zeros((d_r, d_r))
+    for i in range(d_r):
+        for j in range(i, d_r):
+            gram_r[i, j] = gram_r[j, i] = mom[f"gr_{i}_{j}"]
+    xs_mat = np.array(
+        [[mom[f"xs_{i}_{j}"] for j in range(d_s)] for i in range(d_r)]
+    )
+    beta_r = solve_wls(gram_r, xs_mat @ beta_s)
 
     # Joint sandwich (pwcls_sandwich, pwcls.R:1-135).
     d_ah = len(p_h_design) if observational else 0
