@@ -1,0 +1,119 @@
+"""S6 LaTeX sink: xtable-style emitter over the committed simulation
+results (reference simulation.R:445-581)."""
+
+import pandas as pd
+import pytest
+
+from mrt_data_integration_spark.report import (
+    print_exact_number_nicely,
+    xtable_simulation_results,
+)
+
+PAPER_METHODS = (
+    "WCLS-Internal",
+    "WCLS-Pooled",
+    "P-WCLS-Internal",
+    "P-WCLS-Pooled",
+    "ET-WCLS",
+    "DR-WCLS",
+    "PET-WCLS",
+)
+
+
+@pytest.fixture(scope="module")
+def summary():
+    return pd.read_csv("results/simulation_results.csv")
+
+
+def test_number_formatting():
+    # simulation.R:445-453
+    assert print_exact_number_nicely(-2.0) == "-2"
+    assert print_exact_number_nicely(5.0) == "5"
+    assert print_exact_number_nicely(1.25) == "1.2"
+    assert print_exact_number_nicely(1.5000000001) == "1.5"
+
+
+def test_paper_table_emitted_lines(summary):
+    """Pin the emitted lines for the n=400 paper table
+    (make_table(400, method_vector=table_method_names))."""
+    tbl = xtable_simulation_results(summary, 400, method_vector=PAPER_METHODS)
+    lines = tbl.splitlines()
+
+    assert lines[0] == "\\begin{table*}"
+    assert lines[1] == "\\centering"
+    assert lines[2] == "\\begin{tabular}{lllllll}"
+    assert lines[3] == "  \\hline"
+    # two-row multirow header, underline moved BELOW the spacer row by the
+    # post-print munge (simulation.R:568-570)
+    assert lines[4].startswith(
+        "  \\multirow{2}{*}{\\parbox{1pt}{Coefficient name}} & "
+    )
+    assert lines[4].rstrip().endswith("\\parbox{40pt}{Coverage}} \\\\")
+    # the removed \hline's indent merges into the spacer row, exactly as
+    # the reference's str_replace leaves it
+    assert lines[5] == "     &  &  &  &  &  &  \\\\"
+    assert lines[6] == "\\hline"
+
+    # Intercept block: multirow label on the first row only
+    assert lines[7].startswith("  \\multirow{10}{*}{Intercept} & -2 & WCLS-Internal")
+    assert lines[8].startswith("   & -2 & WCLS-Pooled")
+    # \hline inserted before the Slope block (simulation.R:571)
+    islope = lines.index(" \\hline ")
+    assert lines[islope + 1].startswith("  \\multirow{10}{*}{Slope} & 5 & WCLS-Internal")
+
+    # method display order is METHOD_ORDER filtered (dplyr::filter keeps
+    # original order), 7 methods per coefficient block
+    methods = [ln.split(" & ")[2] for ln in lines[7:14]]
+    assert methods == list(PAPER_METHODS)
+    assert len([ln for ln in lines if " & " in ln and "parbox" not in ln]) == 15
+
+    # WCLS-Pooled rel-eff is N/A (simulation.R:472)
+    pooled = lines[8].split(" & ")
+    assert pooled[4] == "N/A"
+
+    # boldface semantics on the committed values: PET-WCLS is best
+    # rel-eff and best rMSE for both coefficients (the paper's headline)
+    for block_start in (7, islope + 1):
+        pet = next(
+            ln for ln in lines[block_start : block_start + 7] if "PET-WCLS" in ln
+        )
+        cells = pet.split(" & ")
+        assert cells[4].startswith("\\textbf{") and cells[4].endswith("\\%}")
+        assert cells[5].startswith("\\textbf{")
+
+    # coverage within 3*sqrt(.05*.95/400) of 95% is bold; WCLS-Pooled's
+    # biased ~58% coverage must NOT be
+    assert "\\textbf" not in lines[8].split(" & ")[6]
+    assert lines[7].split(" & ")[6].startswith("\\textbf{")
+
+    assert lines[-1] == "\\end{table*}"
+    assert "\\label{integration:tab:simulation_results}" in tbl
+    assert "``Avg estimate''" in tbl  # caption text (simulation.R:557-566)
+
+
+def test_rel_eff_direction_and_rounding(summary):
+    """Display rel-eff is ref_se/method_se from 3-digit-rounded SEs
+    (simulation.R:132, :173)."""
+    tbl = xtable_simulation_results(summary, 400, method_vector=PAPER_METHODS)
+    sub = summary[
+        (summary.n_internal == 400)
+        & (summary.n_external == 400)
+        & (summary.coef == "Intercept")
+    ].set_index("method")["empirical_se"].round(3)
+    expected = round(sub["WCLS-Internal"] / sub["PET-WCLS"], 3)
+    line = next(
+        ln for ln in tbl.splitlines() if "PET-WCLS" in ln and "Intercept" not in ln
+    )
+    shown = line.split(" & ")[4]
+    assert shown == "\\textbf{" + f"{expected * 100:.1f}" + "\\%}"
+
+
+def test_all_grid_sizes_emit(summary):
+    # make_table(25) ... make_table(6400) with the full 10-method vector
+    for n in sorted(summary.n_internal.unique()):
+        sub = summary[(summary.n_internal == n) & (summary.n_external == n)]
+        if sub.empty:
+            continue
+        tbl = xtable_simulation_results(summary, int(n))
+        assert tbl.count("\\multirow{10}{*}{") == 2
+        assert tbl.count("\\textbf{") >= 2
