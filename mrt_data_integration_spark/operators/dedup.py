@@ -112,30 +112,38 @@ def lsh_candidate_pairs(
     The self-join runs per band bucket — the shuffle key is the band
     hash, so cost is Σ bucket² not N².
     """
-    # The signature frame (id + hex digests) is tiny → cache it so the
-    # band self-join doesn't recompute the md5 work per side. Released
-    # via release_cache() on the returned frame.
+    # One scan: signature columns → an ARRAY of (band_id, band_key)
+    # structs exploded to long form. A per-band union of n_bands selects
+    # would scan (or cache) the signature frame once per band and hand
+    # Catalyst a union-of-joins plan to compile; the explode keeps the
+    # whole banding map-side in a single projection, so nothing needs a
+    # persist and the self-join below is the only shuffle.
     with_sh = _spread(df).select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("__sh__")
     )
     sigs = with_sh.select(
         F.col(id_col),
         *minhash_signature(text_col, n_hashes, shingle_n, shingles=F.col("__sh__")),
-    ).persist()
+    )
     n_bands = n_hashes // band_size
-    band_rows = []
-    for b in range(n_bands):
-        cols = [F.col(f"minhash_{b * band_size + k}") for k in range(band_size)]
-        band_rows.append(
-            sigs.select(
-                F.col(id_col),
-                F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
-            )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"minhash_{b * band_size + k}") for k in range(band_size)],
+                )
+            ).alias("band_key"),
         )
-    bands = band_rows[0]
-    for extra in band_rows[1:]:
-        bands = bands.unionByName(extra)
+        for b in range(n_bands)
+    ]
+    bands = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(
+        F.col(id_col), F.col("band.band_id").alias("band_id"),
+        F.col("band.band_key").alias("band_key"),
+    )
     a = bands.alias("a")
     b_ = bands.alias("b")
     out = (
@@ -152,7 +160,7 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
-    return _attach_cache(out, [sigs])
+    return out
 
 
 def _hex_nibble_bit(md5_col: Column, bit: int) -> Column:

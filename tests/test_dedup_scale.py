@@ -70,14 +70,15 @@ def test_release_cache_unpersists(spark, sf_smoke):
     assert all(not d.storageLevel.useMemory for d in cached)
 
 
-def test_lsh_release_cache(spark, sf_smoke):
+def test_lsh_needs_no_cache(spark, sf_smoke):
+    """The single-scan band explode leaves nothing persisted: banding is
+    map-side, so there is no cached frame to leak (release_cache is a
+    no-op on the result)."""
     docs = load_table(spark, sf_smoke, "documents").limit(40)
     pairs = dd.lsh_candidate_pairs(docs, n_hashes=4, band_size=2)
-    pairs.count()
-    cached = getattr(pairs, "__graft_cached__", [])
-    assert cached
-    dd.release_cache(pairs)
-    assert all(not d.storageLevel.useMemory for d in cached)
+    assert pairs.count() >= 0
+    assert not getattr(pairs, "__graft_cached__", ())
+    dd.release_cache(pairs)  # still safe to call
 
 
 def test_chi2_singular_fallback():
