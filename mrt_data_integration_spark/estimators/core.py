@@ -117,12 +117,14 @@ def wls_fit(
         # this width. The wide-design path below keeps a fixed-size
         # plan instead (codegen cost grows ~d², the BLAS partial
         # doesn't).
-        wc, yc = F.col("__w__"), F.col("__y__")
-        xs = [F.col(f"x_{i}") for i in range(d)]
-        exprs = [F.sum(wc * xs[i] * xs[j]) for i in range(d) for j in range(i, d)]
-        exprs += [F.sum(wc * xs[i] * yc) for i in range(d)]
-        exprs.append(F.sum(F.col("__m__")))
-        exprs += [F.sum(F.col(f"__em_{k}__")) for k in range(len(em_names))]
+        # SQL-string aggs: one py4j round-trip per aggregate instead of
+        # ~6 per nested-Column build — expression construction, not the
+        # Spark job, dominates a small fit's driver time otherwise.
+        exprs = [F.expr(f"sum(__w__*x_{i}*x_{j})")
+                 for i in range(d) for j in range(i, d)]
+        exprs += [F.expr(f"sum(__w__*x_{i}*__y__)") for i in range(d)]
+        exprs.append(F.expr("sum(__m__)"))
+        exprs += [F.expr(f"sum(__em_{k}__)") for k in range(len(em_names))]
         vals = [float(v if v is not None else 0.0) for v in proj.agg(*exprs).collect()[0]]
         gram = np.zeros((d, d))
         k = 0

@@ -102,23 +102,30 @@ def _one_scan_fit(
         cols += [r.cast("double").alias(f"__raw_{j}__") for j, r in enumerate(raw_cols)]
     proj = df.select(*cols)
 
-    xc = [F.col(f"__x_{i}__") for i in range(d_hr)]
-    wc, yc = F.col("__w__"), F.col("__y__")
+    # Aggs as SQL strings, ONE py4j round-trip each: building these as
+    # nested Column ops costs ~6-8 gateway calls per aggregate, and the
+    # O(d²) aggregate count made expression construction (driver-side
+    # py4j latency, not Spark work) the dominant cold cost of a fit.
+    # Only the fixed projection names (__x_i__, __w__, __y__, ...) are
+    # referenced, so plain string interpolation is safe.
+    def _x(i: int) -> str:
+        return f"__x_{i}__"
+
     aggs: list[Column] = []
-    aggs += [F.sum(wc * xc[i] * xc[j]).alias(f"g_{i}_{j}")
+    aggs += [F.expr(f"sum(__w__*{_x(i)}*{_x(j)}) AS g_{i}_{j}")
              for i in range(d_hr) for j in range(i, d_hr)]
-    aggs += [F.sum(wc * xc[i] * yc).alias(f"c_{i}") for i in range(d_hr)]
-    aggs.append(F.count(F.lit(1)).cast("double").alias("n_u"))
+    aggs += [F.expr(f"sum(__w__*{_x(i)}*__y__) AS c_{i}") for i in range(d_hr)]
+    aggs.append(F.expr("cast(count(1) AS double) AS n_u"))
     if estimate_p:
-        ldp_c = F.col("__ldp__")
-        raws = [F.col(f"__raw_{j}__") for j in range(d_r)]
-        aggs.append(F.sum(F.col("__a__")).alias("sa"))
-        aggs += [F.sum(xc[k] * wc * yc * ldp_c).alias(f"s1_{k}") for k in range(d_hr)]
-        aggs += [F.sum(xc[i] * wc * xc[j] * ldp_c).alias(f"s2_{i}_{j}")
+        aggs.append(F.expr("sum(__a__) AS sa"))
+        aggs += [F.expr(f"sum({_x(k)}*__w__*__y__*__ldp__) AS s1_{k}")
+                 for k in range(d_hr)]
+        aggs += [F.expr(f"sum({_x(i)}*__w__*{_x(j)}*__ldp__) AS s2_{i}_{j}")
                  for i in range(d_hr) for j in range(i, d_hr)]
-        aggs += [F.sum(wc * xc[k] * raws[j]).alias(f"s3_{k}_{j}")
+        aggs += [F.expr(f"sum(__w__*{_x(k)}*__raw_{j}__) AS s3_{k}_{j}")
                  for k in range(d_hr) for j in range(d_r)]
-        aggs += [F.sum(raws[j] * wc * yc).alias(f"s4_{j}") for j in range(d_r)]
+        aggs += [F.expr(f"sum(__raw_{j}__*__w__*__y__) AS s4_{j}")
+                 for j in range(d_r)]
 
     lvl1 = proj.groupBy("__cluster__").agg(*aggs)
     stat_names = [c for c in lvl1.columns if c != "__cluster__"]
