@@ -259,27 +259,161 @@ def ngram_jaccard_pairs(
         sh = exploded.join(F.broadcast(hot), "shingle", "left_anti")
     else:
         sh = exploded
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # Capped set size rides on every exploded row (window over id), so
+    # the self-join can size-prune BEFORE the pair aggregation:
+    # J(A,B) ≥ t ⇒ n_inter ≥ t·(n_a+n_b)/(1+t), and n_inter ≤ min ⇒
+    # a qualifying pair needs min(n_a,n_b) ≥ t·max(n_a,n_b). Pairs
+    # failing the ratio test are dropped AT the join — exact (they
+    # provably can't pass the final threshold filter). Cost trade: the
+    # window is a full shuffle of the exploded frame by id, but it
+    # replaces the old post-aggregation size lookups (two joins against
+    # pair-sized frames) and prunes every hot shingle bucket's k²
+    # fan-out down to its similar-sized subset before the pair
+    # aggregation — at dedup thresholds (t ≥ 0.5 ⇒ a 2× length spread
+    # disqualifies) that is the difference between aggregating all
+    # co-shingled pairs and only plausible near-dups.
+    from pyspark.sql import Window
+
+    sh = sh.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
     a, b = sh.alias("a"), sh.alias("b")
+    t = float(threshold)
     inter = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+                >= F.lit(t) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+            ),
         )
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first(F.col("a.n_sh")).alias("n_a"),
+            F.first(F.col("b.n_sh")).alias("n_b"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     out = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
         )
         .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return _attach_cache(out, [exploded])
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PPJoin-style prefix filtering —
+    the corpus-scale path for the same result ``ngram_jaccard_pairs``
+    computes (prefix-filter principle: Chaudhuri et al., "A Primitive
+    Operator for Similarity Joins", ICDE'06; Xiao et al., "Efficient
+    Similarity Joins for Near Duplicate Detection", WWW'08).
+
+    Shape: rank every shingle by global document frequency (rarest
+    first, shingle hash as the tie-break → a deterministic total order
+    of the universe); per doc, keep the sorted array and explode only
+    its PREFIX of length |X| − ⌈t·|X|⌉ + 1. Any pair with J ≥ t must
+    (a) pass the size-ratio test min ≥ t·max and (b) share a prefix
+    element under the global order, so the candidate equi-join on
+    prefix shingles finds a superset of qualifying pairs — exactness
+    preserved. Candidates then verify by joining the two full sorted
+    arrays and counting ``array_intersect``.
+
+    Why this wins at 100 TB over the plain shingle self-join:
+    - boilerplate shingles ("all rights reserved") have the HIGHEST
+      document frequency, so the rarest-first order pushes them out of
+      every prefix — the skew-killer bucket never forms, without the
+      frequency cap (and without its semantics change);
+    - the candidate join touches ~(1−t) of each doc's shingles instead
+      of all of them, and the quadratic work happens per candidate
+      pair, not per co-shingled pair.
+    Cost: two extra keyed shuffles (df join, array re-assembly) — the
+    classic trade of pair-explosion for bounded passes.
+    """
+    t = float(threshold)
+    exploded = _spread(df).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                word_shingles(text_col, shingle_n),
+                lambda s: F.substring(F.md5(s), 1, 16),
+            )
+        ).alias("shingle"),
+    )
+    # Feeds the df agg and the rank join → persist once, release via
+    # release_cache() (same discipline as ngram_jaccard_pairs).
+    exploded = exploded.persist()
+    dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
+    ranked = exploded.join(dfreq, "shingle")
+    arrs = (
+        ranked.groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("dfreq"), F.col("shingle")))
+            ).alias("ranked")
+        )
+        .select(
+            F.col(id_col),
+            F.transform(F.col("ranked"), lambda s: s["shingle"]).alias("sh_arr"),
+            F.size(F.col("ranked")).alias("n_sh"),
+        )
+    )
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + F.lit(1)
+    ).cast("int")
+    pref = arrs.select(
+        F.col(id_col),
+        F.col("n_sh"),
+        F.explode(F.slice(F.col("sh_arr"), F.lit(1), prefix_len)).alias("shingle"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+                >= F.lit(t) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    va = arrs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sh_arr").alias("arr_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    vb = arrs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sh_arr").alias("arr_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    out = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= t)
         .select("id_a", "id_b", "n_inter", F.round("jaccard", 4).alias("jaccard"))
     )
     return _attach_cache(out, [exploded])

@@ -200,6 +200,37 @@ def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ngram_jaccard_pairs_prefix",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, substr(md5(unnest({_SHINGLES})), 1, 16) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_inter,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs_prefix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scale path: the SAME exact-Jaccard result via PPJoin-style
+    prefix filtering (rarest-first global shingle order, prefix-only
+    candidate join, array_intersect verification). The oracle is the
+    plain pair-join formulation — equality of results IS the exactness
+    claim of the prefix filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs_prefix(docs, threshold=0.5)
+
+
+@query(
     "tfidf_top_terms",
     oracle=f"""
     WITH tok AS (

@@ -52,6 +52,38 @@ def test_shingle_cap_noop_below_threshold(spark, sf_smoke):
     dd.release_cache(capped)
 
 
+def test_prefix_variant_matches_plain_jaccard(spark, sf_smoke):
+    """PPJoin prefix filtering is EXACT: identical pairs/Jaccards as the
+    plain shingle self-join at the same threshold, on real docs."""
+    docs = load_table(spark, sf_smoke, "documents").limit(80)
+    plain = dd.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=None)
+    pref = dd.ngram_jaccard_pairs_prefix(docs, threshold=0.5)
+    rows_a = sorted(map(tuple, plain.collect()))
+    rows_b = sorted(map(tuple, pref.collect()))
+    assert rows_a == rows_b and rows_a  # non-trivial: corpus has dups
+    dd.release_cache(plain)
+    dd.release_cache(pref)
+
+
+def test_prefix_order_sidelines_hot_shingles(spark):
+    """Rarest-first ordering pushes boilerplate shingles out of every
+    prefix: the hot corpus yields NO candidate pair from the shared
+    boilerplate (each doc's unique tail shingles fill its prefix), while
+    the plain join would meet C(40,2) times on it."""
+    docs = _hot_corpus(spark)
+    pref = dd.ngram_jaccard_pairs_prefix(docs, threshold=0.5)
+    assert pref.count() == 0  # no pair reaches J >= 0.5
+    dd.release_cache(pref)
+    # identical docs still pair up through the prefix path
+    dup_rows = [(1, "alpha beta gamma delta epsilon zeta"),
+                (2, "alpha beta gamma delta epsilon zeta"),
+                (3, "totally different words here now friend")]
+    dups = spark.createDataFrame(dup_rows, "doc_id int, text string")
+    out = dd.ngram_jaccard_pairs_prefix(dups, threshold=0.5).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in out] == [(1, 2, 1.0)]
+    dd.release_cache(dups)
+
+
 def test_spread_is_noop_when_partitioned(spark):
     par = spark.sparkContext.defaultParallelism
     df = spark.range(1000).repartition(par + 4)
