@@ -1,0 +1,187 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``
+(SURVEY.md §2.9 E6 — the seam Structured Streaming's built-in windows
+can't express; reference batch semantics in operators/sessionize.py).
+
+Two operators:
+
+- ``capped_sessionize_stream``: gap-based sessions with a MAXIMUM
+  session duration. ``session_window`` merges any chain of events with
+  gaps ≤ g into one unbounded session; production sessionization
+  (and the reference's 30-minute analytics convention) usually also
+  cuts a session at a hard cap (e.g. 4 h) to bound dwell-time skew.
+  That cut depends on each session's running start — per-key state, not
+  a window expression — so it needs the arbitrary-state API.
+- ``user_running_totals_stream``: per-user lifetime counters carried
+  across micro-batches (n_events, sum_value) — the streaming twin of a
+  batch ``groupBy(user).agg`` that emits refreshed totals every batch.
+
+Scale design: state is keyed by user_id (high-cardinality → even
+distribution over state-store partitions); each key holds O(1) numbers,
+so the state store is O(users), never O(events). Arrow batches flow
+per group — no row-at-a-time Python. Batch rows within a group are
+sorted on the worker (micro-batch order is not event order); ties break
+on event_id like the batch operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_ordinal", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("last_ts", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("session_value", DoubleType()),
+    ]
+)
+
+# (session_ordinal, session_start_us, last_ts_us, n_events, session_value)
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("ordinal", LongType()),
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+TOTALS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+_TOTALS_STATE_SCHEMA = StructType(
+    [StructField("n_events", LongType()), StructField("sum_value", DoubleType())]
+)
+
+
+def _capped_session_fn(gap_seconds: int, cap_seconds: int):
+    gap_us = gap_seconds * 1_000_000
+    cap_us = cap_seconds * 1_000_000
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            ordinal, start_us, last_us, n_events, value = state.get
+        else:
+            ordinal, start_us, last_us, n_events, value = 0, None, None, 0, 0.0
+        out: list[tuple] = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            # normalize to epoch MICROS regardless of the pandas
+            # datetime unit this Arrow batch carries (ns vs us differs
+            # across pandas/Arrow versions)
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            vals = pdf["value"].to_numpy()
+            for t, v in zip(ts_us, vals):
+                new_session = (
+                    last_us is None
+                    or (t - last_us) > gap_us
+                    or (t - start_us) > cap_us
+                )
+                if new_session:
+                    if last_us is not None:
+                        out.append(
+                            (user_id, ordinal, start_us, last_us, n_events, value)
+                        )
+                    ordinal += 1
+                    start_us, n_events, value = t, 0, 0.0
+                last_us = t
+                n_events += 1
+                value += float(v)
+        # Emit the still-open session's current snapshot too, so the
+        # sink always has the latest per-session aggregate (update-mode
+        # semantics; the next batch re-emits it if it grows).
+        if last_us is not None:
+            out.append((user_id, ordinal, start_us, last_us, n_events, value))
+        state.update((ordinal, int(start_us), int(last_us), int(n_events), value))
+        if out:
+            res = pd.DataFrame(
+                out,
+                columns=[
+                    "user_id",
+                    "session_ordinal",
+                    "session_start",
+                    "last_ts",
+                    "n_events",
+                    "session_value",
+                ],
+            )
+            res["session_start"] = pd.to_datetime(res["session_start"], unit="us")
+            res["last_ts"] = pd.to_datetime(res["last_ts"], unit="us")
+            res["session_value"] = res["session_value"].round(4)
+            yield res
+
+    return fn
+
+
+def capped_sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    cap_seconds: int = 4 * 3600,
+) -> DataFrame:
+    """Gap + max-duration sessionization over an event stream.
+
+    A new session starts when the inactivity gap exceeds
+    ``gap_seconds`` OR the session would exceed ``cap_seconds`` from
+    its start — the latter is the clause ``session_window`` cannot
+    express. Emits an updated (user_id, session_ordinal) aggregate row
+    whenever a session grows or closes; downstream consumers keep the
+    last row per (user_id, session_ordinal).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _capped_session_fn(gap_seconds, cap_seconds),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _totals_fn(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += int(len(pdf))
+        s += float(pdf["value"].sum())
+    state.update((int(n), float(s)))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "sum_value": [round(s, 4)]})
+
+
+def user_running_totals_stream(events: DataFrame) -> DataFrame:
+    """Per-user lifetime (n_events, sum_value), refreshed every
+    micro-batch — O(1) state per user."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _totals_fn,
+        outputStructType=TOTALS_OUTPUT_SCHEMA,
+        stateStructType=_TOTALS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -69,3 +69,116 @@ def test_stream_is_incremental(spark, stream_dir):
     # proves multi-batch capability of the source setup).
     n_files = len([f for f in os.listdir(stream_dir) if f.endswith(".parquet")])
     assert n_files >= 2
+
+def test_user_running_totals_stateful(spark, stream_dir):
+    """applyInPandasWithState totals must equal the batch groupBy after
+    the stream drains (state carries across micro-batches)."""
+    from mrt_data_integration_spark.streaming.stateful import (
+        user_running_totals_stream,
+    )
+
+    stream = user_running_totals_stream(read_event_stream(spark, stream_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("totals_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("totals_mem")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("sum_value").alias("sum_value"))
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    want = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert got["n_events"].equals(want["n_events"])
+    assert (got["sum_value"] - want["sum_value"]).abs().max() < 1e-6
+
+
+def test_capped_sessionize_stateful(spark, stream_dir):
+    """The stateful gap+cap sessionizer must agree with a local pandas
+    reference on final per-session aggregates, and a tight cap must
+    produce at least as many sessions as the uncapped gap rule."""
+    from mrt_data_integration_spark.streaming.stateful import (
+        capped_sessionize_stream,
+    )
+
+    gap_s, cap_s = 1800, 3600
+    stream = capped_sessionize_stream(
+        read_event_stream(spark, stream_dir), gap_seconds=gap_s, cap_seconds=cap_s
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("capped_sess_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("capped_sess_mem")
+        .groupBy("user_id", "session_ordinal")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("session_value").alias("session_value"),
+        )
+        .toPandas()
+        .sort_values(["user_id", "session_ordinal"])
+        .reset_index(drop=True)
+    )
+
+    # local reference: same sequential rule over the sorted events
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        vals = g["value"].to_numpy()
+        ordinal, start, last, n, v = 0, None, None, 0, 0.0
+        for t, val in zip(ts, vals):
+            if last is None or (t - last) > gap_s * 1e6 or (t - start) > cap_s * 1e6:
+                if last is not None:
+                    rows.append((uid, ordinal, n, round(v, 4)))
+                ordinal += 1
+                start, n, v = t, 0, 0.0
+            last = t
+            n += 1
+            v += float(val)
+        rows.append((uid, ordinal, n, round(v, 4)))
+    import pandas as pd
+
+    want = (
+        pd.DataFrame(rows, columns=["user_id", "session_ordinal", "n_events", "session_value"])
+        .sort_values(["user_id", "session_ordinal"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got["n_events"].equals(want["n_events"])
+    assert (got["session_value"] - want["session_value"]).abs().max() < 1e-6
+
+    # the cap can only split sessions, never merge them
+    n_uncapped = (
+        sessionize(load_table(spark, "/root/testdata/sf0.001", "events"), gap_seconds=gap_s)
+        .select("user_id", "session_id")
+        .distinct()
+        .count()
+    )
+    assert len(got) >= n_uncapped
