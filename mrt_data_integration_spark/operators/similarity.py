@@ -131,7 +131,26 @@ def hyperplane_bucket(
     vec: Column | str, hyperplanes: list[list[float]]
 ) -> Column:
     """LSH bucket id: sign-bit pattern of dot products with fixed random
-    hyperplanes (passed as literals — deterministic, broadcast-free)."""
+    hyperplanes (passed as literals — deterministic, broadcast-free).
+
+    Built as ONE SQL-string expression: the Column-op form costs a
+    Python-JVM round trip per literal (n_planes × dim of them — ~1000
+    for 8 planes over 64-dim vectors, per join side), which dominated
+    the query's wall-clock. String literals cast to double are
+    constant-folded by Catalyst, so the physical plan is identical.
+    ``vec`` must be a column NAME when given as a str; Column inputs
+    take the (slower) builder path."""
+    if isinstance(vec, str):
+        terms = []
+        for i, hp in enumerate(hyperplanes):
+            arr = "array(" + ",".join(f"cast('{float(x)!r}' as double)" for x in hp) + ")"
+            dot_sql = (
+                f"aggregate(zip_with(`{vec}`, {arr}, "
+                "(x, y) -> cast(x as double) * y), "
+                "cast(0.0 as double), (acc, v) -> acc + v)"
+            )
+            terms.append(f"if({dot_sql} >= 0.0, {2**i}, 0)")
+        return F.expr(" + ".join(terms))
     bucket = F.lit(0)
     for i, hp in enumerate(hyperplanes):
         arr = F.array(*[F.lit(float(x)) for x in hp])
