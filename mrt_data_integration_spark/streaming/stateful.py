@@ -185,3 +185,23 @@ def user_running_totals_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(
+    df: DataFrame,
+    fingerprint_col,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``operators.dedup.exact_dedup``: keep the first
+    event per fingerprint, with dedup state bounded by the watermark
+    (``dropDuplicatesWithinWatermark`` — exact within the late-data
+    horizon, O(distinct keys inside the watermark) state instead of
+    O(stream); the batch operator is the unbounded-history reference).
+    """
+    return (
+        df.withColumn("__fp__", fingerprint_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__fp__"])
+        .drop("__fp__")
+    )

@@ -182,3 +182,31 @@ def test_capped_sessionize_stateful(spark, stream_dir):
         .count()
     )
     assert len(got) >= n_uncapped
+
+
+def test_dedup_stream_drops_replayed_events(spark, tmp_path):
+    """Exact streaming dedup: a source containing every event TWICE (two
+    file sets -> duplicates across micro-batches) must emit each
+    fingerprint once (state keyed by fingerprint, watermark-bounded)."""
+    from mrt_data_integration_spark.streaming.stateful import dedup_stream
+
+    d = str(tmp_path / "doubled")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.repartition(2).write.mode("overwrite").parquet(d)
+    ev.repartition(3).write.mode("append").parquet(d)
+    stream = dedup_stream(
+        read_event_stream(spark, d),
+        fingerprint_col=F.concat_ws("|", "event_id", "user_id"),
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_mem")
+    total = ev.count()
+    assert got.count() == total  # doubled input, each event emitted once
+    assert got.select("event_id").distinct().count() == total
