@@ -317,6 +317,34 @@ def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cube_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) + 2 * grouping(l_linestatus) AS gset,
+           count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations via CUBE, with grouping() flags
+    disambiguating natural NULLs from subtotal rows — completes the
+    grouping-sets family next to ROLLUP. One pass, partial-aggregated;
+    CUBE multiplies output rows (2^k sets), never input scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        (
+            F.grouping("l_returnflag") + F.lit(2) * F.grouping("l_linestatus")
+        ).alias("gset"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+@query(
     "exact_percentiles",
     oracle="""
     SELECT l_returnflag,
