@@ -259,19 +259,20 @@ def ngram_jaccard_pairs(
         sh = exploded.join(F.broadcast(hot), "shingle", "left_anti")
     else:
         sh = exploded
-    # Capped set size rides on every exploded row (window over id), so
-    # the self-join can size-prune BEFORE the pair aggregation:
-    # J(A,B) ≥ t ⇒ n_inter ≥ t·(n_a+n_b)/(1+t), and n_inter ≤ min ⇒
-    # a qualifying pair needs min(n_a,n_b) ≥ t·max(n_a,n_b). Pairs
-    # failing the ratio test are dropped AT the join — exact (they
-    # provably can't pass the final threshold filter). Cost trade: the
-    # window is a full shuffle of the exploded frame by id, but it
-    # replaces the old post-aggregation size lookups (two joins against
-    # pair-sized frames) and prunes every hot shingle bucket's k²
-    # fan-out down to its similar-sized subset before the pair
-    # aggregation — at dedup thresholds (t ≥ 0.5 ⇒ a 2× length spread
-    # disqualifies) that is the difference between aggregating all
-    # co-shingled pairs and only plausible near-dups.
+    # Capped set size rides on every exploded row, so the self-join can
+    # size-prune BEFORE the pair aggregation: J(A,B) ≥ t ⇒
+    # n_inter ≥ t·(n_a+n_b)/(1+t), and n_inter ≤ min ⇒ a qualifying
+    # pair needs min(n_a,n_b) ≥ t·max(n_a,n_b). Pairs failing the
+    # ratio test are dropped AT the join — exact (they provably can't
+    # pass the final threshold filter) — pruning every hot shingle
+    # bucket's k² fan-out down to its similar-sized subset (at dedup
+    # thresholds t ≥ 0.5, a 2× length spread disqualifies). The size
+    # attach is a count window over id: one keyed shuffle of the
+    # exploded frame, replacing the old post-aggregation size lookups
+    # (two joins against pair-sized frames). A join against a separate
+    # per-doc counts frame measured slower here — it adds another
+    # consumer of the persisted exploded frame for the same shuffle
+    # volume.
     from pyspark.sql import Window
 
     sh = sh.withColumn(
