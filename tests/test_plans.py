@@ -67,3 +67,33 @@ def test_meat_gram_single_exchange(spark, sf_smoke, name):
     # global agg coalesces to a single partition, no extra shuffle of
     # row data.
     assert plan.count("Exchange") <= 2
+
+def test_lsh_banding_needs_no_cache_and_one_generate(spark, sf_smoke):
+    """The band explode keeps banding map-side: no persisted signature
+    frame (no InMemoryTableScan), banding appears as a Generate
+    (explode) over one signature projection, and the only join is the
+    band-key self-join."""
+    plan = _explain(spark, "lsh_candidate_pairs", sf_smoke, "simple")
+    assert "InMemoryTableScan" not in plan
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_jaccard_prefix_path_shape(spark, sf_smoke):
+    """The PPJoin path must verify candidates with array_intersect on
+    per-doc arrays (no pair-explosion aggregation) and keep every join
+    keyed (no cartesian)."""
+    plan = _explain(spark, "ngram_jaccard_pairs_prefix", sf_smoke, "simple")
+    assert "array_intersect" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_cube_is_single_pass_partial_agg(spark, sf_smoke):
+    """CUBE expands grouping sets in one Expand+aggregate pass — no
+    union of repeated scans."""
+    plan = _explain(spark, "cube_revenue", sf_smoke, "simple")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
