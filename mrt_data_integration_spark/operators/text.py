@@ -74,3 +74,48 @@ def fingerprint(text: Column | str) -> Column:
     whitespace, md5. Engine-portable (md5 is md5 everywhere)."""
     canon = F.regexp_replace(F.lower(F.trim(_c(text))), r"\s+", " ")
     return F.md5(canon)
+
+
+def dup_token_fraction(text: Column | str) -> Column:
+    """1 − |distinct tokens| / |tokens| — Gopher-style repetition signal
+    (Rae et al. 2021, "Scaling Language Models: ... Gopher", §A1.1:
+    repetitious documents are low-quality training data)."""
+    toks = tokens(text)
+    return 1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+
+
+def symbol_ratio(text: Column | str) -> Column:
+    """Fraction of non-alphanumeric, non-whitespace characters — the
+    symbol-to-char Gopher filter."""
+    t = _c(text)
+    return (
+        F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")).cast("double")
+        / F.length(t)
+    )
+
+
+def gopher_quality_pass(
+    text: Column | str,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_dup_token_frac: float = 0.6,
+    max_symbol_ratio: float = 0.1,
+) -> Column:
+    """1 when a document passes all Gopher-style quality gates (token
+    count band, mean word length band, repetition cap, symbol cap),
+    else 0. Pure codegen expressions — at corpus scale this is a
+    map-only pass over the text bytes."""
+    n_tok = token_count(text)
+    mwl = avg_token_length(text)
+    return (
+        F.when(
+            n_tok.between(min_tokens, max_tokens)
+            & mwl.between(min_mean_word_len, max_mean_word_len)
+            & (dup_token_fraction(text) < max_dup_token_frac)
+            & (symbol_ratio(text) < max_symbol_ratio),
+            1,
+        )
+        .otherwise(0)
+    )

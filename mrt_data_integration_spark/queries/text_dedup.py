@@ -382,3 +382,46 @@ def _simhash_oracle(n_bits: int = 16) -> str:
 from mrt_data_integration_spark.queries.registry import ORACLES  # noqa: E402
 
 ORACLES["simhash_buckets"] = _simhash_oracle()
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             len({_TOKENS}) AS n_tokens,
+             1.0 - CAST(len(list_distinct({_TOKENS})) AS DOUBLE)
+                 / len({_TOKENS}) AS dup_token_frac,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+               / len({_TOKENS}) AS mean_word_len,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / length(text) AS symbol_ratio
+      FROM documents
+    ),
+    flagged AS (
+      SELECT lang,
+             CASE WHEN n_tokens BETWEEN 5 AND 100000
+                   AND mean_word_len BETWEEN 2 AND 12
+                   AND dup_token_frac < 0.6
+                   AND symbol_ratio < 0.1 THEN 1 ELSE 0 END AS pass
+      FROM feats
+    )
+    SELECT lang, count(*) AS n_docs, CAST(sum(pass) AS BIGINT) AS n_pass,
+           round(CAST(sum(pass) AS DOUBLE)/count(*), 4) AS pass_rate
+    FROM flagged GROUP BY lang
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: Gopher-style quality gates (Rae et al. 2021 §A1.1 — token
+    count band, mean word length band, repetition cap, symbol cap),
+    summarized as a per-language pass rate. Map-only feature pass +
+    one tiny keyed aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    flags = docs.select(
+        "lang", tx.gopher_quality_pass("text").alias("pass")
+    )
+    return flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("pass").alias("n_pass"),
+        F.round(F.sum("pass") / F.count(F.lit(1)), 4).alias("pass_rate"),
+    )
