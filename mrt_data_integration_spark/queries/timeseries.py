@@ -183,3 +183,56 @@ def user_activity_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.row_number().over(w).alias("event_seq"),
     )
+
+
+@query("stateful_capped_sessions")  # custom stateful streaming → rows-only
+def stateful_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: drives the applyInPandasWithState gap+cap sessionizer
+    (streaming/stateful.py) end-to-end — events re-materialized as a
+    streamable directory, drained with availableNow into a memory sink,
+    final per-session aggregates summarized. No SQL oracle: the cap
+    rule is sequential per user (each session's cut depends on the
+    previous one), which plain SQL windows cannot express; determinism
+    comes from the within-batch (ts, event_id) sort, and agreement with
+    a local sequential reference is pinned in tests/test_streaming.py.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from mrt_data_integration_spark.streaming.stateful import (
+        capped_sessionize_stream,
+    )
+    from mrt_data_integration_spark.streaming.windows import read_event_stream
+
+    events = load_table(spark, sf_dir, "events")
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_stream_{abs(hash(os.path.abspath(sf_dir))) % 10**8}",
+    )
+    events.repartition(4).write.mode("overwrite").parquet(d)
+    name = f"capped_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        capped_sessionize_stream(read_event_stream(spark, d))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = (
+        spark.table(name)
+        .groupBy("user_id", "session_ordinal")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("session_value").alias("session_value"),
+        )
+    )
+    return final.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("n_events").alias("total_events"),
+        F.max("n_events").alias("max_session_events"),
+        F.round(F.sum("session_value"), 2).alias("total_value"),
+    )
