@@ -261,15 +261,40 @@ def lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k: equi-join on hyperplane bucket, exact cosine
-    within bucket, ranking window for k. Recall grows with fewer bits /
-    multi-probe; plan cost is keyed-join + window instead of N×Q."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec__"),
-        norm(vec_col).alias("__qn__"),
-        hyperplane_bucket(vec_col, hyperplanes).alias("bucket"),
+    within bucket, ranking window for k; plan cost is keyed-join +
+    window instead of N×Q.
+
+    ``n_probe_bits`` > 0 enables multi-probe (Lv et al., VLDB'07): each
+    QUERY also probes the buckets at Hamming distance 1 for its first
+    ``n_probe_bits`` hyperplane bits — vectors near a hyperplane land
+    on either side, so flipping low-order sign bits recovers the
+    near-misses. Recall rises toward brute force at the cost of
+    (1 + n_probe_bits)× the (broadcast-side only) query rows; the
+    corpus is still hashed exactly once and never re-scanned.
+    """
+    probes = F.array(
+        F.col("__bkt__"),
+        *[
+            F.col("__bkt__").bitwiseXOR(F.lit(2**i))
+            for i in range(min(n_probe_bits, len(hyperplanes)))
+        ],
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec__"),
+            norm(vec_col).alias("__qn__"),
+            hyperplane_bucket(vec_col, hyperplanes).alias("__bkt__"),
+        )
+        .select(
+            "query_id",
+            "__qvec__",
+            "__qn__",
+            F.explode(F.array_distinct(probes)).alias("bucket"),
+        )
     )
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),

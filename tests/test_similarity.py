@@ -66,3 +66,31 @@ def test_lsh_pairs_subset_of_exact(spark, sf_smoke):
         ).collect()
     )
     assert lsh <= exact
+
+
+def test_multiprobe_recall_monotone(spark, sf_smoke):
+    """Multi-probe LSH (Lv et al. VLDB'07): probing Hamming-1 buckets
+    recovers near-misses, so recall vs brute force is monotone in
+    n_probe_bits, reaches the single-probe result at 0, and emits no
+    duplicate (query, corpus) rows."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    queries = emb.filter(F.col("vec_id") < 20)
+    hps = [
+        [(((p * 64 + j) * 53) % 103 - 51) / 51.0 for j in range(64)]
+        for p in range(6)
+    ]
+    truth = {
+        (r["query_id"], r["corpus_id"])
+        for r in sim.brute_force_topk(corpus, queries, k=5).collect()
+    }
+
+    def recall(bits):
+        rows = sim.lsh_topk(corpus, queries, hps, k=5, n_probe_bits=bits).collect()
+        pairs = [(r["query_id"], r["corpus_id"]) for r in rows]
+        assert len(pairs) == len(set(pairs))  # no duplicate candidates
+        return len(set(pairs) & truth) / len(truth)
+
+    r0, r3, r6 = recall(0), recall(3), recall(6)
+    assert r0 <= r3 <= r6
+    assert r6 > r0  # probing must actually recover near-misses here
