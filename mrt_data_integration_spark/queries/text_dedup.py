@@ -425,3 +425,43 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pass").alias("n_pass"),
         F.round(F.sum("pass") / F.count(F.lit(1)), 4).alias("pass_rate"),
     )
+
+
+@query(
+    "deterministic_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+               % 100 AS h
+      FROM documents
+    )
+    SELECT CASE WHEN h < 80 THEN 'train'
+                WHEN h < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM tagged GROUP BY 1
+    """,
+)
+def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test assignment by hashing the
+    stable document id (md5 → bucket mod 100) — the split every
+    training pipeline needs: deterministic across engines, runs,
+    partitionings and cluster sizes (no RNG, no sampleBy seed
+    coupling), and any engine can recompute membership row-locally.
+    Map-only + one tiny aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    tagged = docs.select(
+        "doc_id",
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias("split"),
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
