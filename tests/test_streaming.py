@@ -210,3 +210,64 @@ def test_dedup_stream_drops_replayed_events(spark, tmp_path):
     total = ev.count()
     assert got.count() == total  # doubled input, each event emitted once
     assert got.select("event_id").distinct().count() == total
+
+
+def test_checkpoint_restart_exactly_once(spark, stream_dir, tmp_path):
+    """Kill-and-resume: drain one micro-batch with a checkpoint, stop,
+    restart from the same checkpoint — the final totals must equal the
+    batch aggregate with no double-counting (file-source offsets +
+    state store recover exactly-once)."""
+    from mrt_data_integration_spark.streaming.stateful import (
+        user_running_totals_stream,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def start(stop_after_first: bool):
+        src = (
+            spark.readStream.schema(
+                load_table(spark, "/root/testdata/sf0.001", "events").schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            user_running_totals_stream(src)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if stop_after_first:
+            while q.recentProgress == [] and q.isActive:
+                pass  # wait for the first batch to commit
+            q.stop()
+            q.awaitTermination()
+        else:
+            q.awaitTermination()
+
+    start(stop_after_first=True)   # partial drain, then kill
+    start(stop_after_first=False)  # resume from checkpoint
+    got = (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .toPandas()
+        .set_index("user_id")["n_events"]
+        .sort_index()
+    )
+    want = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("user_id")
+        .count()
+        .toPandas()
+        .set_index("user_id")["count"]
+        .sort_index()
+    )
+    assert got.equals(want)
