@@ -465,3 +465,73 @@ def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@query(
+    "training_data_prep",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, text,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+      FROM documents
+    ),
+    keep AS (
+      SELECT fingerprint, min(doc_id) AS doc_id FROM fp GROUP BY fingerprint
+    ),
+    deduped AS (
+      SELECT fp.doc_id, fp.text FROM fp JOIN keep
+        ON fp.fingerprint = keep.fingerprint AND fp.doc_id = keep.doc_id
+    ),
+    toks AS (
+      SELECT doc_id, text, string_split_regex(text, '\\s+') AS tk FROM deduped
+    ),
+    quality AS (
+      SELECT doc_id, len(tk) AS n_tokens FROM toks
+      WHERE len(tk) BETWEEN 5 AND 100000
+        AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+            / len(tk) BETWEEN 2 AND 12
+        AND 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) < 0.6
+        AND CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+            / length(text) < 0.1
+    ),
+    tagged AS (
+      SELECT n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+               % 100 AS h
+      FROM quality
+    )
+    SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_tokens), 2) AS avg_tokens
+    FROM tagged GROUP BY 1
+    """,
+)
+def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+E5 composition — the end-to-end training-data prep pipeline:
+    exact dedup (canonical fingerprint, keep smallest id) → Gopher
+    quality gates → deterministic hash split → per-split document and
+    token accounting. One fingerprint-keyed shuffle for the dedup
+    semi-join and one tiny split aggregation; every filter is a
+    map-side codegen expression, so the pipeline reads the corpus
+    exactly twice (fingerprint pass + kept-rows pass) regardless of
+    scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = dd.exact_dedup(docs)
+    quality = deduped.filter(tx.gopher_quality_pass("text") == 1).select(
+        "doc_id", tx.token_count("text").alias("n_tokens")
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    tagged = quality.select(
+        "n_tokens",
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias("split"),
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+    )
