@@ -41,6 +41,7 @@ HEADLINE = [
     "cosine_topk",
     "embedding_similar_pairs",
     "embedding_similar_pairs_lsh",
+    "training_data_prep",
     "wcls_cluster_robust",
     "wcls_large_panel",
 ]
