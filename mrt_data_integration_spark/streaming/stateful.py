@@ -18,9 +18,11 @@ Two operators:
 Scale design: state is keyed by user_id (high-cardinality → even
 distribution over state-store partitions); each key holds O(1) numbers,
 so the state store is O(users), never O(events). Arrow batches flow
-per group — no row-at-a-time Python. Batch rows within a group are
-sorted on the worker (micro-batch order is not event order); ties break
-on event_id like the batch operator.
+per group — no row-at-a-time Python. A group's micro-batch rows arrive
+as multiple Arrow chunks in arbitrary order, so the sessionizer
+materializes the group and sorts ONCE by (ts, event_id) before the
+sequential pass (micro-batch order is not event order); ties break on
+event_id like the batch operator.
 """
 
 from __future__ import annotations
@@ -89,9 +91,14 @@ def _capped_session_fn(gap_seconds: int, cap_seconds: int):
         else:
             ordinal, start_us, last_us, n_events, value = 0, None, None, 0, 0.0
         out: list[tuple] = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # applyInPandasWithState delivers a group's micro-batch rows as
+        # MULTIPLE Arrow chunks (default ~10k rows each) in arbitrary
+        # order. Sorting each chunk independently would process events
+        # out of time order across chunk boundaries exactly when groups
+        # are large, so materialize the whole group, then sort ONCE.
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(["ts", "event_id"])
             # normalize to epoch MICROS regardless of the pandas
             # datetime unit this Arrow batch carries (ns vs us differs

@@ -184,6 +184,64 @@ def test_capped_sessionize_stateful(spark, stream_dir):
     assert len(got) >= n_uncapped
 
 
+def test_capped_session_fn_multichunk_order(spark):
+    """applyInPandasWithState hands a group's rows to the UDF as MULTIPLE
+    Arrow chunks in arbitrary order. Feed the sessionizer the same events
+    split across shuffled chunks and as one chunk — the emitted sessions
+    must be identical (the group is materialized and sorted once, not
+    per-chunk)."""
+    import pandas as pd
+
+    from mrt_data_integration_spark.streaming.stateful import _capped_session_fn
+
+    class FakeState:
+        exists = False
+
+        def update(self, value):
+            self.exists = True
+            self.value = value
+
+        @property
+        def get(self):
+            return self.value
+
+    # 12 events, 1 min apart -> one gap-session, but a 5-min cap splits it.
+    base = 1_700_000_000_000_000  # epoch micros
+    ev = pd.DataFrame(
+        {
+            "user_id": 7,
+            "ts": pd.to_datetime([base + i * 60_000_000 for i in range(12)], unit="us"),
+            "event_id": range(12),
+            "value": [float(i) for i in range(12)],
+        }
+    )
+    fn = _capped_session_fn(gap_seconds=1800, cap_seconds=300)
+
+    def run(chunks):
+        state = FakeState()
+        out = pd.concat(list(fn((7,), chunks, state)), ignore_index=True)
+        # update-mode re-emits growing sessions; keep the last snapshot
+        return (
+            out.groupby(["user_id", "session_ordinal"])
+            .last()
+            .reset_index()
+            .sort_values("session_ordinal")
+            .reset_index(drop=True)
+        )
+
+    whole = run([ev])
+    # chunks delivered newest-first, each internally shuffled
+    shuffled = [
+        ev.iloc[[11, 8, 10, 9]].reset_index(drop=True),
+        ev.iloc[[5, 7, 4, 6]].reset_index(drop=True),
+        ev.iloc[[2, 0, 3, 1]].reset_index(drop=True),
+    ]
+    split = run(shuffled)
+    pd.testing.assert_frame_equal(whole, split)
+    # 12 events / 5-min cap at 1-min spacing -> 6-event sessions -> 2 total
+    assert list(whole["n_events"]) == [6, 6]
+
+
 def test_dedup_stream_drops_replayed_events(spark, tmp_path):
     """Exact streaming dedup: a source containing every event TWICE (two
     file sets -> duplicates across micro-batches) must emit each
