@@ -226,7 +226,10 @@ def stateful_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_ordinal")
         .agg(
             F.max("n_events").alias("n_events"),
-            F.max("session_value").alias("session_value"),
+            # the FINAL snapshot is the one with the most events —
+            # max(session_value) would be wrong if event values can be
+            # negative (an intermediate snapshot could exceed the final)
+            F.max_by("session_value", "n_events").alias("session_value"),
         )
     )
     return final.agg(

@@ -89,7 +89,12 @@ def test_user_running_totals_stateful(spark, stream_dir):
     got = (
         spark.table("totals_mem")
         .groupBy("user_id")
-        .agg(F.max("n_events").alias("n_events"), F.max("sum_value").alias("sum_value"))
+        .agg(
+            F.max("n_events").alias("n_events"),
+            # latest snapshot = most events; max(sum_value) breaks on
+            # negative event values
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
         .toPandas()
         .set_index("user_id")
         .sort_index()
@@ -134,7 +139,7 @@ def test_capped_sessionize_stateful(spark, stream_dir):
         .groupBy("user_id", "session_ordinal")
         .agg(
             F.max("n_events").alias("n_events"),
-            F.max("session_value").alias("session_value"),
+            F.max_by("session_value", "n_events").alias("session_value"),
         )
         .toPandas()
         .sort_values(["user_id", "session_ordinal"])
