@@ -207,7 +207,8 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = 10_000,
+    max_shingle_df: int | None = 500,
+    hot_shingle_obs: "Observation | None" = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
@@ -222,7 +223,16 @@ def ngram_jaccard_pairs(
     capped sets — sizes and intersections see the same universe, so the
     metric stays a true Jaccard of the filtered sets). The worst-case
     join fan-out per shingle becomes cap², independent of corpus size.
-    ``None`` disables the cap (exact semantics at any frequency).
+    The default (500) is skew-safe: one hot shingle costs at most
+    500² = 250k join rows, cheap on any executor; 10k (the old default)
+    would have allowed 10⁸ per hot shingle. ``None`` disables the cap
+    (exact semantics at any frequency — the oracle-checked query passes
+    ``None`` explicitly because its SQL twin computes uncapped Jaccard).
+
+    ``hot_shingle_obs``: optional ``pyspark.sql.Observation``; when
+    given, ``obs.get["n_hot_shingles_dropped"]`` after the first action
+    reports how many distinct shingles the cap removed — the dropped-
+    shingle counter, collected for free on the broadcast branch.
     """
     # Join on a 64-bit md5 prefix of the shingle, not the shingle text:
     # the self-join shuffle then carries (8-byte-ish key, id) pairs
@@ -256,6 +266,11 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_shingle_df)
             .select("shingle")
         )
+        if hot_shingle_obs is not None:
+            hot = hot.observe(
+                hot_shingle_obs,
+                F.count(F.lit(1)).alias("n_hot_shingles_dropped"),
+            )
         sh = exploded.join(F.broadcast(hot), "shingle", "left_anti")
     else:
         sh = exploded

@@ -194,9 +194,12 @@ def lsh_candidate_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3: exact 3-gram Jaccard near-dup pairs (shingle-join — only
-    co-shingled docs meet; no N² cross join)."""
+    co-shingled docs meet; no N² cross join). ``max_shingle_df=None``
+    explicitly: the SQL oracle computes UNCAPPED Jaccard, so the query
+    must too — the operator's skew cap (default 500) changes semantics
+    above the cap and belongs to production corpora, not this check."""
     docs = load_table(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(docs, threshold=0.2)
+    return dd.ngram_jaccard_pairs(docs, threshold=0.2, max_shingle_df=None)
 
 
 @query(

@@ -52,6 +52,36 @@ def test_shingle_cap_noop_below_threshold(spark, sf_smoke):
     dd.release_cache(capped)
 
 
+def test_shingle_cap_boundary_and_counter(spark):
+    """The cap is a strict > boundary: a shingle at df == cap is KEPT
+    (its C(cap,2) join rows are the promised cap² bound), one at
+    df == cap+1 is DROPPED entirely, and the Observation counter
+    reports exactly how many distinct shingles were removed."""
+    from pyspark.sql import Observation
+
+    cap = 6
+    # group A: cap docs sharing shingle-set "kept kept kept" (df == cap)
+    # group B: cap+1 docs sharing "gone gone gone ..." (df == cap+1)
+    rows = [(i, f"kept kept kept pad{i} pad{i} pad{i}") for i in range(cap)]
+    rows += [
+        (100 + i, f"gone gone gone pad{100+i} pad{100+i} pad{100+i}")
+        for i in range(cap + 1)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    obs = Observation("hot")
+    frame = dd.ngram_jaccard_pairs(
+        docs, threshold=0.0, max_shingle_df=cap, hot_shingle_obs=obs
+    )
+    got = {(r.id_a, r.id_b) for r in frame.collect()}
+    # group A pairs all survive (shingle at the cap is kept) ...
+    assert {(a, b) for a in range(cap) for b in range(cap) if a < b} <= got
+    # ... and no group-B pair exists (its only shared shingle was hot)
+    assert not any(a >= 100 and b >= 100 for a, b in got)
+    # the counter saw exactly the one dropped shingle
+    assert obs.get["n_hot_shingles_dropped"] == 1
+    dd.release_cache(frame)
+
+
 def test_prefix_variant_matches_plain_jaccard(spark, sf_smoke):
     """PPJoin prefix filtering is EXACT: identical pairs/Jaccards as the
     plain shingle self-join at the same threshold, on real docs."""
