@@ -104,21 +104,35 @@ def xtable_simulation_results(
     ``results/simulation_results.csv`` schema; extra columns ignored).
     """
     truth = truth or {"Intercept": -2.0, "Slope": 5.0}
-    sub = summary[
+    cell = summary[
         (summary["n_internal"] == table_sample_size)
         & (summary["n_external"] == table_sample_size)
-        & (summary["method"].isin(set(method_vector)))
     ].copy()
-    if sub.empty:
+    if cell.empty:
         raise ValueError(f"no summary rows for sample size {table_sample_size}")
 
     # simulation.R:173 — round everything to 3 digits before formatting.
     for c in ("avg_estimate", "empirical_se", "rmse", "coverage"):
-        sub[c] = sub[c].round(3)
+        cell[c] = cell[c].round(3)
 
     # Relative efficiency ref/method (simulation.R:132), from the
     # already-rounded empirical SEs as the reference's coef_table has.
-    ref = sub[sub["method"] == "WCLS-Internal"].set_index("coef")["empirical_se"]
+    # The reference is looked up BEFORE the method_vector filter so a
+    # vector omitting WCLS-Internal still resolves (or fails clearly).
+    ref = cell[cell["method"] == "WCLS-Internal"].set_index("coef")["empirical_se"]
+    sub = cell[cell["method"].isin(set(method_vector))].copy()
+    if sub.empty:
+        raise ValueError(
+            f"no summary rows for methods {sorted(method_vector)} at "
+            f"sample size {table_sample_size}"
+        )
+    missing = sorted(set(sub["coef"]) - set(ref.index))
+    if missing:
+        raise ValueError(
+            "relative efficiency needs the WCLS-Internal reference SE, "
+            f"but the summary has no WCLS-Internal rows for coef(s) "
+            f"{missing} at sample size {table_sample_size}"
+        )
     sub["rel_eff"] = [
         round(ref[c] / se, 3) for c, se in zip(sub["coef"], sub["empirical_se"])
     ]

@@ -108,6 +108,24 @@ def test_rel_eff_direction_and_rounding(summary):
     assert shown == "\\textbf{" + f"{expected * 100:.1f}" + "\\%}"
 
 
+def test_method_vector_without_internal_still_resolves_ref(summary):
+    """The rel-eff reference (WCLS-Internal SE) must resolve even when
+    method_vector omits WCLS-Internal — it is looked up before the
+    method filter, not after (r2 ADVICE: this used to KeyError)."""
+    tbl = xtable_simulation_results(
+        summary, 400, method_vector=("ET-WCLS", "DR-WCLS")
+    )
+    assert "ET-WCLS" in tbl and "WCLS-Internal" not in tbl
+
+
+def test_missing_internal_reference_is_descriptive(summary):
+    """A summary with no WCLS-Internal rows raises a clear ValueError,
+    not a KeyError from the ref lookup."""
+    gutted = summary[summary["method"] != "WCLS-Internal"]
+    with pytest.raises(ValueError, match="WCLS-Internal"):
+        xtable_simulation_results(gutted, 400, method_vector=("ET-WCLS",))
+
+
 def test_all_grid_sizes_emit(summary):
     # make_table(25) ... make_table(6400) with the full 10-method vector
     for n in sorted(summary.n_internal.unique()):
