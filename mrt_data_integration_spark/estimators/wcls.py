@@ -164,7 +164,11 @@ def _one_scan_fit(
         g = {nm: float(v) for nm, v in zip(stat_names, stats.sum(axis=0))}
     else:
         stats = None
-        lvl1 = lvl1.persist()
+        from mrt_data_integration_spark.cache_registry import track_cache
+
+        # tracked: if the fit raises before the unpersist below, the
+        # registry sweep releases it at the next query invocation
+        lvl1 = track_cache(lvl1.persist())
         glob = lvl1.agg(
             *[F.sum(nm).alias(nm) for nm in stat_names],
             F.count(F.lit(1)).alias("__n_users__"),
@@ -237,6 +241,9 @@ def _one_scan_fit(
         v = float(mrow[idx] if mrow[idx] is not None else 0.0)
         meat[i, j] = meat[j, i] = v
     lvl1.unpersist()
+    from mrt_data_integration_spark.cache_registry import untrack
+
+    untrack(lvl1)
     return beta, gram, n, hessian, meat, n_users
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mrt_data_integration_spark.cache_registry import track_cache, untrack
 from mrt_data_integration_spark.operators.text import fingerprint, tokens
 
 
@@ -45,6 +46,7 @@ def release_cache(df: DataFrame) -> None:
     frames)."""
     for dep in getattr(df, "__graft_cached__", ()):
         dep.unpersist()
+        untrack(dep)
 
 
 def _attach_cache(result: DataFrame, deps: list[DataFrame]) -> DataFrame:
@@ -254,7 +256,7 @@ def ngram_jaccard_pairs(
     # MEMORY_AND_DISK (the default) spills at corpus scale; recomputing
     # a 100 TB tokenize+md5 several times costs more. Released via
     # release_cache() on the returned frame.
-    exploded = exploded.persist()
+    exploded = track_cache(exploded.persist())
     if max_shingle_df is not None:
         # Shingles are distinct per doc (array_distinct), so count(1)
         # per shingle IS its document frequency. The hot set is tiny by
@@ -369,7 +371,7 @@ def ngram_jaccard_pairs_prefix(
     )
     # Feeds the df agg and the rank join → persist once, release via
     # release_cache() (same discipline as ngram_jaccard_pairs).
-    exploded = exploded.persist()
+    exploded = track_cache(exploded.persist())
     dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
     ranked = exploded.join(dfreq, "shingle")
     arrs = (

@@ -19,6 +19,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mrt_data_integration_spark.cache_registry import sweep_caches
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
@@ -70,6 +72,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ensure_package_on_workers(spark)
+            # Release the previous query's tracked persists (its result has
+            # been collected by now) so a long multi-query driver session
+            # shows zero net cache growth.
+            sweep_caches()
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

@@ -58,10 +58,14 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, value,
-             sum(new_sess) OVER (
+             -- CAST: DuckDB's integer window-sum returns HUGEINT, which
+             -- pandas materializes as float64 and the driver hash sees as
+             -- `1.0` vs Spark's int64 `1` (round-3 red row). BIGINT keeps
+             -- the representation identical.
+             CAST(sum(new_sess) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS UNBOUNDED PRECEDING
-             ) AS session_id
+             ) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,

@@ -1,0 +1,40 @@
+"""Pins the registry-level cache sweep (round-2/3 leak: dedup operators
+persist exploded shingle frames; the grading driver never calls
+release_cache, so a 50-query session accumulated them for the life of the
+SparkContext). Invoking registered queries back-to-back must show zero net
+growth in persisted RDDs."""
+
+from __future__ import annotations
+
+from mrt_data_integration_spark.cache_registry import sweep_caches
+from mrt_data_integration_spark.queries import QUERIES
+
+# the registry entries known to persist (operators/dedup.py), plus a
+# non-persisting query so the *next-invocation* sweep has a trigger
+PERSISTING = ["ngram_jaccard_pairs", "ngram_jaccard_pairs_prefix"]
+TRIGGER = "filter_project"
+
+
+def _n_persisted(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_driver_path_shows_zero_net_cache_growth(spark, sf_smoke):
+    sweep_caches()
+    baseline = _n_persisted(spark)
+    for _ in range(2):  # two passes: growth would compound if leaked
+        for name in PERSISTING:
+            QUERIES[name](spark, sf_smoke).limit(5).collect()
+            # the driver-path leak: caches are live while this query's
+            # result is being consumed...
+            assert _n_persisted(spark) >= baseline
+        # ...and must be released when the NEXT query is invoked
+        QUERIES[TRIGGER](spark, sf_smoke).limit(5).collect()
+        assert _n_persisted(spark) == baseline, (
+            "registry sweep failed to release previous query's persists"
+        )
+
+
+def test_sweep_caches_is_idempotent(spark):
+    sweep_caches()
+    assert sweep_caches() == 0

@@ -28,3 +28,19 @@ def test_queries_run_on_smoke(spark, sf_smoke):
         df = fn(spark, sf_smoke)
         assert df.columns, name
         df.limit(5).collect()
+
+
+def test_comparator_rejects_int_vs_float_representation():
+    """Round-3 regression: DuckDB HUGEINT -> float64 vs Spark int64 passed
+    the old numeric-equality comparator but failed the driver's
+    representation-sensitive hash. The comparator must reject it."""
+    import pandas as pd
+
+    spark_pdf = pd.DataFrame({"k": ["a", "b"], "session_id": pd.array([1, 2], dtype="int64")})
+    oracle_pdf = pd.DataFrame({"k": ["a", "b"], "session_id": pd.array([1.0, 2.0], dtype="float64")})
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert problems, "int64 vs float64 frames must not compare equal"
+    assert any("dtype" in p or "values differ" in p for p in problems)
+
+    # identical representations still pass
+    assert not compare_frames(spark_pdf, spark_pdf.copy())
