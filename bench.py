@@ -2,6 +2,13 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
 line with per-query wall-clock seconds.
 
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and the
+recorded number is the PER-QUERY MEDIAN — single-shot numbers on a noisy
+box moved +/-15% round-over-round (wcls_large_panel, r2->r3), which made
+regressions indistinguishable from noise. "value" is the sum of medians;
+"reps" and per-query min/max spread are included so the reader can judge
+residual noise.
+
 Headline set covers every physical shape the engine exercises: scan+agg,
 star broadcast join, fact-fact shuffle join, ranking window,
 sessionization windows, two-level cluster meat, JSON extraction, text
@@ -67,13 +74,20 @@ def main() -> None:
         F.sum("id").alias("s")
     ).limit(1_000).toPandas()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        rows = fn(spark, sf_dir).collect()
-        times[name] = round(time.perf_counter() - t0, 3)
-        _ = len(rows)
+        shots: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            rows = fn(spark, sf_dir).collect()
+            shots.append(time.perf_counter() - t0)
+            _ = len(rows)
+        shots.sort()
+        times[name] = round(shots[len(shots) // 2], 3)  # median
+        spread[name] = [round(shots[0], 3), round(shots[-1], 3)]
 
     total = round(sum(times.values()), 3)
     print(
@@ -84,6 +98,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "reps": reps,
+                "spread_min_max": spread,
             }
         )
     )

@@ -94,3 +94,40 @@ def test_multiprobe_recall_monotone(spark, sf_smoke):
     r0, r3, r6 = recall(0), recall(3), recall(6)
     assert r0 <= r3 <= r6
     assert r6 > r0  # probing must actually recover near-misses here
+
+
+def test_ivf_topk_exact_pinned(spark):
+    """Hash-pin (round-2 item #7): fixed seed + fixed constructed corpus
+    makes the KMeans cells deterministic, so the EXACT top-k output is
+    pinned — probe-scoring regressions can't hide behind the driver's
+    rows-only `no_oracle` check for ivf_topk."""
+    rows = []
+    for cid in range(4):
+        for j in range(10):
+            vid = cid * 10 + j
+            vec = [0.0] * 8
+            vec[cid * 2] = 1.0
+            vec[(cid * 2 + 1) % 8] = 0.3
+            vec[(vid * 3) % 8] += ((vid * 7) % 13 - 6) / 40.0
+            rows.append((vid, [float(round(x, 6)) for x in vec]))
+    corpus = spark.createDataFrame(
+        rows, "vec_id int, embedding array<float>"
+    ).coalesce(1)
+    queries = corpus.filter("vec_id in (0, 15, 27, 38)")
+    res = sim.ivf_topk(corpus, queries, k=3, n_centroids=4, n_probe=2, seed=0)
+    got = sorted(map(tuple, res.collect()))
+    expected = [
+        (0, 1, 0.9986, 3),
+        (0, 3, 1.0, 1),
+        (0, 8, 0.9994, 2),
+        (15, 10, 0.9926, 3),
+        (15, 12, 0.9929, 1),
+        (15, 14, 0.9929, 2),
+        (27, 20, 0.9994, 3),
+        (27, 23, 0.9994, 2),
+        (27, 25, 0.9997, 1),
+        (38, 31, 0.9974, 3),
+        (38, 34, 0.9999, 1),
+        (38, 36, 0.9997, 2),
+    ]
+    assert got == expected
