@@ -56,6 +56,58 @@ def prepare(
     return proj.localCheckpoint(eager=True)
 
 
+def collect_cluster_stats(
+    lvl1: DataFrame, stat_names: list[str]
+) -> tuple[np.ndarray | None, dict[str, float], int, DataFrame | None]:
+    """The one-scan estimators' shared probe/fallback over a per-cluster
+    sufficient-statistics frame (one row per cluster):
+
+    - Driver-sized cluster counts (the common case even at 100 TB rows —
+      the level-1 frame has ONE row per cluster) finish in a single
+      Arrow collect; ``limit(cap+1)`` is an exact probe (a result with
+      ≤ cap rows IS the complete frame). Returns the per-cluster stats
+      matrix so callers compute the meat in numpy.
+    - Beyond the cap (≳10⁵ clusters, sized so the collect stays ≲70 MB)
+      the frame stays persisted-distributed: returns ``stats=None`` plus
+      the persisted handle, and callers run one more tiny agg with β as
+      literals. Callers MUST unpersist (+ ``cache_registry.untrack``)
+      the returned handle.
+
+    Returns ``(stats, global_sums, n_clusters, persisted_lvl1)``.
+    """
+    from mrt_data_integration_spark.cache_registry import track_cache
+
+    max_clusters = max(65_536, 8_388_608 // max(1, len(stat_names)))
+    # Scanning all partitions in the first attempt makes the limit probe
+    # exactly one job instead of the incremental 1/4/16… escalation.
+    # Scoped set/restore: the engine runs inside externally-created
+    # sessions, so leaking this would pessimize the host's later
+    # genuinely-small .limit() probes.
+    conf = lvl1.sparkSession.conf
+    _key = "spark.sql.limit.initialNumPartitions"
+    _prev = conf.get(_key, None)
+    conf.set(_key, "10000000")
+    try:
+        pdf = lvl1.limit(max_clusters + 1).toPandas()
+    finally:
+        if _prev is None:
+            conf.unset(_key)
+        else:
+            conf.set(_key, _prev)
+    if len(pdf) <= max_clusters:
+        stats = np.nan_to_num(pdf[stat_names].to_numpy(dtype=float))
+        g = {nm: float(v) for nm, v in zip(stat_names, stats.sum(axis=0))}
+        return stats, g, stats.shape[0], None
+
+    lvl1 = track_cache(lvl1.persist())
+    glob = lvl1.agg(
+        *[F.sum(nm).alias(nm) for nm in stat_names],
+        F.count(F.lit(1)).alias("__n_clusters__"),
+    ).collect()[0]
+    g = {nm: float(glob[nm] if glob[nm] is not None else 0.0) for nm in stat_names}
+    return None, g, int(glob["__n_clusters__"]), lvl1
+
+
 def linear_combo(beta: np.ndarray | list[float], cols: list[Column]) -> Column:
     out = F.lit(float(beta[0])) * cols[0]
     for k in range(1, len(cols)):

@@ -130,51 +130,14 @@ def _one_scan_fit(
     lvl1 = proj.groupBy("__cluster__").agg(*aggs)
     stat_names = [c for c in lvl1.columns if c != "__cluster__"]
 
-    # Driver-sized cluster counts (the common case even at 100 TB rows —
-    # the level-1 frame has ONE row per cluster) finish in a single
-    # Arrow collect: global sums, β, and the meat are numpy ops on the
-    # per-cluster stats. limit(cap+1) is an exact probe — a result with
-    # ≤ cap rows IS the complete frame. Beyond the cap (≳10⁵ clusters,
-    # sized so the collect stays ≲70 MB) the frame stays distributed
-    # and two more tiny aggs reduce it.
-    max_clusters = max(65_536, 8_388_608 // max(1, len(stat_names)))
-    # Without this, CollectLimit probes partitions incrementally
-    # (1, 4, 16, ... via spark.sql.limit.scaleUpFactor) — up to ~5 jobs
-    # when the frame is smaller than the cap. Scanning all partitions in
-    # the first attempt makes the probe exactly one job.
-    # Scoped set/restore: the engine runs inside externally-created
-    # sessions, so leaking this would pessimize the host's later
-    # genuinely-small .limit() probes.
-    conf = df.sparkSession.conf
-    _key = "spark.sql.limit.initialNumPartitions"
-    _prev = conf.get(_key, None)
-    conf.set(_key, "10000000")
-    try:
-        pdf = lvl1.limit(max_clusters + 1).toPandas()
-    finally:
-        if _prev is None:
-            conf.unset(_key)
-        else:
-            conf.set(_key, _prev)
-    if len(pdf) <= max_clusters:
-        stats: np.ndarray | None = np.nan_to_num(
-            pdf[stat_names].to_numpy(dtype=float)
-        )
-        n_users = stats.shape[0]
-        g = {nm: float(v) for nm, v in zip(stat_names, stats.sum(axis=0))}
-    else:
-        stats = None
-        from mrt_data_integration_spark.cache_registry import track_cache
+    # Probe/fallback shared with the two-stage estimators (pwcls):
+    # driver-sized cluster frames collect once via Arrow; bigger frames
+    # stay persisted-distributed and reduce by two more tiny aggs.
+    from mrt_data_integration_spark.estimators.core import collect_cluster_stats
 
-        # tracked: if the fit raises before the unpersist below, the
-        # registry sweep releases it at the next query invocation
-        lvl1 = track_cache(lvl1.persist())
-        glob = lvl1.agg(
-            *[F.sum(nm).alias(nm) for nm in stat_names],
-            F.count(F.lit(1)).alias("__n_users__"),
-        ).collect()[0]
-        g = {nm: float(glob[nm] if glob[nm] is not None else 0.0) for nm in stat_names}
-        n_users = int(glob["__n_users__"])
+    stats, g, n_users, persisted = collect_cluster_stats(lvl1, stat_names)
+    if persisted is not None:
+        lvl1 = persisted
     n = int(round(g["n_u"]))
 
     gram = np.zeros((d_hr, d_hr))

@@ -348,7 +348,16 @@ def ngram_jaccard_pairs_prefix(
     preserved. Candidates then verify by joining the two full sorted
     arrays and counting ``array_intersect``.
 
-    Why this wins at 100 TB over the plain shingle self-join:
+    Measured crossover (results/PPJOIN_CROSSOVER.md, round 4): on a
+    uniform-frequency corpus the plain self-join wins at every scale
+    tried (prefix's two extra keyed shuffles buy nothing); on a
+    boilerplate-heavy corpus — every doc sharing one sentence, the
+    shape of real web data — prefix wins 2.8x at just 5k docs with
+    identical exact output, and the gap grows ~n². So: default to
+    ``ngram_jaccard_pairs`` (capped) for throughput; use THIS operator
+    when exact semantics are required on a skewed corpus.
+
+    Why this wins on skewed corpora over the plain shingle self-join:
     - boilerplate shingles ("all rights reserved") have the HIGHEST
       document frequency, so the rarest-first order pushes them out of
       every prefix — the skew-killer bucket never forms, without the
