@@ -109,10 +109,25 @@ def drwcls(
     denom = F.col("__denom__")
     design_hs = h_cols + s_cols
 
-    # 2. stage-1 WLS (drwcls.R:152-160) with the internal-OLS stage-2
-    # sufficient statistics fused into the same scan (the stage-2
-    # response Sβ_s is linear in β_s ⇒ only β-free moments X_rᵀX_r and
-    # X_rᵀS over internal rows are needed — no second pass).
+    tilt_ratios = F.when(int_w == 1.0, F.lit(1.0)).otherwise(
+        F.exp(linear_combo(tilt.omega, om))
+    )
+    pi = tilt.pi_internal
+
+    # 2. stage-1 WLS (drwcls.R:152-160) with BOTH stage-2 estimators'
+    # sufficient statistics fused into the same scan:
+    #   - internal OLS: the response Sβ_s is linear in β_s ⇒ only β-free
+    #     moments X_rᵀX_r and X_rᵀS over internal rows;
+    #   - external tilt-weighted RHS (drwcls.R:214-223, was a separate
+    #     pass through round 3): frac = (y − f_h_a)/denom is LINEAR in
+    #     β_hs (f_h_a = X_hβ_h + (a−p_s)·Sβ_s = design_hs·β_hs), and the
+    #     tilt ratios are known before the scan (the ladder runs first),
+    #     so Σ e·x_r·tilt·frac expands into the β-free moments
+    #     rey_k = Σ e·x_r_k·tilt·y/denom and
+    #     rem_km = Σ e·x_r_k·tilt·design_m/denom.
+    # Net: every coefficient estimate in the fit derives from ONE pass
+    # over the working frame; only the d≈29 sandwich needs its own pass.
+    d_hs = d_h + d_s
     moments: dict[str, F.Column] = {}
     for i in range(d_r):
         for j in range(i, d_r):
@@ -120,6 +135,12 @@ def drwcls(
     for i in range(d_r):
         for j in range(d_s):
             moments[f"xs_{i}_{j}"] = int_w * xr[i] * sraw_cols[j]
+    for k in range(d_r):
+        moments[f"rey_{k}"] = ext_w * xr[k] * tilt_ratios * y_w / denom
+        for m in range(d_hs):
+            moments[f"rem_{k}_{m}"] = (
+                ext_w * xr[k] * tilt_ratios * design_hs[m] / denom
+            )
     beta_hs, gram_hs, n, mom = wls_fit(
         work, design_hs, y_w, weight=w_w, extra_moments=moments
     )
@@ -133,11 +154,6 @@ def drwcls(
     f_h_a = a_w * f_h_1 + (1.0 - a_w) * f_h_0
     frac = (y_w - f_h_a) / denom
     y_tilde = frac + ce
-
-    tilt_ratios = F.when(int_w == 1.0, F.lit(1.0)).otherwise(
-        F.exp(linear_combo(tilt.omega, om))
-    )
-    pi = tilt.pi_internal
 
     # 5a. internal OLS (drwcls.R:210-212) from the moments fused into
     # the stage-1 scan. NOTE the reference regresses the fitted causal
@@ -153,15 +169,20 @@ def drwcls(
     )
     beta_r = solve_wls(gram_r_int, xs_mat @ beta_s)
 
-    # 5b. external tilt-weighted moment estimator (drwcls.R:214-223).
-    rhs_aggs = []
-    for k in range(d_r):
-        rhs_aggs.append(F.sum(int_w * xr[k] * ce).alias(f"rin_{k}"))
-        rhs_aggs.append(F.sum(ext_w * xr[k] * tilt_ratios * frac).alias(f"rex_{k}"))
-    rhs_row = work.agg(*rhs_aggs).collect()[0]
+    # 5b. external tilt-weighted moment estimator (drwcls.R:214-223),
+    # assembled from the moments fused into the stage-1 scan:
+    # rin_k = Σ i·x_r_k·Sβ_s = [XᵀS]_k β_s and rex_k = rey_k − rem_k·β_hs.
     rhs = np.array(
         [
-            rhs_row[f"rin_{k}"] / pi + rhs_row[f"rex_{k}"] / (1.0 - pi)
+            float(xs_mat[k] @ beta_s) / pi
+            + (
+                mom[f"rey_{k}"]
+                - sum(
+                    float(beta_hs[m]) * mom[f"rem_{k}_{m}"]
+                    for m in range(d_hs)
+                )
+            )
+            / (1.0 - pi)
             for k in range(d_r)
         ]
     )

@@ -209,3 +209,22 @@ def test_awcls_distributed_matches_local(spark):
     panel.unpersist()
     np.testing.assert_allclose(fit.beta_r, fit_np.beta_r, rtol=1e-8)
     np.testing.assert_allclose(fit.se_beta_r, fit_np.se_beta_r, rtol=1e-6)
+
+
+def test_pwcls_one_scan_matches_generic(spark):
+    """The round-4 one-scan P-WCLS path (single pass: both stages +
+    sandwich from per-cluster sufficient stats) must agree with the
+    generic two-pass path to float precision on every output."""
+    panel = _load_panel(spark)
+    kw = dict(
+        x_h=X_H(), s_moderators=S_MODS(), r_moderators=MODS(),
+        y="y", a="a", p_behavior_a="p_h_a", cluster_col="user_id",
+    )
+    for internal_only in (False, True):
+        fast = pwcls(panel, internal_only=internal_only, one_scan=True, **kw)
+        slow = pwcls(panel, internal_only=internal_only, one_scan=False, **kw)
+        np.testing.assert_allclose(fast.beta_r, slow.beta_r, rtol=1e-9)
+        np.testing.assert_allclose(fast.beta_h, slow.beta_h, rtol=1e-9)
+        np.testing.assert_allclose(fast.se_beta_r, slow.se_beta_r, rtol=1e-8)
+        np.testing.assert_allclose(fast.sandwich, slow.sandwich, rtol=1e-7, atol=1e-12)
+        assert fast.n == slow.n and fast.n_users == slow.n_users
