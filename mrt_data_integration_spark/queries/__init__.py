@@ -66,6 +66,10 @@ _POOL_A: list[str] = [
     "lsh_bucket_profile",
     "embedding_similar_pairs_lsh",
     "ivf_topk",
+    # new in r4 (force-included in the r4 window as zero-history; join
+    # pool A's normal rotation from r5)
+    "doc_repetition_filter",
+    "benchmark_decontamination",
 ]
 _POOL_B: list[str] = [
     "filter_project",
@@ -121,13 +125,19 @@ _CORE: list[str] = [
     "tfidf_top_terms",
     "bpe_ish_token_counts",
 ]
-# Round 4 window: POOL_B's turn + forced `sessionization` (red-row
-# confirmation); `distinct_exact` sits out this round — its physical shape
-# stays covered by `doc_fingerprint_dedup` and it has r1-r3 green history.
+# Round 4 window: POOL_B's turn + forced rows — `sessionization` (red-row
+# confirmation) and the two zero-history r4 additions. Three CORE members
+# with r1-r3 green history sit out to make room; their physical shapes stay
+# covered (`doc_fingerprint_dedup` for exact dedup, `pivot_method_by_coef` /
+# `rollup_hierarchy` for reshaping/grouping-sets).
 _WINDOW: list[str] = (
-    ["sessionization"]
+    ["sessionization", "doc_repetition_filter", "benchmark_decontamination"]
     + _POOL_B
-    + [n for n in _CORE if n != "distinct_exact"]
+    + [
+        n
+        for n in _CORE
+        if n not in ("distinct_exact", "unpivot_long", "cube_revenue")
+    ]
 )
 
 

@@ -538,3 +538,114 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
     )
+
+
+@query(
+    "doc_repetition_filter",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, string_split_regex(text, '\\s+') AS toks FROM documents
+    ),
+    rep AS (
+      SELECT lang,
+             CASE WHEN len(toks) >= 2 THEN
+               1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+                     i -> array_to_string(toks[i:i+1], ' ')))) AS DOUBLE)
+                   / (len(toks) - 1)
+             END AS dup2,
+             1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup1
+      FROM t
+    )
+    SELECT lang,
+           count(*)                                    AS n_docs,
+           CAST(count(*) FILTER (dup2 > 0.05) AS BIGINT) AS n_repetitious,
+           round(avg(dup2), 4)                         AS avg_dup_2gram,
+           round(avg(dup1), 4)                         AS avg_dup_token
+    FROM rep GROUP BY lang
+    """,
+)
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 (round 4): within-document repetition at n-gram granularity —
+    the Gopher duplicate-2-gram filter (Rae et al. 2021 §A1.1) beside
+    the token-level signal. Map-only expressions + one tiny keyed agg;
+    avg() skips the NULL (sub-2-token) docs identically in both
+    engines."""
+    from mrt_data_integration_spark.operators.decontaminate import word_ngrams
+
+    docs = dd._spread(load_table(spark, sf_dir, "documents"))
+    # Two-step projection: materialize the token/gram arrays ONCE per row
+    # (a single expression referencing them 2-3 times would re-split and
+    # re-slice per reference — measured 13s -> ~1s at sf0.1).
+    arrays = docs.select(
+        "lang",
+        word_ngrams("text", 2).alias("g2"),
+        tx.tokens("text").alias("tk"),
+    )
+    rep = arrays.select(
+        "lang",
+        F.when(
+            F.size("g2") > 0,
+            1.0 - F.size(F.array_distinct("g2")).cast("double") / F.size("g2"),
+        ).alias("dup2"),
+        (
+            1.0 - F.size(F.array_distinct("tk")).cast("double") / F.size("tk")
+        ).alias("dup1"),
+    )
+    return rep.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("dup2") > 0.05, 1)).alias("n_repetitious"),
+        F.round(F.avg("dup2"), 4).alias("avg_dup_2gram"),
+        F.round(F.avg("dup1"), 4).alias("avg_dup_token"),
+    )
+
+
+@query(
+    "benchmark_decontamination",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, string_split_regex(text, '\\s+') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+      FROM t WHERE len(toks) >= 3
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    cont AS (
+      SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+      WHERE g.doc_id % 97 <> 0
+    )
+    SELECT lang,
+           count(*) AS n_corpus_docs,
+           CAST(count(*) FILTER (doc_id IN (SELECT doc_id FROM cont))
+                AS BIGINT) AS n_contaminated,
+           round(CAST(count(*) FILTER (doc_id IN (SELECT doc_id FROM cont))
+                 AS DOUBLE) / count(*), 4) AS contaminated_frac
+    FROM t WHERE doc_id % 97 <> 0
+    GROUP BY lang
+    """,
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 (round 4): cross-corpus decontamination — flag corpus docs
+    sharing ≥1 word n-gram with a benchmark set (here the deterministic
+    doc_id % 97 == 0 subset standing in for an eval set; n=3 so the
+    synthetic corpus shows real overlap — production sweeps use n=8-13).
+    Scale shape (operators/decontaminate.py): fixed-width md5 gram
+    hashes only, benchmark side broadcast → the corpus never
+    shuffles."""
+    from mrt_data_integration_spark.operators.decontaminate import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    flagged = decontaminate(corpus, bench, ngram_n=3)
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_corpus_docs"),
+        F.count(F.when(F.col("contaminated"), 1)).alias("n_contaminated"),
+        F.round(
+            F.count(F.when(F.col("contaminated"), 1)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("contaminated_frac"),
+    )

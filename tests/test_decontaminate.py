@@ -1,0 +1,72 @@
+"""Unit tests for operators/decontaminate.py (round-4 additions):
+n-gram repetition edge cases and the benchmark decontamination flag."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mrt_data_integration_spark.operators.decontaminate import (
+    decontaminate,
+    ngram_repetition,
+    word_ngrams,
+)
+
+
+def test_ngram_repetition_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # grams: ab ba ab ba ab -> 2/5 distinct
+            (2, "all tokens differ here"),
+            (3, "single"),               # < 2 tokens -> NULL
+            (4, "x x x x"),              # all grams identical -> 2/3 dup
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r["rep"]
+        for r in df.select(
+            "doc_id", ngram_repetition("text", 2).alias("rep")
+        ).collect()
+    }
+    assert abs(rows[1] - (1 - 2 / 5)) < 1e-12
+    assert rows[2] == 0.0
+    assert rows[3] is None
+    assert abs(rows[4] - (1 - 1 / 3)) < 1e-12
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    out = df.select(word_ngrams("text", 3).alias("g")).collect()[0]["g"]
+    assert out == []
+
+
+def test_decontaminate_flags(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares 'quick brown fox'
+            (2, "totally unrelated words only"),
+            (3, "ends with brown fox jumps ok"),  # shares 'brown fox jumps'
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox jumps high")], "doc_id int, text string"
+    )
+    for bcast in (True, False):
+        got = {
+            r["doc_id"]: r["contaminated"]
+            for r in decontaminate(
+                corpus, bench, ngram_n=3, broadcast_benchmark=bcast
+            ).collect()
+        }
+        assert got == {1: True, 2: False, 3: True}
+
+
+def test_decontaminate_keeps_schema(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c", "en")], "doc_id int, text string, lang string"
+    )
+    bench = spark.createDataFrame([(9, "z z z")], "doc_id int, text string")
+    out = decontaminate(corpus, bench, ngram_n=2)
+    assert set(out.columns) == {"doc_id", "text", "lang", "contaminated"}
+    assert out.filter(F.col("contaminated")).count() == 0
