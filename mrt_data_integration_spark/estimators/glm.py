@@ -58,16 +58,20 @@ def logistic_irls(
     y_col: Column,
     max_iter: int = 25,
     tol: float = 1e-8,
+    driver_collect: bool | None = None,
 ) -> GlmFit:
     """Fit P(y=1|x) = logistic(xᵀβ) by Fisher scoring, R-glm-compatible.
 
-    Physical plan per iteration: ONE Arrow-batched ``mapInPandas`` pass
-    emitting a per-partition partial of (XᵀWX upper triangle, XᵀWz,
-    deviance, mu extrema) computed with BLAS, summed on the driver —
-    the treeAggregate pattern Spark ML uses internally. A declarative
-    d(d+3)/2-column SQL aggregate gives the same numbers but pays ~1-2s
-    of codegen compilation PER ITERATION at d≈16; the numpy partial has
-    a fixed tiny plan.
+    Physical plan: driver-sized design matrices (≲8M cells — the probe
+    is ``limit(cap+1)``, exact like ``core.collect_cluster_stats``)
+    collect ONCE via Arrow and every Fisher-scoring iteration is pure
+    BLAS on the driver — IRLS latency stops being #iterations Spark
+    jobs. Beyond the cap, per iteration: ONE Arrow-batched
+    ``mapInPandas`` pass emitting a per-partition partial of (XᵀWX
+    upper triangle, XᵀWz, deviance, mu extrema), summed on the driver —
+    the treeAggregate pattern Spark ML uses internally. Identical math
+    either way (a differential test pins it); ``driver_collect=False``
+    forces the distributed path.
     """
     import pandas as pd
 
@@ -79,6 +83,25 @@ def logistic_irls(
         *[x.cast("double").alias(f"x_{i}") for i, x in enumerate(x_cols)],
         y.alias("__y__"),
     )
+
+    X_local: np.ndarray | None = None
+    y_local: np.ndarray | None = None
+    if driver_collect is not False:
+        max_rows = 8_388_608 // max(1, d + 1)
+        conf = df.sparkSession.conf
+        _key = "spark.sql.limit.initialNumPartitions"
+        _prev = conf.get(_key, None)
+        conf.set(_key, "10000000")
+        try:
+            probe = proj.limit(max_rows + 1).toPandas()
+        finally:
+            if _prev is None:
+                conf.unset(_key)
+            else:
+                conf.set(_key, _prev)
+        if len(probe) <= max_rows:
+            X_local = probe[[f"x_{i}" for i in range(d)]].to_numpy(dtype=float)
+            y_local = probe["__y__"].to_numpy(dtype=float)
     n_tri = d * (d + 1) // 2
     part_schema = (
         ", ".join(f"g_{k} double" for k in range(n_tri))
@@ -121,7 +144,26 @@ def logistic_irls(
 
         return run
 
+    def one_pass_local(beta_now):
+        """Driver twin of one_pass — same math on the collected design."""
+        X, yv = X_local, y_local
+        if len(yv) == 0:  # matches the distributed path's empty init
+            return np.zeros((d, d)), np.zeros(d), 0.0, 1.0, 0.0
+        if beta_now is None:
+            mu = (yv + 0.5) / 2.0
+            eta = np.log(mu / (1.0 - mu))
+        else:
+            eta = X @ beta_now
+            mu = 1.0 / (1.0 + np.exp(-eta))
+        w = mu * (1.0 - mu)
+        z = eta + (yv - mu) / w
+        Xw = X * w[:, None]
+        dev = float(-2.0 * np.sum(yv * np.log(mu) + (1 - yv) * np.log1p(-mu)))
+        return Xw.T @ X, Xw.T @ z, dev, float(mu.min()), float(mu.max())
+
     def one_pass(beta_now):
+        if X_local is not None:
+            return one_pass_local(beta_now)
         parts = proj.mapInPandas(make_pass(beta_now), part_schema).toPandas()
         G = np.zeros((d, d))
         iu = np.triu_indices(d)
