@@ -235,3 +235,136 @@ def xtable_simulation_results(
         "\n  \\multirow{10}{*}{Slope}", "\n \\hline \n  \\multirow{10}{*}{Slope}", 1
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# S5 figure sink (reference simulation.R:310-436) — emitted as Vega-Lite v5
+# specs rather than rendered pixels: the engine's sink contract is a
+# DETERMINISTIC, dependency-free artifact (plain JSON + embedded data
+# values) that any Vega-Lite renderer turns into the reference's figures.
+# Plotting libraries are deliberately not imported (none are guaranteed in
+# the runtime); the Spark side computes every number that appears.
+
+_METHOD_COLORS = {
+    # stable categorical assignment (alphabetical), standing in for the
+    # reference's method_colors palette (simulation.R:303-308).
+    "scheme": "tableau10",
+}
+
+
+def se_lineplot_spec(summary_pdf, fixed_side: str = "internal") -> dict:
+    """Vega-Lite spec of the reference's sample_size_se panels
+    (simulation.R:310-394): Empirical Standard Error vs the varying
+    sample size, log-log, one line per method, faceted by coefficient.
+
+    ``summary_pdf``: pandas frame with columns ``method``, ``coef``,
+    ``n_internal``, ``n_external``, ``empirical_se`` (the MC summary —
+    simulation/harness.mc_summary output). ``fixed_side``: which side is
+    pinned at 100 (the reference draws both variants).
+    """
+    fixed_col, x_col = (
+        ("n_internal", "n_external")
+        if fixed_side == "internal"
+        else ("n_external", "n_internal")
+    )
+    sub = summary_pdf[summary_pdf[fixed_col] == 100]
+    sub = sub.sort_values(["coef", "method", x_col])
+    values = [
+        {
+            "method": r["method"],
+            "coef": r["coef"],
+            "n": int(r[x_col]),
+            "se": float(r["empirical_se"]),
+        }
+        for _, r in sub.iterrows()
+    ]
+    return {
+        "$schema": "https://vega.github.io/schema/vega-lite/v5.json",
+        "description": (
+            f"Empirical SE vs {x_col} ({fixed_col}=100) — "
+            "reference simulation.R:310-394"
+        ),
+        "data": {"values": values},
+        "facet": {"field": "coef", "type": "nominal", "title": None},
+        "spec": {
+            "width": 220,
+            "height": 180,
+            "mark": {"type": "line", "point": True},
+            "encoding": {
+                "x": {
+                    "field": "n",
+                    "type": "quantitative",
+                    "scale": {"type": "log"},
+                    "title": x_col,
+                },
+                "y": {
+                    "field": "se",
+                    "type": "quantitative",
+                    "scale": {"type": "log"},
+                    "title": "Standard Error",
+                },
+                "color": {
+                    "field": "method",
+                    "type": "nominal",
+                    "scale": _METHOD_COLORS,
+                },
+            },
+        },
+    }
+
+
+def error_boxplot_spec(estimates_pdf, beta_r_true: dict[str, float]) -> dict:
+    """Vega-Lite spec of the reference's estimates_400_400 grouped
+    boxplots (simulation.R:397-436): estimation error (β̂_r − β_r) by
+    coefficient, one box per method, ET-WCLS-Equal excluded (the
+    reference drops it because it blows up the y-axis).
+
+    ``estimates_pdf``: pandas frame with ``method``, ``coef``,
+    ``estimate`` (one row per replication).
+    """
+    sub = estimates_pdf[estimates_pdf["method"] != "ET-WCLS-Equal"]
+    sub = sub.sort_values(["coef", "method"])
+    values = [
+        {
+            "method": r["method"],
+            "coef": r["coef"],
+            "error": float(r["estimate"]) - float(beta_r_true[r["coef"]]),
+        }
+        for _, r in sub.iterrows()
+    ]
+    return {
+        "$schema": "https://vega.github.io/schema/vega-lite/v5.json",
+        "description": (
+            "Estimation error boxplots at n=(400,400) — "
+            "reference simulation.R:397-436"
+        ),
+        "data": {"values": values},
+        "width": 500,
+        "height": 220,
+        "mark": {"type": "boxplot"},
+        "encoding": {
+            "x": {"field": "coef", "type": "nominal", "title": "Coefficient"},
+            "y": {
+                "field": "error",
+                "type": "quantitative",
+                "title": "Estimation Error",
+            },
+            "color": {
+                "field": "method",
+                "type": "nominal",
+                "scale": _METHOD_COLORS,
+            },
+            "xOffset": {"field": "method"},
+        },
+    }
+
+
+def write_figure(spec: dict, path: str) -> str:
+    """The figure SINK: write a Vega-Lite spec as deterministic JSON
+    (sorted keys, fixed separators — byte-stable for a given input).
+    Returns the path."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(spec, f, indent=1, sort_keys=True)
+    return path

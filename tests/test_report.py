@@ -135,3 +135,63 @@ def test_all_grid_sizes_emit(summary):
         tbl = xtable_simulation_results(summary, int(n))
         assert tbl.count("\\multirow{10}{*}{") == 2
         assert tbl.count("\\textbf{") >= 2
+
+
+def test_se_lineplot_spec_structure():
+    import pandas as pd
+
+    from mrt_data_integration_spark.report import se_lineplot_spec
+
+    pdf = pd.DataFrame(
+        {
+            "method": ["A", "A", "B", "B", "A"],
+            "coef": ["Intercept"] * 4 + ["Slope"],
+            "n_internal": [100, 100, 100, 100, 400],
+            "n_external": [25, 400, 25, 400, 100],
+            "empirical_se": [1.5, 0.8, 2.0, 1.1, 0.9],
+        }
+    )
+    spec = se_lineplot_spec(pdf, fixed_side="internal")
+    assert spec["$schema"].endswith("vega-lite/v5.json")
+    # only n_internal == 100 rows survive, sorted (coef, method, n)
+    vals = spec["data"]["values"]
+    assert len(vals) == 4
+    assert [v["n"] for v in vals] == [25, 400, 25, 400]
+    enc = spec["spec"]["encoding"]
+    assert enc["x"]["scale"]["type"] == "log" and enc["y"]["scale"]["type"] == "log"
+    assert spec["facet"]["field"] == "coef"
+    # the flipped variant pins the other side
+    spec2 = se_lineplot_spec(pdf, fixed_side="external")
+    assert [v["n"] for v in spec2["data"]["values"]] == [400]
+
+
+def test_error_boxplot_spec_excludes_equal_and_centers():
+    import pandas as pd
+
+    from mrt_data_integration_spark.report import error_boxplot_spec
+
+    pdf = pd.DataFrame(
+        {
+            "method": ["WCLS-Pooled", "ET-WCLS-Equal", "WCLS-Pooled"],
+            "coef": ["Intercept", "Intercept", "Slope"],
+            "estimate": [-1.5, 99.0, 5.5],
+        }
+    )
+    spec = error_boxplot_spec(pdf, {"Intercept": -2.0, "Slope": 5.0})
+    vals = spec["data"]["values"]
+    assert all(v["method"] != "ET-WCLS-Equal" for v in vals)  # simulation.R:416
+    errs = {(v["coef"]): v["error"] for v in vals}
+    assert abs(errs["Intercept"] - 0.5) < 1e-12
+    assert abs(errs["Slope"] - 0.5) < 1e-12
+    assert spec["mark"]["type"] == "boxplot"
+    assert spec["encoding"]["xOffset"]["field"] == "method"
+
+
+def test_write_figure_is_byte_stable(tmp_path):
+    from mrt_data_integration_spark.report import write_figure
+
+    spec = {"b": 1, "a": {"y": [3, 2], "x": None}}
+    p1 = write_figure(spec, str(tmp_path / "f1.vl.json"))
+    p2 = write_figure(spec, str(tmp_path / "f2.vl.json"))
+    b1, b2 = open(p1, "rb").read(), open(p2, "rb").read()
+    assert b1 == b2 and b1.startswith(b"{")
