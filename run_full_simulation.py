@@ -37,7 +37,13 @@ def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mrt_full_simulation"
     spark = get_spark("mrt-full-simulation")
     t0 = time.perf_counter()
-    results = run_grid(spark, size_pairs=SIZE_PAIRS, n_reps=N_REPS)
+    # Materialize the per-replication results ONCE; the summary and the
+    # boxplot figure both derive from the read-back (filtering the lazy
+    # mapInPandas frame would re-run the whole grid per consumer).
+    run_grid(spark, size_pairs=SIZE_PAIRS, n_reps=N_REPS).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "results.parquet"))
+    results = spark.read.parquet(os.path.join(out_dir, "results.parquet"))
     summary = mc_summary(results)
     summary.write.mode("overwrite").parquet(os.path.join(out_dir, "summary.parquet"))
     elapsed = time.perf_counter() - t0
@@ -48,6 +54,31 @@ def main() -> None:
         .toPandas()
     )
     pdf.to_csv(os.path.join(out_dir, "simulation_results.csv"), index=False)
+
+    # S5 figure sink (simulation.R:310-436): the two reference figures as
+    # Vega-Lite JSON artifacts next to the CSV.
+    from pyspark.sql import functions as F
+
+    from mrt_data_integration_spark.report import (
+        error_boxplot_spec,
+        se_lineplot_spec,
+        write_figure,
+    )
+
+    for side in ("internal", "external"):
+        write_figure(
+            se_lineplot_spec(pdf, fixed_side=side),
+            os.path.join(out_dir, f"sample_size_se_{side}100.vl.json"),
+        )
+    est_400 = (
+        results.filter((F.col("n_internal") == 400) & (F.col("n_external") == 400))
+        .select("method", "coef", "estimate")
+        .toPandas()
+    )
+    write_figure(
+        error_boxplot_spec(est_400, {"Intercept": -2.0, "Slope": 5.0}),
+        os.path.join(out_dir, "estimates_400_400.vl.json"),
+    )
     print(
         json.dumps(
             {
