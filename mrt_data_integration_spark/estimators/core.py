@@ -57,7 +57,9 @@ def prepare(
 
 
 def collect_cluster_stats(
-    lvl1: DataFrame, stat_names: list[str]
+    lvl1: DataFrame,
+    stat_names: list[str],
+    max_clusters: int | None = None,
 ) -> tuple[np.ndarray | None, dict[str, float], int, DataFrame | None]:
     """The one-scan estimators' shared probe/fallback over a per-cluster
     sufficient-statistics frame (one row per cluster):
@@ -77,7 +79,8 @@ def collect_cluster_stats(
     """
     from mrt_data_integration_spark.cache_registry import track_cache
 
-    max_clusters = max(65_536, 8_388_608 // max(1, len(stat_names)))
+    if max_clusters is None:  # injectable so tests can force the fallback
+        max_clusters = max(65_536, 8_388_608 // max(1, len(stat_names)))
     # Scanning all partitions in the first attempt makes the limit probe
     # exactly one job instead of the incremental 1/4/16… escalation.
     # Scoped set/restore: the engine runs inside externally-created

@@ -36,6 +36,11 @@ from mrt_data_integration_spark.linalg import (
 )
 
 
+# test hook: set to a small int to force collect_cluster_stats down the
+# persisted-distributed fallback (never hit at test data scale otherwise)
+_FORCE_MAX_CLUSTERS: int | None = None
+
+
 def _one_scan_pwcls(
     data: DataFrame,
     design_hs: list[F.Column],
@@ -118,7 +123,9 @@ def _one_scan_pwcls(
 
     lvl1 = proj.groupBy("__cluster__").agg(*aggs)
     stat_names = [c for c in lvl1.columns if c != "__cluster__"]
-    stats, g, n_users, persisted = collect_cluster_stats(lvl1, stat_names)
+    stats, g, n_users, persisted = collect_cluster_stats(
+        lvl1, stat_names, max_clusters=_FORCE_MAX_CLUSTERS
+    )
     if persisted is not None:
         lvl1 = persisted
     n = int(round(g["n_u"]))

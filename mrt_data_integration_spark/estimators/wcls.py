@@ -45,6 +45,11 @@ def _c(col: ColumnLike) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+# test hook: set to a small int to force collect_cluster_stats down the
+# persisted-distributed fallback (never hit at test data scale otherwise)
+_FORCE_MAX_CLUSTERS: int | None = None
+
+
 def _one_scan_fit(
     df: DataFrame,
     design: list[Column],
@@ -135,7 +140,9 @@ def _one_scan_fit(
     # stay persisted-distributed and reduce by two more tiny aggs.
     from mrt_data_integration_spark.estimators.core import collect_cluster_stats
 
-    stats, g, n_users, persisted = collect_cluster_stats(lvl1, stat_names)
+    stats, g, n_users, persisted = collect_cluster_stats(
+        lvl1, stat_names, max_clusters=_FORCE_MAX_CLUSTERS
+    )
     if persisted is not None:
         lvl1 = persisted
     n = int(round(g["n_u"]))

@@ -228,3 +228,43 @@ def test_pwcls_one_scan_matches_generic(spark):
         np.testing.assert_allclose(fast.se_beta_r, slow.se_beta_r, rtol=1e-8)
         np.testing.assert_allclose(fast.sandwich, slow.sandwich, rtol=1e-7, atol=1e-12)
         assert fast.n == slow.n and fast.n_users == slow.n_users
+
+
+def test_pwcls_one_scan_distributed_fallback_matches(spark, monkeypatch):
+    """Force collect_cluster_stats down the persisted-distributed branch
+    (never hit at test data scale) and pin it against the driver-collect
+    branch — the meat fallback agg must produce identical numbers."""
+    import importlib
+
+    pw = importlib.import_module("mrt_data_integration_spark.estimators.pwcls")
+
+    panel = _load_panel(spark)
+    kw = dict(
+        x_h=X_H(), s_moderators=S_MODS(), r_moderators=MODS(),
+        y="y", a="a", p_behavior_a="p_h_a", cluster_col="user_id",
+        one_scan=True,
+    )
+    fast = pwcls(panel, **kw)
+    monkeypatch.setattr(pw, "_FORCE_MAX_CLUSTERS", 1)
+    slow = pwcls(panel, **kw)
+    np.testing.assert_allclose(fast.beta_r, slow.beta_r, rtol=1e-10)
+    np.testing.assert_allclose(fast.se_beta_r, slow.se_beta_r, rtol=1e-9)
+    np.testing.assert_allclose(fast.sandwich, slow.sandwich, rtol=1e-8, atol=1e-12)
+    assert fast.n_users == slow.n_users
+    # fallback must not leak its persisted lvl1 frame
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_wcls_one_scan_distributed_fallback_matches(spark, monkeypatch):
+    """Same fallback pin for wcls's one-scan meat agg."""
+    import importlib
+
+    wc = importlib.import_module("mrt_data_integration_spark.estimators.wcls")
+    panel = _load_panel(spark)
+    fast = _fit(panel, "user_id")
+    monkeypatch.setattr(wc, "_FORCE_MAX_CLUSTERS", 1)
+    slow = _fit(panel, "user_id")
+    np.testing.assert_allclose(fast.beta_r, slow.beta_r, rtol=1e-10)
+    np.testing.assert_allclose(fast.se_beta_r, slow.se_beta_r, rtol=1e-9)
+    np.testing.assert_allclose(fast.sandwich, slow.sandwich, rtol=1e-8, atol=1e-12)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
