@@ -97,3 +97,21 @@ def test_cube_is_single_pass_partial_agg(spark, sf_smoke):
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_decontamination_broadcasts_both_sides(spark, sf_smoke):
+    """benchmark_decontamination (r4): the benchmark gram set and the
+    contaminated-id set must both broadcast — document bodies never
+    shuffle, no sort-merge join at any scale."""
+    plan = _explain(spark, "benchmark_decontamination", sf_smoke, "simple")
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_filter_is_map_side_partial(spark, sf_smoke):
+    """doc_repetition_filter (r4): map-only expressions + partial agg —
+    exactly one exchange (the tiny per-lang final agg), no joins."""
+    plan = _explain(spark, "doc_repetition_filter", sf_smoke, "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # lang agg + _spread round-robin
+    assert "partial" in plan.lower()
