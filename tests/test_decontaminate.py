@@ -70,3 +70,46 @@ def test_decontaminate_keeps_schema(spark):
     out = decontaminate(corpus, bench, ngram_n=2)
     assert set(out.columns) == {"doc_id", "text", "lang", "contaminated"}
     assert out.filter(F.col("contaminated")).count() == 0
+
+
+def test_decontaminate_matches_python_reference_randomized(spark):
+    """Seeded randomized differential: the distributed flag must equal a
+    pure-Python n-gram overlap check on every doc (no false positives OR
+    negatives), across several corpus shapes."""
+    import random
+
+    rng = random.Random(20260813)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(3):
+        n = 4 if trial == 0 else 3
+        corpus_rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+            for i in range(60)
+        ]
+        bench_rows = [
+            (1000 + i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 10))))
+            for i in range(8)
+        ]
+
+        def grams(text, k):
+            toks = text.split()
+            return {
+                " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+            } if len(toks) >= k else set()
+
+        bench_grams = set().union(*(grams(t, n) for _, t in bench_rows))
+        expected = {
+            i: bool(grams(t, n) & bench_grams) for i, t in corpus_rows
+        }
+
+        from mrt_data_integration_spark.operators.decontaminate import decontaminate
+
+        corpus = spark.createDataFrame(corpus_rows, "doc_id int, text string")
+        bench = spark.createDataFrame(bench_rows, "doc_id int, text string")
+        got = {
+            r["doc_id"]: r["contaminated"]
+            for r in decontaminate(corpus, bench, ngram_n=n).collect()
+        }
+        assert got == expected, f"trial {trial}: mismatches " + str(
+            {k: (got[k], expected[k]) for k in got if got[k] != expected[k]}
+        )
