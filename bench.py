@@ -51,6 +51,11 @@ HEADLINE = [
     "training_data_prep",
     "wcls_cluster_robust",
     "wcls_large_panel",
+    # round-4 additions — totals are not like-for-like with BENCH_r03 and
+    # earlier; compare per-query medians (the "queries" map) across rounds
+    "doc_repetition_filter",
+    "benchmark_decontamination",
+    "pwcls_fit",
 ]
 
 
