@@ -289,7 +289,11 @@ def ngram_jaccard_pairs(
     # (two joins against pair-sized frames). A join against a separate
     # per-doc counts frame measured slower here — it adds another
     # consumer of the persisted exploded frame for the same shuffle
-    # volume.
+    # volume. Also measured and rejected (r4): reading sizes off the
+    # shingle ARRAY pre-explode to skip this window entirely — 2x slower
+    # warm, because the window's shuffle is what gives AQE the runtime
+    # stats to convert the self-join to broadcast; without it the join
+    # stays shuffle-based and the cache materializes twice.
     from pyspark.sql import Window
 
     sh = sh.withColumn(
