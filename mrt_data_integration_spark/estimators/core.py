@@ -313,17 +313,23 @@ def fit_tilt_ladder(
         design = _tensor_spline_design(df, x1, x2, df_, degree)
         # Materialize the spline design once so each IRLS pass aggregates
         # plain attributes, not re-inlined spline expression trees.
+        # persist=False (r4): with driver-collected IRLS the projection
+        # is consumed by exactly one Arrow collect — the eager
+        # localCheckpoint write per ladder rung cost more than it saved.
+        # The distributed IRLS fallback (huge panels) re-derives the
+        # spline exprs per iteration from the scan, which is still
+        # cheaper than checkpointing the whole widened panel.
         work = prepare(
             df,
             {"__flag__": flag, **{f"__om_{k}__": c for k, c in enumerate(design)}},
             keep=[],
+            persist=False,
         )
         fit = logistic_irls(
             work,
             [F.col(f"__om_{k}__") for k in range(len(design))],
             F.col("__flag__"),
         )
-        work.unpersist()
         if not fit.warning:
             break
     assert fit is not None and design is not None
