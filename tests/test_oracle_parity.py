@@ -50,7 +50,9 @@ def test_driver_window_invariants():
     """The grading driver checks exactly the first 50 registered queries;
     pin the rotation policy's structural invariants so a registration
     mistake can't silently un-verify queries."""
-    from mrt_data_integration_spark.queries import __init__ as qinit
+    import importlib
+
+    qinit = importlib.import_module("mrt_data_integration_spark.queries")
 
     window = qinit._WINDOW
     pools = (set(qinit._POOL_A), set(qinit._POOL_B), set(qinit._CORE))
