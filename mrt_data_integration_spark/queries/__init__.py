@@ -70,6 +70,7 @@ _POOL_A: list[str] = [
     # pool A's normal rotation from r5)
     "doc_repetition_filter",
     "benchmark_decontamination",
+    "training_mix_rebalance",
 ]
 _POOL_B: list[str] = [
     "filter_project",

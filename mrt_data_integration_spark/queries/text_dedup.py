@@ -649,3 +649,61 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("contaminated_frac"),
     )
+
+
+@query(
+    "training_mix_rebalance",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, len(string_split_regex(text, '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    per AS (
+      SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+      FROM tok GROUP BY lang
+    ),
+    tot AS (SELECT sum(lang_tokens) AS total, count(*) AS n_langs FROM per)
+    SELECT lang,
+           lang_tokens,
+           round(CAST(lang_tokens AS DOUBLE) / total, 4)          AS current_share,
+           round(1.0 / n_langs, 4)                                AS target_share,
+           round(least(1.0, (CAST(total AS DOUBLE) / n_langs)
+                 / lang_tokens), 4)                               AS sampling_rate
+    FROM per, tot
+    """,
+)
+def training_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 (round 4): language-mix rebalancing — per-language token
+    shares and the downsampling rate that moves the corpus toward a
+    uniform target mix (rate = min(1, target_tokens/current_tokens);
+    upweighting is left to the loader, hence the cap at 1). The shape
+    of every 'data mixture' step in LLM training-data pipelines: one
+    map-side token count, one tiny keyed agg, one broadcast of the
+    single-row total."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("lang", tx.token_count("text").alias("n_tokens"))
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").alias("lang_tokens"))
+    )
+    tot = per.agg(
+        F.sum("lang_tokens").alias("total"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    joined = per.crossJoin(F.broadcast(tot))
+    return joined.select(
+        "lang",
+        "lang_tokens",
+        F.round(F.col("lang_tokens").cast("double") / F.col("total"), 4).alias(
+            "current_share"
+        ),
+        F.round(F.lit(1.0) / F.col("n_langs"), 4).alias("target_share"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("total").cast("double") / F.col("n_langs"))
+                / F.col("lang_tokens"),
+            ),
+            4,
+        ).alias("sampling_rate"),
+    )
