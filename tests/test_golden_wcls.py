@@ -245,14 +245,17 @@ def test_pwcls_one_scan_distributed_fallback_matches(spark, monkeypatch):
         one_scan=True,
     )
     fast = pwcls(panel, **kw)
+    # relative baseline: earlier tests' localCheckpoint blocks may still
+    # be registered until the ContextCleaner GCs them
+    baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
     monkeypatch.setattr(pw, "_FORCE_MAX_CLUSTERS", 1)
     slow = pwcls(panel, **kw)
     np.testing.assert_allclose(fast.beta_r, slow.beta_r, rtol=1e-10)
     np.testing.assert_allclose(fast.se_beta_r, slow.se_beta_r, rtol=1e-9)
     np.testing.assert_allclose(fast.sandwich, slow.sandwich, rtol=1e-8, atol=1e-12)
     assert fast.n_users == slow.n_users
-    # fallback must not leak its persisted lvl1 frame
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    # fallback must not leak its persisted lvl1 frame (no net growth)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= baseline
 
 
 def test_wcls_one_scan_distributed_fallback_matches(spark, monkeypatch):
@@ -262,9 +265,10 @@ def test_wcls_one_scan_distributed_fallback_matches(spark, monkeypatch):
     wc = importlib.import_module("mrt_data_integration_spark.estimators.wcls")
     panel = _load_panel(spark)
     fast = _fit(panel, "user_id")
+    baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
     monkeypatch.setattr(wc, "_FORCE_MAX_CLUSTERS", 1)
     slow = _fit(panel, "user_id")
     np.testing.assert_allclose(fast.beta_r, slow.beta_r, rtol=1e-10)
     np.testing.assert_allclose(fast.se_beta_r, slow.se_beta_r, rtol=1e-9)
     np.testing.assert_allclose(fast.sandwich, slow.sandwich, rtol=1e-8, atol=1e-12)
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= baseline
