@@ -71,6 +71,7 @@ _POOL_A: list[str] = [
     "doc_repetition_filter",
     "benchmark_decontamination",
     "training_mix_rebalance",
+    "pq_topk",
 ]
 _POOL_B: list[str] = [
     "filter_project",

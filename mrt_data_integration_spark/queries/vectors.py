@@ -218,3 +218,17 @@ def _lsh_bucket_oracle() -> str:
 
 
 ORACLES["lsh_bucket_profile"] = _lsh_bucket_oracle()
+
+
+@query("pq_topk")
+def pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 (round 4): product-quantization ANN with exact re-rank
+    (operators.similarity.pq_topk) — the memory-bounded scale path:
+    16 byte-codes per vector instead of 256 bytes of floats, ADC
+    lookup-table scoring, top-k·10 candidates re-ranked exactly. No SQL
+    oracle (k-means codebooks are iterative); the driver records the
+    rows-only check and tests/test_similarity.py pins both recall vs
+    brute force and the exact output on a fixed-seed corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return sim.pq_topk(emb, queries_df, k=3, seed=0)

@@ -131,3 +131,49 @@ def test_ivf_topk_exact_pinned(spark):
         (38, 36, 0.9997, 2),
     ]
     assert got == expected
+
+
+def test_pq_topk_recall_and_determinism(spark, sf_smoke):
+    """PQ+re-rank must reach high recall vs brute force on the smoke
+    embeddings, and be bit-deterministic for a fixed seed (numpy
+    k-means codebooks, no MLlib randomness)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(sim.brute_force_topk(emb, queries, k=5))
+    run1 = sorted(map(tuple, sim.pq_topk(emb, queries, k=5, seed=0).collect()))
+    run2 = sorted(map(tuple, sim.pq_topk(emb, queries, k=5, seed=0).collect()))
+    assert run1 == run2, "PQ output must be deterministic for a fixed seed"
+    approx = {}
+    for qid, cid, _, _ in run1:
+        approx.setdefault(qid, set()).add(cid)
+    hits = sum(len(exact[q] & approx[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.8, f"PQ recall {hits}/{total}"
+
+
+def test_pq_topk_exact_on_clustered_corpus(spark):
+    """On a corpus with strong cluster structure the PQ codes preserve
+    ranking and the re-rank recovers the exact brute-force top-k."""
+    rows = []
+    for cid in range(4):
+        for j in range(12):
+            vid = cid * 12 + j
+            vec = [0.0] * 16
+            vec[cid * 4] = 1.0
+            vec[(vid * 5) % 16] += ((vid * 11) % 7 - 3) / 25.0
+            rows.append((vid, [float(round(x, 6)) for x in vec]))
+    corpus = spark.createDataFrame(
+        rows, "vec_id int, embedding array<float>"
+    ).coalesce(1)
+    queries = corpus.filter("vec_id in (0, 13, 26, 39)")
+    exact = sorted(map(tuple, sim.brute_force_topk(corpus, queries, k=3).collect()))
+    pq = sorted(
+        map(
+            tuple,
+            sim.pq_topk(
+                corpus, queries, k=3, n_subspaces=4, n_centroids=8,
+                rerank_factor=6, seed=0, train_sample=48,
+            ).collect(),
+        )
+    )
+    assert pq == exact
