@@ -20,12 +20,44 @@ import atexit
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+# (SparkContext, rdd ids) of localCheckpoint blocks — see checkpoint_tracked.
+_CHECKPOINTED: list[tuple] = []
 
 
 def track_cache(df: DataFrame) -> DataFrame:
     """Register a persisted frame for the next registry sweep."""
     _TRACKED.append(df)
     return df
+
+
+def checkpoint_tracked(df: DataFrame) -> DataFrame:
+    """``df.localCheckpoint(eager=True)`` with sweep-time release.
+
+    A local checkpoint persists RDD-level blocks that ``DataFrame
+    .unpersist()`` cannot reach (they live outside the SQL cache
+    manager), so untracked checkpoints leaked across a multi-query
+    driver session (r4 verdict). We diff ``getPersistentRDDs`` around
+    the eager checkpoint and record the new ids; the sweep unpersists
+    them JVM-side. RDD ids are never reused, so a stale id is a no-op.
+
+    CAUTION: the checkpoint truncates lineage, so after the sweep the
+    returned frame is unusable — same collect-before-next-invocation
+    contract as every tracked cache (see registry.query).
+    """
+    sc = df.sparkSession.sparkContext
+    try:
+        before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    except Exception:  # non-JVM backends (Connect) — fall through untracked
+        return df.localCheckpoint(eager=True)
+    ck = df.localCheckpoint(eager=True)
+    try:
+        after = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+        new_ids = tuple(sorted(after - before))
+        if new_ids:
+            _CHECKPOINTED.append((sc, new_ids))
+    except Exception:
+        pass
+    return ck
 
 
 def untrack(df: DataFrame) -> None:
@@ -37,7 +69,8 @@ def untrack(df: DataFrame) -> None:
 
 
 def sweep_caches() -> int:
-    """Unpersist every tracked frame; returns the number released."""
+    """Unpersist every tracked frame / checkpoint; returns the number
+    released."""
     n = 0
     while _TRACKED:
         df = _TRACKED.pop()
@@ -46,6 +79,17 @@ def sweep_caches() -> int:
             n += 1
         except Exception:
             pass  # context already stopped — nothing to release
+    while _CHECKPOINTED:
+        sc, ids = _CHECKPOINTED.pop()
+        try:
+            jmap = sc._jsc.getPersistentRDDs()
+            for i in ids:
+                jrdd = jmap.get(i)
+                if jrdd is not None:
+                    jrdd.unpersist(False)
+                    n += 1
+        except Exception:
+            pass
     return n
 
 

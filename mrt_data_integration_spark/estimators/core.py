@@ -52,8 +52,11 @@ def prepare(
     # re-walking the spline expression forest per aggregate — Catalyst
     # analysis of the wide sandwich/IRLS aggs was the dominant cost.
     # On a real cluster prefer a reliable checkpoint dir for fault
-    # tolerance; semantics are identical.
-    return proj.localCheckpoint(eager=True)
+    # tolerance; semantics are identical. Tracked so the registry sweep
+    # releases the checkpoint blocks after the fit's result is consumed.
+    from mrt_data_integration_spark.cache_registry import checkpoint_tracked
+
+    return checkpoint_tracked(proj)
 
 
 def collect_cluster_stats(

@@ -32,18 +32,27 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the 68-query registry is split into a CORE of
+# ROTATION POLICY (round 4+): the 73-query registry is split into a CORE of
 # 32 queries (one per physical shape — scan/agg, joins, windows, pivots,
-# dedup, text — always in the window) and two 18-query pools that ALTERNATE
-# rounds, so no query goes more than two rounds without a driver row:
+# dedup, text — always in the window) and two pools (POOL_A: 22, POOL_B: 19)
+# that ALTERNATE rounds, so no query goes more than two rounds without a
+# driver row:
 #   - POOL_A (E4 vectors, E6/E7 timeseries, r2 text additions): driver rows
-#     in r3 (CORRECTNESS_r03), scheduled again for r5, r7, ...
+#     in r3 (CORRECTNESS_r03) and r5, scheduled again for r7, ...
 #   - POOL_B (scalar/derive oracle queries + no_oracle estimator fits):
-#     driver rows in r1/r2, scheduled for r4, r6, ...
-# Exception rule: any query whose latest driver row was red is force-included
-# next round regardless of pool (r4: `sessionization`, whose r3 hash-fail was
-# an oracle-side HUGEINT cast, fixed this round — one CORE member with three
-# green rounds sits out to make room).
+#     driver rows in r1/r2/r4, scheduled for r6, ...
+# Exception rules, applied in order:
+#   1. any query whose latest driver row was red is force-included next round
+#      regardless of pool (r4: `sessionization` — its r3 hash-fail was an
+#      oracle-side HUGEINT cast, confirmed green in r4);
+#   2. any query with ZERO driver-row history is force-included in its first
+#      eligible round (r4: `doc_repetition_filter` + `benchmark_decontamination`
+#      — the other two r4 additions, `training_mix_rebalance` + `pq_topk`,
+#      missed the r4 freeze and are in POOL_A's r5 turn below; r5:
+#      `petwcls_fit` and `ivfpq_topk`, force-included from POOL_B / POOL_A).
+# CORE members with the longest green history sit out to make room when the
+# forced set pushes the window past 50; their physical shapes must stay
+# covered by an in-window query (noted per round at _WINDOW).
 # Every rotated-out oracle query remains DuckDB-verified each CI run by
 # tests/test_oracle_parity.py; rotated-out no_oracle fits keep their golden
 # tests.
@@ -66,8 +75,8 @@ _POOL_A: list[str] = [
     "lsh_bucket_profile",
     "embedding_similar_pairs_lsh",
     "ivf_topk",
-    # new in r4 (force-included in the r4 window as zero-history; join
-    # pool A's normal rotation from r5)
+    # joined in r4 (first two got r4 driver rows; the last two get their
+    # first rows in r5 with the rest of pool A)
     "doc_repetition_filter",
     "benchmark_decontamination",
     "training_mix_rebalance",
@@ -86,6 +95,9 @@ _POOL_B: list[str] = [
     "etwcls_fit",
     "drwcls_fit",
     "awcls_fit",
+    # r5 addition (M5 — the paper's headline method; zero driver history
+    # until r5, where exception rule 2 force-includes it)
+    "petwcls_fit",
     "estimator_report_pivot",
     "synthetic_panel_stats",
     "multimodal_features",
@@ -127,19 +139,27 @@ _CORE: list[str] = [
     "tfidf_top_terms",
     "bpe_ish_token_counts",
 ]
-# Round 4 window: POOL_B's turn + forced rows — `sessionization` (red-row
-# confirmation) and the two zero-history r4 additions. Three CORE members
-# with r1-r3 green history sit out to make room; their physical shapes stay
-# covered (`doc_fingerprint_dedup` for exact dedup, `pivot_method_by_coef` /
-# `rollup_hierarchy` for reshaping/grouping-sets).
+# Round 5 window: POOL_A's turn (first driver rows for the two late-r4
+# additions `training_mix_rebalance` + `pq_topk`) + the zero-history
+# `petwcls_fit` forced in from POOL_B (exception rule 2). The r4 sit-outs
+# (`distinct_exact`, `unpivot_long`, `cube_revenue`) return; five CORE
+# members with green r1-r4 history sit out instead — shapes stay covered:
+# `running_total` (running window) by `user_activity_lag_features`,
+# `argmax_per_group` by `group_best_highlight` + `topk_per_group`,
+# `anti_join_dormant_customers` by `semi_join_active_customers`,
+# `ngram_jaccard_pairs_prefix` by `ngram_jaccard_pairs`,
+# `weighted_gram` by `wls_normal_equations` + `cluster_score_meat`.
+_R5_SIT_OUT = (
+    "running_total",
+    "argmax_per_group",
+    "anti_join_dormant_customers",
+    "ngram_jaccard_pairs_prefix",
+    "weighted_gram",
+)
 _WINDOW: list[str] = (
-    ["sessionization", "doc_repetition_filter", "benchmark_decontamination"]
-    + _POOL_B
-    + [
-        n
-        for n in _CORE
-        if n not in ("distinct_exact", "unpivot_long", "cube_revenue")
-    ]
+    ["petwcls_fit"]
+    + _POOL_A
+    + [n for n in _CORE if n not in _R5_SIT_OUT]
 )
 
 
@@ -147,6 +167,17 @@ def _apply_window() -> None:
     missing = [n for n in _WINDOW if n not in QUERIES]
     if missing:
         raise RuntimeError(f"window references unregistered queries: {missing}")
+    # The driver records exactly the first 50 — a shorter window wastes
+    # verification slots, a longer one silently un-verifies the overflow
+    # (the r4 slip ADVICE.md flagged: two "force-included" queries were
+    # actually past position 50).
+    if len(_WINDOW) != 50:
+        raise RuntimeError(
+            f"driver window must be exactly 50 queries, got {len(_WINDOW)}"
+        )
+    if len(set(_WINDOW)) != len(_WINDOW):
+        dupes = sorted({n for n in _WINDOW if _WINDOW.count(n) > 1})
+        raise RuntimeError(f"driver window has duplicates: {dupes}")
     ordered = _WINDOW + [n for n in QUERIES if n not in set(_WINDOW)]
     for registry in (QUERIES, ORACLES):
         reordered = {n: registry[n] for n in ordered if n in registry}

@@ -30,10 +30,17 @@ def _mrt_panel(spark: SparkSession, sf_dir: str):
     )
     # Multi-pass estimators (tilt knots + IRLS + WLS + sandwich) re-scan
     # this panel many times; the JSON parse for x2 makes re-derivation
-    # the dominant cost. Cache once (LRU-evicted, correctness-neutral).
-    return panel.select(
-        "user_id", "y", "a", "x1", "x2", "p_h_a", "p_h_col", "is_internal"
-    ).cache()
+    # the dominant cost. Cache once, tracked so the registry sweep
+    # releases it after the fit's result is collected (same discipline
+    # as the dedup shingle frames — a driver session running the whole
+    # estimator family must not accumulate cached panels).
+    from mrt_data_integration_spark.cache_registry import track_cache
+
+    return track_cache(
+        panel.select(
+            "user_id", "y", "a", "x1", "x2", "p_h_a", "p_h_col", "is_internal"
+        ).cache()
+    )
 
 
 def _fit_to_df(spark, fit, method: str):
@@ -136,6 +143,9 @@ def estimator_report_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.first("label"))
     )
     return piv
+
+
+@query("petwcls_fit")
 def petwcls_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5: pooled + exponential-tilting WCLS (three-way precision
     pooling, d=~30 joint sandwich) on the events panel."""

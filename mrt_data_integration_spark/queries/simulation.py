@@ -70,14 +70,18 @@ def wcls_large_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic in the fixed seed."""
     from mrt_data_integration_spark.estimators import wcls
 
+    from mrt_data_integration_spark.cache_registry import checkpoint_tracked
+
     # The input is a generative source, so materialize it once —
     # otherwise each of the fit's aggregation passes re-runs the
-    # mapInPandas generation (3× the dominant cost).
-    panel = generate_panel(
-        spark, seed=20260813, n_internal=10_000, n_external=10_000,
-        users_per_chunk=625,  # 32 generation tasks = one per local core
-
-    ).localCheckpoint(eager=True)
+    # mapInPandas generation (3× the dominant cost). Tracked so the
+    # registry sweep frees the 400k-row checkpoint after collection.
+    panel = checkpoint_tracked(
+        generate_panel(
+            spark, seed=20260813, n_internal=10_000, n_external=10_000,
+            users_per_chunk=625,  # 32 generation tasks = one per local core
+        )
+    )
     fit = wcls(
         panel,
         x_h=[

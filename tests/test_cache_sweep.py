@@ -38,3 +38,18 @@ def test_driver_path_shows_zero_net_cache_growth(spark, sf_smoke):
 def test_sweep_caches_is_idempotent(spark):
     sweep_caches()
     assert sweep_caches() == 0
+
+
+def test_estimator_query_family_shows_zero_net_cache_growth(spark, sf_smoke):
+    """The r4-verdict leak: `_mrt_panel` cached per estimator query with no
+    tracker, so a driver sweep over the fit family accumulated panels. The
+    fits collect eagerly inside the query function, so the next-invocation
+    sweep is safe — and must leave zero net persisted RDDs."""
+    sweep_caches()
+    baseline = _n_persisted(spark)
+    for name in ["pwcls_fit", "petwcls_fit", "estimator_report_pivot"]:
+        QUERIES[name](spark, sf_smoke).limit(5).collect()
+    QUERIES[TRIGGER](spark, sf_smoke).limit(5).collect()
+    assert _n_persisted(spark) == baseline, (
+        "estimator panel caches leaked past the registry sweep"
+    )
