@@ -56,6 +56,11 @@ HEADLINE = [
     "doc_repetition_filter",
     "benchmark_decontamination",
     "pwcls_fit",
+    # round-5 additions: the ANN family is the most scale-sensitive
+    # extension surface (r4 verdict #7) — track its wall-clock per round
+    "ivf_topk",
+    "pq_topk",
+    "ivfpq_topk",
 ]
 
 

@@ -81,6 +81,9 @@ _POOL_A: list[str] = [
     "benchmark_decontamination",
     "training_mix_rebalance",
     "pq_topk",
+    # r5 addition (E4 — IVFADC; zero driver history until r5, where
+    # exception rule 2 force-includes it)
+    "ivfpq_topk",
 ]
 _POOL_B: list[str] = [
     "filter_project",
@@ -140,21 +143,24 @@ _CORE: list[str] = [
     "bpe_ish_token_counts",
 ]
 # Round 5 window: POOL_A's turn (first driver rows for the two late-r4
-# additions `training_mix_rebalance` + `pq_topk`) + the zero-history
-# `petwcls_fit` forced in from POOL_B (exception rule 2). The r4 sit-outs
-# (`distinct_exact`, `unpivot_long`, `cube_revenue`) return; five CORE
-# members with green r1-r4 history sit out instead — shapes stay covered:
+# additions `training_mix_rebalance` + `pq_topk` and the new `ivfpq_topk`)
+# + the zero-history `petwcls_fit` forced in from POOL_B (exception rule
+# 2). The r4 sit-outs (`distinct_exact`, `unpivot_long`, `cube_revenue`)
+# return; six CORE members with green r1-r4 history sit out instead —
+# shapes stay covered:
 # `running_total` (running window) by `user_activity_lag_features`,
 # `argmax_per_group` by `group_best_highlight` + `topk_per_group`,
 # `anti_join_dormant_customers` by `semi_join_active_customers`,
 # `ngram_jaccard_pairs_prefix` by `ngram_jaccard_pairs`,
-# `weighted_gram` by `wls_normal_equations` + `cluster_score_meat`.
+# `weighted_gram` by `wls_normal_equations` + `cluster_score_meat`,
+# `pivot_method_by_coef` by `unpivot_long` (reshape) + CI oracle.
 _R5_SIT_OUT = (
     "running_total",
     "argmax_per_group",
     "anti_join_dormant_customers",
     "ngram_jaccard_pairs_prefix",
     "weighted_gram",
+    "pivot_method_by_coef",
 )
 _WINDOW: list[str] = (
     ["petwcls_fit"]

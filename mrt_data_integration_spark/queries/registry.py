@@ -11,6 +11,14 @@ Rules we enforce on every registered pair:
 - integer-typed aggregates are cast to BIGINT on the DuckDB side (DuckDB
   promotes integer SUM to HUGEINT, Spark to LONG);
 - no LIMIT without a total order (ties would be nondeterministic).
+
+Cache-sweep contract: invoking a registered query RELEASES every cache/
+checkpoint tracked by the PREVIOUS query invocation (cache_registry).
+This assumes the serial collect-then-next pattern of the grading driver
+and bench: consume (collect/count/write) each query's result BEFORE
+invoking the next registered query. A caller that builds several
+registered queries lazily and collects later keeps correctness (lineage
+recomputes evicted frames) but silently loses the cache benefit.
 """
 
 from __future__ import annotations

@@ -220,6 +220,20 @@ def _lsh_bucket_oracle() -> str:
 ORACLES["lsh_bucket_profile"] = _lsh_bucket_oracle()
 
 
+@query("ivfpq_topk")
+def ivfpq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 (round 5): IVF×PQ — the IVFADC composition the r4 verdict
+    asked for (operators.similarity.ivfpq_topk): KMeans cells bound the
+    scan to ~n_probe/n_cells of the corpus and residual-PQ codes bound
+    the per-row cost to n_subspaces LUT lookups. No SQL oracle (KMeans
+    + k-means codebooks are iterative); the driver records the
+    rows-only check and tests/test_similarity.py pins recall vs brute
+    force plus fixed-seed determinism."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return sim.ivfpq_topk(emb, queries_df, k=3, n_cells=8, n_probe=4, seed=0)
+
+
 @query("pq_topk")
 def pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 (round 4): product-quantization ANN with exact re-rank

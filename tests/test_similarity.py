@@ -151,6 +151,102 @@ def test_pq_topk_recall_and_determinism(spark, sf_smoke):
     assert hits / total >= 0.8, f"PQ recall {hits}/{total}"
 
 
+def test_ivfpq_recall_and_determinism(spark, sf_smoke):
+    """IVFADC (r5): probing half the cells with residual-PQ codes must
+    reach ≥0.7 recall vs brute force on the smoke embeddings, rise with
+    n_probe, and be bit-deterministic for a fixed seed (MLlib KMeans
+    seed + numpy codebooks)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(sim.brute_force_topk(emb, queries, k=5))
+
+    def recall(n_probe):
+        approx = _topk_sets(
+            sim.ivfpq_topk(emb, queries, k=5, n_cells=8, n_probe=n_probe, seed=0)
+        )
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        return hits / sum(len(exact[q]) for q in exact)
+
+    r4 = recall(4)
+    assert r4 >= 0.7, f"IVFPQ recall {r4}"
+    assert recall(8) >= r4  # full probe can only widen the candidate set
+    run1 = sorted(
+        map(tuple, sim.ivfpq_topk(emb, queries, k=5, n_cells=8, n_probe=4, seed=0).collect())
+    )
+    run2 = sorted(
+        map(tuple, sim.ivfpq_topk(emb, queries, k=5, n_cells=8, n_probe=4, seed=0).collect())
+    )
+    assert run1 == run2, "IVFPQ output must be deterministic for a fixed seed"
+
+
+def test_ivfpq_full_probe_large_rerank_is_exact(spark, sf_smoke):
+    """n_probe == n_cells scans every cell; with a rerank window big
+    enough to absorb ADC quantization error the exact re-rank recovers
+    the brute-force answer — pins the q·c + LUT·codes ADC identity
+    (a wrong residual/LUT composition would corrupt candidate order and
+    miss true neighbors even at full probe)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = sorted(map(tuple, sim.brute_force_topk(emb, queries, k=3).collect()))
+    got = sorted(
+        map(
+            tuple,
+            sim.ivfpq_topk(
+                emb, queries, k=3, n_cells=8, n_probe=8, rerank_factor=30, seed=0
+            ).collect(),
+        )
+    )
+    assert got == exact
+
+
+def test_pq_topk_degenerate_inputs(spark):
+    """ADVICE r4: an empty corpus must yield an empty result (not a
+    TypeError on the dimension probe), and a corpus smaller than
+    n_centroids must clamp the codebook size instead of crashing
+    np.random.choice(replace=False)."""
+    schema = "vec_id int, embedding array<float>"
+    empty = spark.createDataFrame([], schema)
+    queries = spark.createDataFrame([(0, [1.0] * 8)], schema)
+    assert sim.pq_topk(empty, queries, k=3).count() == 0
+
+    tiny_rows = [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(8)]) for i in range(5)]
+    tiny = spark.createDataFrame(tiny_rows, schema)
+    got = sim.pq_topk(
+        tiny, tiny.filter("vec_id = 0"), k=2,
+        n_subspaces=4, n_centroids=16, train_sample=5, seed=0,
+    )
+    exact = sim.brute_force_topk(tiny, tiny.filter("vec_id = 0"), k=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_bounded_topk_matches_single_window_any_partitioning(spark):
+    """The two-stage ranking must return exactly the single-window
+    top-k regardless of how the scored frame is partitioned (the local
+    stage can only discard rows that cannot be in the global top-k)."""
+    from pyspark.sql import Window
+
+    rows = [
+        (q, c, float(((q * 31 + c * 17) % 97) - 48) / 7.0)
+        for q in range(4)
+        for c in range(200)
+    ]
+    base = spark.createDataFrame(rows, "query_id int, corpus_id int, s double")
+    w = Window.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("corpus_id"))
+    expected = sorted(
+        map(
+            tuple,
+            base.withColumn("rk", F.row_number().over(w))
+            .filter("rk <= 7")
+            .collect(),
+        )
+    )
+    for parts in (1, 3, 32):
+        got = sorted(
+            map(tuple, sim.bounded_topk(base.repartition(parts), 7, "s").collect())
+        )
+        assert got == expected, f"bounded_topk diverged at {parts} partitions"
+
+
 def test_pq_topk_exact_on_clustered_corpus(spark):
     """On a corpus with strong cluster structure the PQ codes preserve
     ranking and the re-rank recovers the exact brute-force top-k."""
