@@ -165,31 +165,32 @@ def lsh_candidate_pairs(
     return out
 
 
-def _hex_nibble_bit(md5_col: Column, bit: int) -> Column:
-    """Bit ``bit`` of an md5 hex digest, via portable nibble arithmetic:
-    nibble = ascii(hex char) mapped 0-15; bit = (nibble >> (bit%4)) & 1.
-    Chosen over conv(hex,16,10) because the identical expression runs in
-    any ANSI engine (ascii/substr/shift) — oracle-checkable."""
-    ch = F.substring(md5_col, 1 + bit // 4, 1)
-    a = F.ascii(ch)
-    nibble = a - 48 - F.when(a >= 97, 39).otherwise(0)
-    return F.shiftright(nibble, bit % 4).bitwiseAND(F.lit(1))
-
-
 def simhash(text: Column | str, n_bits: int = 16) -> Column:
     """SimHash over word tokens: per-bit majority vote of token-md5 bits.
 
     For each bit position: +1 per token with the bit set, −1 otherwise;
-    a positive total sets the output bit. ONE md5 per token (hoisted via
-    a transform into a digest array), then a single fold accumulating
-    all ``n_bits`` vote counts at once — the digest is a bound lambda
-    value inside the fold, so the 16 bit extractions share it instead of
-    re-hashing per bit. No shuffle, no UDF.
+    a positive total sets the output bit. ONE md5 per token, folded to a
+    single integer via ``conv(hex_prefix, 16, 10)`` in the same hoisted
+    transform, so the hot vote fold extracts each bit with one
+    shift+mask — the earlier per-bit nibble chain (substring + ascii +
+    branch, ×n_bits per token) was ~2× the fold cost (r5 profile). Bit
+    numbering is unchanged (bit i = bit i%4 of hex nibble i//4), so
+    hash values — and the DuckDB oracle, which keeps the portable
+    nibble arithmetic — are identical. No shuffle, no UDF.
     """
-    digests = F.transform(tokens(text), lambda t: F.md5(t))
+    n_chars = (n_bits + 3) // 4
+    digests = F.transform(
+        tokens(text),
+        lambda t: F.conv(F.substring(F.md5(t), 1, n_chars), 16, 10).cast("long"),
+    )
 
-    def votes(acc: Column, d: Column) -> Column:
-        bits = F.array(*[_hex_nibble_bit(d, i) for i in range(n_bits)])
+    def votes(acc: Column, v: Column) -> Column:
+        bits = F.array(*[
+            F.shiftright(v, 4 * (n_chars - 1) - 4 * (i // 4) + i % 4)
+            .bitwiseAND(F.lit(1))
+            .cast("int")
+            for i in range(n_bits)
+        ])
         # vote contribution: bit==1 → +1, bit==0 → −1  (= 2b − 1)
         return F.zip_with(acc, bits, lambda a, b: a + b * 2 - 1)
 
