@@ -411,12 +411,37 @@ def _pq_train_codebooks(
     return books
 
 
+_TRAIN_CACHE: dict = {}
+
+
+def _cached_training(key, builder):
+    """Optional index reuse: ANN indexes are built once and queried many
+    times, so callers that can name their corpus (``index_cache_key``)
+    skip retraining identical codebooks on every invocation. Training is
+    seeded-deterministic and the cached value is plain Python data (no
+    Spark handles), so reuse is value-identical across sessions; ``None``
+    key → always retrain (the safe default for unnamed corpora)."""
+    if key is None:
+        return builder()
+    if key not in _TRAIN_CACHE:
+        _TRAIN_CACHE[key] = builder()
+    return _TRAIN_CACHE[key]
+
+
+def _fmt(x: float) -> str:
+    """Literal formatter for generated SQL: 10 significant digits keeps
+    the strings ~40% shorter than full repr (they are parsed JVM-side on
+    every plan build) while staying far below the ADC/quantization noise
+    floor — the exact re-rank uses true vectors, never these literals."""
+    return f"{float(x):.10g}"
+
+
 def _books_sql(books: list) -> str:
     """The codebooks as ONE literal 3-D array — books[s+1][c+1][i+1] in
     1-based element_at indexing."""
     return "array(" + ",".join(
         "array(" + ",".join(
-            "array(" + ",".join(repr(float(x)) for x in cent) + ")"
+            "array(" + ",".join(_fmt(x) for x in cent) + ")"
             for cent in book
         ) + ")"
         for book in books
@@ -448,7 +473,7 @@ def _pq_code(vec_name: str, books: list, d_sub: int) -> Column:
     B = _books_sql(books)
     H = "array(" + ",".join(
         "array(" + ",".join(
-            repr(0.5 * sum(float(x) * float(x) for x in cent)) for cent in book
+            _fmt(0.5 * sum(float(x) * float(x) for x in cent)) for cent in book
         ) + ")"
         for book in books
     ) + ")"
@@ -487,6 +512,7 @@ def ivfpq_topk(
     train_sample: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index_cache_key: str | None = None,
 ) -> DataFrame:
     """IVF×PQ (the IVFADC layout of Jégou et al. 2011 §V): the coarse
     quantizer routes each query to ``n_probe`` cells, and within a cell
@@ -523,29 +549,38 @@ def ivfpq_topk(
     d = probe_row["d"]
     d_sub = d // n_subspaces
 
-    sample = [
-        [float(v) for v in r["v"]]
-        for r in corpus.select(_c(vec_col).alias("v"))
-        .orderBy(_c(id_col))
-        .limit(train_sample)
-        .collect()
-    ]
-    n_cells = min(n_cells, len(sample))
-    n_centroids = min(n_centroids, len(sample))
-    centers = _pq_train_codebooks(sample, 1, n_cells, seed)[0]
-    X = np.asarray(sample, dtype=float)
-    C = np.asarray(centers, dtype=float)
-    cells = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
-    resid = X - C[cells]
-    books = _pq_train_codebooks(
-        [[float(v) for v in row] for row in resid], n_subspaces, n_centroids, seed
+    def _build():
+        sample = [
+            [float(v) for v in r["v"]]
+            for r in corpus.select(_c(vec_col).alias("v"))
+            .orderBy(_c(id_col))
+            .limit(train_sample)
+            .collect()
+        ]
+        nm = min(n_cells, len(sample))
+        nc = min(n_centroids, len(sample))
+        ctr = _pq_train_codebooks(sample, 1, nm, seed)[0]
+        Xs = np.asarray(sample, dtype=float)
+        Cs = np.asarray(ctr, dtype=float)
+        asg = ((Xs[:, None, :] - Cs[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        bks = _pq_train_codebooks(
+            [[float(v) for v in row] for row in Xs - Cs[asg]],
+            n_subspaces, nc, seed,
+        )
+        return nm, nc, ctr, bks
+
+    cache_key = None if index_cache_key is None else (
+        "ivfpq", index_cache_key, n_cells, n_subspaces, n_centroids, seed,
+        train_sample, id_col, vec_col,
     )
+    n_cells, n_centroids, centers, books = _cached_training(cache_key, _build)
+    C = np.asarray(centers, dtype=float)
 
     # Cell assignment: argmin_m ‖x−C_m‖² = argmax_m (x·C_m − ‖C_m‖²/2)
     # over the literal centers — one corpus scan, no shuffle, no ML fit.
     CC = _books_sql([centers])
     HC = "array(" + ",".join(
-        repr(0.5 * float(np.dot(c, c))) for c in centers
+        _fmt(0.5 * float(np.dot(c, c))) for c in centers
     ) + ")"
     cell_sql = (
         f"element_at(array_sort(transform(sequence(0, {n_cells - 1}), c -> "
@@ -568,10 +603,10 @@ def ivfpq_topk(
     G = "array(" + ",".join(
         "array(" + ",".join(
             "array(" + ",".join(
-                repr(float(
+                _fmt(
                     C[m, s * d_sub:(s + 1) * d_sub] @ Bnp[s][c]
                     + 0.5 * Bnp[s][c] @ Bnp[s][c]
-                )) for c in range(n_centroids)
+                ) for c in range(n_centroids)
             ) + ")" for s in range(n_subspaces)
         ) + ")" for m in range(n_cells)
     ) + ")"
@@ -611,7 +646,7 @@ def ivfpq_topk(
     # Query side: one global residual LUT + exploded (cell, q·c) probes,
     # all from the same literal centers (q·c via the ‖q−c‖² identity).
     CN2 = "array(" + ",".join(
-        repr(float(np.dot(c, c))) for c in centers
+        _fmt(float(np.dot(c, c))) for c in centers
     ) + ")"
     d2_sql = (
         f"aggregate(sequence(1, {d}), cast(0.0 as double), (acc, i) -> "
@@ -711,6 +746,7 @@ def pq_topk(
     train_sample: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index_cache_key: str | None = None,
 ) -> DataFrame:
     """Product-quantization approximate top-k with exact re-rank — the
     memory-bounded ANN path: at corpus scale each vector is represented
@@ -739,18 +775,26 @@ def pq_topk(
             [], "query_id long, corpus_id long, cosine_sim double, rk int"
         )
     d_sub = probe["d"] // n_subspaces
-    sample = [
-        [float(v) for v in r["v"]]
-        for r in corpus.select(_c(vec_col).alias("v"))
-        .orderBy(_c(id_col))
-        .limit(train_sample)
-        .collect()
-    ]
-    # A sample smaller than n_centroids cannot seed distinct centroids;
-    # clamp (recall is unaffected — every corpus row is then near some
-    # centroid of the shrunken book).
-    n_centroids = min(n_centroids, len(sample))
-    books = _pq_train_codebooks(sample, n_subspaces, n_centroids, seed)
+
+    def _build():
+        sample = [
+            [float(v) for v in r["v"]]
+            for r in corpus.select(_c(vec_col).alias("v"))
+            .orderBy(_c(id_col))
+            .limit(train_sample)
+            .collect()
+        ]
+        # A sample smaller than n_centroids cannot seed distinct
+        # centroids; clamp (recall is unaffected — every corpus row is
+        # then near some centroid of the shrunken book).
+        nc = min(n_centroids, len(sample))
+        return nc, _pq_train_codebooks(sample, n_subspaces, nc, seed)
+
+    cache_key = None if index_cache_key is None else (
+        "pq", index_cache_key, n_subspaces, n_centroids, seed,
+        train_sample, id_col, vec_col,
+    )
+    n_centroids, books = _cached_training(cache_key, _build)
 
     from mrt_data_integration_spark.operators.dedup import _spread
 
