@@ -210,6 +210,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 0,
     max_iter: int = 20,
+    index_cache_key: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the KMeans alternative to
     hyperplane LSH named in the module docstring.
@@ -234,13 +235,22 @@ def ivf_topk(
         norm(vec_col).alias("__cn__"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("__feat__"),
     )
-    model = KMeans(
-        featuresCol="__feat__",
-        predictionCol="__cell__",
-        k=n_centroids,
-        seed=seed,
-        maxIter=max_iter,
-    ).fit(feats)
+    def _fit():
+        return KMeans(
+            featuresCol="__feat__",
+            predictionCol="__cell__",
+            k=n_centroids,
+            seed=seed,
+            maxIter=max_iter,
+        ).fit(feats)
+
+    # The fitted model is a JVM-session object, so the reuse key is
+    # scoped to the live SparkContext (a new session refits).
+    cache_key = None if index_cache_key is None else (
+        "ivf", index_cache_key, corpus.sparkSession.sparkContext.applicationId,
+        n_centroids, seed, max_iter, id_col, vec_col,
+    )
+    model = _cached_training(cache_key, _fit)
     assigned = model.transform(feats).select(
         "corpus_id", "__cvec__", "__cn__", "__cell__"
     )

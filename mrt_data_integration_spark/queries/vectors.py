@@ -197,7 +197,9 @@ def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins recall against brute_force_topk."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    return sim.ivf_topk(emb, queries_df, k=3, n_centroids=8, n_probe=4)
+    return sim.ivf_topk(
+        emb, queries_df, k=3, n_centroids=8, n_probe=4, index_cache_key=sf_dir
+    )
 
 
 def _lsh_bucket_oracle() -> str:
