@@ -509,55 +509,27 @@ def _pq_lut(vec_name: str, books: list, d_sub: int) -> Column:
     )
 
 
-def ivfpq_topk(
+def _ivfpq_train(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    n_cells: int = 16,
-    n_probe: int = 4,
-    n_subspaces: int = 16,
-    n_centroids: int = 16,
-    rerank_factor: int = 10,
-    seed: int = 0,
-    train_sample: int = 2048,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    n_cells: int,
+    n_subspaces: int,
+    n_centroids: int,
+    seed: int,
+    train_sample: int,
+    id_col: str,
+    vec_col: str,
     index_cache_key: str | None = None,
-) -> DataFrame:
-    """IVF×PQ (the IVFADC layout of Jégou et al. 2011 §V): the coarse
-    quantizer routes each query to ``n_probe`` cells, and within a cell
-    the scan reads PQ codes of the RESIDUAL (x − cell center), so per
-    query only ~n_probe/n_cells of the corpus is touched and each
-    touched row costs ``n_subspaces`` LUT lookups — the r4 verdict fix
-    for pq_topk's full-scan shape.
-
-    Coarse centers and residual codebooks both train driver-side on one
-    bounded sample with the deterministic numpy k-means (an MLlib
-    KMeans fit would re-scan the corpus maxIter times per index build;
-    a sample-trained quantizer is the standard layout at corpus scale,
-    and cell assignment becomes a map-side literal-centroid argmax —
-    the corpus is read exactly once to encode).
-
-    Residual ADC needs no per-cell lookup tables for the dot-product
-    metric: q·x̂ = q·c + q·r̂, where q·c falls out of the cell-probe
-    scoring (via q·c = (‖q‖² + ‖c‖² − ‖q−c‖²)/2 on the probe's
-    squared-L2 distances) and q·r̂ = Σ_s LUT[s][code_s] uses ONE global
-    LUT per query over the residual codebooks. The approximate score
-    divides by the stored corpus norm (cosine ranking, not raw dot);
-    candidates go through the two-stage ``bounded_topk`` and the exact
-    re-rank broadcast-joins them back — vectors never enter a shuffle.
-    Everything after the (driver-side, deterministic) training is JVM
-    expressions — no UDFs.
-    """
+) -> dict | None:
+    """Coarse centers + residual codebooks from one bounded driver-side
+    sample (deterministic numpy k-means). Returns ``None`` for an empty
+    corpus, else a plain-data index spec — JSON-serializable, so it can
+    be persisted next to the coded corpus (``build_ivfpq_index``)."""
     import numpy as np
 
     probe_row = corpus.select(F.size(_c(vec_col)).alias("d")).first()
-    if probe_row is None:  # empty corpus → no neighbors for any query
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, corpus_id long, cosine_sim double, rk int"
-        )
+    if probe_row is None:
+        return None
     d = probe_row["d"]
-    d_sub = d // n_subspaces
 
     def _build():
         sample = [
@@ -577,17 +549,49 @@ def ivfpq_topk(
             [[float(v) for v in row] for row in Xs - Cs[asg]],
             n_subspaces, nc, seed,
         )
-        return nm, nc, ctr, bks
+        return {
+            "d": d,
+            "d_sub": d // n_subspaces,
+            "n_cells": nm,
+            "n_subspaces": n_subspaces,
+            "n_centroids": nc,
+            "centers": ctr,
+            "books": bks,
+        }
 
     cache_key = None if index_cache_key is None else (
         "ivfpq", index_cache_key, n_cells, n_subspaces, n_centroids, seed,
         train_sample, id_col, vec_col,
     )
-    n_cells, n_centroids, centers, books = _cached_training(cache_key, _build)
-    C = np.asarray(centers, dtype=float)
+    return _cached_training(cache_key, _build)
 
-    # Cell assignment: argmin_m ‖x−C_m‖² = argmax_m (x·C_m − ‖C_m‖²/2)
-    # over the literal centers — one corpus scan, no shuffle, no ML fit.
+
+def _ivfpq_encode(
+    corpus: DataFrame, idx: dict, id_col: str, vec_col: str
+) -> DataFrame:
+    """Encode the corpus against a trained index spec: one scan → rows
+    (corpus_id, __cn__, __cell__, __codes__). Map-only, no shuffle.
+
+    Cell assignment: argmin_m ‖x−C_m‖² = argmax_m (x·C_m − ‖C_m‖²/2)
+    over the literal centers — no ML fit, no second corpus pass.
+
+    Residual codes WITHOUT materializing residuals: for a row in cell m,
+    argmax_c (r_s·b − ‖b‖²/2) = argmax_c (x_s·b − G[m,s,c]) with
+    G[m,s,c] = m_s·b_{s,c} + ‖b_{s,c}‖²/2 folded to a literal table
+    driver-side. Referencing a computed residual column instead would
+    let CollapseProject inline the 64-dim zip_with into every element_at
+    inside the HOF lambdas — measured ~15× slower (r5). The cell id is
+    bound ONCE per row via a single-element transform lambda (``m``) so
+    the argmax above isn't re-evaluated per (s, c).
+    """
+    import numpy as np
+
+    centers, books = idx["centers"], idx["books"]
+    d, d_sub = idx["d"], idx["d_sub"]
+    n_cells, n_subspaces, n_centroids = (
+        idx["n_cells"], idx["n_subspaces"], idx["n_centroids"]
+    )
+    C = np.asarray(centers, dtype=float)
     CC = _books_sql([centers])
     HC = "array(" + ",".join(
         _fmt(0.5 * float(np.dot(c, c))) for c in centers
@@ -599,16 +603,6 @@ def ivfpq_topk(
         f"* element_at(element_at(element_at({CC}, 1), c + 1), i)) "
         f"- element_at({HC}, c + 1)), 'cid', c))), 1).cid"
     )
-
-    # Encode residual codes WITHOUT materializing residuals: for a row
-    # in cell m, argmax_c (r_s·b − ‖b‖²/2) = argmax_c (x_s·b − G[m,s,c])
-    # with G[m,s,c] = m_s·b_{s,c} + ‖b_{s,c}‖²/2 folded to a literal
-    # table driver-side. Referencing a computed residual column instead
-    # would let CollapseProject inline the 64-dim zip_with into every
-    # element_at inside the HOF lambdas — measured ~15× slower (r5).
-    # The cell id is bound ONCE per row via a single-element transform
-    # lambda (`m`) so the argmax above isn't re-evaluated per (s, c).
-    # Stored row = (id, cell, norm, codes).
     Bnp = [np.asarray(book, dtype=float) for book in books]  # [s][c, d_sub]
     G = "array(" + ",".join(
         "array(" + ",".join(
@@ -637,7 +631,7 @@ def ivfpq_topk(
     # _spread: encoding is the CPU-heavy pass (interpreted HOF lambdas);
     # a 1-2 split local scan would run it single-threaded. No-op when
     # the scan already provides parallelism (the corpus-scale case).
-    coded = (
+    return (
         _spread(corpus)
         .select(
             F.col(id_col).alias("corpus_id"),
@@ -653,8 +647,19 @@ def ivfpq_topk(
         )
     )
 
-    # Query side: one global residual LUT + exploded (cell, q·c) probes,
-    # all from the same literal centers (q·c via the ‖q−c‖² identity).
+
+def _ivfpq_probes(
+    queries: DataFrame, idx: dict, n_probe: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Query side: one global residual LUT + exploded (cell, q·c) probes,
+    all from the same literal centers (q·c via the ‖q−c‖² identity —
+    residual ADC needs no per-cell lookup tables for the dot metric:
+    q·x̂ = q·c + q·r̂)."""
+    import numpy as np
+
+    centers, books = idx["centers"], idx["books"]
+    d, d_sub, n_cells = idx["d"], idx["d_sub"], idx["n_cells"]
+    CC = _books_sql([centers])
     CN2 = "array(" + ",".join(
         _fmt(float(np.dot(c, c))) for c in centers
     ) + ")"
@@ -667,9 +672,9 @@ def ivfpq_topk(
         f"slice(array_sort(transform(sequence(0, {n_cells - 1}), c -> "
         f"named_struct('dist', {d2_sql}, 'cell', c, "
         f"'qc', (`__qn__` * `__qn__` + element_at({CN2}, c + 1) - {d2_sql}) / 2.0))), "
-        f"1, {n_probe})"
+        f"1, {min(n_probe, n_cells)})"
     )
-    probes = (
+    return (
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qvec0__"),
@@ -689,7 +694,24 @@ def ivfpq_topk(
         )
     )
 
-    nc = n_centroids
+
+def _ivfpq_rank(
+    coded: DataFrame,
+    probes: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    rerank_factor: int,
+    idx: dict,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """ADC candidate scoring over coded rows (cell equi-join with the
+    broadcast probes), two-stage bounded candidate selection, then the
+    exact cosine re-rank via broadcast-joins — vectors never enter a
+    shuffle. The approximate score divides by the stored corpus norm
+    (cosine ranking, not large-norm-biased raw dot)."""
+    n_subspaces, nc = idx["n_subspaces"], idx["n_centroids"]
     adc = F.aggregate(
         F.zip_with(
             F.col("__codes__"),
@@ -742,6 +764,145 @@ def ivfpq_topk(
         .select(
             "query_id", "corpus_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rk"
         )
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 16,
+    n_centroids: int = 16,
+    rerank_factor: int = 10,
+    seed: int = 0,
+    train_sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_cache_key: str | None = None,
+) -> DataFrame:
+    """IVF×PQ (the IVFADC layout of Jégou et al. 2011 §V): the coarse
+    quantizer routes each query to ``n_probe`` cells, and within a cell
+    the scan reads PQ codes of the RESIDUAL (x − cell center), so per
+    query only ~n_probe/n_cells of the corpus is touched and each
+    touched row costs ``n_subspaces`` LUT lookups — the r4 verdict fix
+    for pq_topk's full-scan shape.
+
+    Coarse centers and residual codebooks both train driver-side on one
+    bounded sample with the deterministic numpy k-means (an MLlib
+    KMeans fit would re-scan the corpus maxIter times per index build;
+    a sample-trained quantizer is the standard layout at corpus scale,
+    and cell assignment becomes a map-side literal-centroid argmax —
+    the corpus is read exactly once to encode). Everything after the
+    driver-side training is JVM expressions — no UDFs. See the _ivfpq_*
+    stage helpers for the plan-shape details, and ``build_ivfpq_index``
+    / ``ivfpq_index_topk`` for the persisted build-once variant.
+    """
+    idx = _ivfpq_train(
+        corpus, n_cells, n_subspaces, n_centroids, seed, train_sample,
+        id_col, vec_col, index_cache_key,
+    )
+    if idx is None:  # empty corpus → no neighbors for any query
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, corpus_id long, cosine_sim double, rk int"
+        )
+    coded = _ivfpq_encode(corpus, idx, id_col, vec_col)
+    probes = _ivfpq_probes(queries, idx, n_probe, id_col, vec_col)
+    return _ivfpq_rank(
+        coded, probes, corpus, queries, k, rerank_factor, idx, id_col, vec_col
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    n_subspaces: int = 16,
+    n_centroids: int = 16,
+    seed: int = 0,
+    train_sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Persist an IVFADC index: the build-once/query-many layout.
+
+    Writes ``{path}/codes`` — one parquet row per corpus vector
+    (corpus_id, cn, codes), PARTITIONED BY cell — and ``{path}/meta.json``
+    with the trained centers/codebooks. Partitioning by cell turns
+    query-time probing into dynamic partition pruning: a probe of
+    n_probe/n_cells touches that fraction of the FILES, not just of the
+    rows — the on-disk realization of the inverted file. The index
+    stores ~(8 B id + 8 B norm + n_subspaces B codes) per vector; raw
+    vectors stay in the source table and are only consulted by the
+    exact re-rank on bounded candidate sets.
+
+    ``meta.json`` is written via Hadoop-free local I/O for simplicity —
+    point ``path`` at a shared filesystem on a real cluster (the codes
+    table itself goes through the Spark writer, so any supported
+    filesystem works for it).
+    """
+    import json
+    import os
+
+    idx = _ivfpq_train(
+        corpus, n_cells, n_subspaces, n_centroids, seed, train_sample,
+        id_col, vec_col,
+    )
+    if idx is None:
+        raise ValueError("cannot build an IVFPQ index over an empty corpus")
+    coded = _ivfpq_encode(corpus, idx, id_col, vec_col)
+    (
+        coded.select(
+            "corpus_id",
+            F.col("__cn__").alias("cn"),
+            F.col("__codes__").alias("codes"),
+            F.col("__cell__").alias("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "codes"))
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(idx, fh)
+    return idx
+
+
+def ivfpq_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    rerank_factor: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVFADC index (``build_ivfpq_index``).
+
+    The codes table is cell-partitioned, so the broadcast probe join
+    triggers dynamic partition pruning — only the probed cells' files
+    are read (asserted by the plan tests). ``corpus`` supplies the true
+    vectors for the exact re-rank of the bounded candidate set; results
+    are identical to ``ivfpq_topk`` with the same training parameters
+    (same deterministic codebooks → same cells, codes and LUTs).
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        idx = json.load(fh)
+    coded = spark.read.parquet(os.path.join(path, "codes")).select(
+        "corpus_id",
+        F.col("cn").alias("__cn__"),
+        F.col("cell").cast("int").alias("__cell__"),
+        F.col("codes").alias("__codes__"),
+    )
+    probes = _ivfpq_probes(queries, idx, n_probe, id_col, vec_col)
+    return _ivfpq_rank(
+        coded, probes, corpus, queries, k, rerank_factor, idx, id_col, vec_col
     )
 
 

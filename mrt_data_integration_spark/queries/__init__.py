@@ -81,9 +81,10 @@ _POOL_A: list[str] = [
     "benchmark_decontamination",
     "training_mix_rebalance",
     "pq_topk",
-    # r5 addition (E4 — IVFADC; zero driver history until r5, where
-    # exception rule 2 force-includes it)
+    # r5 additions (E4 — IVFADC online + persisted-index variants; zero
+    # driver history until r5, where exception rule 2 force-includes them)
     "ivfpq_topk",
+    "ivfpq_index_topk",
 ]
 _POOL_B: list[str] = [
     "filter_project",
@@ -153,7 +154,8 @@ _CORE: list[str] = [
 # `anti_join_dormant_customers` by `semi_join_active_customers`,
 # `ngram_jaccard_pairs_prefix` by `ngram_jaccard_pairs`,
 # `weighted_gram` by `wls_normal_equations` + `cluster_score_meat`,
-# `pivot_method_by_coef` by `unpivot_long` (reshape) + CI oracle.
+# `pivot_method_by_coef` by `unpivot_long` (reshape) + CI oracle,
+# `exact_percentiles` by `group_moment_stats` (grouped stats) + CI oracle.
 _R5_SIT_OUT = (
     "running_total",
     "argmax_per_group",
@@ -161,6 +163,7 @@ _R5_SIT_OUT = (
     "ngram_jaccard_pairs_prefix",
     "weighted_gram",
     "pivot_method_by_coef",
+    "exact_percentiles",
 )
 _WINDOW: list[str] = (
     ["petwcls_fit"]

@@ -241,6 +241,30 @@ def ivfpq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ivfpq_index_topk")
+def ivfpq_index_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 (round 5): the persisted IVFADC index — build-once
+    (cell-partitioned parquet codes + meta.json under a content-keyed
+    temp dir), query-many via dynamic partition pruning on the probe
+    join. Rows-only driver check; tests/test_similarity.py pins
+    equality with the online ivfpq_topk and the DPP plan shape."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Key the index dir by corpus file mtime + build params so a
+    # regenerated corpus or changed layout rebuilds instead of reusing.
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    key = hashlib.md5(f"{sf_dir}|{mtime}|v1-nc8-s0".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"mrt_ivfpq_index_{key}")
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        sim.build_ivfpq_index(emb, path, n_cells=8, seed=0)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return sim.ivfpq_index_topk(spark, path, queries_df, emb, k=3, n_probe=4)
+
+
 @query("pq_topk")
 def pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 (round 4): product-quantization ANN with exact re-rank

@@ -199,6 +199,33 @@ def test_ivfpq_full_probe_large_rerank_is_exact(spark, sf_smoke):
     assert got == exact
 
 
+def test_ivfpq_persisted_index_matches_online(spark, sf_smoke, tmp_path):
+    """build_ivfpq_index + ivfpq_index_topk must reproduce ivfpq_topk
+    exactly (same deterministic training → same cells/codes/LUTs), the
+    codes table must be cell-partitioned on disk, and the probe join
+    must trigger dynamic partition pruning so only probed cells' files
+    are read."""
+    import os
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    online = sorted(
+        map(tuple, sim.ivfpq_topk(emb, queries, k=5, n_cells=8, n_probe=4, seed=0).collect())
+    )
+    path = str(tmp_path / "idx")
+    sim.build_ivfpq_index(emb, path, n_cells=8, seed=0)
+    assert sorted(os.listdir(path)) == ["codes", "meta.json"]
+    cells = [d for d in os.listdir(os.path.join(path, "codes")) if d.startswith("cell=")]
+    assert len(cells) == 8, "codes table must be partitioned by cell"
+    df = sim.ivfpq_index_topk(spark, path, queries, emb, k=5, n_probe=4)
+    assert sorted(map(tuple, df.collect())) == online
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "dynamicpruning" in plan.lower(), (
+        "probe join must prune codes partitions dynamically"
+    )
+
+
 def test_pq_topk_degenerate_inputs(spark):
     """ADVICE r4: an empty corpus must yield an empty result (not a
     TypeError on the dimension probe), and a corpus smaller than
