@@ -61,6 +61,7 @@ HEADLINE = [
     "ivf_topk",
     "pq_topk",
     "ivfpq_topk",
+    "ivfpq_index_topk",
 ]
 
 

@@ -44,6 +44,7 @@ def bounded_topk(
     rank_col: str = "rk",
     key_col: str = "query_id",
     tie_col: str = "corpus_id",
+    tree_fan: int | None = None,
 ) -> DataFrame:
     """Scale-safe per-key top-k over a scored frame.
 
@@ -59,6 +60,14 @@ def bounded_topk(
     2. globally, over the ≤ n_partitions·k survivors per key — a
        trivially small sort.
 
+    ``tree_fan`` adds an intermediate reduction for extreme partition
+    counts: with P input partitions the global stage sees ≤ P·k rows
+    per key, which at P ≈ 10⁵ and k·rerank ≈ 500 is millions of rows on
+    one reducer again. ``tree_fan=f`` first ranks within (key, pid % f),
+    bounding the middle groups at (P/f)·k and the global stage at f·k —
+    one extra cheap exchange, only worth it when P·k is large, so it is
+    opt-in (the bundled queries run at bench scale where P ≤ 32).
+
     Total order via (score desc, tie asc) makes the result independent
     of the physical partitioning. All JVM window exprs — no UDFs.
     """
@@ -68,11 +77,24 @@ def bounded_topk(
     w_global = Window.partitionBy(key_col).orderBy(
         F.col(score_col).desc(), F.col(tie_col)
     )
-    return (
+    out = (
         scored.withColumn("__pid__", F.spark_partition_id())
         .withColumn("__lr__", F.row_number().over(w_local))
         .filter(F.col("__lr__") <= k)
-        .drop("__pid__", "__lr__")
+        .drop("__lr__")
+    )
+    if tree_fan is not None and tree_fan > 0:
+        w_mid = Window.partitionBy(key_col, "__fan__").orderBy(
+            F.col(score_col).desc(), F.col(tie_col)
+        )
+        out = (
+            out.withColumn("__fan__", F.col("__pid__") % tree_fan)
+            .withColumn("__mr__", F.row_number().over(w_mid))
+            .filter(F.col("__mr__") <= k)
+            .drop("__fan__", "__mr__")
+        )
+    return (
+        out.drop("__pid__")
         .withColumn(rank_col, F.row_number().over(w_global))
         .filter(F.col(rank_col) <= k)
     )

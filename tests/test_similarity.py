@@ -272,6 +272,16 @@ def test_bounded_topk_matches_single_window_any_partitioning(spark):
             map(tuple, sim.bounded_topk(base.repartition(parts), 7, "s").collect())
         )
         assert got == expected, f"bounded_topk diverged at {parts} partitions"
+    # tree_fan (intermediate reduction for extreme partition counts) must
+    # not change the answer either, for any fan relative to P
+    for fan in (1, 4, 64):
+        got = sorted(
+            map(
+                tuple,
+                sim.bounded_topk(base.repartition(32), 7, "s", tree_fan=fan).collect(),
+            )
+        )
+        assert got == expected, f"bounded_topk(tree_fan={fan}) diverged"
 
 
 def test_pq_topk_exact_on_clustered_corpus(spark):
