@@ -165,6 +165,132 @@ def lsh_candidate_pairs(
     return out
 
 
+def _banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    band_size: int,
+    shingle_n: int,
+    out_id: str,
+) -> tuple[DataFrame, DataFrame]:
+    """One scan → (sigs, bands): the id-keyed signature frame (persisted
+    + tracked — it feeds both banding and the agreement verify) and its
+    exploded (band_id, band_key) form."""
+    # Two-step projection: __sh__ is referenced by all n_hashes seeds, so
+    # CollapseProject keeps it materialized (one shingle pass per row);
+    # inlining word_shingles into each seed would tokenize 8×.
+    with_sh = _spread(df).select(
+        F.col(id_col).alias(out_id),
+        F.col(text_col),
+        word_shingles(text_col, shingle_n).alias("__sh__"),
+    )
+    sigs = with_sh.select(
+        F.col(out_id),
+        *minhash_signature(text_col, n_hashes, shingle_n, shingles=F.col("__sh__")),
+    )
+    sigs = track_cache(sigs.persist())
+    n_bands = n_hashes // band_size
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"minhash_{b * band_size + k}") for k in range(band_size)],
+                )
+            ).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = sigs.select(
+        F.col(out_id), F.explode(F.array(*band_structs)).alias("band")
+    ).select(
+        F.col(out_id),
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_key").alias("band_key"),
+    )
+    return sigs, bands
+
+
+def lsh_cross_candidates(
+    df_new: DataFrame,
+    df_ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    min_sig_agreement: float = 0.0,
+) -> DataFrame:
+    """Cross-corpus MinHash-LSH near-dup candidates — the incremental
+    ingestion shape: flag documents of a NEW batch that near-duplicate
+    anything in an existing REFERENCE corpus (new crawl vs deduped
+    training set), without the reference ever joining against itself.
+
+    Returns (new_id, ref_id, sig_agreement): pairs sharing ≥1 full
+    minhash band, with the fraction of agreeing minhashes as the
+    standard unbiased Jaccard estimate. ``min_sig_agreement`` filters
+    the estimate (e.g. 0.5 ≈ Jaccard ≥ 0.5 up to MC error of the
+    n_hashes sketch).
+
+    Scale shape: each side is scanned once (signatures persist via the
+    tracked-cache discipline); the candidate join is keyed by (band_id,
+    band_key) — cost Σ bucket_new × bucket_ref, never |new|×|ref| — and
+    the agreement verify re-joins the bounded candidate set to the two
+    id-keyed signature frames, so the ~256 B signature rows are never
+    multiplied through the band explode and document bodies never enter
+    any shuffle.
+    """
+    sigs_new, bands_new = _banded_signatures(
+        df_new, id_col, text_col, n_hashes, band_size, shingle_n, "new_id"
+    )
+    sigs_ref, bands_ref = _banded_signatures(
+        df_ref, id_col, text_col, n_hashes, band_size, shingle_n, "ref_id"
+    )
+    cands = (
+        bands_new.join(bands_ref, ["band_id", "band_key"])
+        .select("new_id", "ref_id")
+        .distinct()
+    )
+    sig_n = F.array(*[F.col(f"n.minhash_{s}") for s in range(n_hashes)])
+    sig_r = F.array(*[F.col(f"r.minhash_{s}") for s in range(n_hashes)])
+    agree = (
+        F.size(F.filter(F.zip_with(sig_n, sig_r, lambda x, y: x == y), lambda b: b))
+        / float(n_hashes)
+    )
+    out = (
+        cands.join(sigs_new.alias("n"), "new_id")
+        .join(sigs_ref.alias("r"), "ref_id")
+        .select("new_id", "ref_id", F.round(agree, 4).alias("sig_agreement"))
+    )
+    if min_sig_agreement > 0.0:
+        out = out.filter(F.col("sig_agreement") >= min_sig_agreement)
+    return _attach_cache(out, [sigs_new, sigs_ref])
+
+
+def dedup_against_reference(
+    df_new: DataFrame,
+    df_ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Keep only the NEW rows whose best signature agreement against the
+    reference corpus is below ``threshold`` — the actionable form of
+    ``lsh_cross_candidates`` (left-anti join on the flagged id set)."""
+    cands = lsh_cross_candidates(
+        df_new, df_ref, id_col, text_col, n_hashes, band_size, shingle_n,
+        min_sig_agreement=threshold,
+    )
+    flagged = cands.select(F.col("new_id").alias(id_col)).distinct()
+    out = df_new.join(flagged, id_col, "left_anti")
+    return _attach_cache(out, list(getattr(cands, "__graft_cached__", ())))
+
+
 def simhash(text: Column | str, n_bits: int = 16) -> Column:
     """SimHash over word tokens: per-bit majority vote of token-md5 bits.
 

@@ -163,3 +163,58 @@ def test_limit_probe_config_restored(spark):
         moderators=[("one", F.lit(1.0)), ("x1", F.col("x1"))],
     )
     assert spark.conf.get(key, None) == before
+
+
+def test_cross_corpus_candidates_find_copies(spark, sf_smoke):
+    """lsh_cross_candidates (r5): documents copied from the reference
+    corpus into the new batch must be flagged with sig_agreement 1.0;
+    unrelated synthetic docs must not pair with anything."""
+    docs = load_table(spark, sf_smoke, "documents").limit(60)
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    copies = docs.filter(F.col("doc_id") % 2 == 0).limit(10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    unrelated = spark.createDataFrame(
+        [(200000 + i, f"zzq{i} unseen wormwood token stream {i*7} flux") for i in range(5)],
+        "doc_id long, text string",
+    )
+    new = copies.unionByName(unrelated)
+    cands = dd.lsh_cross_candidates(new, ref)
+    rows = cands.collect()
+    dd.release_cache(cands)
+    flagged_new = {r["new_id"] for r in rows}
+    # every copy pairs with its source at full signature agreement
+    exact = {(r["new_id"], r["ref_id"]) for r in rows if r["sig_agreement"] == 1.0}
+    copy_ids = {r["doc_id"] for r in copies.collect()}
+    assert copy_ids <= flagged_new
+    assert {(i, i - 100000) for i in copy_ids} <= exact
+    # unrelated docs never collide
+    assert not ({200000 + i for i in range(5)} & flagged_new)
+
+
+def test_dedup_against_reference_removes_flagged_only(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").limit(60)
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    copies = ref.limit(8).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    unrelated = spark.createDataFrame(
+        [(300000 + i, f"qqz{i} nonesuch vellum quartz {i*13} ember") for i in range(4)],
+        "doc_id long, text string",
+    )
+    new = copies.unionByName(unrelated)
+    kept = dd.dedup_against_reference(new, ref, threshold=0.9)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    dd.release_cache(kept)
+    assert kept_ids == {300000 + i for i in range(4)}
+
+
+def test_cross_corpus_join_is_band_keyed(spark, sf_smoke):
+    """The candidate join must be keyed by (band_id, band_key) — no
+    cartesian, no Python eval — and bodies must not reach the join."""
+    docs = load_table(spark, sf_smoke, "documents").limit(40)
+    new = docs.limit(10).select((F.col("doc_id") + 50000).alias("doc_id"), "text")
+    df = dd.lsh_cross_candidates(new, docs)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    dd.release_cache(df)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
