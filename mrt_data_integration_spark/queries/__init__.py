@@ -32,9 +32,9 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the 73-query registry is split into a CORE of
+# ROTATION POLICY (round 4+): the 75-query registry is split into a CORE of
 # 32 queries (one per physical shape — scan/agg, joins, windows, pivots,
-# dedup, text — always in the window) and two pools (POOL_A: 22, POOL_B: 19)
+# dedup, text — always in the window) and two pools (POOL_A: 24, POOL_B: 19)
 # that ALTERNATE rounds, so no query goes more than two rounds without a
 # driver row:
 #   - POOL_A (E4 vectors, E6/E7 timeseries, r2 text additions): driver rows
