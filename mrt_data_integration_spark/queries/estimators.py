@@ -17,9 +17,27 @@ from mrt_data_integration_spark.queries.registry import query
 from mrt_data_integration_spark.sources import load_table
 
 
+# One cached panel per (session, sf_dir) — the whole estimator family
+# (pwcls/etwcls/drwcls/awcls/petwcls/report) reads the SAME deterministic
+# panel, so releasing it between queries (the r5 leak fix's first cut)
+# made every query redo the JSON-parse projection. A keyed singleton is
+# the bounded middle ground: at most ONE panel stays cached, replaced
+# (and unpersisted) when the key changes, exempt from the registry sweep.
+_PANEL_CACHE: dict = {}
+
+
 def _mrt_panel(spark: SparkSession, sf_dir: str):
     """events → full MRT-panel stand-in with covariates for the tilt
-    model (x1, x2), outcome y, treatment a, and known behavior policy."""
+    model (x1, x2), outcome y, treatment a, and known behavior policy.
+
+    Multi-pass estimators (tilt knots + IRLS + WLS + sandwich) re-scan
+    this panel many times; the JSON parse for x2 makes re-derivation the
+    dominant cost. Cached once per (session, sf_dir) — see _PANEL_CACHE.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PANEL_CACHE.get(key)
+    if hit is not None:
+        return hit
     df = _panelized(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("double")
     panel = (
@@ -28,19 +46,16 @@ def _mrt_panel(spark: SparkSession, sf_dir: str):
         .withColumn("x2", k / 50.0)
         .withColumn("p_h_col", F.col("p_h"))
     )
-    # Multi-pass estimators (tilt knots + IRLS + WLS + sandwich) re-scan
-    # this panel many times; the JSON parse for x2 makes re-derivation
-    # the dominant cost. Cache once, tracked so the registry sweep
-    # releases it after the fit's result is collected (same discipline
-    # as the dedup shingle frames — a driver session running the whole
-    # estimator family must not accumulate cached panels).
-    from mrt_data_integration_spark.cache_registry import track_cache
-
-    return track_cache(
-        panel.select(
-            "user_id", "y", "a", "x1", "x2", "p_h_a", "p_h_col", "is_internal"
-        ).cache()
-    )
+    cached = panel.select(
+        "user_id", "y", "a", "x1", "x2", "p_h_a", "p_h_col", "is_internal"
+    ).cache()
+    for old_key in list(_PANEL_CACHE):
+        try:
+            _PANEL_CACHE.pop(old_key).unpersist()
+        except Exception:
+            pass  # prior session already stopped
+    _PANEL_CACHE[key] = cached
+    return cached
 
 
 def _fit_to_df(spark, fit, method: str):

@@ -40,16 +40,20 @@ def test_sweep_caches_is_idempotent(spark):
     assert sweep_caches() == 0
 
 
-def test_estimator_query_family_shows_zero_net_cache_growth(spark, sf_smoke):
-    """The r4-verdict leak: `_mrt_panel` cached per estimator query with no
-    tracker, so a driver sweep over the fit family accumulated panels. The
-    fits collect eagerly inside the query function, so the next-invocation
-    sweep is safe — and must leave zero net persisted RDDs."""
+def test_estimator_query_family_cache_growth_is_bounded(spark, sf_smoke):
+    """The r4-verdict leak: `_mrt_panel` cached per estimator query with
+    no tracker, so a driver sweep over the fit family ACCUMULATED panels.
+    The fix is a keyed singleton: the whole family shares at most ONE
+    cached panel (reused across queries — it is the same deterministic
+    frame), replaced on key change and exempt from the per-query sweep.
+    Growth must be ≤ 1 frame and FLAT across repeated family runs; the
+    estimators' checkpoint blocks must still sweep to zero."""
     sweep_caches()
     baseline = _n_persisted(spark)
-    for name in ["pwcls_fit", "petwcls_fit", "estimator_report_pivot"]:
-        QUERIES[name](spark, sf_smoke).limit(5).collect()
-    QUERIES[TRIGGER](spark, sf_smoke).limit(5).collect()
-    assert _n_persisted(spark) == baseline, (
-        "estimator panel caches leaked past the registry sweep"
-    )
+    for _ in range(2):  # accumulation would compound across passes
+        for name in ["pwcls_fit", "petwcls_fit", "estimator_report_pivot"]:
+            QUERIES[name](spark, sf_smoke).limit(5).collect()
+        QUERIES[TRIGGER](spark, sf_smoke).limit(5).collect()
+        assert _n_persisted(spark) <= baseline + 1, (
+            "estimator family must keep at most one pinned panel cache"
+        )
