@@ -170,6 +170,11 @@ _WINDOW: list[str] = (
     + _POOL_A
     + [n for n in _CORE if n not in _R5_SIT_OUT]
 )
+# r6 plan: POOL_B's turn (19) + CORE (32) = 51 → ONE CORE member must sit
+# out (pick the longest-green; r5 sit-outs return). Any r5 red row is
+# force-included per exception rule 1. Queries added in r6 must be forced
+# into the window per rule 2 — test_window_policy.py enforces the
+# bookkeeping either way.
 
 
 def _apply_window() -> None:
