@@ -57,3 +57,25 @@ def test_estimator_query_family_cache_growth_is_bounded(spark, sf_smoke):
         assert _n_persisted(spark) <= baseline + 1, (
             "estimator family must keep at most one pinned panel cache"
         )
+
+
+def test_cross_corpus_dedup_caches_release(spark, sf_smoke):
+    """lsh_cross_candidates persists two signature frames (tracked +
+    attached); release_cache and the registry sweep must both reclaim
+    them — no net growth after the consuming action."""
+    from mrt_data_integration_spark.operators import dedup as dd
+    from mrt_data_integration_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    sweep_caches()
+    baseline = _n_persisted(spark)
+    docs = load_table(spark, sf_smoke, "documents").limit(40)
+    new = docs.limit(10).select((F.col("doc_id") + 90000).alias("doc_id"), "text")
+    out = dd.lsh_cross_candidates(new, docs)
+    out.collect()
+    dd.release_cache(out)
+    assert _n_persisted(spark) == baseline
+    # registry-sweep path (driver behavior: no release_cache call)
+    dd.lsh_cross_candidates(new, docs).collect()
+    assert sweep_caches() >= 2  # both signature frames reclaimed
+    assert _n_persisted(spark) == baseline
