@@ -1,0 +1,131 @@
+"""Connected components over candidate-duplicate pair lists.
+
+Near-dup detection (MinHash-LSH banding, n-gram Jaccard, SimHash — see
+``operators.dedup``) emits PAIRS; a training-data pipeline needs
+CLUSTERS: every transitively-connected group collapses to one canonical
+document. This module closes that gap with the alternating
+large-star / small-star algorithm (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC 2014 — public literature), which is the
+standard shuffle-bounded way to do it on a cluster:
+
+- each round is two grouped-min shuffles over the EDGE list (ids only —
+  document bodies never enter the computation);
+- rounds converge in O(log n) for any graph (vs graph-diameter rounds
+  for naive label propagation, which degenerates on chain-shaped
+  near-dup corpora: doc A ~ B ~ C ~ ... arises whenever a template
+  drifts gradually);
+- per-round frames are eagerly localCheckpointed (tracked for the
+  registry sweep) so the iteration's lineage doesn't stack into a
+  recursive plan.
+
+At 100 TB the edge list for a deduped corpus is orders of magnitude
+smaller than the corpus itself (pairs only exist where LSH buckets
+collide), so every shuffle here is on the small derived frame. The
+output is a (node, component) assignment with component = min member id,
+which is also the canonical-keep rule used by ``dedup_clusters``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from mrt_data_integration_spark.cache_registry import checkpoint_tracked
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to m(u) = min({u} ∪ N(u)).
+
+    Input/output edges are (u, v) pairs; output edges all satisfy
+    v < u (each emitted edge points a larger node at a smaller one)."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("__mn__")).select(
+        "u", F.least(F.col("u"), F.col("__mn__")).alias("m")
+    )
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect u and all its (small) neighbors to m(u) = min N(u).
+
+    Requires every input edge to satisfy v < u — which ``_large_star``
+    guarantees — so N(u) here is exactly the small-neighbor set."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    moved = (
+        e.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edges = mins.select("u", F.col("m").alias("v"))
+    return moved.union(self_edges).distinct()
+
+
+def _signature(e: DataFrame) -> tuple[int, int]:
+    # sum in decimal(38,0): a long sum of xxhash64 values overflows ANSI
+    # arithmetic after a handful of rows
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) assignment for every node appearing in `edges`.
+
+    ``component`` is the minimum node id of the connected component, so
+    ``node == component`` marks the canonical representative. Edges are
+    treated as undirected; self-loops are ignored. Converges when the
+    star edge set reaches a fixpoint (checked by count + order-free
+    xxhash64 sum — one tiny agg per round over an id-only frame).
+
+    ``max_iter`` is a safety rail: alternating star provably converges
+    in O(log n) rounds, so 25 covers any realistic component count; we
+    raise rather than return a partial clustering if it's ever hit.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    e = checkpoint_tracked(e)
+    sig = _signature(e)
+    if sig[0] == 0:
+        return e.select(
+            F.col("u").alias("node"), F.col("v").alias("component")
+        )
+    for _ in range(max_iter):
+        e = checkpoint_tracked(_small_star(_large_star(e)))
+        new_sig = _signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    roots = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+    )
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(roots)
+        .distinct()
+    )

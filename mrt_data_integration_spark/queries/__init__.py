@@ -20,6 +20,7 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
     derived,
     estimators,
     joins,
+    pipeline,
     simulation,
     text_dedup,
     timeseries,
@@ -32,9 +33,9 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the 75-query registry is split into a CORE of
+# ROTATION POLICY (round 4+): the 79-query registry is split into a CORE of
 # 32 queries (one per physical shape — scan/agg, joins, windows, pivots,
-# dedup, text — always in the window) and two pools (POOL_A: 24, POOL_B: 19)
+# dedup, text — always in the window) and two pools (POOL_A: 28, POOL_B: 19)
 # that ALTERNATE rounds, so no query goes more than two rounds without a
 # driver row:
 #   - POOL_A (E4 vectors, E6/E7 timeseries, r2 text additions): driver rows
@@ -49,7 +50,8 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 #      eligible round (r4: `doc_repetition_filter` + `benchmark_decontamination`
 #      — the other two r4 additions, `training_mix_rebalance` + `pq_topk`,
 #      missed the r4 freeze and are in POOL_A's r5 turn below; r5:
-#      `petwcls_fit` and `ivfpq_topk`, force-included from POOL_B / POOL_A).
+#      `petwcls_fit`, the IVFADC pair, and the four E10 pipeline queries,
+#      force-included from POOL_B / POOL_A).
 # CORE members with the longest green history sit out to make room when the
 # forced set pushes the window past 50; their physical shapes must stay
 # covered by an in-window query (noted per round at _WINDOW).
@@ -85,6 +87,13 @@ _POOL_A: list[str] = [
     # driver history until r5, where exception rule 2 force-includes them)
     "ivfpq_topk",
     "ivfpq_index_topk",
+    # r5 additions (E10 — training-pipeline post-processing: dup-cluster
+    # resolution, stratified sampling, sequence packing, PII redaction;
+    # zero driver history until r5, force-included per rule 2)
+    "dedup_clusters",
+    "stratified_sample",
+    "sequence_packing",
+    "pii_redact",
 ]
 _POOL_B: list[str] = [
     "filter_project",
@@ -144,18 +153,23 @@ _CORE: list[str] = [
     "bpe_ish_token_counts",
 ]
 # Round 5 window: POOL_A's turn (first driver rows for the two late-r4
-# additions `training_mix_rebalance` + `pq_topk` and the new `ivfpq_topk`)
-# + the zero-history `petwcls_fit` forced in from POOL_B (exception rule
-# 2). The r4 sit-outs (`distinct_exact`, `unpivot_long`, `cube_revenue`)
-# return; six CORE members with green r1-r4 history sit out instead —
-# shapes stay covered:
+# additions `training_mix_rebalance` + `pq_topk`, the new IVFADC pair,
+# and the four E10 pipeline queries) + the zero-history `petwcls_fit`
+# forced in from POOL_B (exception rule 2). The r4 sit-outs
+# (`distinct_exact`, `unpivot_long`, `cube_revenue`) return; eleven CORE
+# members with green r1-r4 history sit out instead — shapes stay covered:
 # `running_total` (running window) by `user_activity_lag_features`,
 # `argmax_per_group` by `group_best_highlight` + `topk_per_group`,
 # `anti_join_dormant_customers` by `semi_join_active_customers`,
 # `ngram_jaccard_pairs_prefix` by `ngram_jaccard_pairs`,
 # `weighted_gram` by `wls_normal_equations` + `cluster_score_meat`,
 # `pivot_method_by_coef` by `unpivot_long` (reshape) + CI oracle,
-# `exact_percentiles` by `group_moment_stats` (grouped stats) + CI oracle.
+# `exact_percentiles` by `group_moment_stats` (grouped stats) + CI oracle,
+# `doc_lang_id` (map-only text exprs) by `doc_quality_stats`,
+# `regr_by_group` (grouped regression aggs) by `wls_normal_equations`,
+# `tfidf_top_terms` (tokenize-explode + ranking window) by
+#   `minhash_signatures` + `topk_per_group`,
+# `rollup_hierarchy` (grouping sets) by `cube_revenue` + `brand_part_rollup`.
 _R5_SIT_OUT = (
     "running_total",
     "argmax_per_group",
@@ -164,6 +178,10 @@ _R5_SIT_OUT = (
     "weighted_gram",
     "pivot_method_by_coef",
     "exact_percentiles",
+    "doc_lang_id",
+    "regr_by_group",
+    "tfidf_top_terms",
+    "rollup_hierarchy",
 )
 _WINDOW: list[str] = (
     ["petwcls_fit"]

@@ -1,0 +1,263 @@
+"""Training-data pipeline queries: duplicate-cluster resolution,
+deterministic stratified sampling, sequence packing, and PII redaction —
+the post-detection half of a 100 TB corpus build (the detection half
+lives in queries/text_dedup.py). Every query here is oracle-checked
+against DuckDB, including the iterative connected-components pass
+(DuckDB twin: recursive-CTE transitive closure — fine at driver-check
+scale, impossible at corpus scale, which is exactly why the Spark side
+uses alternating star instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mrt_data_integration_spark.operators import dedup as dd
+from mrt_data_integration_spark.operators import text as tx
+from mrt_data_integration_spark.operators.components import connected_components
+from mrt_data_integration_spark.queries.registry import query
+from mrt_data_integration_spark.queries.text_dedup import _SHINGLES
+from mrt_data_integration_spark.sources import load_table
+
+# Same banding scheme as the `lsh_candidate_pairs` oracle (4 minhashes,
+# band size 2) — the cluster query composes on top of those pairs.
+_LSH_PAIRS_SQL = f"""
+    sigs AS (
+      SELECT doc_id,
+             list_min(list_transform({_SHINGLES}, x -> md5('seed0:' || x))) AS mh0,
+             list_min(list_transform({_SHINGLES}, x -> md5('seed1:' || x))) AS mh1,
+             list_min(list_transform({_SHINGLES}, x -> md5('seed2:' || x))) AS mh2,
+             list_min(list_transform({_SHINGLES}, x -> md5('seed3:' || x))) AS mh3
+      FROM documents
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, md5(mh2 || '|' || mh3) AS band_key FROM sigs
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM bands a
+      JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIRS_SQL},
+    edges AS (
+      SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+    )
+    SELECT n                AS doc_id,
+           min(m)           AS component,
+           (n = min(m))     AS is_canonical
+    FROM reach
+    GROUP BY n
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/E10: near-dup PAIRS → duplicate CLUSTERS. MinHash-LSH candidate
+    pairs (operators.dedup.lsh_candidate_pairs) fed through alternating
+    large-star/small-star connected components
+    (operators.components.connected_components, Kiveris et al. 2014);
+    ``component`` = min doc_id of the cluster = the canonical keeper.
+    The DuckDB oracle computes the same fixpoint by recursive-CTE
+    transitive closure, so the iterative Spark algorithm is
+    hash-verified end-to-end, not rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.lsh_candidate_pairs(docs, n_hashes=4, band_size=2)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT lang, n_chars,
+             substr(md5('strat:' || doc_id), 1, 8) AS bucket,
+             CASE lang WHEN 'en' THEN '80000000'
+                       WHEN 'zh' THEN '33333333'
+                       WHEN 'es' THEN '33333333'
+                       ELSE '19999999' END AS threshold
+      FROM documents
+    )
+    SELECT lang,
+           count(*)                                        AS n_docs,
+           CAST(count(CASE WHEN bucket < threshold THEN 1 END) AS BIGINT)
+                                                           AS n_kept,
+           CAST(coalesce(sum(CASE WHEN bucket < threshold
+                                  THEN n_chars END), 0) AS BIGINT)
+                                                           AS kept_chars
+    FROM keyed
+    GROUP BY lang
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10: deterministic per-stratum downsampling — keep a doc iff the
+    first 8 hex chars of md5('strat:'||doc_id) fall below the stratum's
+    rate threshold (en 50 %, zh/es 20 %, rest 10 %). Hash-gated sampling
+    is map-only, exactly reproducible across engines AND across reruns
+    on a changed corpus (a doc's fate never depends on other rows —
+    unlike reservoir or fraction-based sampling), which is what a 100 TB
+    mix-rebalance pass needs. Hex-string comparison avoids any
+    int-vs-hex conversion divergence between engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    threshold = (
+        F.when(F.col("lang") == "en", "80000000")
+        .when(F.col("lang").isin("zh", "es"), "33333333")
+        .otherwise("19999999")
+    )
+    keep = bucket < threshold
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(keep, 1)).alias("n_kept"),
+        F.coalesce(F.sum(F.when(keep, F.col("n_chars"))), F.lit(0)).alias(
+            "kept_chars"
+        ),
+    )
+
+
+@query(
+    "sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, doc_id,
+             len(string_split_regex(text, '\\s+')) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, n_tok,
+             CAST(floor(
+               (sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tok)
+               / 512.0) AS BIGINT) AS seq_bin
+      FROM toks
+    )
+    SELECT lang, seq_bin,
+           count(*)                    AS n_docs,
+           CAST(sum(n_tok) AS BIGINT)  AS bin_tokens
+    FROM packed
+    GROUP BY lang, seq_bin
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10: contiguous sequence packing — assign docs (ordered by doc_id
+    within language) to fixed token-budget training sequences via a
+    running-sum window: bin = floor((cumsum − own_tokens)/512). The
+    straddling document spills into the open bin (first-fit streaming
+    semantics — the standard approximation when exact bin packing would
+    need global state). One shuffle on (lang), map-side token counts;
+    per-stratum windows keep partitions independent at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select(
+        "lang", "doc_id", tx.token_count("text").alias("n_tok")
+    )
+    packed = toks.select(
+        "lang",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(512.0)).alias(
+            "seq_bin"
+        ),
+    )
+    return packed.groupBy("lang", "seq_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+
+
+@query(
+    "pii_redact",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN (CASE WHEN doc_id % 3 = 0
+                             THEN text || ' contact user' || doc_id
+                                       || '@example.com now'
+                             ELSE text END)
+                       || ' host 10.2.' || (doc_id % 256) || '.7 end'
+                  ELSE (CASE WHEN doc_id % 3 = 0
+                             THEN text || ' contact user' || doc_id
+                                       || '@example.com now'
+                             ELSE text END)
+             END AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_IPV4_RE}')) AS BIGINT)
+             AS n_ips,
+           regexp_replace(
+             regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_IPV4_RE}', '<IP>', 'g') AS clean_text
+    FROM seeded
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10: PII scrubbing — redact emails and IPv4 addresses, reporting
+    per-doc redaction counts plus the cleaned text (the oracle hash
+    check therefore verifies regex semantics byte-for-byte across
+    engines — Java regex vs RE2 — which is why the patterns stick to the
+    common subset: classes, bounded quantifiers, \\b). The synthetic
+    corpus contains no PII, so the query plants deterministic emails/IPs
+    on a doc_id-keyed subset first; in production the seeding CASE
+    disappears and the redaction is a pure map over the corpus — no
+    shuffle, full codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_email = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+        ),
+    ).otherwise(F.col("text"))
+    raw = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            with_email,
+            F.lit(" host 10.2."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 end"),
+        ),
+    ).otherwise(with_email)
+    seeded = docs.select("doc_id", raw.alias("raw"))
+    return seeded.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("raw", F.lit(_IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace("raw", _EMAIL_RE, "<EMAIL>"),
+            _IPV4_RE,
+            "<IP>",
+        ).alias("clean_text"),
+    )

@@ -30,5 +30,7 @@ def test_zero_history_rule_r5():
     all sit inside the driver-recorded first 50."""
     window = set(q._WINDOW)
     for name in ("petwcls_fit", "pq_topk", "training_mix_rebalance",
-                 "ivfpq_topk", "ivfpq_index_topk"):
+                 "ivfpq_topk", "ivfpq_index_topk",
+                 "dedup_clusters", "stratified_sample",
+                 "sequence_packing", "pii_redact"):
         assert name in window, f"{name} promised a first driver row in r5"
