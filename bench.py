@@ -62,6 +62,9 @@ HEADLINE = [
     "pq_topk",
     "ivfpq_topk",
     "ivfpq_index_topk",
+    # r5: iterative connected-components clustering (the one multi-round
+    # shuffle loop in the engine) — track its wall-clock per round
+    "dedup_clusters",
 ]
 
 

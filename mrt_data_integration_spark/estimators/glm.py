@@ -129,6 +129,12 @@ def logistic_irls(
                 else:
                     eta = X @ beta_now
                     mu = 1.0 / (1.0 + np.exp(-eta))
+                # Separated data drives mu to exactly 0/1 → w = 0 →
+                # z = NaN and the fit collapses. Clamp like R's glm
+                # (which caps eta so mu stays inside (eps, 1-eps) and
+                # reports "fitted probabilities numerically 0 or 1" —
+                # our boundary_warning flags the same condition).
+                mu = np.clip(mu, _MU_EPS, 1.0 - _MU_EPS)
                 w = mu * (1.0 - mu)
                 z = eta + (yv - mu) / w
                 Xw = X * w[:, None]
@@ -155,6 +161,7 @@ def logistic_irls(
         else:
             eta = X @ beta_now
             mu = 1.0 / (1.0 + np.exp(-eta))
+        mu = np.clip(mu, _MU_EPS, 1.0 - _MU_EPS)  # separation guard, as above
         w = mu * (1.0 - mu)
         z = eta + (yv - mu) / w
         Xw = X * w[:, None]
@@ -205,7 +212,8 @@ def logistic_irls(
     # at convergence IS the logistic-equation Hessian block X'WX with
     # W = mu(1-mu) — estimators reuse it instead of re-summing.
     final_gram, _, dev, mu_min, mu_max = one_pass(beta)
-    if mu_min < _MU_EPS or mu_max > 1 - _MU_EPS:
+    # <=/>= : the separation clamp pins boundary mu to exactly _MU_EPS
+    if mu_min <= _MU_EPS or mu_max >= 1 - _MU_EPS:
         boundary_warning = True
 
     return GlmFit(

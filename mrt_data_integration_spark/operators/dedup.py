@@ -575,3 +575,91 @@ def ngram_jaccard_pairs_prefix(
         .select("id_a", "id_b", "n_inter", F.round("jaccard", 4).alias("jaccard"))
     )
     return _attach_cache(out, [exploded])
+
+
+def substring_chunk_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk: int = 32,
+    anchor_mod: int = 16,
+    min_shared: int = 1,
+    max_chunk_df: int | None = 500,
+) -> DataFrame:
+    """Exact shared-substring candidate pairs via content-defined chunk
+    hashes — the scalable approximation of suffix-array substring dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL'22: verbatim multi-sentence overlap survives MinHash
+    because it dilutes the doc-level Jaccard; substring-level matching
+    catches it).
+
+    Chunk boundaries must not depend on position — a fixed-stride grid
+    misses identical text at different offsets (doc A embeds the passage
+    at char 100, doc B at char 37: their grid windows sample different
+    phases of it). So windows ANCHOR on local content, the
+    content-defined-chunking idea from storage dedup (Muthitacharoen et
+    al., "A Low-Bandwidth Network File System", SOSP'01): offset ``o``
+    is anchored iff a polynomial of the 4 leading char codes ≡ 0 mod
+    ``anchor_mod`` (≈ 1/``anchor_mod`` of offsets, chosen by the text
+    itself). A verbatim passage therefore anchors at the SAME relative
+    positions in every doc containing it; any shared passage with at
+    least one anchored window inside it is found — expected to hold
+    once the overlap exceeds ~``chunk + anchor_mod`` chars.
+
+    Each doc emits md5 hashes of its anchored ``chunk``-char windows
+    (distinct per doc, so internal repetition can't inflate pair
+    counts); docs sharing ≥ ``min_shared`` hashes pair up. Per-doc cost
+    is O(len) integer ops (the anchor polynomial) + O(anchors) md5 —
+    all inside JVM codegen; only (hash, id) rows shuffle, bodies stay
+    put. ``max_chunk_df`` drops boilerplate chunks the same way
+    ``ngram_jaccard_pairs`` caps hot shingles (bounds any join bucket
+    at cap²); None = exact, for oracle checks. Docs shorter than
+    ``chunk`` emit nothing (the exact-dedup path owns those).
+    """
+    text = F.col(text_col)
+
+    def _anchored(o: Column) -> Column:
+        def code(k: int) -> Column:
+            return F.ascii(F.substr(text, o + F.lit(k), F.lit(1)))
+
+        poly = ((code(0) * 31 + code(1)) * 31 + code(2)) * 31 + code(3)
+        return poly % anchor_mod == 0
+
+    offsets = F.filter(
+        F.sequence(F.lit(1), F.length(text) - (chunk - 1)), _anchored
+    )
+    chunks = (
+        _spread(df.select(id_col, text_col))
+        .filter(F.length(text) >= chunk)
+        .select(F.col(id_col), F.explode(offsets).alias("__o__"), text_col)
+        .select(
+            id_col,
+            F.md5(F.expr(f"substring({text_col}, __o__, {chunk})")).alias("__h__"),
+        )
+        .distinct()
+    )
+    if max_chunk_df is not None:
+        hot = (
+            chunks.groupBy("__h__")
+            .agg(F.count(F.lit(1)).alias("__df__"))
+            .filter(F.col("__df__") > max_chunk_df)
+            .select("__h__")
+        )
+        chunks = chunks.join(F.broadcast(hot), "__h__", "left_anti")
+    chunks = track_cache(chunks.persist())
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__h__") == F.col("b.__h__"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
+        .filter(F.col("n_shared_chunks") >= min_shared)
+    )
+    return _attach_cache(pairs, [chunks])

@@ -33,9 +33,9 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the 79-query registry is split into a CORE of
+# ROTATION POLICY (round 4+): the 81-query registry is split into a CORE of
 # 32 queries (one per physical shape — scan/agg, joins, windows, pivots,
-# dedup, text — always in the window) and two pools (POOL_A: 28, POOL_B: 19)
+# dedup, text — always in the window) and two pools (POOL_A: 30, POOL_B: 19)
 # that ALTERNATE rounds, so no query goes more than two rounds without a
 # driver row:
 #   - POOL_A (E4 vectors, E6/E7 timeseries, r2 text additions): driver rows
@@ -94,6 +94,11 @@ _POOL_A: list[str] = [
     "stratified_sample",
     "sequence_packing",
     "pii_redact",
+    # late-r5 additions (E10 — substring-chunk dedup, model-based corpus
+    # filter); forced into the r5 window per rule 2, two more CORE
+    # members sit out (see _R5_SIT_OUT)
+    "substring_chunk_pairs",
+    "lang_classifier_scores",
 ]
 _POOL_B: list[str] = [
     "filter_project",
@@ -156,7 +161,7 @@ _CORE: list[str] = [
 # additions `training_mix_rebalance` + `pq_topk`, the new IVFADC pair,
 # and the four E10 pipeline queries) + the zero-history `petwcls_fit`
 # forced in from POOL_B (exception rule 2). The r4 sit-outs
-# (`distinct_exact`, `unpivot_long`, `cube_revenue`) return; eleven CORE
+# (`distinct_exact`, `unpivot_long`, `cube_revenue`) return; thirteen CORE
 # members with green r1-r4 history sit out instead — shapes stay covered:
 # `running_total` (running window) by `user_activity_lag_features`,
 # `argmax_per_group` by `group_best_highlight` + `topk_per_group`,
@@ -169,7 +174,11 @@ _CORE: list[str] = [
 # `regr_by_group` (grouped regression aggs) by `wls_normal_equations`,
 # `tfidf_top_terms` (tokenize-explode + ranking window) by
 #   `minhash_signatures` + `topk_per_group`,
-# `rollup_hierarchy` (grouping sets) by `cube_revenue` + `brand_part_rollup`.
+# `rollup_hierarchy` (grouping sets) by `cube_revenue` + `brand_part_rollup`,
+# `star_join_revenue` (broadcast-dim join) by `brand_part_rollup` +
+#   `fact_fact_join`; also bench-tracked every round,
+# `pricing_summary` (scan + grouped agg) by `group_moment_stats` +
+#   `brand_part_rollup`; also bench-tracked every round.
 _R5_SIT_OUT = (
     "running_total",
     "argmax_per_group",
@@ -182,6 +191,8 @@ _R5_SIT_OUT = (
     "regr_by_group",
     "tfidf_top_terms",
     "rollup_hierarchy",
+    "star_join_revenue",
+    "pricing_summary",
 )
 _WINDOW: list[str] = (
     ["petwcls_fit"]

@@ -261,3 +261,80 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<IP>",
         ).alias("clean_text"),
     )
+
+
+@query(
+    "substring_chunk_pairs",
+    oracle="""
+    WITH anchored AS (
+      SELECT doc_id, text,
+             list_filter(
+               generate_series(1, length(text) - 31),
+               o -> ((((unicode(substr(text, o,     1)) * 31
+                      + unicode(substr(text, o + 1, 1))) * 31
+                      + unicode(substr(text, o + 2, 1))) * 31
+                      + unicode(substr(text, o + 3, 1))) % 16) = 0
+             ) AS offs
+      FROM documents
+      WHERE length(text) >= 32
+    ),
+    chunks AS (
+      SELECT DISTINCT doc_id, md5(substr(text, o, 32)) AS h
+      FROM anchored, unnest(offs) AS t(o)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS n_shared_chunks
+    FROM chunks a
+    JOIN chunks b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def substring_chunk_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10: exact shared-substring candidate pairs via content-defined
+    32-char chunk hashes (operators.dedup.substring_chunk_pairs — the
+    scalable stand-in for suffix-array substring dedup, Lee et al.
+    ACL'22; anchoring per Muthitacharoen et al. SOSP'01 so identical
+    passages chunk identically at any offset). ``max_chunk_df=None`` so
+    the result is exact and matches the uncapped DuckDB twin — the skew
+    cap belongs to production corpora, same convention as
+    `ngram_jaccard_pairs`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.substring_chunk_pairs(docs, max_chunk_df=None)
+
+
+@query("lang_classifier_scores")  # no oracle: IRLS is not SQL-expressible
+def lang_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10/M7: model-based corpus filtering — fit a logistic classifier
+    (estimators.glm.logistic_irls, the same R-glm-parity IRLS the
+    estimator stack uses) for P(lang = 'en') from engine text features
+    (stopword ratio, symbol ratio, average token length), then score
+    every document with the prediction-as-expression column (M13) and
+    report per-source calibration counts. This is the fastText-style
+    "train a classifier, filter the corpus" loop: the fit collects only
+    d×d sufficient statistics, scoring is a map-only codegen expression
+    — no per-row Python at any point."""
+    from mrt_data_integration_spark.estimators.glm import (
+        logistic_irls,
+        predict_logistic,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    x_cols = [
+        F.lit(1.0),
+        tx.stopword_ratio("text"),
+        tx.symbol_ratio("text"),
+        tx.avg_token_length("text"),
+    ]
+    fit = logistic_irls(docs, x_cols, (F.col("lang") == "en").cast("int"))
+    p_en = predict_logistic(fit.beta, x_cols)
+    scored = docs.select(
+        "source",
+        p_en.alias("p_en"),
+        (F.col("lang") == "en").cast("long").alias("is_en"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("p_en"), 4).alias("avg_p_en"),
+        F.sum((F.col("p_en") >= 0.5).cast("long")).alias("n_pred_en"),
+        F.sum("is_en").alias("n_en"),
+    )

@@ -32,5 +32,6 @@ def test_zero_history_rule_r5():
     for name in ("petwcls_fit", "pq_topk", "training_mix_rebalance",
                  "ivfpq_topk", "ivfpq_index_topk",
                  "dedup_clusters", "stratified_sample",
-                 "sequence_packing", "pii_redact"):
+                 "sequence_packing", "pii_redact",
+                 "substring_chunk_pairs", "lang_classifier_scores"):
         assert name in window, f"{name} promised a first driver row in r5"
