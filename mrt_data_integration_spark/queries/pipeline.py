@@ -160,27 +160,63 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E10: contiguous sequence packing — assign docs (ordered by doc_id
-    within language) to fixed token-budget training sequences via a
-    running-sum window: bin = floor((cumsum − own_tokens)/512). The
-    straddling document spills into the open bin (first-fit streaming
-    semantics — the standard approximation when exact bin packing would
-    need global state). One shuffle on (lang), map-side token counts;
-    per-stratum windows keep partitions independent at corpus scale."""
+    within language) to fixed token-budget training sequences:
+    bin = floor((running_sum − own_tokens)/512). The straddling document
+    spills into the open bin (first-fit streaming semantics — the
+    standard approximation when exact bin packing would need global
+    state).
+
+    A naive ``Window.partitionBy(lang)`` computes the same thing but
+    serializes each language through ONE task — with a handful of
+    languages over 100 TB that's a straggler by construction. Instead
+    the running sum is two-level, and exactly equal to the global one
+    because doc_id order == (bucket, doc_id) order:
+
+      1. local cumsum within (lang, bucket), bucket = doc_id >> 12 —
+         thousands of independent window tasks;
+      2. per-bucket token totals (tiny frame: one row per bucket) get a
+         per-lang cumsum shifted by one bucket = each bucket's starting
+         offset;
+      3. broadcast the offsets back; global running sum = offset +
+         local cumsum.
+
+    The DuckDB oracle keeps the single global window — same answer,
+    which is the point: the decomposition is verified, not assumed."""
     docs = load_table(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("lang")
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        (F.col("doc_id") / F.lit(4096)).cast("long").alias("bucket"),
+        tx.token_count("text").alias("n_tok"),
+    )
+    w_local = (
+        Window.partitionBy("lang", "bucket")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    toks = docs.select(
-        "lang", "doc_id", tx.token_count("text").alias("n_tok")
+    local = toks.withColumn("local_cum", F.sum("n_tok").over(w_local))
+    w_bucket = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    packed = toks.select(
+    offsets = (
+        toks.groupBy("lang", "bucket")
+        .agg(F.sum("n_tok").alias("bucket_tokens"))
+        .select(
+            "lang",
+            "bucket",
+            (F.sum("bucket_tokens").over(w_bucket) - F.col("bucket_tokens"))
+            .alias("offset"),
+        )
+    )
+    packed = local.join(F.broadcast(offsets), ["lang", "bucket"]).select(
         "lang",
         "n_tok",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(512.0)).alias(
-            "seq_bin"
-        ),
+        F.floor(
+            (F.col("offset") + F.col("local_cum") - F.col("n_tok"))
+            / F.lit(512.0)
+        ).alias("seq_bin"),
     )
     return packed.groupBy("lang", "seq_bin").agg(
         F.count(F.lit(1)).alias("n_docs"),

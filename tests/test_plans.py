@@ -150,3 +150,41 @@ def test_pq_candidate_scan_carries_no_vectors(spark, sf_smoke):
         assert "__cvec__" not in ln and "__lut__" not in ln and "embedding" not in ln, (
             f"vectors/LUT leaked into a ranking window: {ln}"
         )
+
+
+def test_substring_chunk_exchanges_carry_no_text(spark, sf_smoke):
+    """The chunk self-join and pair aggregation must move only
+    (id, hash) / (id, id) rows — document bodies stay at the scan."""
+    plan = _explain(spark, "substring_chunk_pairs", sf_smoke)
+    for ln in plan.splitlines():
+        if ln.strip().startswith("Arguments: hashpartitioning") or (
+            "BroadcastExchange" in ln
+        ):
+            assert "text#" not in ln, f"doc bodies entered an exchange: {ln}"
+    assert "EvalPython" not in plan
+
+
+def test_sequence_packing_windows_are_bucketed(spark, sf_smoke):
+    """The running sum must decompose into (lang, bucket)-local windows
+    plus a tiny per-bucket offset frame — a plain partitionBy(lang)
+    window serializes each language through one task at corpus scale."""
+    plan = _explain(spark, "sequence_packing", sf_smoke)
+    assert "windowspecdefinition(lang" in plan
+    # the doc-level window must be keyed by (lang, bucket), not lang alone
+    assert any(
+        "windowspecdefinition(lang" in ln and "bucket" in ln
+        for ln in plan.splitlines()
+    ), "doc-level cumsum window lost its bucket key"
+    assert "BroadcastHashJoin" in plan, "bucket offsets must broadcast"
+
+
+def test_pii_redact_is_pure_map(spark, sf_smoke):
+    plan = _explain(spark, "pii_redact", sf_smoke, "simple")
+    assert "Exchange" not in plan, "redaction must not shuffle"
+    assert "EvalPython" not in plan
+
+
+def test_stratified_sample_aggregates_map_side(spark, sf_smoke):
+    plan = _explain(spark, "stratified_sample", sf_smoke, "simple")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "EvalPython" not in plan
