@@ -77,11 +77,51 @@ def _signature(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_components(e: DataFrame) -> DataFrame:
+    """Union-find on collected edges — the driver-sized fast path.
+
+    The distributed loop costs ~2 Spark jobs per star round; on a small
+    edge list that scheduling overhead dominates by orders of magnitude
+    (the same economics as the estimators' driver-sized sufficient-stats
+    probe, estimators/core.py). Differential tests pin equality with the
+    distributed path."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    rows = e.collect()
+    for r in rows:
+        a, b = r["u"], r["v"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # larger root under smaller → every root is its component's
+            # minimum member id
+            parent[max(ra, rb)] = min(ra, rb)
+    out = [(n, find(n)) for n in parent]
+    spark = e.sparkSession
+    node_type = e.schema["u"].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("node", node_type), StructField("component", node_type)]
+    )
+    return spark.createDataFrame(out, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_collect_threshold: int = 200_000,
 ) -> DataFrame:
     """(node, component) assignment for every node appearing in `edges`.
 
@@ -90,6 +130,13 @@ def connected_components(
     treated as undirected; self-loops are ignored. Converges when the
     star edge set reaches a fixpoint (checked by count + order-free
     xxhash64 sum — one tiny agg per round over an id-only frame).
+
+    The initial signature count doubles as a size probe: at or below
+    ``driver_collect_threshold`` edges (ids only — 200k edges ≈ 3 MB)
+    the whole problem collects to a driver union-find instead of paying
+    per-round job scheduling; above it, the distributed star loop runs.
+    Same answer either way (differential-tested); pass ``0`` to force
+    the distributed path.
 
     ``max_iter`` is a safety rail: alternating star provably converges
     in O(log n) rounds, so 25 covers any realistic component count; we
@@ -109,6 +156,8 @@ def connected_components(
         return e.select(
             F.col("u").alias("node"), F.col("v").alias("component")
         )
+    if sig[0] <= driver_collect_threshold:
+        return _driver_components(e)
     for _ in range(max_iter):
         e = checkpoint_tracked(_small_star(_large_star(e)))
         new_sig = _signature(e)

@@ -30,14 +30,21 @@ def _union_find(n_nodes: set[int], edges: list[tuple[int, int]]) -> dict[int, in
     return {n: find(n) for n in n_nodes}
 
 
-def _assign(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+def _assign(
+    spark, edges: list[tuple[int, int]], threshold: int = 200_000
+) -> dict[int, int]:
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    out = connected_components(df).collect()
+    out = connected_components(
+        df, driver_collect_threshold=threshold
+    ).collect()
     return {int(r["node"]): int(r["component"]) for r in out}
 
 
+# threshold 0 forces the distributed star loop; the default takes the
+# driver union-find fast path — both must agree with the reference
+@pytest.mark.parametrize("threshold", [0, 200_000])
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_random_graph_matches_union_find(spark, seed):
+def test_random_graph_matches_union_find(spark, seed, threshold):
     rng = random.Random(seed)
     nodes = list(range(60))
     edges = [
@@ -46,16 +53,16 @@ def test_random_graph_matches_union_find(spark, seed):
     edges = [(a, b) for a, b in edges if a != b]
     touched = {n for e in edges for n in e}
     expected = _union_find(touched, edges)
-    got = _assign(spark, edges)
+    got = _assign(spark, edges, threshold)
     assert got == expected
 
 
-def test_chain_graph_converges(spark):
+def test_chain_graph_converges_distributed(spark):
     """A 64-node chain needs 64 rounds under naive min-propagation but
-    O(log n) under alternating star — converging inside max_iter proves
-    we implemented the latter."""
+    O(log n) under alternating star — converging inside max_iter on the
+    FORCED distributed path proves we implemented the latter."""
     edges = [(i, i + 1) for i in range(63)]
-    got = _assign(spark, edges)
+    got = _assign(spark, edges, threshold=0)
     assert got == {i: 0 for i in range(64)}
 
 
@@ -65,10 +72,11 @@ def test_two_cliques_and_isolated_pair(spark):
         + [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
         + [(100, 101)]
     )
-    got = _assign(spark, edges)
-    assert {got[i] for i in range(5)} == {0}
-    assert {got[i] for i in range(10, 14)} == {10}
-    assert got[100] == got[101] == 100
+    for threshold in (0, 200_000):
+        got = _assign(spark, edges, threshold)
+        assert {got[i] for i in range(5)} == {0}
+        assert {got[i] for i in range(10, 14)} == {10}
+        assert got[100] == got[101] == 100
 
 
 def test_empty_edges(spark):
