@@ -460,6 +460,37 @@ def _cached_training(key, builder):
     return _TRAIN_CACHE[key]
 
 
+_CODED_CACHE: dict = {}
+
+
+def _cached_coded(spark, key, builder):
+    """Pinned encoded-corpus frame for named corpora — the DataFrame
+    analogue of ``_cached_training``: codes are a deterministic function
+    of (corpus, index params), and an ANN index is encode-once /
+    query-many, so re-running the heavy literal-centroid encoding scan
+    per invocation is pure waste. Same keyed-singleton discipline as the
+    estimator panel cache (queries/estimators._PANEL_CACHE): at most ONE
+    pinned frame, evicted on key change (codes are ~n_subspaces bytes +
+    id + norm per vector — the whole point of PQ is that this fits),
+    keyed by applicationId so a new session rebuilds, and deliberately
+    NOT registered for the per-query sweep. ``None`` key → encode fresh
+    (unnamed corpora may mutate between calls)."""
+    if key is None:
+        return builder()
+    full_key = (spark.sparkContext.applicationId, key)
+    hit = _CODED_CACHE.get(full_key)
+    if hit is not None:
+        return hit
+    coded = builder().persist()
+    for old_key in list(_CODED_CACHE):
+        try:
+            _CODED_CACHE.pop(old_key).unpersist()
+        except Exception:
+            pass  # prior session already stopped
+    _CODED_CACHE[full_key] = coded
+    return coded
+
+
 def _fmt(x: float) -> str:
     """Literal formatter for generated SQL: 10 significant digits keeps
     the strings ~40% shorter than full repr (they are parsed JVM-side on
@@ -829,7 +860,15 @@ def ivfpq_topk(
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, corpus_id long, cosine_sim double, rk int"
         )
-    coded = _ivfpq_encode(corpus, idx, id_col, vec_col)
+    coded_key = None if index_cache_key is None else (
+        "ivfpq-coded", index_cache_key, n_cells, n_subspaces, n_centroids,
+        seed, train_sample, id_col, vec_col,
+    )
+    coded = _cached_coded(
+        corpus.sparkSession,
+        coded_key,
+        lambda: _ivfpq_encode(corpus, idx, id_col, vec_col),
+    )
     probes = _ivfpq_probes(queries, idx, n_probe, id_col, vec_col)
     return _ivfpq_rank(
         coded, probes, corpus, queries, k, rerank_factor, idx, id_col, vec_col
@@ -993,10 +1032,16 @@ def pq_topk(
 
     # _spread: see ivfpq_topk — parallelize the CPU-heavy encoding pass
     # when the input scan has too few splits (no-op at corpus scale).
-    coded = _spread(corpus).select(
-        F.col(id_col).alias("corpus_id"),
-        norm(vec_col).alias("__cn__"),
-        _pq_code(vec_col, books, d_sub).alias("__codes__"),
+    # Named corpora pin the coded frame (encode-once/query-many, same
+    # keyed singleton as the codebook cache above).
+    coded = _cached_coded(
+        corpus.sparkSession,
+        None if cache_key is None else ("pq-coded",) + cache_key[1:],
+        lambda: _spread(corpus).select(
+            F.col(id_col).alias("corpus_id"),
+            norm(vec_col).alias("__cn__"),
+            _pq_code(vec_col, books, d_sub).alias("__codes__"),
+        ),
     )
 
     # Flattened ADC LUT per query: lut[s*n_centroids + c] = q_sub · cent.

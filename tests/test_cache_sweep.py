@@ -79,3 +79,23 @@ def test_cross_corpus_dedup_caches_release(spark, sf_smoke):
     dd.lsh_cross_candidates(new, docs).collect()
     assert sweep_caches() >= 2  # both signature frames reclaimed
     assert _n_persisted(spark) == baseline
+
+
+def test_ann_coded_corpus_cache_is_singleton(spark, sf_smoke):
+    """r5: named-corpus ANN queries pin the encoded-codes frame
+    (encode-once/query-many). Same contract as the estimator panel:
+    at most ONE pinned frame across the family, flat across repeated
+    runs, evicted on key change rather than accumulated."""
+    from mrt_data_integration_spark.operators import similarity as sim
+
+    sweep_caches()
+    sim._CODED_CACHE.clear()
+    baseline = _n_persisted(spark)
+    for _ in range(2):
+        for name in ["pq_topk", "ivfpq_topk"]:
+            QUERIES[name](spark, sf_smoke).limit(5).collect()
+        QUERIES[TRIGGER](spark, sf_smoke).limit(5).collect()
+        assert _n_persisted(spark) <= baseline + 1, (
+            "ANN family must keep at most one pinned coded frame"
+        )
+    assert len(sim._CODED_CACHE) <= 1
