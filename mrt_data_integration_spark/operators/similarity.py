@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mrt_data_integration_spark.cache_registry import track_cache
+
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
@@ -1104,3 +1106,139 @@ def pq_topk(
             "query_id", "corpus_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rk"
         )
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    eps: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+    max_iter: int = 20,
+    exact_components: bool = False,
+    index_cache_key: str | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cells over the embedding space, then
+    within-cell cosine pruning — documents whose meaning near-coincides
+    (paraphrases, templated rewrites) that every lexical modality
+    (MinHash/SimHash/shingle Jaccard in operators/dedup.py) misses.
+
+    Returns one row per corpus vector: (``id_col``, cell, keep). Keep
+    policy, deterministic in both modes:
+
+    - default (greedy): a vector is dropped iff some SMALLER-id vector
+      in the SAME cell has cosine ≥ ``eps`` with it — one within-cell
+      join, one distinct. On a chain a~b~c (a<b<c, a̸~c) this drops c
+      even though its witness b is itself dropped — the standard greedy
+      over-drop, bounded by: every dropped vector has ≥1 eps-neighbor
+      in the corpus (never drops anything unique);
+    - ``exact_components=True``: within-cell eps-pairs feed
+      operators.components.connected_components and exactly one vector
+      (the min id) survives per semantic component — dearer (iterative),
+      exact keep-one-per-group semantics.
+
+    Scale shape: the cell assignment is one ML transform (centroids are
+    driver-side d×k floats); the only join is cell-keyed, cost
+    Σ cell² like every bucketed dedup here — ``n_centroids`` should grow
+    ∝ corpus size to hold the target cell size (the paper uses 50k cells
+    for LAION-scale). Cross-cell near-dups are missed by construction —
+    the recall/cost dial SemDeDup chose, same trade as LSH banding.
+
+    Determinism: given one input partitioning, the whole output is
+    reproducible (seeded k-means, id-ordered keep rules). Across
+    DIFFERENT partitionings of the same rows, MLlib's k-means|| init
+    samples per-partition, so CELL IDS can shift; identical-direction
+    vectors still always co-locate (they are the same point after
+    normalization), so exact-dup keep decisions are partitioning-stable
+    even then.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # Cluster DIRECTIONS, not raw vectors (the paper's setup): k-means
+    # on the L2-normalized embedding makes the cells cosine-geometry
+    # cells, so two vectors with cosine 1.0 (e.g. scaled copies) land in
+    # the same cell by construction — on raw vectors a long vector and
+    # its short twin could straddle a centroid boundary and the dup
+    # would be invisible to the within-cell join.
+    nrm = norm(vec_col)
+    feats = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v__"),
+        nrm.alias("__n__"),
+        array_to_vector(
+            F.transform(
+                vec_col,
+                lambda x: x.cast("double") / F.greatest(nrm, F.lit(1e-300)),
+            )
+        ).alias("__feat__"),
+    )
+
+    def _fit():
+        return KMeans(
+            featuresCol="__feat__",
+            predictionCol="__cell__",
+            k=n_centroids,
+            seed=seed,
+            maxIter=max_iter,
+        ).fit(feats)
+
+    cache_key = None if index_cache_key is None else (
+        "semdedup", index_cache_key,
+        corpus.sparkSession.sparkContext.applicationId,
+        n_centroids, seed, max_iter, id_col, vec_col,
+    )
+    model = _cached_training(cache_key, _fit)
+    assigned = track_cache(
+        model.transform(feats)
+        .select(F.col(id_col), "__v__", "__n__", "__cell__")
+        .persist()
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__v__").alias("__va__"),
+        F.col("__n__").alias("__na__"),
+        "__cell__",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__v__").alias("__vb__"),
+        F.col("__n__").alias("__nb__"),
+        "__cell__",
+    )
+    pairs = (
+        a.join(b, ["__cell__"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot("__va__", "__vb__") / (F.col("__na__") * F.col("__nb__"))).alias(
+                "__cs__"
+            ),
+        )
+        .filter(F.col("__cs__") >= eps)
+    )
+    if exact_components:
+        from mrt_data_integration_spark.operators.components import (
+            connected_components,
+        )
+
+        cc = connected_components(pairs, "id_a", "id_b")
+        dropped = cc.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    # No broadcast hint: the dropped set can approach corpus size on a
+    # duplicate-heavy crawl, so the keep-flag attach must stay a plain
+    # keyed join (AQE will broadcast it when it is in fact small).
+    out = assigned.join(dropped.withColumn("__drop__", F.lit(True)),
+                        id_col, "left").select(
+        F.col(id_col),
+        F.col("__cell__").alias("cell"),
+        F.coalesce(~F.col("__drop__"), F.lit(True)).alias("keep"),
+    )
+    out.__graft_cached__ = [assigned]  # released by the registry sweep
+    return out

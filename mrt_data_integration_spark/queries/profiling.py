@@ -1,0 +1,180 @@
+"""Corpus-profiling + sink-layout queries (E11 sketches, S7 sink,
+E3 semantic dedup) — the operations a 100 TB pipeline runs BEFORE and
+AFTER the dedup/filter passes: exact heavy hitters, mergeable distinct
+sketches, quantile profiles, partition-pruned dataset writes, and
+SemDeDup embedding-space pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mrt_data_integration_spark.operators import sketches as sk
+from mrt_data_integration_spark.operators.similarity import semantic_dedup
+from mrt_data_integration_spark.queries.registry import query
+from mrt_data_integration_spark.sources import load_table
+from mrt_data_integration_spark.sources.sinks import (
+    read_partitioned_dataset,
+    write_partitioned_dataset,
+)
+
+
+@query(
+    "heavy_hitters",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, user_id, count(*) AS cnt
+      FROM events
+      GROUP BY event_type, user_id
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                   count(*) AS nk
+            FROM counts)
+    SELECT event_type, user_id, CAST(cnt AS BIGINT) AS cnt,
+           round(cnt / CAST(total AS DOUBLE), 6) AS share
+    FROM counts, tot
+    WHERE cnt / CAST(total AS DOUBLE) >= 1.5 / nk
+    """,
+)
+def heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11: exact heavy hitters — (event_type, user_id) pairs at least
+    1.5× over-represented vs the uniform share
+    (operators.sketches.heavy_hitters: map-side partial counts, grand
+    total + key count computed over the counts frame and broadcast back
+    — the corpus is scanned once and raw rows never shuffle). The bar
+    is relative-to-uniform, not absolute: user cardinality grows with
+    the corpus, so any absolute share threshold degenerates to zero
+    hits at scale, while k×-over-uniform selects the same tail
+    fraction at every SF."""
+    ev = load_table(spark, sf_dir, "events")
+    return sk.heavy_hitters(ev, ["event_type", "user_id"], uniform_multiple=1.5)
+
+
+@query("hll_daily_distinct")  # no oracle: Datasketches HLL estimates are
+# engine-specific (DuckDB's approx_count_distinct uses a different sketch);
+# tests/test_sketches.py pins merged-vs-direct equality and error bounds.
+def hll_daily_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11: mergeable distinct-user counting — per-day HLL sketches of
+    user_id per event_type, unioned to an all-time estimate
+    (operators.sketches.hll_rollup). The shape a 100 TB pipeline
+    persists: daily sketch rows (~KB) instead of daily user sets, with
+    month/all-time distincts answered by sketch union, never a rescan."""
+    ev = load_table(spark, sf_dir, "events")
+    _, rolled = sk.hll_rollup(
+        ev,
+        F.date_trunc("day", F.col("ts")),
+        "user_id",
+        group_cols=["event_type"],
+    )
+    return rolled.select(
+        "event_type",
+        F.col("distinct_est").cast("long").alias("distinct_users_est"),
+        "n_buckets",
+        "n_rows",
+    ).orderBy("event_type")
+
+
+@query("approx_distinct_quantiles")  # no oracle: sketch estimates are
+# engine-specific; the exact twin columns are oracle-checkable but the
+# point of the query is approx-vs-exact side by side (pinned in tests).
+def approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11: per-flag profile of lineitem — HLL++ distinct orders and
+    Greenwald-Khanna price quantiles NEXT TO their exact twins
+    (operators.sketches.approx_profile), so the sketch error is
+    observable. At 100 TB the exact columns drop out; the plan shape
+    (one scan, fixed-size partial state, tiny merge) is unchanged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    prof = sk.approx_profile(
+        li, ["l_returnflag"], "l_orderkey", "l_extendedprice"
+    )
+    return prof.select(
+        "l_returnflag",
+        "distinct_approx",
+        "distinct_exact",
+        F.round(F.col("quantiles_approx")[1], 2).alias("p95_approx"),
+        F.round(F.col("quantiles_exact")[1], 2).alias("p95_exact"),
+        "n_rows",
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "partitioned_parquet_roundtrip",
+    oracle="""
+    SELECT lang,
+           count(*)                          AS n_docs,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+           CAST(sum(n_chars) AS BIGINT)      AS total_chars
+    FROM documents
+    WHERE lang IN ('en', 'zh')
+    GROUP BY lang
+    """,
+)
+def partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: partitioned-dataset sink + partition-pruned source. Writes
+    documents hive-partitioned by lang (sources.sinks
+    .write_partitioned_dataset: salted single shuffle → bounded file
+    counts per directory, doc_id-sorted rows within each file), reads
+    the dataset back with a lang IN (...) filter — planning-time
+    directory pruning, pinned by tests/test_sinks.py — and aggregates.
+    The oracle aggregates the original table: the sink/source pair must
+    be value-preserving including the partition-column round-trip
+    (lang values become directory names and must come back as the same
+    strings)."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    out_dir = tempfile.mkdtemp(prefix="mrt_part_roundtrip_")
+    write_partitioned_dataset(
+        docs,
+        out_dir,
+        partition_cols=["lang"],
+        sort_cols=["doc_id"],
+        files_per_partition=2,
+    )
+    back = read_partitioned_dataset(spark, out_dir)
+    return (
+        back.filter(F.col("lang").isin("en", "zh"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("doc_id").alias("n_ids"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query("semantic_dedup_summary")  # no oracle: k-means cells are not
+# SQL-expressible; determinism + planted-duplicate behavior pinned in
+# tests/test_similarity.py.
+def semantic_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 (semantic modality): SemDeDup keep/drop over the embeddings
+    table (operators.similarity.semantic_dedup — k-means cells, within-
+    cell cosine ≥ 0.99 pruning, exact keep-one-per-component via
+    connected components). Returns the per-cell census: total vs kept.
+
+    The synthetic embeddings have no semantic near-dups (max pairwise
+    cosine ≈ 0.51), so — same convention as ``pii_redact``'s planted
+    PII — every 50th vector gets a scaled copy appended (cosine exactly
+    1.0 with its original, new id = id + 1_000_000): the census must
+    show exactly those copies dropped, landing in their original's
+    cell. In production the union-plant disappears."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.1)).alias("embedding"),
+        "label",
+    )
+    seeded = emb.unionByName(copies)
+    decisions = semantic_dedup(
+        seeded, eps=0.99, n_centroids=8, exact_components=True,
+        index_cache_key=f"emb+planted:{sf_dir}",
+    )
+    return (
+        decisions.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+        .orderBy("cell")
+    )

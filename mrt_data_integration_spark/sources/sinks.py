@@ -1,0 +1,84 @@
+"""Partitioned-dataset parquet sink (SURVEY.md §2.1 S3/S7 extension).
+
+The reference persists intermediate frames as single files
+(simulation.R:250-254 ``write.csv``); at 100 TB the sink itself becomes
+an operator with failure modes of its own:
+
+- **Small files.** A naive ``df.write.partitionBy(cols)`` makes EVERY
+  upstream task open a writer for EVERY partition value it sees —
+  tasks × values output files (a 2 000-task stage over 100 languages
+  → 200 000 files), which then poisons every downstream scan with
+  per-file open/footer costs and overwhelms the metastore listing.
+- **Giant files / skew.** Repartitioning by the partition columns alone
+  collapses each value into ONE task — the 40 %-of-corpus ``en``
+  partition becomes a single straggling writer and a single
+  row-group-bloated file.
+
+``write_partitioned_dataset`` threads that needle: rows are hash-spread
+across ``files_per_partition`` salted buckets WITHIN each partition
+value (one shuffle), so each partition directory is written by exactly
+that many tasks → that many files, regardless of either the upstream
+task count or the value's skew. ``sort_cols`` orders rows within each
+file (parquet min/max row-group statistics then give downstream scans
+range pruning on those columns — the poor man's clustering index), and
+``maxRecordsPerFile`` caps the worst case if a salt bucket still
+overflows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_partitioned_dataset(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    files_per_partition: int = 1,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a hive-layout parquet dataset at ``path``.
+
+    Layout contract: each ``partition_cols`` value combination gets its
+    own directory containing at most ``files_per_partition`` files (plus
+    any ``maxRecordsPerFile`` splits), each internally sorted by
+    ``sort_cols``. The salt is ``hash(whole row) % files_per_partition``
+    — content-derived, so the layout is deterministic for a given input,
+    and uniform, so skewed partition values spread evenly instead of
+    serializing through one writer. "At most": two salt buckets of the
+    same value can hash into one reduce task, which then writes their
+    rows as one file — collisions only ever merge files, never split
+    them, so the small-files bound holds unconditionally.
+    """
+    sort_cols = sort_cols or []
+    salt = (
+        F.abs(F.hash(*[F.col(c) for c in df.columns]))
+        % F.lit(max(1, files_per_partition))
+    ).alias("__salt__")
+    arranged = df.withColumn("__salt__", salt).repartition(
+        *[F.col(c) for c in partition_cols], F.col("__salt__")
+    )
+    if sort_cols:
+        arranged = arranged.sortWithinPartitions(
+            *[F.col(c) for c in partition_cols + sort_cols]
+        )
+    writer = arranged.drop("__salt__").write.mode(mode).partitionBy(*partition_cols)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
+def read_partitioned_dataset(spark, path: str) -> DataFrame:
+    """Read a dataset written by :func:`write_partitioned_dataset`.
+
+    Plain ``spark.read.parquet`` — the hive layout makes the partition
+    columns virtual directory columns, so an equality/IN filter on them
+    prunes whole directories at planning time (``PartitionFilters`` in
+    the scan node — tests/test_sinks.py pins this), reading zero bytes
+    of the excluded partitions. That planning-time pruning is the entire
+    point of partitioning the 100 TB corpus by coarse keys.
+    """
+    return spark.read.parquet(path)

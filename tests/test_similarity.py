@@ -310,3 +310,88 @@ def test_pq_topk_exact_on_clustered_corpus(spark):
         )
     )
     assert pq == exact
+
+
+def _toy_embeddings(spark, rows):
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_semantic_dedup_drops_planted_copies(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        "label",
+    )
+    n_copies = copies.count()
+    out = sim.semantic_dedup(emb.unionByName(copies), eps=0.999)
+    dropped = {r["vec_id"] for r in out.filter(~F.col("keep")).collect()}
+    # exactly the scaled copies are dropped (cosine(x, 2x) = 1 > eps;
+    # nothing else in the synthetic corpus comes near eps), and the
+    # original of each copy survives (min-id keep rule)
+    assert dropped == {
+        r["vec_id"] + 10_000
+        for r in emb.filter(F.col("vec_id") % 20 == 0).select("vec_id").collect()
+    }
+    assert len(dropped) == n_copies
+
+
+def test_semantic_dedup_exact_components_keeps_one_per_chain(spark):
+    # chain inside one cell: v0~v1~v2 pairwise ≥ eps via small angular
+    # steps; greedy drops 1 and 2; exact components also keeps only v0
+    base = [1.0, 0.0]
+    import math
+
+    def rot(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    rows = [(0, base), (1, rot(0.02)), (2, rot(0.04)), (10, [-1.0, 0.05])]
+    emb = _toy_embeddings(spark, rows)
+    for exact in (False, True):
+        out = {
+            r["vec_id"]: r["keep"]
+            for r in sim.semantic_dedup(
+                emb, eps=0.999, n_centroids=2, exact_components=exact
+            ).collect()
+        }
+        assert out[0] and not out[1] and not out[2], exact
+        assert out[10], exact  # the far vector is untouched
+
+
+def test_semantic_dedup_deterministic(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    # same input partitioning → bit-identical output (seeded k-means)
+    a = sorted(map(tuple, sim.semantic_dedup(emb, eps=0.9).collect()))
+    b = sorted(map(tuple, sim.semantic_dedup(emb, eps=0.9).collect()))
+    assert a == b
+    # across partitionings cell ids may shift (k-means|| samples
+    # per-partition) but exact-dup keep decisions must not: planted
+    # same-direction copies co-locate under any partitioning
+    copies = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(3.0)).alias("embedding"),
+        "label",
+    )
+    seeded = emb.unionByName(copies)
+    keeps1 = {
+        (r["vec_id"], r["keep"])
+        for r in sim.semantic_dedup(seeded, eps=0.999).collect()
+    }
+    keeps2 = {
+        (r["vec_id"], r["keep"])
+        for r in sim.semantic_dedup(seeded.repartition(13), eps=0.999).collect()
+    }
+    assert keeps1 == keeps2
+
+
+def test_semantic_dedup_never_drops_unique_vectors(spark, sf_smoke):
+    # the synthetic corpus has max pairwise cosine ≈ 0.51 — at eps=0.9
+    # everything must survive in both modes
+    emb = load_table(spark, sf_smoke, "embeddings")
+    assert sim.semantic_dedup(emb, eps=0.9).filter(~F.col("keep")).count() == 0
+    assert (
+        sim.semantic_dedup(emb, eps=0.9, exact_components=True)
+        .filter(~F.col("keep"))
+        .count()
+        == 0
+    )

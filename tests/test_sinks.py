@@ -1,0 +1,96 @@
+"""Partitioned parquet sink: layout bounds, in-file ordering, value
+round-trip, and planning-time partition pruning."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from mrt_data_integration_spark.sources import load_table
+from mrt_data_integration_spark.sources.sinks import (
+    read_partitioned_dataset,
+    write_partitioned_dataset,
+)
+
+
+@pytest.fixture(scope="module")
+def dataset(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    out = tempfile.mkdtemp(prefix="mrt_sink_test_")
+    write_partitioned_dataset(
+        docs, out, partition_cols=["lang"], sort_cols=["doc_id"],
+        files_per_partition=2,
+    )
+    return docs, out
+
+
+def _part_dirs(out: str) -> list[str]:
+    return sorted(
+        d for d in glob.glob(os.path.join(out, "lang=*")) if os.path.isdir(d)
+    )
+
+
+def test_hive_layout_and_file_bound(dataset):
+    docs, out = dataset
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    dirs = _part_dirs(out)
+    assert {os.path.basename(d).split("=", 1)[1] for d in dirs} == langs
+    for d in dirs:
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        # the salted-shuffle contract: at least one file, never more
+        # than files_per_partition (collisions only merge, never split)
+        assert 1 <= len(files) <= 2, d
+
+
+def test_rows_sorted_within_files(dataset):
+    import pyarrow.parquet as pq
+
+    _, out = dataset
+    for d in _part_dirs(out):
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+            assert ids == sorted(ids), f
+
+
+def test_roundtrip_values(spark, dataset):
+    docs, out = dataset
+    back = read_partitioned_dataset(spark, out)
+    orig = {
+        (r["lang"], r["doc_id"]): r["n_chars"]
+        for r in docs.select("lang", "doc_id", "n_chars").collect()
+    }
+    got = {
+        (r["lang"], r["doc_id"]): r["n_chars"]
+        for r in back.select("lang", "doc_id", "n_chars").collect()
+    }
+    assert got == orig
+
+
+def test_partition_pruning_in_plan(spark, dataset):
+    _, out = dataset
+    back = read_partitioned_dataset(spark, out)
+    plan = (
+        back.filter(F.col("lang") == "en")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the lang filter must reach the scan as a PartitionFilters entry
+    # (directory pruning), not a post-scan Filter over all partitions
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_max_records_per_file_split(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    n_en = docs.filter(F.col("lang") == "en").count()
+    out = tempfile.mkdtemp(prefix="mrt_sink_split_")
+    write_partitioned_dataset(
+        docs, out, partition_cols=["lang"], files_per_partition=1,
+        max_records_per_file=max(1, n_en // 3),
+    )
+    files = glob.glob(os.path.join(out, "lang=en", "*.parquet"))
+    assert len(files) >= 3  # the cap split the single salt bucket
