@@ -178,3 +178,42 @@ def semantic_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(least(floor(value / 25.0), 19) AS BIGINT) AS bucket,
+             value
+      FROM events
+    )
+    SELECT bucket,
+           round(bucket * 25.0, 2)        AS lo,
+           round((bucket + 1) * 25.0, 2)  AS hi,
+           count(*)                       AS n,
+           round(sum(value), 4)           AS sum_value
+    FROM b
+    GROUP BY bucket
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11: fixed-width histogram of events.value — 20 buckets of width
+    25 with the long tail clamped into the last bucket (the portable
+    ``least(floor(x/w), n-1)`` formula rather than ``width_bucket``,
+    whose edge conventions differ across engines). Map-side bucket
+    expression + one keyed agg over ≤ n_buckets rows: the profiling
+    histogram costs one scan at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 25.0), F.lit(19)).cast("long")
+    return (
+        ev.select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.round(F.col("bucket") * 25.0, 2).alias("lo"),
+            F.round((F.col("bucket") + 1) * 25.0, 2).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select("bucket", "lo", "hi", "n", "sum_value")
+    )

@@ -243,3 +243,55 @@ def stateful_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("max_session_events"),
         F.round(F.sum("session_value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'click'
+        AND e.ts > t1.t AND e.ts <= t1.t + INTERVAL '12 hours'
+      GROUP BY 1
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN t2 USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND e.ts > t2.t AND e.ts <= t2.t + INTERVAL '12 hours'
+      GROUP BY 1
+    ),
+    c AS (SELECT (SELECT count(*) FROM t1) AS n1,
+                 (SELECT count(*) FROM t2) AS n2,
+                 (SELECT count(*) FROM t3) AS n3)
+    SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step,
+           CAST(n1 AS BIGINT) AS n_users, round(n1 / n1, 6) AS conversion
+    FROM c
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', CAST(n2 AS BIGINT),
+           round(n2 / n1, 6) FROM c
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', CAST(n3 AS BIGINT),
+           round(n3 / n2, 6) FROM c
+    ORDER BY stage
+    """,
+)
+def funnel_conversion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: first-touch funnel view → click → purchase with a 12-hour
+    per-stage conversion window (operators.funnel.funnel_conversion:
+    one user-keyed shuffle, per-user sorted-array fold — each stage set
+    once by the first qualifying event, which on sorted input IS the
+    min the first-touch definition asks for). The oracle is the
+    3-level min-join formulation — agreement proves the greedy fold
+    computes the same anchored mins."""
+    from mrt_data_integration_spark.operators.funnel import funnel_conversion
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_conversion(
+        ev, steps=["view", "click", "purchase"], window="12 hours"
+    )

@@ -1,0 +1,72 @@
+"""Funnel operator: first-touch anchoring, window gating, ordering."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from mrt_data_integration_spark.operators.funnel import (
+    funnel_conversion,
+    funnel_stage_times,
+)
+
+STEPS = ["view", "click", "purchase"]
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), t) for u, m, t in rows],
+        ["user_id", "ts", "event_type"],
+    )
+
+
+def test_full_funnel_in_order(spark):
+    ev = _events(spark, [(1, 0, "view"), (1, 10, "click"), (1, 20, "purchase")])
+    r = funnel_stage_times(ev, STEPS, "1 hour").collect()[0]
+    assert r["t1"] < r["t2"] < r["t3"]
+
+
+def test_out_of_order_steps_do_not_count(spark):
+    # click BEFORE the first view must not complete stage 2
+    ev = _events(spark, [(1, 0, "click"), (1, 10, "view"), (1, 20, "purchase")])
+    r = funnel_stage_times(ev, STEPS, "1 hour").collect()[0]
+    assert r["t1"] is not None and r["t2"] is None and r["t3"] is None
+
+
+def test_window_gates_each_stage(spark):
+    # click 90 min after first view: outside a 1-hour window, inside 2-hour
+    ev = _events(spark, [(1, 0, "view"), (1, 90, "click")])
+    assert funnel_stage_times(ev, STEPS, "1 hour").collect()[0]["t2"] is None
+    assert funnel_stage_times(ev, STEPS, "2 hours").collect()[0]["t2"] is not None
+
+
+def test_first_touch_anchoring_is_not_best_path(spark):
+    # a later view (min 100) would catch the click at 120 within 1 hour,
+    # but first-touch anchors at min 0 — the click is out of window.
+    # This pins the DEFINITION (stable under data growth), not a bug.
+    ev = _events(spark, [(1, 0, "view"), (1, 100, "view"), (1, 120, "click")])
+    assert funnel_stage_times(ev, STEPS, "1 hour").collect()[0]["t2"] is None
+
+
+def test_earliest_qualifying_event_wins(spark):
+    ev = _events(
+        spark, [(1, 0, "view"), (1, 5, "click"), (1, 30, "click")]
+    )
+    r = funnel_stage_times(ev, STEPS, "1 hour").collect()[0]
+    assert r["t2"] == dt.datetime(2024, 1, 1, 0, 5)
+
+
+def test_conversion_report_counts(spark):
+    ev = _events(
+        spark,
+        [
+            (1, 0, "view"), (1, 10, "click"), (1, 20, "purchase"),
+            (2, 0, "view"), (2, 10, "click"),
+            (3, 0, "view"),
+            (4, 0, "click"),  # never views — not in the funnel at all
+        ],
+    )
+    rows = {r["stage"]: r for r in funnel_conversion(ev, STEPS, "1 hour").collect()}
+    assert [rows[s]["n_users"] for s in (1, 2, 3)] == [3, 2, 1]
+    assert rows[1]["conversion"] == 1.0
+    assert rows[2]["conversion"] == round(2 / 3, 6)
+    assert rows[3]["conversion"] == 0.5
