@@ -295,3 +295,63 @@ def funnel_conversion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_conversion(
         ev, steps=["view", "click", "purchase"], window="12 hours"
     )
+
+
+@query(
+    "campaign_event_attribution",
+    oracle="""
+    WITH campaigns AS (
+      SELECT i AS campaign_id,
+             TIMESTAMP '2024-01-01' + i * 3 * INTERVAL '1 day' AS c_start,
+             TIMESTAMP '2024-01-01' + (i * 3 + 4) * INTERVAL '1 day' AS c_end
+      FROM generate_series(0, 9) AS t(i)
+    )
+    SELECT CAST(campaign_id AS BIGINT) AS campaign_id,
+           strftime(c_start, '%Y-%m-%d') AS start_day,
+           count(*)                      AS n_events,
+           count(DISTINCT user_id)       AS n_users,
+           round(sum(value), 4)          AS sum_value
+    FROM events e
+    JOIN campaigns c
+      ON e.ts >= c.c_start AND e.ts < c.c_end
+    GROUP BY campaign_id, c_start
+    """,
+)
+def campaign_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: range (interval) join — attribute events to overlapping
+    4-day campaign windows at 3-day stride (so boundary days belong to
+    two campaigns: a genuine one-to-many time join, not disguised
+    bucketing). operators.rangejoin.range_join turns the non-equi
+    ``start <= ts < end`` predicate into a day-bucketed equi-join —
+    hash join keyed by bucket instead of the BroadcastNestedLoopJoin
+    Spark would otherwise plan (tests/test_rangejoin.py pins the plan).
+    The oracle keeps the plain non-equi join: agreement proves the
+    bucket rewrite is exact, including half-open boundaries."""
+    from mrt_data_integration_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    campaigns = spark.range(10).select(
+        F.col("id").alias("campaign_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01"))
+            + F.make_interval(days=(F.col("id") * 3).cast("int"))
+        ).alias("c_start"),
+        (
+            F.to_timestamp(F.lit("2024-01-01"))
+            + F.make_interval(days=(F.col("id") * 3 + 4).cast("int"))
+        ).alias("c_end"),
+    )
+    joined = range_join(
+        ev, campaigns, ts_col="ts", start_col="c_start", end_col="c_end"
+    )
+    return joined.groupBy("campaign_id", "c_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ).select(
+        "campaign_id",
+        F.date_format("c_start", "yyyy-MM-dd").alias("start_day"),
+        "n_events",
+        "n_users",
+        "sum_value",
+    )
