@@ -65,6 +65,12 @@ HEADLINE = [
     # r5: iterative connected-components clustering (the one multi-round
     # shuffle loop in the engine) — track its wall-clock per round
     "dedup_clusters",
+    # late-r5 additions: the per-user sorted-fold (funnel), the bucketed
+    # range join, and the k-means + within-cell-join semantic dedup are
+    # new physical shapes — track each per round
+    "funnel_conversion",
+    "campaign_event_attribution",
+    "semantic_dedup_summary",
 ]
 
 
