@@ -138,3 +138,54 @@ def approx_profile(
         F.percentile(F.col(quantile_col), qs).alias("quantiles_exact"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def rollup_state(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    distinct_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable per-group aggregate STATE — the unit an incremental
+    pipeline persists per ingestion batch: (group_cols..., n_rows,
+    sum_value, user_sketch BINARY). Counts and sums merge by addition,
+    the HLL sketch by union; nothing here needs the raw rows again.
+    The binary sketch column survives a parquet round-trip unchanged
+    (tests pin write → read → merge == direct)."""
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(value_col).alias("sum_value"),
+        F.hll_sketch_agg(distinct_col, F.lit(lg_k)).alias("user_sketch"),
+    )
+
+
+def merge_rollup_states(*states: DataFrame) -> DataFrame:
+    """Combine any number of rollup states into one (same schema).
+    Union + one keyed agg: counts/sums add, sketches union — the
+    incremental-ETL merge that replaces rescanning history. Associative
+    and commutative, so batches can merge in any order or tree shape
+    (daily → monthly → all-time) without drift."""
+    key_cols = [
+        c for c in states[0].columns
+        if c not in ("n_rows", "sum_value", "user_sketch")
+    ]
+    unioned = states[0]
+    for s in states[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy(*key_cols).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_value").alias("sum_value"),
+        F.hll_union_agg(F.col("user_sketch"), F.lit(False)).alias("user_sketch"),
+    )
+
+
+def finalize_rollup(state: DataFrame) -> DataFrame:
+    """Resolve a rollup state into its report form: the sketch becomes
+    a distinct estimate; counts/sums pass through."""
+    return state.select(
+        *[c for c in state.columns if c != "user_sketch"],
+        F.hll_sketch_estimate(F.col("user_sketch"))
+        .cast("long")
+        .alias("distinct_est"),
+    )

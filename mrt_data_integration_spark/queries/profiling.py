@@ -217,3 +217,36 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("bucket", "lo", "hi", "n", "sum_value")
     )
+
+
+@query("incremental_rollup_merge")  # no oracle: the distinct estimate is
+# Datasketches-HLL-specific; merged==direct (including a parquet
+# round-trip of the binary sketch state) is pinned in tests/test_sketches.py.
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11: incremental-ETL aggregate maintenance — the don't-rescan-
+    history shape. Events split into two ingestion batches (before/after
+    Jan 16); each batch reduces to a mergeable per-type STATE
+    (operators.sketches.rollup_state: counts + sums + binary HLL user
+    sketch), the states merge (counts add, sketches union), and the
+    merged state finalizes to the report. At 100 TB only the new
+    batch's raw rows are ever touched; history exists only as
+    state rows. Counts and sums are exactly the full recompute;
+    the distinct estimate is IDENTICAL to the full recompute's (HLL
+    union is drift-free), which the CI test asserts."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    batch1 = ev.filter(F.col("ts") < cut)
+    batch2 = ev.filter(F.col("ts") >= cut)
+    s1 = sk.rollup_state(batch1, ["event_type"], "value", "user_id")
+    s2 = sk.rollup_state(batch2, ["event_type"], "value", "user_id")
+    merged = sk.merge_rollup_states(s1, s2)
+    return (
+        sk.finalize_rollup(merged)
+        .select(
+            "event_type",
+            "n_rows",
+            F.round("sum_value", 4).alias("sum_value"),
+            F.col("distinct_est").alias("distinct_users_est"),
+        )
+        .orderBy("event_type")
+    )

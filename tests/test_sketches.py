@@ -117,3 +117,45 @@ def test_sketch_results_stable_across_partitionings(spark, sf_smoke):
             F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12)))
         ).collect()[0][0]
     assert est(ev) == est(ev.repartition(17, "event_type")) == est(ev.coalesce(1))
+
+
+def test_rollup_state_merge_equals_direct_with_parquet_roundtrip(
+    spark, sf_smoke, tmp_path
+):
+    """The incremental-ETL claim end-to-end: state(batch1) persisted to
+    parquet (binary sketch column included), read back, merged with
+    state(batch2) — counts, sums AND the HLL estimate must equal the
+    single-pass rollup over all rows."""
+    ev = load_table(spark, sf_smoke, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    s1 = sk.rollup_state(ev.filter(F.col("ts") < cut), ["event_type"], "value", "user_id")
+    s2 = sk.rollup_state(ev.filter(F.col("ts") >= cut), ["event_type"], "value", "user_id")
+    path = str(tmp_path / "state1")
+    s1.write.parquet(path)
+    s1_back = spark.read.parquet(path)
+    merged = sk.finalize_rollup(sk.merge_rollup_states(s1_back, s2))
+    direct = sk.finalize_rollup(
+        sk.rollup_state(ev, ["event_type"], "value", "user_id")
+    )
+    m = {r["event_type"]: (r["n_rows"], round(r["sum_value"], 6), r["distinct_est"])
+         for r in merged.collect()}
+    d = {r["event_type"]: (r["n_rows"], round(r["sum_value"], 6), r["distinct_est"])
+         for r in direct.collect()}
+    assert m == d and len(m) == 5
+
+
+def test_rollup_merge_any_tree_shape(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    thirds = [
+        ev.filter(F.dayofmonth("ts") % 3 == i) for i in range(3)
+    ]
+    states = [
+        sk.rollup_state(t, ["event_type"], "value", "user_id") for t in thirds
+    ]
+    flat = sk.finalize_rollup(sk.merge_rollup_states(*states))
+    nested = sk.finalize_rollup(
+        sk.merge_rollup_states(sk.merge_rollup_states(states[2], states[0]), states[1])
+    )
+    f = sorted(map(tuple, flat.select("event_type", "n_rows", "distinct_est").collect()))
+    n = sorted(map(tuple, nested.select("event_type", "n_rows", "distinct_est").collect()))
+    assert f == n
