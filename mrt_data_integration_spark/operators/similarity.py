@@ -47,6 +47,7 @@ def bounded_topk(
     key_col: str = "query_id",
     tie_col: str = "corpus_id",
     tree_fan: int | None = None,
+    ascending: bool = False,
 ) -> DataFrame:
     """Scale-safe per-key top-k over a scored frame.
 
@@ -70,14 +71,18 @@ def bounded_topk(
     one extra cheap exchange, only worth it when P·k is large, so it is
     opt-in (the bundled queries run at bench scale where P ≤ 32).
 
-    Total order via (score desc, tie asc) makes the result independent
-    of the physical partitioning. All JVM window exprs — no UDFs.
+    Total order via (score desc — or asc with ``ascending=True``, for
+    smallest-k selections like hash-ordered sampling — tie asc) makes
+    the result independent of the physical partitioning. All JVM window
+    exprs — no UDFs.
     """
+    def _ord(c):
+        return c.asc() if ascending else c.desc()
     w_local = Window.partitionBy(key_col, "__pid__").orderBy(
-        F.col(score_col).desc(), F.col(tie_col)
+        _ord(F.col(score_col)), F.col(tie_col)
     )
     w_global = Window.partitionBy(key_col).orderBy(
-        F.col(score_col).desc(), F.col(tie_col)
+        _ord(F.col(score_col)), F.col(tie_col)
     )
     out = (
         scored.withColumn("__pid__", F.spark_partition_id())
@@ -87,7 +92,7 @@ def bounded_topk(
     )
     if tree_fan is not None and tree_fan > 0:
         w_mid = Window.partitionBy(key_col, "__fan__").orderBy(
-            F.col(score_col).desc(), F.col(tie_col)
+            _ord(F.col(score_col)), F.col(tie_col)
         )
         out = (
             out.withColumn("__fan__", F.col("__pid__") % tree_fan)

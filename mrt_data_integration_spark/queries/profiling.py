@@ -250,3 +250,50 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stratified_fixed_k_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substr(md5('fk:' || doc_id), 1, 16), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id, n_chars
+    FROM ranked
+    WHERE rk <= 20
+    """,
+)
+def stratified_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10/E11: fixed-size per-stratum sampling — exactly 20 documents
+    per language, the ones with the smallest md5('fk:'||doc_id) hash.
+    Complements ``stratified_sample`` (rate-based): rates give you a
+    fraction, this gives you an exact-k eval/calibration set per
+    stratum, still fully deterministic (a doc's rank depends only on
+    corpus membership, never on row order). Hex strings of equal length
+    order identically to their numeric values, so both engines rank by
+    the raw hash string.
+
+    Scale shape: per-stratum ranking via the same two-stage bounded
+    top-k the ANN paths use (similarity.bounded_topk, ascending) — a
+    plain per-lang row_number window would sort the 40 %-of-corpus
+    ``en`` stratum in ONE reducer; the bounded form caps every reducer
+    group at one input partition's rows."""
+    from mrt_data_integration_spark.operators.similarity import bounded_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.substring(
+            F.md5(F.concat(F.lit("fk:"), F.col("doc_id").cast("string"))), 1, 16
+        ).alias("__h__"),
+    )
+    return bounded_topk(
+        scored, 20, "__h__", key_col="lang", tie_col="doc_id", ascending=True
+    ).select("lang", "rk", "doc_id", "n_chars")

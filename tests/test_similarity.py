@@ -395,3 +395,29 @@ def test_semantic_dedup_never_drops_unique_vectors(spark, sf_smoke):
         .count()
         == 0
     )
+
+
+def test_bounded_topk_ascending_matches_single_window(spark):
+    from pyspark.sql import Window
+
+    rows = [(k, i, float(((i * 37 + k * 11) % 100))) for k in range(4) for i in range(200)]
+    df = spark.createDataFrame(rows, ["query_id", "corpus_id", "score"]).repartition(16)
+    got = sorted(
+        map(
+            tuple,
+            sim.bounded_topk(df, 7, "score", ascending=True)
+            .select("query_id", "corpus_id", "rk")
+            .collect(),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").asc(), F.col("corpus_id"))
+    ref = sorted(
+        map(
+            tuple,
+            df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 7)
+            .select("query_id", "corpus_id", "rk")
+            .collect(),
+        )
+    )
+    assert got == ref
