@@ -1113,6 +1113,80 @@ def pq_topk(
     )
 
 
+def _cell_eps_pairs(
+    assigned: DataFrame, id_col: str, eps: float, strategy: str
+) -> DataFrame:
+    """Within-cell cosine-≥-eps pairs (id_a < id_b) from an assigned
+    frame carrying (id, __v__ vector, __n__ norm, __cell__).
+
+    ``strategy="blas"`` (default): one ``applyInPandas`` per cell — the
+    cell's vectors normalize into a numpy matrix and a single BLAS
+    ``X @ X.T`` scores every pair (the SemDeDup paper's own per-cluster
+    matmul). The Arrow transfer is the CELL'S VECTORS (n_cell × d
+    floats), never the n_cell² pair rows; per-task memory is
+    O(cell² ) scores, bounded by the same cell-size contract the join
+    strategy has. Measured ~5× the expression path at bench scale: the
+    column-expression dot is an interpreted higher-order function
+    (zip_with/aggregate never enter whole-stage codegen), so the join
+    form pays ~n_pairs × d interpreted lambda calls.
+
+    ``strategy="expr"``: the pure-JVM self-join + fold — no Python
+    workers at all; kept as the differential twin (tests pin blas ==
+    expr away from the eps float boundary) and for clusters where
+    Python worker startup is the scarcer resource.
+    """
+    if strategy == "expr":
+        a = assigned.select(
+            F.col(id_col).alias("id_a"),
+            F.col("__v__").alias("__va__"),
+            F.col("__n__").alias("__na__"),
+            "__cell__",
+        )
+        b = assigned.select(
+            F.col(id_col).alias("id_b"),
+            F.col("__v__").alias("__vb__"),
+            F.col("__n__").alias("__nb__"),
+            "__cell__",
+        )
+        return (
+            a.join(b, ["__cell__"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    dot("__va__", "__vb__")
+                    / (F.col("__na__") * F.col("__nb__"))
+                ).alias("__cs__"),
+            )
+            .filter(F.col("__cs__") >= eps)
+        )
+    if strategy != "blas":
+        raise ValueError(f"unknown pair_strategy: {strategy!r}")
+
+    def cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        X = np.asarray(pdf["__v__"].tolist(), dtype=np.float64)
+        nrm = np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        X = X / nrm
+        S = X @ X.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = S[iu, ju] >= eps
+        a, b = ids[iu[hit]], ids[ju[hit]]
+        return pd.DataFrame(
+            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)}
+        )
+
+    return assigned.select(id_col, "__v__", "__cell__").groupBy(
+        "__cell__"
+    ).applyInPandas(cell_pairs, "id_a long, id_b long")
+
+
 def semantic_dedup(
     corpus: DataFrame,
     eps: float = 0.95,
@@ -1123,6 +1197,7 @@ def semantic_dedup(
     max_iter: int = 20,
     exact_components: bool = False,
     index_cache_key: str | None = None,
+    pair_strategy: str = "blas",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means cells over the embedding space, then
@@ -1145,11 +1220,14 @@ def semantic_dedup(
       exact keep-one-per-group semantics.
 
     Scale shape: the cell assignment is one ML transform (centroids are
-    driver-side d×k floats); the only join is cell-keyed, cost
-    Σ cell² like every bucketed dedup here — ``n_centroids`` should grow
+    driver-side d×k floats); pair scoring is cell-local, cost Σ cell²
+    like every bucketed dedup here — ``n_centroids`` should grow
     ∝ corpus size to hold the target cell size (the paper uses 50k cells
     for LAION-scale). Cross-cell near-dups are missed by construction —
     the recall/cost dial SemDeDup chose, same trade as LSH banding.
+    ``pair_strategy`` picks the scoring engine: "blas" (default) runs
+    one Arrow-batched per-cell matmul, "expr" the pure-JVM self-join —
+    see ``_cell_eps_pairs`` for the measured trade.
 
     Determinism: given one input partitioning, the whole output is
     reproducible (seeded k-means, id-ordered keep rules). Across
@@ -1201,30 +1279,7 @@ def semantic_dedup(
         .select(F.col(id_col), "__v__", "__n__", "__cell__")
         .persist()
     )
-    a = assigned.select(
-        F.col(id_col).alias("id_a"),
-        F.col("__v__").alias("__va__"),
-        F.col("__n__").alias("__na__"),
-        "__cell__",
-    )
-    b = assigned.select(
-        F.col(id_col).alias("id_b"),
-        F.col("__v__").alias("__vb__"),
-        F.col("__n__").alias("__nb__"),
-        "__cell__",
-    )
-    pairs = (
-        a.join(b, ["__cell__"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            (dot("__va__", "__vb__") / (F.col("__na__") * F.col("__nb__"))).alias(
-                "__cs__"
-            ),
-        )
-        .filter(F.col("__cs__") >= eps)
-    )
+    pairs = _cell_eps_pairs(assigned, id_col, eps, pair_strategy)
     if exact_components:
         from mrt_data_integration_spark.operators.components import (
             connected_components,

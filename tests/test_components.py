@@ -92,6 +92,8 @@ def test_self_loops_ignored(spark):
 def test_iteration_checkpoints_released_by_sweep(spark):
     cache_registry.sweep_caches()
     baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
-    _assign(spark, [(i, i + 1) for i in range(20)])
+    # threshold=0 forces the distributed star loop — the driver fast
+    # path creates no checkpoints at all (nothing to sweep by design)
+    _assign(spark, [(i, i + 1) for i in range(20)], threshold=0)
     assert cache_registry.sweep_caches() > 0
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline

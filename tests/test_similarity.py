@@ -421,3 +421,31 @@ def test_bounded_topk_ascending_matches_single_window(spark):
         )
     )
     assert got == ref
+
+
+def test_semantic_dedup_blas_matches_expr_pairs(spark, sf_smoke):
+    """Differential: the per-cell BLAS matmul pair path and the pure-JVM
+    expression join must produce identical keep decisions (eps far from
+    any float boundary in this corpus: max natural cosine ≈ 0.51,
+    planted copies at exactly 1.0)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
+        "label",
+    )
+    seeded = emb.unionByName(copies)
+    for exact in (False, True):
+        blas = sorted(
+            map(tuple, sim.semantic_dedup(
+                seeded, eps=0.99, exact_components=exact,
+                pair_strategy="blas",
+            ).collect())
+        )
+        expr = sorted(
+            map(tuple, sim.semantic_dedup(
+                seeded, eps=0.99, exact_components=exact,
+                pair_strategy="expr",
+            ).collect())
+        )
+        assert blas == expr, exact
