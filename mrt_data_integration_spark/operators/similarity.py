@@ -1194,7 +1194,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 0,
-    max_iter: int = 20,
+    train_sample: int = 20_000,
     exact_components: bool = False,
     index_cache_key: str | None = None,
     pair_strategy: str = "blas",
@@ -1219,26 +1219,31 @@ def semantic_dedup(
       (the min id) survives per semantic component — dearer (iterative),
       exact keep-one-per-group semantics.
 
-    Scale shape: the cell assignment is one ML transform (centroids are
-    driver-side d×k floats); pair scoring is cell-local, cost Σ cell²
-    like every bucketed dedup here — ``n_centroids`` should grow
-    ∝ corpus size to hold the target cell size (the paper uses 50k cells
-    for LAION-scale). Cross-cell near-dups are missed by construction —
-    the recall/cost dial SemDeDup chose, same trade as LSH banding.
-    ``pair_strategy`` picks the scoring engine: "blas" (default) runs
-    one Arrow-batched per-cell matmul, "expr" the pure-JVM self-join —
-    see ``_cell_eps_pairs`` for the measured trade.
+    Scale shape: cells come from a seeded numpy k-means over ONE
+    driver-sized sample (first ``train_sample`` rows by id —
+    TakeOrdered, scale-safe; sample-fit is the standard index-training
+    shape, same as the PQ/IVFPQ paths), and assignment is one
+    Arrow-batched map over the corpus (argmin to the broadcast k×d
+    centroid matrix — no ML fit jobs, no second pass). Pair scoring is
+    cell-local, cost Σ cell² like every bucketed dedup here —
+    ``n_centroids`` should grow ∝ corpus size to hold the target cell
+    size (the paper uses 50k cells for LAION-scale; the centroid matrix
+    stays a few MB even then). Cross-cell near-dups are missed by
+    construction — the recall/cost dial SemDeDup chose, same trade as
+    LSH banding. ``pair_strategy`` picks the scoring engine: "blas"
+    (default) runs one Arrow-batched per-cell matmul, "expr" the
+    pure-JVM self-join — see ``_cell_eps_pairs`` for the measured
+    trade.
 
-    Determinism: given one input partitioning, the whole output is
-    reproducible (seeded k-means, id-ordered keep rules). Across
-    DIFFERENT partitionings of the same rows, MLlib's k-means|| init
-    samples per-partition, so CELL IDS can shift; identical-direction
-    vectors still always co-locate (they are the same point after
-    normalization), so exact-dup keep decisions are partitioning-stable
-    even then.
+    Determinism: bit-reproducible under ANY input partitioning — the
+    sample is an id-ordered prefix (partitioning-free), the fit is
+    seeded numpy, and assignment/keep rules are pure functions. (The
+    earlier MLlib-KMeans fit was only same-partitioning-reproducible —
+    k-means|| init samples per-partition — and cost ~40 scheduler
+    rounds to fit 2k vectors; the sample-fit removed both problems,
+    r5 profile: 15 s cold → sub-second.)
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     # Cluster DIRECTIONS, not raw vectors (the paper's setup): k-means
     # on the L2-normalized embedding makes the cells cosine-geometry
@@ -1246,37 +1251,59 @@ def semantic_dedup(
     # the same cell by construction — on raw vectors a long vector and
     # its short twin could straddle a centroid boundary and the dup
     # would be invisible to the within-cell join.
-    nrm = norm(vec_col)
-    feats = corpus.select(
-        F.col(id_col),
-        F.col(vec_col).alias("__v__"),
-        nrm.alias("__n__"),
-        array_to_vector(
-            F.transform(
-                vec_col,
-                lambda x: x.cast("double") / F.greatest(nrm, F.lit(1e-300)),
-            )
-        ).alias("__feat__"),
-    )
+    if corpus.select(F.col(id_col)).first() is None:  # empty corpus
+        return corpus.select(
+            F.col(id_col),
+            F.lit(0).alias("cell"),
+            F.lit(True).alias("keep"),
+        )
 
     def _fit():
-        return KMeans(
-            featuresCol="__feat__",
-            predictionCol="__cell__",
-            k=n_centroids,
-            seed=seed,
-            maxIter=max_iter,
-        ).fit(feats)
+        rows = (
+            corpus.select(_c(vec_col).alias("v"))
+            .orderBy(_c(id_col))
+            .limit(train_sample)
+            .collect()
+        )
+        X = np.asarray([[float(x) for x in r["v"]] for r in rows], dtype=float)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        k = min(n_centroids, len(rows))
+        return _pq_train_codebooks(
+            [[float(x) for x in row] for row in X], 1, k, seed
+        )[0]
 
     cache_key = None if index_cache_key is None else (
         "semdedup", index_cache_key,
-        corpus.sparkSession.sparkContext.applicationId,
-        n_centroids, seed, max_iter, id_col, vec_col,
+        n_centroids, seed, train_sample, id_col, vec_col,
     )
-    model = _cached_training(cache_key, _fit)
+    centers = _cached_training(cache_key, _fit)
+    C = np.asarray(centers, dtype=float)
+    half_c2 = 0.5 * (C * C).sum(axis=1)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            n = np.linalg.norm(X, axis=1)
+            Xn = X / np.maximum(n, 1e-300)[:, None]
+            cell = (Xn @ C.T - half_c2).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "__v__": pdf[vec_col],
+                    "__n__": n,
+                    "__cell__": cell.astype("int32"),
+                }
+            )
+
+    vec_type = corpus.schema[vec_col].dataType.simpleString()
     assigned = track_cache(
-        model.transform(feats)
-        .select(F.col(id_col), "__v__", "__n__", "__cell__")
+        corpus.select(id_col, vec_col)
+        .mapInPandas(
+            assign,
+            f"{id_col} long, __v__ {vec_type}, __n__ double, __cell__ int",
+        )
         .persist()
     )
     pairs = _cell_eps_pairs(assigned, id_col, eps, pair_strategy)

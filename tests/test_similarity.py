@@ -359,29 +359,20 @@ def test_semantic_dedup_exact_components_keeps_one_per_chain(spark):
 
 
 def test_semantic_dedup_deterministic(spark, sf_smoke):
+    """Bit-identical output — including CELL IDS — under ANY input
+    partitioning: the sample is an id-ordered prefix, the fit is seeded
+    numpy, assignment is a pure function. (The earlier MLlib fit was
+    only same-partitioning-stable.)"""
     emb = load_table(spark, sf_smoke, "embeddings")
-    # same input partitioning → bit-identical output (seeded k-means)
     a = sorted(map(tuple, sim.semantic_dedup(emb, eps=0.9).collect()))
     b = sorted(map(tuple, sim.semantic_dedup(emb, eps=0.9).collect()))
-    assert a == b
-    # across partitionings cell ids may shift (k-means|| samples
-    # per-partition) but exact-dup keep decisions must not: planted
-    # same-direction copies co-locate under any partitioning
-    copies = emb.filter(F.col("vec_id") % 20 == 0).select(
-        (F.col("vec_id") + 10_000).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(3.0)).alias("embedding"),
-        "label",
-    )
-    seeded = emb.unionByName(copies)
-    keeps1 = {
-        (r["vec_id"], r["keep"])
-        for r in sim.semantic_dedup(seeded, eps=0.999).collect()
-    }
-    keeps2 = {
-        (r["vec_id"], r["keep"])
-        for r in sim.semantic_dedup(seeded.repartition(13), eps=0.999).collect()
-    }
-    assert keeps1 == keeps2
+    c = sorted(map(tuple, sim.semantic_dedup(
+        emb.repartition(13), eps=0.9
+    ).collect()))
+    d = sorted(map(tuple, sim.semantic_dedup(
+        emb.coalesce(1), eps=0.9
+    ).collect()))
+    assert a == b == c == d
 
 
 def test_semantic_dedup_never_drops_unique_vectors(spark, sf_smoke):
