@@ -374,3 +374,137 @@ def lang_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("p_en") >= 0.5).cast("long")).alias("n_pred_en"),
         F.sum("is_en").alias("n_en"),
     )
+
+
+@query(
+    "document_chunking",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t,
+             len(string_split_regex(text, '\\s+')) AS n
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t, n,
+             unnest(list_distinct(list_append(
+               range(1, greatest(n - 64, 0) + 2, 48),
+               greatest(n - 63, 1)))) AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(s AS BIGINT)                 AS start_tok,
+           CAST(least(64, n - s + 1) AS BIGINT) AS n_tok,
+           array_to_string(t[s : s + 63], ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10: overlapping context-window chunking — split every document
+    into 64-token windows at stride 48 (16-token overlap), plus a
+    tail-anchored final window so no token is ever outside a chunk
+    (stride coverage alone can strand up to stride−1 tail tokens).
+    This is the RAG/pretraining chunk-prep shape: map-only explode of
+    pure array expressions — tokenize once, slice per window — no
+    shuffle, full pushdown, scales with the scan. (doc_id, start_tok)
+    is the chunk identity — stable under corpus growth, no per-doc
+    ranking window needed. The oracle recomputes the same windows from SQL list
+    functions; the hash check covers the chunk TEXT byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        tx.tokens("text").alias("t"),
+    ).select("doc_id", "t", F.size("t").alias("n"))
+    starts = toks.select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.col("n") - 64, F.lit(0)) + 1,
+                        F.lit(48),
+                    ),
+                    F.array(F.greatest(F.col("n") - 63, F.lit(1))),
+                )
+            )
+        ).alias("s"),
+    )
+    return starts.select(
+        "doc_id",
+        F.col("s").cast("long").alias("start_tok"),
+        F.least(F.lit(64), F.col("n") - F.col("s") + 1)
+        .cast("long")
+        .alias("n_tok"),
+        F.concat_ws(" ", F.slice("t", F.col("s"), F.lit(64))).alias("chunk_text"),
+    )
+
+
+@query(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+      SELECT doc_id, md5(text) AS fp, n_chars FROM documents
+      WHERE doc_id % 11 != 3
+    ),
+    snap_b AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS fp,
+             n_chars
+      FROM documents
+      WHERE doc_id % 13 != 7
+    ),
+    classified AS (
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.fp != b.fp      THEN 'modified'
+                  ELSE 'unchanged' END AS status,
+             coalesce(b.n_chars, a.n_chars) AS n_chars
+      FROM snap_a a FULL OUTER JOIN snap_b b USING (doc_id)
+    )
+    SELECT status, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM classified
+    GROUP BY status
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10: snapshot-over-snapshot corpus diff — the bookkeeping pass of
+    incremental ingestion: which documents were added, removed, or
+    modified between two corpus versions, decided by content
+    fingerprint (md5), never by re-reading both bodies downstream. Two
+    synthetic snapshots derive deterministically from the documents
+    table (B adds doc_id%11==3, drops doc_id%13==7, rewrites
+    doc_id%5==0). The full-outer join is keyed by doc_id — fingerprints
+    are computed map-side, so the shuffle carries (id, 32-char fp,
+    n_chars), not text bodies. Scales: at 100 TB the snapshots would be
+    persisted fingerprint manifests (see `incremental_rollup_merge` for
+    the same history-as-state idea) and this query never touches raw
+    text at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    snap_a = docs.filter(F.col("doc_id") % 11 != 3).select(
+        "doc_id", F.md5("text").alias("fp_a"), F.col("n_chars").alias("ch_a")
+    )
+    snap_b = docs.filter(F.col("doc_id") % 13 != 7).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("fp_b"),
+        F.col("n_chars").alias("ch_b"),
+    )
+    classified = snap_a.join(snap_b, "doc_id", "full_outer").select(
+        F.when(F.col("fp_a").isNull(), "added")
+        .when(F.col("fp_b").isNull(), "removed")
+        .when(F.col("fp_a") != F.col("fp_b"), "modified")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce("ch_b", "ch_a").alias("n_chars"),
+    )
+    return classified.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -151,3 +151,30 @@ def test_lang_classifier_separates_synthetic_extremes(spark):
     ).first()
     assert stats["p_en"] > 0.8
     assert stats["p_xx"] < 0.2
+
+
+def test_document_chunking_covers_every_token(spark, sf_smoke):
+    """Every token of every document must land in ≥1 chunk (the
+    tail-anchored final window closes the stride gap), windows never
+    exceed 64 tokens, and consecutive stride windows overlap."""
+    from mrt_data_integration_spark.queries import QUERIES
+
+    rows = QUERIES["document_chunking"](spark, sf_smoke).collect()
+    from mrt_data_integration_spark.sources import load_table
+    n_tok = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf_smoke, "documents")
+        .selectExpr("doc_id", "size(split(text, '\\\\s+')) AS n")
+        .collect()
+    }
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["start_tok"], r["n_tok"]))
+    assert set(by_doc) == set(n_tok)
+    for doc, spans in by_doc.items():
+        covered = set()
+        for s, n in sorted(spans):
+            assert 1 <= n <= 64
+            assert s + n - 1 <= n_tok[doc]
+            covered.update(range(s, s + n))
+        assert covered == set(range(1, n_tok[doc] + 1)), doc
