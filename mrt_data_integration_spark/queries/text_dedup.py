@@ -707,3 +707,89 @@ def training_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("sampling_rate"),
     )
+
+
+# Char-trigram explode, shared by the LM-filter query and its oracle.
+# Lowercased so the model sees case-normalized text (CCNet convention).
+_TRIGRAMS_SQL = """
+      list_transform(
+        generate_series(1, length(lower(text)) - 2),
+        o -> substr(lower(text), o, 3))
+"""
+
+
+@query(
+    "char_trigram_lm_filter",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, lang, unnest({_TRIGRAMS_SQL}) AS g
+      FROM documents
+    ),
+    model AS (
+      SELECT g, count(*) AS c FROM grams WHERE lang = 'en' GROUP BY g
+    ),
+    tot AS (SELECT sum(c) AS n FROM model),
+    scored AS (
+      SELECT gr.doc_id, gr.lang,
+             coalesce(ln(m.c / CAST(t.n AS DOUBLE)),
+                      ln(0.5 / CAST(t.n AS DOUBLE))) AS lp
+      FROM grams gr
+      LEFT JOIN model m USING (g)
+      CROSS JOIN tot t
+    )
+    SELECT lang,
+           count(DISTINCT doc_id)      AS n_docs,
+           round(avg(lp), 4)           AS avg_logprob,
+           round(exp(-avg(lp)), 2)     AS perplexity
+    FROM scored
+    GROUP BY lang
+    """,
+)
+def char_trigram_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5/E10: statistical LM quality filtering (the CCNet recipe,
+    Wenzek et al. 2020: score text by a character-level n-gram LM
+    trained on a reference corpus; outliers in perplexity are
+    boilerplate or the wrong language). Here the reference model is the
+    corpus's own English subset: trigram counts → unigram-normalized
+    log-probabilities, unseen trigrams backed off to a 0.5-count floor.
+
+    Scale shape: the model is a keyed agg over the reference slice
+    (bounded by |alphabet|³ distinct keys, a few MB — broadcastable),
+    scoring is one equi-join of exploded corpus trigrams against it,
+    and the report is a per-language roll-up. Nothing quadratic, no
+    Python. The oracle recomputes model AND scores in SQL, so the
+    hash check covers training and scoring end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(lower(text)) - 2, 0)),"
+                " o -> substring(lower(text), o, 3))"
+            )
+        ).alias("g"),
+    )
+    model = (
+        grams.filter(F.col("lang") == "en").groupBy("g").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    )
+    total = model.agg(F.sum("c").alias("n"))
+    scored = (
+        grams.join(F.broadcast(model), "g", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(
+                F.log(F.col("c") / F.col("n")),
+                F.log(F.lit(0.5) / F.col("n")),
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        F.round(F.exp(-F.avg("lp")), 2).alias("perplexity"),
+    )
