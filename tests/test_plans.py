@@ -188,3 +188,38 @@ def test_stratified_sample_aggregates_map_side(spark, sf_smoke):
     plan = _explain(spark, "stratified_sample", sf_smoke, "simple")
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "EvalPython" not in plan
+
+
+def test_map_only_queries_have_no_exchange(spark, sf_smoke):
+    """The map-only scale claims: chunking and PII redaction are pure
+    per-row transforms — ANY Exchange in their plans would mean an
+    accidental shuffle of document bodies."""
+    for name in ["document_chunking", "pii_redact"]:
+        plan = _explain(spark, name, sf_smoke, "simple")
+        assert "Exchange" not in plan, name
+
+
+def test_lm_filter_model_joins_broadcast(spark, sf_smoke):
+    """char_trigram_lm_filter: the trigram model and its total must
+    reach the scoring join as broadcasts — a shuffle join there would
+    move the exploded corpus grams twice."""
+    plan = _explain(spark, "char_trigram_lm_filter", sf_smoke, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the single-row total
+    assert "SortMergeJoin" not in plan
+
+
+def test_funnel_single_user_shuffle(spark, sf_smoke):
+    """funnel_conversion: one user-keyed exchange for the per-user fold
+    (plus AQE's tiny final single-partition exchanges) — the 3-stage
+    min-join formulation would show three user-keyed exchanges."""
+    plan = _explain(spark, "funnel_conversion", sf_smoke, "simple")
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+
+
+def test_heavy_hitters_total_is_broadcast(spark, sf_smoke):
+    plan = _explain(spark, "heavy_hitters", sf_smoke, "simple")
+    # the counts->total attach must be a broadcast nested loop of a
+    # single-row frame, never a cartesian of real data
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
