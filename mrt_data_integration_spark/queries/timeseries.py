@@ -355,3 +355,47 @@ def campaign_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         "sum_value",
     )
+
+
+@query("streaming_rollup_merge")  # rows-only: HLL estimates are
+# engine-specific; streaming-final == direct-batch (estimate included)
+# is pinned in tests/test_streaming.py.
+def streaming_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6×E11: incremental aggregate maintenance ON A STREAM — events
+    re-materialized as a 4-file streamable directory, drained file-by-
+    file with availableNow; each micro-batch reduces to a mergeable
+    rollup state (streaming/rollup.py → operators.sketches) and merges
+    into a versioned parquet state table. Returns the finalized last
+    state: per event_type counts, sums, and the HLL distinct-user
+    estimate — identical to what one batch pass over all rows computes,
+    though no micro-batch ever saw more than a quarter of them."""
+    import os
+    import shutil
+    import tempfile
+
+    from mrt_data_integration_spark.streaming.rollup import run_rollup_stream
+
+    events = load_table(spark, sf_dir, "events")
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_rollup_src_{abs(hash(os.path.abspath(sf_dir))) % 10**8}",
+    )
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    state = tempfile.mkdtemp(prefix="graft_rollup_state_")
+    shutil.rmtree(state, ignore_errors=True)
+    final = run_rollup_stream(
+        spark,
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        state,
+        ["event_type"],
+        "value",
+        "user_id",
+    )
+    return final.select(
+        "event_type",
+        "n_rows",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.col("distinct_est").cast("long").alias("distinct_users_est"),
+    ).orderBy("event_type")

@@ -334,3 +334,46 @@ def test_checkpoint_restart_exactly_once(spark, stream_dir, tmp_path):
         .sort_index()
     )
     assert got.equals(want)
+
+
+def test_streaming_rollup_merge_equals_direct(spark, sf_smoke, tmp_path):
+    """The streaming-maintained state after draining all micro-batches
+    must equal one batch pass over all rows — counts and sums exactly
+    (mod float rounding), the HLL distinct estimate IDENTICALLY (sketch
+    union is drift-free) — and the state directory must show one
+    version per micro-batch (4 source files → 4 merges)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mrt_data_integration_spark.operators import sketches as sk
+    from mrt_data_integration_spark.sources import load_table
+    from mrt_data_integration_spark.streaming.rollup import run_rollup_stream
+
+    ev = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    state = str(tmp_path / "state")
+    final = run_rollup_stream(
+        spark,
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        state,
+        ["event_type"],
+        "value",
+        "user_id",
+    )
+    got = {
+        r["event_type"]: (r["n_rows"], round(r["sum_value"], 4), r["distinct_est"])
+        for r in final.collect()
+    }
+    direct = {
+        r["event_type"]: (r["n_rows"], round(r["sum_value"], 4), r["distinct_est"])
+        for r in sk.finalize_rollup(
+            sk.rollup_state(ev, ["event_type"], "value", "user_id")
+        ).collect()
+    }
+    assert got == direct and len(got) == 5
+    versions = [d for d in os.listdir(state) if d.startswith("state_v")]
+    assert len(versions) == 4
