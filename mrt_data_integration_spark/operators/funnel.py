@@ -106,7 +106,11 @@ def funnel_conversion(
                 F.lit(i + 1).cast("long").alias("stage"),
                 F.lit(step).alias("step"),
                 F.col(f"n{i + 1}").alias("n_users"),
-                F.round(F.col(f"n{i + 1}") / prev, 6).alias("conversion"),
+                # try_divide: an empty previous stage yields NULL
+                # conversion (same as DuckDB's x/0), not an ANSI error
+                F.round(F.try_divide(F.col(f"n{i + 1}"), prev), 6).alias(
+                    "conversion"
+                ),
             )
         )
     return (

@@ -70,3 +70,16 @@ def test_conversion_report_counts(spark):
     assert rows[1]["conversion"] == 1.0
     assert rows[2]["conversion"] == round(2 / 3, 6)
     assert rows[3]["conversion"] == 0.5
+
+
+def test_funnel_empty_and_no_stage1_inputs(spark):
+    # a user who never performs step 1 contributes all-null stage times;
+    # an empty frame yields zero counts with NULL conversions (no ANSI
+    # divide-by-zero), matching DuckDB's x/0 → NULL
+    ev = _events(spark, [(1, 0, "click")])
+    r = funnel_stage_times(ev, STEPS, "1 hour").collect()[0]
+    assert r["t1"] is None and r["t2"] is None and r["t3"] is None
+    empty = ev.filter("user_id < 0")
+    rows = funnel_conversion(empty, STEPS, "1 hour").collect()
+    assert [r["n_users"] for r in rows] == [0, 0, 0]
+    assert all(r["conversion"] is None for r in rows)

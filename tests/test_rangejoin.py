@@ -80,3 +80,16 @@ def test_plan_has_no_nested_loop(spark):
     # equi-join, not a nested-loop scan of every (point, interval) pair
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_empty_sides(spark):
+    pts = _points(spark, [0, 10])
+    ivs = _intervals(spark, [(0, 20)])
+    no_pts = pts.filter("point_id < 0")
+    no_ivs = ivs.filter("iv_id < 0")
+    assert range_join(no_pts, ivs).count() == 0
+    assert range_join(pts, no_ivs).count() == 0
+    # left join keeps every point exactly once when nothing matches
+    left = range_join(pts, no_ivs, how="left")
+    assert left.count() == 2
+    assert left.filter("iv_id IS NULL").count() == 2

@@ -440,3 +440,11 @@ def test_semantic_dedup_blas_matches_expr_pairs(spark, sf_smoke):
             ).collect())
         )
         assert blas == expr, exact
+
+
+def test_semantic_dedup_degenerate_inputs(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert sim.semantic_dedup(empty).collect() == []
+    one = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    rows = sim.semantic_dedup(one, n_centroids=4).collect()
+    assert len(rows) == 1 and rows[0]["keep"]
