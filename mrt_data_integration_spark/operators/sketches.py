@@ -65,7 +65,10 @@ def heavy_hitters(
         F.sum("cnt").alias("__total__"), F.count(F.lit(1)).alias("__nk__")
     )
     out = counts.crossJoin(F.broadcast(total))
-    share = F.col("cnt") / F.col("__total__")
+    # try_divide: a zero grand total (all-zero weight column) yields
+    # NULL shares — every bar filters them out — instead of an ANSI
+    # divide-by-zero; identical to SQL engines' x/0 → NULL.
+    share = F.try_divide(F.col("cnt"), F.col("__total__"))
     if min_share is not None:
         out = out.filter(share >= min_share)
     if uniform_multiple is not None:

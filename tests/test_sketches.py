@@ -159,3 +159,9 @@ def test_rollup_merge_any_tree_shape(spark, sf_smoke):
     f = sorted(map(tuple, flat.select("event_type", "n_rows", "distinct_est").collect()))
     n = sorted(map(tuple, nested.select("event_type", "n_rows", "distinct_est").collect()))
     assert f == n
+
+
+def test_heavy_hitters_zero_total_weight(spark):
+    df = spark.createDataFrame([("a", 0.0), ("b", 0.0)], ["k", "w"])
+    # all-zero weights → undefined shares → no heavy hitters, no error
+    assert sk.heavy_hitters(df, ["k"], 0.1, "w").collect() == []
