@@ -34,9 +34,9 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the 95-query registry is split into a CORE of
+# ROTATION POLICY (round 4+): the 96-query registry is split into a CORE of
 # 32 queries (one per physical shape — scan/agg, joins, windows, pivots,
-# dedup, text — always in the window) and two pools (POOL_A: 30, POOL_B: 33)
+# dedup, text — always in the window) and two pools (POOL_A: 30, POOL_B: 34)
 # that ALTERNATE rounds, so no query goes more than two rounds without a
 # driver row:
 #   - POOL_A (E4 vectors, E6/E7 timeseries, r2 text additions): driver rows
@@ -135,6 +135,7 @@ _POOL_B: list[str] = [
     "corpus_snapshot_diff",
     "char_trigram_lm_filter",
     "streaming_rollup_merge",
+    "window_rank_features",
     "estimator_report_pivot",
     "synthetic_panel_stats",
     "multimodal_features",
@@ -218,11 +219,11 @@ _WINDOW: list[str] = (
     + _POOL_A
     + [n for n in _CORE if n not in _R5_SIT_OUT]
 )
-# r6 plan: POOL_B's turn (33, incl. the fourteen late-r5 additions — E11
+# r6 plan: POOL_B's turn (34, incl. the fifteen late-r5 additions — E11
 # sketches/histogram/incremental rollup (batch + streaming), S7 sink,
 # semantic dedup, funnel, range join, fixed-k sample, chunking, snapshot
-# diff, trigram LM filter — forced per rule 2) + CORE (32) = 65 → FIFTEEN
-# CORE members must
+# diff, trigram LM filter, rank-feature windows — forced per rule 2) +
+# CORE (32) = 66 → SIXTEEN CORE members must
 # sit out (pick the longest-green; r5 sit-outs return first; every sat-out
 # shape must stay covered by an in-window query, noted at the r6 _WINDOW).
 # Any r5 red row is

@@ -461,3 +461,51 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 3)
     )
+
+
+@query(
+    "window_rank_features",
+    oracle="""
+    WITH spend AS (
+      SELECT user_id, count(*) AS n_events,
+             round(sum(value), 4) AS total_value
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events, total_value,
+           ntile(4) OVER w                       AS spend_quartile,
+           round(percent_rank() OVER w, 6)       AS pct_rank,
+           round(cume_dist() OVER w, 6)          AS cume,
+           CAST(rank() OVER w AS BIGINT)         AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT)   AS drnk
+    FROM spend
+    WINDOW w AS (ORDER BY total_value, user_id)
+    """,
+)
+def window_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/E2: the distribution-ranking window family — ntile quartiles,
+    percent_rank, cume_dist, rank, dense_rank over per-user spend, with
+    a (value, user_id) total order so every rank is deterministic and
+    hash-comparable across engines. The per-user agg reduces the corpus
+    before any window runs; the single global window then ranks one row
+    per user — the standard two-phase shape for global ranking at scale
+    (rank the AGGREGATE, never the raw events; for corpora where even
+    the per-user frame overflows one reducer, the bounded two-stage
+    ranking of similarity.bounded_topk is the k-limited alternative)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    spend = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    w = Window.orderBy("total_value", "user_id")
+    return spend.select(
+        "user_id",
+        "n_events",
+        "total_value",
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
