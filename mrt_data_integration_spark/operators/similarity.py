@@ -627,10 +627,30 @@ def _ivfpq_train(
 
 
 def _ivfpq_encode(
-    corpus: DataFrame, idx: dict, id_col: str, vec_col: str
+    corpus: DataFrame,
+    idx: dict,
+    id_col: str,
+    vec_col: str,
+    strategy: str = "blas",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Encode the corpus against a trained index spec: one scan → rows
-    (corpus_id, __cn__, __cell__, __codes__). Map-only, no shuffle.
+    (corpus_id, __cn__, __cell__, __codes__ [, __vec__]). Map-only, no
+    shuffle.
+
+    ``strategy="blas"`` (default): one Arrow-batched ``mapInPandas``
+    pass — cell assignment is a single ``X @ C.T`` argmax and each
+    subspace's codes one ``X_s @ B_s.T − G[cell]`` argmax. Measured 25×
+    the expression path on a 612 k-vector build (298 s → 12 s): the
+    expression encode evaluates interpreted higher-order lambdas per
+    (row, subspace, centroid), ~m·d + S·c·d_sub interpreted ops per
+    vector, which never enter codegen. Tie-breaking matches the
+    expression path (first/lowest centroid id wins in both).
+
+    ``strategy="expr"``: the pure-JVM literal-centroid expressions —
+    kept as the differential twin (tests pin blas == expr codes) and
+    for Python-worker-free clusters. ``keep_vec`` passes the raw vector
+    through (the store-vectors index layout).
 
     Cell assignment: argmin_m ‖x−C_m‖² = argmax_m (x·C_m − ‖C_m‖²/2)
     over the literal centers — no ML fit, no second corpus pass.
@@ -652,6 +672,60 @@ def _ivfpq_encode(
         idx["n_cells"], idx["n_subspaces"], idx["n_centroids"]
     )
     C = np.asarray(centers, dtype=float)
+    if strategy == "blas":
+        hc = 0.5 * (C * C).sum(axis=1)
+        Bs = [np.asarray(book, dtype=float) for book in books]
+        # G[m, s, c] = C[m]_s · B[s][c] + ½‖B[s][c]‖² (same table the
+        # expression path folds to literals)
+        Gt = np.stack(
+            [
+                np.stack(
+                    [
+                        C[:, s * d_sub:(s + 1) * d_sub] @ Bs[s][c]
+                        + 0.5 * Bs[s][c] @ Bs[s][c]
+                        for c in range(n_centroids)
+                    ],
+                    axis=1,
+                )
+                for s in range(n_subspaces)
+            ],
+            axis=1,
+        )  # shape (n_cells, n_subspaces, n_centroids)
+
+        def encode(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                cn = np.linalg.norm(X, axis=1)
+                cell = (X @ C.T - hc).argmax(axis=1)
+                codes = np.empty((len(X), n_subspaces), dtype=np.int32)
+                for s in range(n_subspaces):
+                    Xs = X[:, s * d_sub:(s + 1) * d_sub]
+                    codes[:, s] = (Xs @ Bs[s].T - Gt[cell, s, :]).argmax(
+                        axis=1
+                    )
+                out = {
+                    "corpus_id": pdf[id_col],
+                    "__cn__": cn,
+                    "__cell__": cell.astype("int32"),
+                    "__codes__": list(codes),
+                }
+                if keep_vec:
+                    out["__vec__"] = pdf[vec_col]
+                yield pd.DataFrame(out)
+
+        vec_type = corpus.schema[vec_col].dataType.simpleString()
+        schema = "corpus_id long, __cn__ double, __cell__ int, __codes__ array<int>"
+        if keep_vec:
+            schema += f", __vec__ {vec_type}"
+        from mrt_data_integration_spark.operators.dedup import _spread
+
+        return _spread(corpus.select(id_col, vec_col)).mapInPandas(
+            encode, schema
+        )
+    if strategy != "expr":
+        raise ValueError(f"unknown encode strategy: {strategy!r}")
     CC = _books_sql([centers])
     HC = "array(" + ",".join(
         _fmt(0.5 * float(np.dot(c, c))) for c in centers
@@ -691,21 +765,25 @@ def _ivfpq_encode(
     # _spread: encoding is the CPU-heavy pass (interpreted HOF lambdas);
     # a 1-2 split local scan would run it single-threaded. No-op when
     # the scan already provides parallelism (the corpus-scale case).
-    return (
+    out = (
         _spread(corpus)
         .select(
             F.col(id_col).alias("corpus_id"),
             F.col(vec_col).alias("__cvec__"),
             norm(vec_col).alias("__cn__"),
         )
-        .select("corpus_id", "__cn__", packed_expr.alias("__p__"))
+        .select(
+            "corpus_id", "__cn__", "__cvec__", packed_expr.alias("__p__")
+        )
         .select(
             "corpus_id",
             "__cn__",
             F.col("__p__.cell").alias("__cell__"),
             F.col("__p__.codes").alias("__codes__"),
+            F.col("__cvec__").alias("__vec__"),
         )
     )
+    return out if keep_vec else out.drop("__vec__")
 
 
 def _ivfpq_probes(
@@ -765,12 +843,23 @@ def _ivfpq_rank(
     idx: dict,
     id_col: str,
     vec_col: str,
+    rerank_source: DataFrame | None = None,
 ) -> DataFrame:
     """ADC candidate scoring over coded rows (cell equi-join with the
     broadcast probes), two-stage bounded candidate selection, then the
     exact cosine re-rank via broadcast-joins — vectors never enter a
     shuffle. The approximate score divides by the stored corpus norm
-    (cosine ranking, not large-norm-biased raw dot)."""
+    (cosine ranking, not large-norm-biased raw dot).
+
+    ``rerank_source``: optional (corpus_id, __cell__, __cvec__, __cn__)
+    frame holding the true vectors CELL-PARTITIONED (the store-vectors
+    index layout) — the re-rank then joins on (cell, id) so dynamic
+    partition pruning reads only the candidates' cells. Without it the
+    re-rank joins the raw ``corpus``, which is a FULL scan of the vector
+    table per query batch — fine when that table is hot, but the one
+    linear-in-N term left in the query path (measured: it kept the
+    persisted index from ever beating brute force on a cold 2 M-vector
+    corpus, results/SCALING_CURVE.md)."""
     n_subspaces, nc = idx["n_subspaces"], idx["n_centroids"]
     adc = F.aggregate(
         F.zip_with(
@@ -787,11 +876,12 @@ def _ivfpq_rank(
         .select(
             "query_id",
             "corpus_id",
+            "__cell__",
             ((F.col("__qc__") + adc) / F.col("__cn__")).alias("__adc__"),
         )
     )
     cand = bounded_topk(scored, k * rerank_factor, "__adc__", rank_col="__r__").select(
-        "query_id", "corpus_id"
+        "query_id", "corpus_id", "__cell__"
     )
 
     q_vec = queries.select(
@@ -799,6 +889,35 @@ def _ivfpq_rank(
         F.col(vec_col).alias("__qvec__"),
         norm(vec_col).alias("__qn__"),
     )
+    if rerank_source is not None:
+        exact = (
+            rerank_source.join(
+                F.broadcast(cand), ["__cell__", "corpus_id"]
+            )
+            .join(F.broadcast(q_vec), "query_id")
+            .select(
+                "query_id",
+                "corpus_id",
+                (
+                    dot("__qvec__", "__cvec__")
+                    / (F.col("__qn__") * F.col("__cn__"))
+                ).alias("cosine_sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine_sim").desc(), F.col("corpus_id")
+        )
+        return (
+            exact.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(
+                "query_id",
+                "corpus_id",
+                F.round("cosine_sim", 4).alias("cosine_sim"),
+                "rk",
+            )
+        )
+    cand = cand.drop("__cell__")
     c_vec = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("__cvec__"),
@@ -841,6 +960,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index_cache_key: str | None = None,
+    encode_strategy: str = "blas",
 ) -> DataFrame:
     """IVF×PQ (the IVFADC layout of Jégou et al. 2011 §V): the coarse
     quantizer routes each query to ``n_probe`` cells, and within a cell
@@ -869,12 +989,14 @@ def ivfpq_topk(
         )
     coded_key = None if index_cache_key is None else (
         "ivfpq-coded", index_cache_key, n_cells, n_subspaces, n_centroids,
-        seed, train_sample, id_col, vec_col,
+        seed, train_sample, id_col, vec_col, encode_strategy,
     )
     coded = _cached_coded(
         corpus.sparkSession,
         coded_key,
-        lambda: _ivfpq_encode(corpus, idx, id_col, vec_col),
+        lambda: _ivfpq_encode(
+            corpus, idx, id_col, vec_col, strategy=encode_strategy
+        ),
     )
     probes = _ivfpq_probes(queries, idx, n_probe, id_col, vec_col)
     return _ivfpq_rank(
@@ -892,18 +1014,28 @@ def build_ivfpq_index(
     train_sample: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    store_vectors: bool = True,
+    encode_strategy: str = "blas",
 ) -> dict:
     """Persist an IVFADC index: the build-once/query-many layout.
 
     Writes ``{path}/codes`` — one parquet row per corpus vector
-    (corpus_id, cn, codes), PARTITIONED BY cell — and ``{path}/meta.json``
-    with the trained centers/codebooks. Partitioning by cell turns
-    query-time probing into dynamic partition pruning: a probe of
-    n_probe/n_cells touches that fraction of the FILES, not just of the
-    rows — the on-disk realization of the inverted file. The index
-    stores ~(8 B id + 8 B norm + n_subspaces B codes) per vector; raw
-    vectors stay in the source table and are only consulted by the
-    exact re-rank on bounded candidate sets.
+    (corpus_id, cn, codes[, vec]), PARTITIONED BY cell — and
+    ``{path}/meta.json`` with the trained centers/codebooks.
+    Partitioning by cell turns query-time probing into dynamic
+    partition pruning: a probe of n_probe/n_cells touches that fraction
+    of the FILES, not just of the rows — the on-disk realization of the
+    inverted file.
+
+    ``store_vectors`` (default True) co-locates the raw vector with its
+    codes — the FAISS inverted-list layout — so the exact re-rank also
+    reads ONLY the probed cells' files instead of full-scanning the
+    source vector table (the one linear-in-N term the codes-only layout
+    left in the query path; see _ivfpq_rank). Cost: the index grows
+    from ~(16 B + n_subspaces B) to +4 B·d per vector — it stops being
+    the memory-compressed representation and becomes the
+    I/O-partitioned one; pass False to keep the compact layout and
+    re-rank against the source table.
 
     ``meta.json`` is written via Hadoop-free local I/O for simplicity —
     point ``path`` at a shared filesystem on a real cluster (the codes
@@ -919,14 +1051,20 @@ def build_ivfpq_index(
     )
     if idx is None:
         raise ValueError("cannot build an IVFPQ index over an empty corpus")
-    coded = _ivfpq_encode(corpus, idx, id_col, vec_col)
+    coded = _ivfpq_encode(
+        corpus, idx, id_col, vec_col,
+        strategy=encode_strategy, keep_vec=store_vectors,
+    )
+    cols = [
+        F.col("corpus_id"),
+        F.col("__cn__").alias("cn"),
+        F.col("__codes__").alias("codes"),
+        F.col("__cell__").alias("cell"),
+    ]
+    if store_vectors:
+        cols.insert(3, F.col("__vec__").alias("vec"))
     (
-        coded.select(
-            "corpus_id",
-            F.col("__cn__").alias("cn"),
-            F.col("__codes__").alias("codes"),
-            F.col("__cell__").alias("cell"),
-        )
+        coded.select(*cols)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(path, "codes"))
@@ -962,15 +1100,28 @@ def ivfpq_index_topk(
 
     with open(os.path.join(path, "meta.json")) as fh:
         idx = json.load(fh)
-    coded = spark.read.parquet(os.path.join(path, "codes")).select(
+    table = spark.read.parquet(os.path.join(path, "codes"))
+    coded = table.select(
         "corpus_id",
         F.col("cn").alias("__cn__"),
         F.col("cell").cast("int").alias("__cell__"),
         F.col("codes").alias("__codes__"),
     )
+    # store-vectors layout → re-rank reads only the candidates' cells
+    # (DPP on the cell join); codes-only layout → re-rank against the
+    # caller's corpus table (full scan of raw vectors)
+    rerank_source = None
+    if "vec" in table.columns:
+        rerank_source = table.select(
+            "corpus_id",
+            F.col("cell").cast("int").alias("__cell__"),
+            F.col("vec").alias("__cvec__"),
+            F.col("cn").alias("__cn__"),
+        )
     probes = _ivfpq_probes(queries, idx, n_probe, id_col, vec_col)
     return _ivfpq_rank(
-        coded, probes, corpus, queries, k, rerank_factor, idx, id_col, vec_col
+        coded, probes, corpus, queries, k, rerank_factor, idx, id_col,
+        vec_col, rerank_source=rerank_source,
     )
 
 

@@ -448,3 +448,28 @@ def test_semantic_dedup_degenerate_inputs(spark):
     one = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
     rows = sim.semantic_dedup(one, n_centroids=4).collect()
     assert len(rows) == 1 and rows[0]["keep"]
+
+
+def test_ivfpq_encode_blas_matches_expr(spark, sf_smoke):
+    """Differential: the BLAS encode and the expression encode must emit
+    identical (cell, codes, norm-to-6dp) for every vector — same
+    centroid tables, same argmax tie rule (lowest id)."""
+    from mrt_data_integration_spark.operators.similarity import (
+        _ivfpq_encode,
+        _ivfpq_train,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    idx = _ivfpq_train(emb, 8, 16, 16, 0, 2048, "vec_id", "embedding")
+
+    def snap(strategy):
+        return {
+            r["corpus_id"]: (
+                r["__cell__"], tuple(r["__codes__"]), round(r["__cn__"], 6)
+            )
+            for r in _ivfpq_encode(
+                emb, idx, "vec_id", "embedding", strategy=strategy
+            ).collect()
+        }
+
+    assert snap("blas") == snap("expr")
