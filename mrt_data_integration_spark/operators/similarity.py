@@ -1137,6 +1137,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index_cache_key: str | None = None,
+    encode_strategy: str = "blas",
 ) -> DataFrame:
     """Product-quantization approximate top-k with exact re-rank — the
     memory-bounded ANN path: at corpus scale each vector is represented
@@ -1157,7 +1158,12 @@ def pq_topk(
     (query_id, corpus_id, score) triples only, then the top
     ``k·rerank_factor`` candidates broadcast-join back to the corpus
     for the exact cosine re-rank — full vectors never enter a shuffle.
-    Everything after training is JVM expressions — no UDFs.
+
+    ``encode_strategy``: "blas" (default) encodes via one Arrow-batched
+    per-subspace matmul argmax — same measured ~2 k vectors/s ceiling
+    and fix as the IVFPQ encode (see ``_ivfpq_encode``); "expr" keeps
+    the pure-JVM literal-centroid expressions (differential-tested
+    equal, Python-worker-free).
     """
     probe = corpus.select(F.size(_c(vec_col)).alias("d")).first()
     if probe is None:  # empty corpus → no neighbors for any query
@@ -1188,18 +1194,54 @@ def pq_topk(
 
     from mrt_data_integration_spark.operators.dedup import _spread
 
-    # _spread: see ivfpq_topk — parallelize the CPU-heavy encoding pass
-    # when the input scan has too few splits (no-op at corpus scale).
-    # Named corpora pin the coded frame (encode-once/query-many, same
-    # keyed singleton as the codebook cache above).
-    coded = _cached_coded(
-        corpus.sparkSession,
-        None if cache_key is None else ("pq-coded",) + cache_key[1:],
-        lambda: _spread(corpus).select(
+    def _encode_expr():
+        return _spread(corpus).select(
             F.col(id_col).alias("corpus_id"),
             norm(vec_col).alias("__cn__"),
             _pq_code(vec_col, books, d_sub).alias("__codes__"),
-        ),
+        )
+
+    def _encode_blas():
+        import numpy as np
+
+        Bs = [np.asarray(b, dtype=float) for b in books]
+        half_b2 = [0.5 * (B * B).sum(axis=1) for B in Bs]
+        n_sub = len(Bs)
+
+        def enc(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                cn = np.linalg.norm(X, axis=1)
+                codes = np.empty((len(X), n_sub), dtype=np.int32)
+                for s in range(n_sub):
+                    Xs = X[:, s * d_sub:(s + 1) * d_sub]
+                    codes[:, s] = (Xs @ Bs[s].T - half_b2[s]).argmax(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "corpus_id": pdf[id_col],
+                        "__cn__": cn,
+                        "__codes__": list(codes),
+                    }
+                )
+
+        return _spread(corpus.select(id_col, vec_col)).mapInPandas(
+            enc, "corpus_id long, __cn__ double, __codes__ array<int>"
+        )
+
+    if encode_strategy not in ("blas", "expr"):
+        raise ValueError(f"unknown encode strategy: {encode_strategy!r}")
+    # Named corpora pin the coded frame (encode-once/query-many, same
+    # keyed singleton as the codebook cache above). _spread: see
+    # ivfpq_topk — parallelize the CPU-heavy encoding pass when the
+    # input scan has too few splits (no-op at corpus scale).
+    coded = _cached_coded(
+        corpus.sparkSession,
+        None
+        if cache_key is None
+        else ("pq-coded", encode_strategy) + cache_key[1:],
+        _encode_blas if encode_strategy == "blas" else _encode_expr,
     )
 
     # Flattened ADC LUT per query: lut[s*n_centroids + c] = q_sub · cent.

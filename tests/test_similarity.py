@@ -473,3 +473,18 @@ def test_ivfpq_encode_blas_matches_expr(spark, sf_smoke):
         }
 
     assert snap("blas") == snap("expr")
+
+
+def test_pq_encode_blas_matches_expr(spark, sf_smoke):
+    """Differential: pq_topk's two encode strategies must produce
+    identical final rankings on the smoke corpus (codes equal ⇒ ADC
+    scores equal ⇒ same candidates ⇒ same exact re-rank)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    blas = sorted(map(tuple, sim.pq_topk(
+        emb, queries, k=5, seed=0, encode_strategy="blas"
+    ).collect()))
+    expr = sorted(map(tuple, sim.pq_topk(
+        emb, queries, k=5, seed=0, encode_strategy="expr"
+    ).collect()))
+    assert blas == expr
