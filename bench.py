@@ -110,6 +110,13 @@ def main() -> None:
         spread[name] = [round(shots[0], 3), round(shots[-1], 3)]
 
     total = round(sum(times.values()), 3)
+    # Diagnostics (per-query min/max spread) go on their OWN earlier line:
+    # the driver only keeps the tail of stdout and parses the FINAL line as
+    # JSON — r5's single fat line (~2.6 KB with spread included) outgrew
+    # that capture and the round's headline number was lost
+    # (BENCH_r05.json "parsed": null). Keep the last line compact.
+    print(json.dumps({"spread_min_max": spread, "reps": reps}))
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -119,7 +126,6 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "reps": reps,
-                "spread_min_max": spread,
             }
         )
     )

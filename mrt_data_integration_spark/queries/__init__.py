@@ -177,59 +177,78 @@ _CORE: list[str] = [
     "tfidf_top_terms",
     "bpe_ish_token_counts",
 ]
-# Round 5 window: POOL_A's turn (first driver rows for the two late-r4
-# additions `training_mix_rebalance` + `pq_topk`, the new IVFADC pair,
-# and the four E10 pipeline queries) + the zero-history `petwcls_fit`
-# forced in from POOL_B (exception rule 2). The r4 sit-outs
-# (`distinct_exact`, `unpivot_long`, `cube_revenue`) return; thirteen CORE
-# members with green r1-r4 history sit out instead — shapes stay covered:
-# `running_total` (running window) by `user_activity_lag_features`,
-# `argmax_per_group` by `group_best_highlight` + `topk_per_group`,
-# `anti_join_dormant_customers` by `semi_join_active_customers`,
-# `ngram_jaccard_pairs_prefix` by `ngram_jaccard_pairs`,
-# `weighted_gram` by `wls_normal_equations` + `cluster_score_meat`,
-# `pivot_method_by_coef` by `unpivot_long` (reshape) + CI oracle,
-# `exact_percentiles` by `group_moment_stats` (grouped stats) + CI oracle,
-# `doc_lang_id` (map-only text exprs) by `doc_quality_stats`,
-# `regr_by_group` (grouped regression aggs) by `wls_normal_equations`,
-# `tfidf_top_terms` (tokenize-explode + ranking window) by
-#   `minhash_signatures` + `topk_per_group`,
-# `rollup_hierarchy` (grouping sets) by `cube_revenue` + `brand_part_rollup`,
-# `star_join_revenue` (broadcast-dim join) by `brand_part_rollup` +
-#   `fact_fact_join`; also bench-tracked every round,
-# `pricing_summary` (scan + grouped agg) by `group_moment_stats` +
-#   `brand_part_rollup`; also bench-tracked every round.
-_R5_SIT_OUT = (
-    "running_total",
-    "argmax_per_group",
-    "anti_join_dormant_customers",
-    "ngram_jaccard_pairs_prefix",
-    "weighted_gram",
-    "pivot_method_by_coef",
-    "exact_percentiles",
-    "doc_lang_id",
-    "regr_by_group",
-    "tfidf_top_terms",
-    "rollup_hierarchy",
-    "star_join_revenue",
+# Round 6 window: POOL_B's turn (34 queries, including the FIFTEEN late-r5
+# additions with zero driver history — the E11 sketch family
+# (`heavy_hitters`, `hll_daily_distinct`, `approx_distinct_quantiles`,
+# `incremental_rollup_merge`, `streaming_rollup_merge`, `value_histogram`),
+# the S7 partitioned sink (`partitioned_parquet_roundtrip`),
+# `semantic_dedup_summary`, `funnel_conversion`,
+# `campaign_event_attribution`, `stratified_fixed_k_sample`,
+# `document_chunking`, `corpus_snapshot_diff`, `char_trigram_lm_filter`,
+# `window_rank_features` — all force-included per exception rule 2; this
+# is the r5 verdict's promised rotation). No r5 row was red, so rule 1
+# forces nothing. 34 + CORE(32) = 66 → SIXTEEN CORE members sit out.
+# The thirteen r5 sit-outs RETURN (they last had rows in r4; sitting out
+# again would break the no-query-waits-more-than-two-rounds invariant);
+# sixteen CORE members with fresh green r5 rows sit out instead — shapes
+# stay covered:
+# `pricing_summary` + `group_moment_stats` (scan + grouped agg) by
+#   `exact_percentiles` + `colsums_single_row`; both bench-tracked,
+# `cluster_score_meat` (two-level cluster agg) by `weighted_gram` (grouped
+#   gram) + `wcls_large_panel` (same meat path inside the fit);
+#   bench-tracked,
+# `group_best_highlight` by `argmax_per_group` (returning),
+# `unpivot_long` by `pivot_method_by_coef` (reshape, returning) +
+#   `estimator_report_pivot`,
+# `cube_revenue` by `rollup_hierarchy` (grouping sets, returning),
+# `topk_per_group` (ranking window) by `tfidf_top_terms` (returning) +
+#   `window_rank_features`; bench-tracked,
+# `wls_normal_equations` by `regr_by_group` (returning) + `weighted_gram`,
+# `wcls_cluster_robust` (full fit) by `pwcls_fit`/`etwcls_fit`/... in
+#   POOL_B + `wcls_large_panel`; bench-tracked,
+# `fact_fact_join` (shuffle join) by `star_join_revenue` (returning) +
+#   `campaign_event_attribution`; bench-tracked,
+# `semi_join_active_customers` by `anti_join_dormant_customers`
+#   (returning — same semi/anti family),
+# `brand_part_rollup` by `star_join_revenue` + `rollup_hierarchy`,
+# `doc_quality_stats` (map-only text exprs) by `doc_lang_id` (returning) +
+#   `gopher`-style flags inside `char_trigram_lm_filter`; bench-tracked,
+# `minhash_signatures` (shingle-explode-agg) by `tfidf_top_terms` +
+#   `document_chunking` (explode); bench-tracked,
+# `lsh_candidate_pairs` (band self-join) by `ngram_jaccard_pairs_prefix`
+#   (returning pair join) + `semantic_dedup_summary`; bench-tracked,
+# `ngram_jaccard_pairs` by `ngram_jaccard_pairs_prefix` (returning — same
+#   join, prefix-filtered); bench-tracked.
+# Staying in despite fresh r5 rows: `relative_efficiency` (reference-row
+# normalization has no other in-window representative), `distinct_exact` +
+# `doc_fingerprint_dedup` (exact-dedup shape — none of the returning
+# thirteen covers it), `bpe_ish_token_counts` (fills the 50th slot).
+_R6_SIT_OUT = (
     "pricing_summary",
+    "cluster_score_meat",
+    "group_moment_stats",
+    "group_best_highlight",
+    "unpivot_long",
+    "cube_revenue",
+    "topk_per_group",
+    "wls_normal_equations",
+    "wcls_cluster_robust",
+    "fact_fact_join",
+    "semi_join_active_customers",
+    "brand_part_rollup",
+    "doc_quality_stats",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
 )
 _WINDOW: list[str] = (
-    ["petwcls_fit"]
-    + _POOL_A
-    + [n for n in _CORE if n not in _R5_SIT_OUT]
+    _POOL_B
+    + [n for n in _CORE if n not in _R6_SIT_OUT]
 )
-# r6 plan: POOL_B's turn (34, incl. the fifteen late-r5 additions — E11
-# sketches/histogram/incremental rollup (batch + streaming), S7 sink,
-# semantic dedup, funnel, range join, fixed-k sample, chunking, snapshot
-# diff, trigram LM filter, rank-feature windows — forced per rule 2) +
-# CORE (32) = 66 → SIXTEEN CORE members must
-# sit out (pick the longest-green; r5 sit-outs return first; every sat-out
-# shape must stay covered by an in-window query, noted at the r6 _WINDOW).
-# Any r5 red row is
-# force-included per exception rule 1. Queries added in r6 must be forced
-# into the window per rule 2 — test_window_policy.py enforces the
-# bookkeeping either way.
+# r7 plan: POOL_A's turn + CORE; the sixteen r6 sit-outs return first.
+# Queries added in r6 join POOL_A/POOL_B per family and are forced into
+# their first eligible window per rule 2 — test_window_policy.py enforces
+# the bookkeeping either way.
 
 
 def _apply_window() -> None:

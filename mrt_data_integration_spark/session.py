@@ -49,6 +49,10 @@ def get_spark(app_name: str = "mrt-data-integration-spark") -> SparkSession:
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Console progress bars write \r-spam to stdout; the bench driver
+        # keeps only a tail of stdout and parses its final line as JSON,
+        # so progress output must never compete for those bytes.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.extraJavaOptions", "-Dlog4j2.level=error")
         # The driver testdata stores events.ts as TIMESTAMP(NANOS), which
         # vanilla Spark rejects; read as long and convert in the loader.

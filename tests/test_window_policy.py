@@ -25,13 +25,38 @@ def test_window_is_drawn_from_registry_front():
     assert names[:50] == q._WINDOW, "registration order must realize the window"
 
 
-def test_zero_history_rule_r5():
-    """The r5 forced set (zero driver-row history before this round) must
-    all sit inside the driver-recorded first 50."""
+def test_zero_history_rule_r6():
+    """The r6 forced set (the fifteen late-r5 registrations with zero
+    driver-row history — the r5 verdict's promised rotation) must all sit
+    inside the driver-recorded first 50."""
     window = set(q._WINDOW)
-    for name in ("petwcls_fit", "pq_topk", "training_mix_rebalance",
-                 "ivfpq_topk", "ivfpq_index_topk",
-                 "dedup_clusters", "stratified_sample",
-                 "sequence_packing", "pii_redact",
-                 "substring_chunk_pairs", "lang_classifier_scores"):
-        assert name in window, f"{name} promised a first driver row in r5"
+    for name in ("heavy_hitters", "hll_daily_distinct",
+                 "approx_distinct_quantiles", "incremental_rollup_merge",
+                 "streaming_rollup_merge", "value_histogram",
+                 "partitioned_parquet_roundtrip", "semantic_dedup_summary",
+                 "funnel_conversion", "campaign_event_attribution",
+                 "stratified_fixed_k_sample", "document_chunking",
+                 "corpus_snapshot_diff", "char_trigram_lm_filter",
+                 "window_rank_features"):
+        assert name in window, f"{name} promised a first driver row in r6"
+
+
+def test_no_query_waits_more_than_two_rounds():
+    """The thirteen r5 sit-outs must return in r6 (their last driver row
+    was r4; a second consecutive sit-out breaks the rotation invariant)."""
+    window = set(q._WINDOW)
+    r5_sat_out = (
+        "running_total", "argmax_per_group", "anti_join_dormant_customers",
+        "ngram_jaccard_pairs_prefix", "weighted_gram",
+        "pivot_method_by_coef", "exact_percentiles", "doc_lang_id",
+        "regr_by_group", "tfidf_top_terms", "rollup_hierarchy",
+        "star_join_revenue", "pricing_summary",
+    )
+    back = [n for n in r5_sat_out if n in window]
+    # pricing_summary is the one exception: bench-tracked every round and
+    # shape-covered; everything else must be back.
+    missing = [n for n in r5_sat_out if n not in window]
+    assert missing == ["pricing_summary"] or not missing, (
+        f"r5 sit-outs not returned in r6: {missing}"
+    )
+    assert len(back) >= 12
