@@ -50,7 +50,25 @@ def range_join(
 ) -> DataFrame:
     """Join each ``points`` row to every ``intervals`` row with
     ``start <= ts < end``. Columns of both inputs pass through
-    (names must not collide apart from the join being on time)."""
+    (names must not collide apart from the join being on time).
+
+    ``how`` is restricted to ``inner``/``left``/``left_semi``/
+    ``left_anti``: the bucket rewrite explodes each interval into one
+    row per overlapped bucket, so for right/full outer an interval that
+    matches nothing would surface once PER EXPLODED BUCKET ROW
+    (length/granularity duplicate null-padded rows) instead of once.
+    Point-side outer variants are unaffected — points are not exploded.
+    """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"range_join how={how!r} unsupported: the bucket rewrite "
+            "explodes intervals, so right/full outer would emit one "
+            "null-padded row per exploded bucket for unmatched intervals. "
+            "Use inner/left (point-side) joins, or dedup unmatched "
+            "intervals downstream."
+        )
     p = points.withColumn("__bkt__", _bucket(F.col(ts_col), granularity_s))
     iv = intervals.withColumn(
         "__bkt__",

@@ -716,7 +716,15 @@ def _ivfpq_encode(
                 yield pd.DataFrame(out)
 
         vec_type = corpus.schema[vec_col].dataType.simpleString()
-        schema = "corpus_id long, __cn__ double, __cell__ int, __codes__ array<int>"
+        # Derive the id type from the corpus schema (same as the vec
+        # type): hard-coding `long` silently miscast string/uuid ids
+        # under the default blas strategy while the expr path preserved
+        # them — an undocumented behavior fork between strategies.
+        id_type = corpus.schema[id_col].dataType.simpleString()
+        schema = (
+            f"corpus_id {id_type}, __cn__ double, __cell__ int, "
+            "__codes__ array<int>"
+        )
         if keep_vec:
             schema += f", __vec__ {vec_type}"
         from mrt_data_integration_spark.operators.dedup import _spread
@@ -984,8 +992,11 @@ def ivfpq_topk(
         id_col, vec_col, index_cache_key,
     )
     if idx is None:  # empty corpus → no neighbors for any query
+        id_type = corpus.schema[id_col].dataType.simpleString()
         return corpus.sparkSession.createDataFrame(
-            [], "query_id long, corpus_id long, cosine_sim double, rk int"
+            [],
+            f"query_id {id_type}, corpus_id {id_type}, "
+            "cosine_sim double, rk int",
         )
     coded_key = None if index_cache_key is None else (
         "ivfpq-coded", index_cache_key, n_cells, n_subspaces, n_centroids,
@@ -1167,8 +1178,11 @@ def pq_topk(
     """
     probe = corpus.select(F.size(_c(vec_col)).alias("d")).first()
     if probe is None:  # empty corpus → no neighbors for any query
+        id_type = corpus.schema[id_col].dataType.simpleString()
         return corpus.sparkSession.createDataFrame(
-            [], "query_id long, corpus_id long, cosine_sim double, rk int"
+            [],
+            f"query_id {id_type}, corpus_id {id_type}, "
+            "cosine_sim double, rk int",
         )
     d_sub = probe["d"] // n_subspaces
 
@@ -1226,8 +1240,11 @@ def pq_topk(
                     }
                 )
 
+        # Id type from the corpus schema — see the ivfpq encode path:
+        # hard-coding `long` forked blas vs expr behavior on string ids.
+        id_type = corpus.schema[id_col].dataType.simpleString()
         return _spread(corpus.select(id_col, vec_col)).mapInPandas(
-            enc, "corpus_id long, __cn__ double, __codes__ array<int>"
+            enc, f"corpus_id {id_type}, __cn__ double, __codes__ array<int>"
         )
 
     if encode_strategy not in ("blas", "expr"):

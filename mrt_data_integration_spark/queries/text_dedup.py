@@ -764,9 +764,15 @@ def char_trigram_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.explode(
+            # Guard short docs: sequence(1, 0) in Spark defaults to step -1
+            # and yields the DESCENDING [1, 0] — two bogus partial
+            # "trigrams" — whereas DuckDB's generate_series(1, len-2) is
+            # empty. Gate on length >= 3 so both engines emit nothing.
             F.expr(
-                "transform(sequence(1, greatest(length(lower(text)) - 2, 0)),"
+                "CASE WHEN length(text) >= 3 THEN"
+                " transform(sequence(1, length(lower(text)) - 2),"
                 " o -> substring(lower(text), o, 3))"
+                " ELSE array() END"
             )
         ).alias("g"),
     )

@@ -54,9 +54,12 @@ def write_partitioned_dataset(
     them, so the small-files bound holds unconditionally.
     """
     sort_cols = sort_cols or []
-    salt = (
-        F.abs(F.hash(*[F.col(c) for c in df.columns]))
-        % F.lit(max(1, files_per_partition))
+    # pmod, not abs(hash) % n: abs(Integer.MIN_VALUE) overflows (stays
+    # negative, or throws under ANSI mode), which would mint a negative
+    # salt bucket — an extra file beyond the files_per_partition bound.
+    salt = F.pmod(
+        F.hash(*[F.col(c) for c in df.columns]),
+        F.lit(max(1, files_per_partition)),
     ).alias("__salt__")
     arranged = df.withColumn("__salt__", salt).repartition(
         *[F.col(c) for c in partition_cols], F.col("__salt__")

@@ -178,3 +178,48 @@ def test_document_chunking_covers_every_token(spark, sf_smoke):
             assert s + n - 1 <= n_tok[doc]
             covered.update(range(s, s + n))
         assert covered == set(range(1, n_tok[doc] + 1)), doc
+
+
+def test_char_trigram_lm_filter_short_docs_match_oracle(spark, tmp_path):
+    """Docs shorter than 3 chars must contribute ZERO trigrams (Spark's
+    sequence(1, 0) yields the descending [1, 0] unless guarded; DuckDB's
+    generate_series(1, len-2) is empty — the engines diverged on any
+    short/empty document before the length>=3 gate)."""
+    import duckdb
+    import pandas as pd
+
+    from mrt_data_integration_spark.queries import ORACLES, QUERIES
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "lang": ["en", "en", "de", "en", "de"],
+            "text": ["the cat sat on the mat", "ab", "", "x", "der hund"],
+        }
+    )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = (
+        QUERIES["char_trigram_lm_filter"](spark, sf_dir)
+        .toPandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = (
+        con.execute(ORACLES["char_trigram_lm_filter"])
+        .fetchdf()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    # Only docs 1 and 5 have trigrams; docs 2-4 contribute nothing.
+    assert got["n_docs"].tolist() == [1, 1]
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )

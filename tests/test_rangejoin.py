@@ -93,3 +93,19 @@ def test_empty_sides(spark):
     left = range_join(pts, no_ivs, how="left")
     assert left.count() == 2
     assert left.filter("iv_id IS NULL").count() == 2
+
+
+def test_range_join_rejects_interval_side_outer(spark):
+    """right/full outer would duplicate unmatched intervals once per
+    exploded bucket row — refuse rather than silently duplicate."""
+    import pytest
+
+    pts = spark.createDataFrame([(1,)], "ts long").selectExpr(
+        "timestamp_micros(ts) AS ts"
+    )
+    iv = spark.createDataFrame([(0, 10)], "s long, e long").selectExpr(
+        "timestamp_micros(s) AS start", "timestamp_micros(e) AS end"
+    )
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="unsupported"):
+            range_join(pts, iv, how=how)

@@ -488,3 +488,27 @@ def test_pq_encode_blas_matches_expr(spark, sf_smoke):
         emb, queries, k=5, seed=0, encode_strategy="expr"
     ).collect()))
     assert blas == expr
+
+
+def test_pq_topk_preserves_string_ids_both_strategies(spark, sf_smoke):
+    """The blas encode path derives corpus_id's type from the input
+    schema — a string-id corpus must survive both strategies with the
+    SAME result and a string-typed id column (it was silently hard-coded
+    to long before r6)."""
+    emb = (
+        load_table(spark, sf_smoke, "embeddings")
+        .filter(F.col("vec_id") < 60)
+        .select(F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"),
+                "embedding")
+    )
+    queries = emb.filter(F.col("vec_id").isin("doc-1", "doc-2"))
+    outs = {}
+    for strategy in ("blas", "expr"):
+        df = sim.pq_topk(
+            emb, queries, k=3, seed=0, encode_strategy=strategy
+        )
+        assert df.schema["corpus_id"].dataType.simpleString() == "string"
+        assert df.schema["query_id"].dataType.simpleString() == "string"
+        outs[strategy] = sorted(map(tuple, df.collect()))
+    assert outs["blas"] == outs["expr"]
+    assert len(outs["blas"]) == 6

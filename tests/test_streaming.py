@@ -377,3 +377,49 @@ def test_streaming_rollup_merge_equals_direct(spark, sf_smoke, tmp_path):
     assert got == direct and len(got) == 5
     versions = [d for d in os.listdir(state) if d.startswith("state_v")]
     assert len(versions) == 4
+
+
+def test_rollup_replay_is_idempotent(spark, sf_smoke, tmp_path):
+    """foreachBatch is at-least-once: re-delivering a micro-batch after
+    its parquet write succeeded but the checkpoint commit failed must
+    rebuild the SAME state, not double-count — and a partially-written
+    version directory (no _SUCCESS) must be invisible to the merge."""
+    import os
+    import shutil
+
+    from mrt_data_integration_spark.operators import sketches as sk
+    from mrt_data_integration_spark.sources import load_table
+    from mrt_data_integration_spark.streaming.rollup import (
+        _latest_version,
+        merge_batch_into_state,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    batches = [ev.filter(F.pmod(F.col("user_id"), F.lit(3)) == i) for i in range(3)]
+    state = str(tmp_path / "state")
+    for i, b in enumerate(batches):
+        merge_batch_into_state(b, i, state, ["event_type"], "value", "user_id")
+
+    def snapshot():
+        return {
+            r["event_type"]: (r["n_rows"], round(r["sum_value"], 4), r["distinct_est"])
+            for r in sk.finalize_rollup(
+                spark.read.parquet(os.path.join(state, f"state_v{_latest_version(state)}"))
+            ).collect()
+        }
+
+    before = snapshot()
+    # Replay the LAST batch (the crash-after-write case): must not double-merge.
+    merge_batch_into_state(batches[2], 2, state, ["event_type"], "value", "user_id")
+    assert snapshot() == before
+    # Replay a MIDDLE batch: rebuilds v1 from v0, leaving v2 (the latest
+    # complete state) untouched.
+    merge_batch_into_state(batches[1], 1, state, ["event_type"], "value", "user_id")
+    assert snapshot() == before
+    # A partial (no-_SUCCESS) directory with a higher id must be ignored.
+    partial = os.path.join(state, "state_v99")
+    shutil.copytree(os.path.join(state, "state_v2"), partial)
+    os.remove(os.path.join(partial, "_SUCCESS"))
+    assert _latest_version(state) == 2
+    merge_batch_into_state(batches[2], 2, state, ["event_type"], "value", "user_id")
+    assert snapshot() == before
