@@ -20,6 +20,13 @@ from pyspark.sql import functions as F
 
 from mrt_data_integration_spark.cache_registry import track_cache
 
+# Per-task cap on the semantic-dedup pair-score matrix (bytes of float64
+# scores held at once). The blocked matmul in _cell_eps_pairs sizes its
+# row blocks so one pathological k-means cell (a near-dup-saturated
+# crawl concentrating the corpus in one direction) cannot OOM a task;
+# module-level so tests can shrink it to force multi-block execution.
+_PAIR_BLOCK_BYTES = 64 * 1024 * 1024
+
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
@@ -1374,22 +1381,44 @@ def _cell_eps_pairs(
     if strategy != "blas":
         raise ValueError(f"unknown pair_strategy: {strategy!r}")
 
+    # Capture by value: the closure ships to Python workers, where a
+    # module-global lookup would see the import-time default rather than
+    # any driver-side override (tests shrink this to force blocking).
+    pair_block_bytes = _PAIR_BLOCK_BYTES
+
     def cell_pairs(pdf):
         import numpy as np
         import pandas as pd
 
         ids = pdf[id_col].to_numpy()
-        if len(ids) < 2:
+        n = len(ids)
+        if n < 2:
             return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
         X = np.asarray(pdf["__v__"].tolist(), dtype=np.float64)
         nrm = np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
         X = X / nrm
-        S = X @ X.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        hit = S[iu, ju] >= eps
-        a, b = ids[iu[hit]], ids[ju[hit]]
+        # Block the matmul by ROWS so score-matrix memory is capped at
+        # _PAIR_BLOCK_BYTES per task no matter how dense one cell gets
+        # (a near-duplicate-saturated crawl can put a large fraction of
+        # the corpus in one cell; the unblocked n² float64 matrix — and
+        # triu_indices' n²/2 index arrays — OOMed the task there). Cost
+        # is unchanged (same flops, same pairs); only peak memory drops.
+        block = max(1, pair_block_bytes // (8 * n))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for r0 in range(0, n - 1, block):
+            r1 = min(n, r0 + block)
+            S = X[r0:r1] @ X.T  # (r1-r0) × n
+            rows, cols = np.nonzero(S >= eps)
+            keep = cols > rows + r0  # strict upper triangle, global index
+            a, b = ids[rows[keep] + r0], ids[cols[keep]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
         return pd.DataFrame(
-            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)}
+            {
+                "id_a": np.concatenate(out_a) if out_a else np.array([], "int64"),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], "int64"),
+            }
         )
 
     return assigned.select(id_col, "__v__", "__cell__").groupBy(

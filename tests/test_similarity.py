@@ -512,3 +512,23 @@ def test_pq_topk_preserves_string_ids_both_strategies(spark, sf_smoke):
         outs[strategy] = sorted(map(tuple, df.collect()))
     assert outs["blas"] == outs["expr"]
     assert len(outs["blas"]) == 6
+
+
+def test_semantic_dedup_blocked_pairs_on_one_dense_cell(spark, sf_smoke, monkeypatch):
+    """Cell-size bound: with n_centroids=1 EVERY vector lands in one
+    cell, and a tiny _PAIR_BLOCK_BYTES forces the blas scorer through
+    many row blocks — the result must still equal the unblocked
+    expression self-join (same pairs ⇒ same keep flags), proving one
+    pathological dense cell degrades to bounded-memory blocks instead
+    of an n² matrix."""
+    emb = load_table(spark, sf_smoke, "embeddings").filter(F.col("vec_id") < 300)
+    # ~240 bytes of scores per block → block of 1-2 rows at n=300.
+    monkeypatch.setattr(sim, "_PAIR_BLOCK_BYTES", 4096)
+    blocked = sorted(map(tuple, sim.semantic_dedup(
+        emb, eps=0.9, n_centroids=1, pair_strategy="blas"
+    ).collect()))
+    expr = sorted(map(tuple, sim.semantic_dedup(
+        emb, eps=0.9, n_centroids=1, pair_strategy="expr"
+    ).collect()))
+    assert blocked == expr
+    assert len(blocked) == 300
