@@ -14,9 +14,10 @@ stage's slot is set exactly once, by the first qualifying event, which
 on a sorted array IS the min the definition asks for. Per-user arrays
 are bounded by per-user event counts (the same boundedness every
 sessionization operator here assumes); for corpora where a single user
-can hold unbounded history, the fold decomposes into one min-aggregate
-+ join per stage (k user-keyed shuffles instead of 1) — same answers,
-no per-user array.
+can hold unbounded history, pass ``bounded_history=False`` to run the
+decomposed variant — one min-aggregate + join per stage (k user-keyed
+shuffles instead of 1), same answers, no per-user array
+(differential-tested fold == decomposed).
 """
 
 from __future__ import annotations
@@ -32,9 +33,25 @@ def funnel_stage_times(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    bounded_history: bool = True,
 ) -> DataFrame:
     """Per-user funnel completion times: (user, t_1, ..., t_k) with
-    t_i = completion timestamp of stage i (null = never reached)."""
+    t_i = completion timestamp of stage i (null = never reached).
+
+    ``bounded_history=True`` (default) runs the single-shuffle sorted
+    fold above — right whenever per-user event counts are bounded.
+    ``bounded_history=False`` runs the decomposed min-join variant: one
+    min-aggregate + join per stage (k user-keyed shuffles), never
+    materializing a per-user array — the shape to point at corpora
+    where one user can hold unbounded history. Differential-tested
+    equal (the greedy fold's "first qualifying event on a sorted
+    array" IS the min the per-stage aggregate computes, because each
+    stage's anchor t_{i-1} is already fixed when stage i resolves).
+    """
+    if not bounded_history:
+        return _funnel_stage_times_decomposed(
+            events, steps, window, user_col, ts_col, type_col
+        )
     iv = F.expr(f"INTERVAL {window}")
     ev = events.filter(F.col(type_col).isin(list(steps))).select(
         F.col(user_col),
@@ -80,6 +97,55 @@ def funnel_stage_times(
     )
 
 
+def _funnel_stage_times_decomposed(
+    events: DataFrame,
+    steps: list[str],
+    window: str,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+) -> DataFrame:
+    """The unbounded-history funnel: one min-aggregate + equi-join per
+    stage instead of a per-user collect_list.
+
+    Stage 1 anchors at min(ts of step-1 events); stage i+1 is the min
+    step-(i+1) timestamp strictly after stage i's completion and within
+    ``window`` of it — computed by joining that step's (user, ts) rows
+    (two slim columns, never the full history) to the accumulated
+    per-user stage frame and re-aggregating. k user-keyed shuffles of
+    per-stage event subsets; per-task memory is O(1) rows regardless of
+    how much history any single user carries."""
+    iv = F.expr(f"INTERVAL {window}")
+    ev = events.filter(F.col(type_col).isin(list(steps))).select(
+        user_col, ts_col, type_col
+    )
+    # Same output domain as the fold: every user with ANY funnel event
+    # gets a row (all-null stages when step 1 never fired).
+    users = ev.select(user_col).distinct()
+    stage1 = (
+        ev.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    acc = users.join(stage1, user_col, "left")
+    for i in range(1, len(steps)):
+        prev, cur = f"t{i}", f"t{i + 1}"
+        nxt = (
+            ev.filter(F.col(type_col) == steps[i])
+            .join(acc.select(user_col, prev), user_col)
+            .filter(
+                (F.col(ts_col) > F.col(prev))
+                & (F.col(ts_col) <= F.col(prev) + iv)
+            )
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(cur))
+        )
+        acc = acc.join(nxt, user_col, "left")
+    return acc.select(
+        user_col, *[f"t{i + 1}" for i in range(len(steps))]
+    )
+
+
 def funnel_conversion(
     events: DataFrame,
     steps: list[str],
@@ -87,11 +153,15 @@ def funnel_conversion(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    bounded_history: bool = True,
 ) -> DataFrame:
     """Stage-level funnel report: (stage, step, n_users, conversion)
     with conversion = n_users / previous stage's n_users (stage 1:
     1.0), rounded to 6. One row per step, ordered by stage."""
-    times = funnel_stage_times(events, steps, window, user_col, ts_col, type_col)
+    times = funnel_stage_times(
+        events, steps, window, user_col, ts_col, type_col,
+        bounded_history=bounded_history,
+    )
     counts = times.agg(
         *[
             F.count(F.col(f"t{i + 1}")).alias(f"n{i + 1}")

@@ -83,3 +83,48 @@ def test_funnel_empty_and_no_stage1_inputs(spark):
     rows = funnel_conversion(empty, STEPS, "1 hour").collect()
     assert [r["n_users"] for r in rows] == [0, 0, 0]
     assert all(r["conversion"] is None for r in rows)
+
+
+def test_decomposed_matches_fold_on_unit_shapes(spark):
+    """bounded_history=False (k-min-join, no per-user arrays) must equal
+    the sorted fold on every tricky unit shape above."""
+    shapes = [
+        [(1, 0, "view"), (1, 10, "click"), (1, 20, "purchase")],
+        [(1, 0, "click"), (1, 10, "view"), (1, 20, "purchase")],
+        [(1, 0, "view"), (1, 90, "click")],
+        [(1, 0, "view"), (1, 100, "view"), (1, 120, "click")],
+        [(1, 0, "view"), (1, 5, "click"), (1, 30, "click")],
+        [(1, 0, "click")],
+        [
+            (1, 0, "view"), (1, 10, "click"), (1, 20, "purchase"),
+            (2, 0, "view"), (2, 10, "click"),
+            (3, 0, "view"),
+            (4, 0, "click"),
+        ],
+    ]
+    for rows in shapes:
+        ev = _events(spark, rows)
+        fold = sorted(map(tuple, funnel_stage_times(ev, STEPS, "1 hour").collect()))
+        dec = sorted(map(tuple, funnel_stage_times(
+            ev, STEPS, "1 hour", bounded_history=False
+        ).collect()))
+        assert fold == dec, rows
+
+
+def test_decomposed_matches_fold_on_events_table(spark, sf_smoke):
+    """Differential at data scale: the full events table, both variants,
+    identical per-user stage times AND identical conversion report."""
+    from mrt_data_integration_spark.sources import load_table
+
+    ev = load_table(spark, sf_smoke, "events")
+    steps = ["view", "click", "purchase"]
+    fold = sorted(map(tuple, funnel_stage_times(ev, steps, "12 hours").collect()))
+    dec = sorted(map(tuple, funnel_stage_times(
+        ev, steps, "12 hours", bounded_history=False
+    ).collect()))
+    assert fold == dec and len(fold) > 0
+    conv_fold = funnel_conversion(ev, steps, "12 hours").collect()
+    conv_dec = funnel_conversion(
+        ev, steps, "12 hours", bounded_history=False
+    ).collect()
+    assert list(map(tuple, conv_fold)) == list(map(tuple, conv_dec))
