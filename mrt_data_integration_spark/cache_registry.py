@@ -1,4 +1,4 @@
-"""Session-lifetime cache tracker.
+"""Session-lifetime cache tracker with result-lifetime generations.
 
 Dedup operators persist their exploded shingle frames (several consumers,
 one tokenize+md5 pass — operators/dedup.py) but hand the caller a *lazy*
@@ -7,26 +7,53 @@ result, so they cannot unpersist the inputs themselves. Tests release via
 50-query session the persisted frames would accumulate for the life of the
 SparkContext.
 
-Every persist on a driver-reachable path registers here via
-``track_cache``; the query registry sweeps all previously tracked frames at
-the start of the *next* query invocation (the prior query's result has been
-collected by then), and again at interpreter exit.
+Release timing (r6): caches tracked while a registered query BUILDS are
+bound to that query's RESULT DataFrame via a ``weakref.finalize`` — when
+the caller drops the result (the serial collect-then-next driver pattern
+drops it at the end of each statement), the generation's caches move to a
+pending queue that the next query invocation drains. A caller that builds
+several registered queries first and collects later therefore keeps every
+pending plan's caches alive (they hold the result frames), where the old
+sweep-at-next-build released them early — losing the cache benefit for
+persists and BREAKING lineage-truncated local checkpoints. Frames tracked
+outside any query build go to a session-global list swept at the next
+query invocation (legacy behavior) and at interpreter exit.
 """
 
 from __future__ import annotations
 
 import atexit
+import threading
+import weakref
 
 from pyspark.sql import DataFrame
 
+_LOCK = threading.Lock()
+
+# Frames/checkpoints tracked outside any query build (direct operator use).
 _TRACKED: list[DataFrame] = []
-# (SparkContext, rdd ids) of localCheckpoint blocks — see checkpoint_tracked.
 _CHECKPOINTED: list[tuple] = []
+
+# Open generations (innermost last); each is {"frames": [...], "ckpts": [...]}.
+_GEN_STACK: list[dict] = []
+
+# Generations whose result frame has been garbage-collected — released at
+# the next sweep_pending()/sweep_caches().
+_PENDING: list[dict] = []
+
+# Keep finalizers AND their generations alive until the result dies.
+_LIVE_GENERATIONS: dict[int, dict] = {}
+_NEXT_GEN_ID = [0]
 
 
 def track_cache(df: DataFrame) -> DataFrame:
-    """Register a persisted frame for the next registry sweep."""
-    _TRACKED.append(df)
+    """Register a persisted frame for release when its query's result is
+    dropped (inside a query build) or at the next registry sweep."""
+    with _LOCK:
+        if _GEN_STACK:
+            _GEN_STACK[-1]["frames"].append(df)
+        else:
+            _TRACKED.append(df)
     return df
 
 
@@ -40,9 +67,11 @@ def checkpoint_tracked(df: DataFrame) -> DataFrame:
     the eager checkpoint and record the new ids; the sweep unpersists
     them JVM-side. RDD ids are never reused, so a stale id is a no-op.
 
-    CAUTION: the checkpoint truncates lineage, so after the sweep the
-    returned frame is unusable — same collect-before-next-invocation
-    contract as every tracked cache (see registry.query).
+    The checkpoint truncates lineage, so the returned frame is unusable
+    once released — which is exactly why release is keyed to the query
+    RESULT's lifetime, not to the next query build: a caller holding
+    several built-but-uncollected results keeps each one's checkpoint
+    blocks alive until it drops the frame.
     """
     sc = df.sparkSession.sparkContext
     try:
@@ -54,7 +83,11 @@ def checkpoint_tracked(df: DataFrame) -> DataFrame:
         after = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
         new_ids = tuple(sorted(after - before))
         if new_ids:
-            _CHECKPOINTED.append((sc, new_ids))
+            with _LOCK:
+                if _GEN_STACK:
+                    _GEN_STACK[-1]["ckpts"].append((sc, new_ids))
+                else:
+                    _CHECKPOINTED.append((sc, new_ids))
     except Exception:
         pass
     return ck
@@ -62,25 +95,76 @@ def checkpoint_tracked(df: DataFrame) -> DataFrame:
 
 def untrack(df: DataFrame) -> None:
     """Drop a frame from the tracker (caller already unpersisted it)."""
+    with _LOCK:
+        try:
+            _TRACKED.remove(df)
+            return
+        except ValueError:
+            pass
+        for gen in _GEN_STACK:
+            try:
+                gen["frames"].remove(df)
+                return
+            except ValueError:
+                continue
+
+
+def begin_generation() -> dict:
+    """Open a build scope: subsequent track_cache/checkpoint_tracked
+    calls bind to it. Re-entrant (a registered query invoking another
+    nests cleanly)."""
+    gen = {"frames": [], "ckpts": []}
+    with _LOCK:
+        _GEN_STACK.append(gen)
+    return gen
+
+
+def end_generation(gen: dict, result: DataFrame | None) -> None:
+    """Close a build scope, binding its caches to ``result``'s lifetime.
+
+    When the caller's last reference to ``result`` dies, the generation
+    moves to the pending queue (released at the next sweep). If there is
+    no result or it cannot carry a weakref, the generation queues
+    immediately — equivalent to the old sweep-at-next-build timing.
+    """
+    with _LOCK:
+        try:
+            _GEN_STACK.remove(gen)
+        except ValueError:
+            pass
+        if not gen["frames"] and not gen["ckpts"]:
+            return
+        gid = _NEXT_GEN_ID[0]
+        _NEXT_GEN_ID[0] += 1
+    if result is None:
+        with _LOCK:
+            _PENDING.append(gen)
+        return
     try:
-        _TRACKED.remove(df)
-    except ValueError:
-        pass
+        weakref.finalize(result, _queue_generation, gid)
+        with _LOCK:
+            _LIVE_GENERATIONS[gid] = gen
+    except TypeError:
+        with _LOCK:
+            _PENDING.append(gen)
 
 
-def sweep_caches() -> int:
-    """Unpersist every tracked frame / checkpoint; returns the number
-    released."""
+def _queue_generation(gid: int) -> None:
+    with _LOCK:
+        gen = _LIVE_GENERATIONS.pop(gid, None)
+        if gen is not None:
+            _PENDING.append(gen)
+
+
+def _release(frames: list, ckpts: list) -> int:
     n = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    for df in frames:
         try:
             df.unpersist()
             n += 1
         except Exception:
             pass  # context already stopped — nothing to release
-    while _CHECKPOINTED:
-        sc, ids = _CHECKPOINTED.pop()
+    for sc, ids in ckpts:
         try:
             jmap = sc._jsc.getPersistentRDDs()
             for i in ids:
@@ -91,6 +175,43 @@ def sweep_caches() -> int:
         except Exception:
             pass
     return n
+
+
+def sweep_pending() -> int:
+    """Release generations whose result frames are dead, plus anything
+    tracked outside a query build. Never touches a generation whose
+    result is still referenced — pending plans keep their caches."""
+    with _LOCK:
+        gens = list(_PENDING)
+        _PENDING.clear()
+        frames = list(_TRACKED)
+        _TRACKED.clear()
+        ckpts = list(_CHECKPOINTED)
+        _CHECKPOINTED.clear()
+    for g in gens:
+        frames += g["frames"]
+        ckpts += g["ckpts"]
+    return _release(frames, ckpts)
+
+
+def sweep_caches() -> int:
+    """Release EVERYTHING tracked — pending, live generations, open
+    scopes, and session-global frames; returns the number released.
+    (Explicit full release for tests and interpreter exit.)"""
+    with _LOCK:
+        gens = list(_PENDING) + list(_LIVE_GENERATIONS.values()) + list(_GEN_STACK)
+        _PENDING.clear()
+        _LIVE_GENERATIONS.clear()
+        frames = list(_TRACKED)
+        _TRACKED.clear()
+        ckpts = list(_CHECKPOINTED)
+        _CHECKPOINTED.clear()
+        for g in gens:
+            frames += g["frames"]
+            ckpts += g["ckpts"]
+            # Open scopes stay on the stack but are emptied in place.
+            g["frames"], g["ckpts"] = [], []
+    return _release(frames, ckpts)
 
 
 atexit.register(sweep_caches)

@@ -99,3 +99,35 @@ def test_ann_coded_corpus_cache_is_singleton(spark, sf_smoke):
             "ANN family must keep at most one pinned coded frame"
         )
     assert len(sim._CODED_CACHE) <= 1
+
+
+def test_build_several_then_collect_keeps_pending_caches(spark, sf_smoke):
+    """The r5 ADVICE ordering hazard: building query B before collecting
+    query A's result must NOT release A's caches (worse, A's local
+    checkpoints are lineage-truncated — releasing them breaks the plan,
+    not just the cache benefit). Caches are bound to the result frame:
+    alive while held, swept at the next invocation after it is dropped."""
+    import gc
+
+    sweep_caches()
+    baseline = _n_persisted(spark)
+    # Build AND materialize query A while HOLDING its result...
+    held = QUERIES[PERSISTING[0]](spark, sf_smoke)
+    held.limit(5).collect()
+    cached_after_a = _n_persisted(spark)
+    assert cached_after_a > baseline
+    # ...then build query B: A's persists must survive (the old
+    # sweep-at-next-build released them here).
+    held_b = QUERIES[PERSISTING[1]](spark, sf_smoke)
+    assert _n_persisted(spark) >= cached_after_a
+    held_b.limit(5).collect()
+    held.limit(5).collect()  # A's result still collectable, still cached
+    # The mc_simulation_grid query checkpoints its panel: build it, hold
+    # it, build another query, THEN collect — the checkpoint must survive.
+    panel_q = QUERIES["mc_simulation_grid"](spark, sf_smoke)
+    QUERIES[TRIGGER](spark, sf_smoke).limit(5).collect()
+    assert panel_q.limit(3).collect()  # unusable if checkpoint was swept
+    del held, held_b, panel_q
+    gc.collect()
+    QUERIES[TRIGGER](spark, sf_smoke).limit(5).collect()
+    assert _n_persisted(spark) <= baseline + 1  # singleton panel may pin
