@@ -418,17 +418,28 @@ def _pq_train_codebooks(
         # k-means++ (Arthur & Vassilvitskii 2007): each next seed drawn
         # ∝ squared distance to the nearest existing seed — markedly
         # better cells than uniform seeding on clustered data, still
-        # deterministic under the fixed RandomState.
+        # deterministic under the fixed RandomState. The nearest-seed
+        # distance is a RUNNING min updated against only the newest
+        # seed: O(k·n·d) total where the full per-step recompute was
+        # O(k²·n·d) — at the cells-grow-with-corpus contract (k ∝ n)
+        # that recompute made quantizer training the super-linear term
+        # of the whole operator (r6 scaling study). Values are
+        # bit-identical (min over all seeds == running min; per-seed
+        # distances use the same elementwise form).
         n = Xs.shape[0]
-        C = Xs[rs.randint(n)][None, :].copy()
-        for _ in range(1, k):
-            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+        C = np.empty((k, Xs.shape[1]), dtype=float)
+        C[0] = Xs[rs.randint(n)]
+        d2 = ((Xs - C[0]) ** 2).sum(axis=1)
+        for i in range(1, k):
             tot = d2.sum()
             if tot <= 0:  # all points coincide with seeds
-                C = np.vstack([C, Xs[rs.randint(n)]])
-                continue
-            j = min(int(np.searchsorted(np.cumsum(d2 / tot), rs.rand())), n - 1)
-            C = np.vstack([C, Xs[j]])
+                C[i] = Xs[rs.randint(n)]
+            else:
+                j = min(
+                    int(np.searchsorted(np.cumsum(d2 / tot), rs.rand())), n - 1
+                )
+                C[i] = Xs[j]
+            d2 = np.minimum(d2, ((Xs - C[i]) ** 2).sum(axis=1))
         return C
 
     X = np.asarray(sample, dtype=float)
@@ -439,8 +450,13 @@ def _pq_train_codebooks(
     for s in range(n_subspaces):
         Xs = X[:, s * d_sub : (s + 1) * d_sub]
         C = _kpp_init(Xs, n_centroids, rs)
+        # ‖x‖² + ‖c‖² − 2x·c gemm form: the (n, k, d) broadcast temp the
+        # elementwise form materializes is n·k·d·8 bytes PER ITERATION
+        # (335 MB at sample 4096, k 160) — allocation bandwidth, not
+        # flops, dominated the fit. The n×k result is what argmin needs.
+        x2 = (Xs * Xs).sum(axis=1)
         for _ in range(n_iter):
-            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            d2 = x2[:, None] + (C * C).sum(axis=1)[None, :] - 2.0 * (Xs @ C.T)
             assign = d2.argmin(axis=1)
             newC = C.copy()
             for c in range(n_centroids):
@@ -455,6 +471,32 @@ def _pq_train_codebooks(
             C = newC
         books.append([[float(v) for v in row] for row in C])
     return books
+
+
+def _train_sample_vectors(
+    corpus: DataFrame, id_col: str, vec_col: str, train_sample: int
+) -> list[list[float]]:
+    """Bounded quantizer-training sample: the first ``train_sample``
+    rows in ``md5(id)`` order — a fixed pseudo-random permutation, so
+    the draw is deterministic, partitioning-independent AND
+    representative of the whole corpus regardless of id layout. The
+    previous id-PREFIX sample (orderBy(id).limit(n)) trained the
+    quantizer on the lowest-id shard only; when ids encode ingestion
+    order (appended batches, per-source id ranges) the later shards'
+    vectors then crowd into whichever trained cells happen to be
+    nearest, and the within-cell O(cell²) stages go super-linear — the
+    r6 scaling study measured slope 15.9× at 10× input for
+    semantic_dedup under exactly that layout (see
+    results/SCALING_CURVE.md). Same TakeOrderedAndProject plan shape
+    and cost as the prefix sample; md5 ties broken by id for exact
+    determinism."""
+    return [
+        [float(v) for v in r["v"]]
+        for r in corpus.select(_c(vec_col).alias("v"), _c(id_col).alias("i"))
+        .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
+        .limit(train_sample)
+        .collect()
+    ]
 
 
 _TRAIN_CACHE: dict = {}
@@ -599,13 +641,7 @@ def _ivfpq_train(
     d = probe_row["d"]
 
     def _build():
-        sample = [
-            [float(v) for v in r["v"]]
-            for r in corpus.select(_c(vec_col).alias("v"))
-            .orderBy(_c(id_col))
-            .limit(train_sample)
-            .collect()
-        ]
+        sample = _train_sample_vectors(corpus, id_col, vec_col, train_sample)
         nm = min(n_cells, len(sample))
         nc = min(n_centroids, len(sample))
         ctr = _pq_train_codebooks(sample, 1, nm, seed)[0]
@@ -1194,13 +1230,7 @@ def pq_topk(
     d_sub = probe["d"] // n_subspaces
 
     def _build():
-        sample = [
-            [float(v) for v in r["v"]]
-            for r in corpus.select(_c(vec_col).alias("v"))
-            .orderBy(_c(id_col))
-            .limit(train_sample)
-            .collect()
-        ]
+        sample = _train_sample_vectors(corpus, id_col, vec_col, train_sample)
         # A sample smaller than n_centroids cannot seed distinct
         # centroids; clamp (recall is unaffected — every corpus row is
         # then near some centroid of the shrunken book).
@@ -1498,13 +1528,8 @@ def semantic_dedup(
         )
 
     def _fit():
-        rows = (
-            corpus.select(_c(vec_col).alias("v"))
-            .orderBy(_c(id_col))
-            .limit(train_sample)
-            .collect()
-        )
-        X = np.asarray([[float(x) for x in r["v"]] for r in rows], dtype=float)
+        rows = _train_sample_vectors(corpus, id_col, vec_col, train_sample)
+        X = np.asarray(rows, dtype=float)
         X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
         k = min(n_centroids, len(rows))
         return _pq_train_codebooks(
