@@ -1129,6 +1129,67 @@ def build_ivfpq_index(
     return idx
 
 
+def append_to_ivfpq_index(
+    spark,
+    path: str,
+    new_corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encode_strategy: str = "blas",
+) -> int:
+    """Incrementally append a batch to a persisted IVFADC index —
+    the build-once/APPEND-many half of the index contract.
+
+    The trained quantizers (coarse centers + residual codebooks in
+    ``meta.json``) are immutable: the new batch is encoded with them
+    and appended to the cell-partitioned codes table, so ingestion cost
+    is one encode pass over the NEW rows only — the existing corpus is
+    never rescanned, retrained, or rewritten (the same
+    history-never-rescanned shape as the E11 incremental rollup).
+    Because codes are a pure function of (vector, meta), an appended
+    index is row-identical to one whose build had included the batch
+    under the same meta — pinned by the append==bulk-encode and
+    query-finds-appended tests. Cell-partition layout is preserved, so
+    query-time DPP pruning is unaffected; appended files land inside
+    the existing cell directories.
+
+    Frozen-quantizer caveat (FAISS's own add-after-train contract): if
+    the new batch's direction distribution drifts far from the trained
+    sample, its vectors still land in the nearest EXISTING cells —
+    recall degrades gracefully rather than erroring; rebuild when drift
+    matters. Caller owns id uniqueness across batches (appending an
+    existing id duplicates it, as with any append-only table).
+
+    Returns the number of rows appended.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        idx = json.load(fh)
+    store_vectors = "vec" in spark.read.parquet(
+        os.path.join(path, "codes")
+    ).columns
+    coded = _ivfpq_encode(
+        new_corpus, idx, id_col, vec_col,
+        strategy=encode_strategy, keep_vec=store_vectors,
+    )
+    cols = [
+        F.col("corpus_id"),
+        F.col("__cn__").alias("cn"),
+        F.col("__codes__").alias("codes"),
+        F.col("__cell__").alias("cell"),
+    ]
+    if store_vectors:
+        cols.insert(3, F.col("__vec__").alias("vec"))
+    coded.select(*cols).write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "codes")
+    )
+    # Row count from the cheap source scan (count-only, no Python
+    # workers), not from the coded frame — that would re-run the encode.
+    return new_corpus.count()
+
+
 def ivfpq_index_topk(
     spark,
     path: str,

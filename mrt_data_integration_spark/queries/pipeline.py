@@ -508,3 +508,71 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@query(
+    "weighted_doc_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             pow(CAST(concat('0x', substr(md5('ws:' || doc_id), 1, 8))
+                      AS BIGINT) / 4294967296.0,
+                 1.0 / n_chars) AS k
+      FROM documents
+    )
+    SELECT lang, doc_id, n_chars, rk
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY k DESC, doc_id
+             ) AS rk
+      FROM keyed
+    )
+    WHERE rk <= 5
+    """,
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10: deterministic weighted sampling without replacement —
+    k docs per language with inclusion probability ∝ n_chars
+    (length-weighted, the mix-building primitive when "sample 1M docs
+    but prefer substantial ones" replaces uniform stratified gates).
+
+    Algorithm A-ES (Efraimidis & Spirakis 2006): each row gets the key
+    u^(1/w) for u ~ U(0,1); the k largest keys per stratum are exactly
+    a weighted sample without replacement. u comes from the first 8 hex
+    chars of md5('ws:' || doc_id) — the same derandomization convention
+    as `stratified_sample`'s hash gate, so the draw is reproducible on
+    any engine and independent of partitioning, and the oracle can
+    recompute it bit-for-bit (u is integer/2^32, exactly representable;
+    key ordering tolerates the last-ulp pow() difference between
+    engines because keys of distinct docs are ~uniform doubles).
+
+    Scale shape: key computation is map-only; selection is the same
+    two-stage `bounded_topk` every ANN path uses — per-partition top-k
+    feeding a bounded global sort, so no stratum ever sorts its full
+    membership in one reducer (the exact property `stratified_fixed_k_
+    sample` pins for the unweighted case)."""
+    from mrt_data_integration_spark.operators.similarity import bounded_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.pow(u, F.lit(1.0) / F.col("n_chars")).alias("__k__"),
+    )
+    return bounded_topk(
+        keyed, 5, "__k__", key_col="lang", tie_col="doc_id"
+    ).drop("__k__")

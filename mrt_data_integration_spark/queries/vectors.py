@@ -280,3 +280,33 @@ def pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     return sim.pq_topk(emb, queries_df, k=3, seed=0, index_cache_key=sf_dir)
+
+
+@query("ivfpq_appended_index_topk")
+def ivfpq_appended_index_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 (round 6): incremental index ingestion — build the persisted
+    IVFADC index over the FIRST HALF of the corpus, append the second
+    half batch-wise with `append_to_ivfpq_index` (one encode pass over
+    the new rows under the frozen quantizers; the existing codes are
+    never rescanned or rewritten), then query across both halves.
+    Rows-only driver check; tests/test_similarity.py pins append ==
+    bulk-encode row-identity and that queries surface appended
+    neighbors. This is the build-once/APPEND-many half of the index
+    story: at 100 TB a daily crawl batch costs one encode of the batch,
+    not an index rebuild."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    key = hashlib.md5(f"{sf_dir}|{mtime}|append-nc8-s0".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"mrt_ivfpq_append_{key}")
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        sim.build_ivfpq_index(half, path, n_cells=8, seed=0)
+        sim.append_to_ivfpq_index(spark, path, rest)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return sim.ivfpq_index_topk(spark, path, queries_df, emb, k=3, n_probe=4)

@@ -532,3 +532,64 @@ def test_semantic_dedup_blocked_pairs_on_one_dense_cell(spark, sf_smoke, monkeyp
     ).collect()))
     assert blocked == expr
     assert len(blocked) == 300
+
+
+def test_ivfpq_index_append_equals_bulk_encode(spark, sf_smoke, tmp_path):
+    """Incremental append: codes written by append_to_ivfpq_index must
+    be row-identical to what a bulk encode of the same rows under the
+    same (frozen) meta produces, and a query must find vectors from the
+    appended batch — the existing corpus is never rescanned."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    first = emb.filter(F.col("vec_id") < 150)
+    rest = emb.filter(F.col("vec_id") >= 150)
+    path = str(tmp_path / "idx")
+    sim.build_ivfpq_index(first, path, n_cells=4, train_sample=512)
+    n = sim.append_to_ivfpq_index(spark, path, rest)
+    assert n == rest.count()
+    table = spark.read.parquet(path + "/codes")
+    assert table.count() == emb.count()
+    # Appended rows' codes == online encode of the same rows with the
+    # same meta (codes are a pure function of vector + meta).
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        idx = json.load(fh)
+    online = sim._ivfpq_encode(rest, idx, "vec_id", "embedding",
+                               strategy="blas", keep_vec=False)
+    got = sorted(map(tuple, table.filter(F.col("corpus_id") >= 150)
+                 .select("corpus_id", "cell", "codes").collect()))
+    want = sorted(map(tuple, online
+                  .select("corpus_id", F.col("__cell__").cast("long"),
+                          "__codes__").collect()))
+    assert got == want
+    # End-to-end: a query vector from the appended batch must surface
+    # appended neighbors (the planted scaled copy has cosine 1.0).
+    q = rest.filter(F.col("vec_id") == 200)
+    planted = q.select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                       F.transform("embedding", lambda x: x * F.lit(2.0))
+                       .cast("array<float>").alias("embedding"),
+                       "label")
+    sim.append_to_ivfpq_index(spark, path, planted)
+    full = emb.unionByName(planted)
+    res = sim.ivfpq_index_topk(spark, path, q, full, k=3, n_probe=4)
+    top = res.filter("rk = 1").collect()[0]
+    assert top["corpus_id"] == 1_000_200 and top["cosine_sim"] >= 0.9999
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    """A-ES sanity: with one overwhelming weight per group, the heavy
+    row must take rank 1 (key u^(1/w) → 1 as w → ∞ for any u > 0)."""
+    from mrt_data_integration_spark.queries import QUERIES
+
+    rows = [("en", i, 1_000_000 if i == 7 else 2) for i in range(40)]
+    rows += [("de", 100 + i, 1_000_000 if i == 3 else 2) for i in range(40)]
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["lang", "doc_id", "n_chars"])
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(pdf).write.parquet(os.path.join(d, "documents.parquet"))
+    out = QUERIES["weighted_doc_sample"](spark, d).filter("rk = 1").collect()
+    got = {r["lang"]: r["doc_id"] for r in out}
+    assert got == {"en": 7, "de": 103}
