@@ -101,10 +101,12 @@ _POOL_A: list[str] = [
     "substring_chunk_pairs",
     "lang_classifier_scores",
     # r6 additions (E10 — A-ES weighted sampling; E4 — incremental index
-    # append): registered after the r6 window froze, zero driver history;
-    # POOL_A's r7 turn force-includes them per exception rule 2.
+    # append; E3×E6 — streaming ingest dedup): registered after the r6
+    # window froze, zero driver history; POOL_A's r7 turn force-includes
+    # them per exception rule 2.
     "weighted_doc_sample",
     "ivfpq_appended_index_topk",
+    "streaming_dedup_ingest",
 ]
 _POOL_B: list[str] = [
     "filter_project",

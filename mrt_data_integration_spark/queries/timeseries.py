@@ -399,3 +399,75 @@ def streaming_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_value", 4).alias("sum_value"),
         F.col("distinct_est").cast("long").alias("distinct_users_est"),
     ).orderBy("event_type")
+
+
+@query(
+    "streaming_dedup_ingest",
+    oracle="""
+    SELECT event_type,
+           count(*)                                   AS n_unique,
+           CAST(2 * count(*) AS BIGINT)               AS n_ingested
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3×E6: ingest-time exact dedup on a stream
+    (streaming/dedup.py). The events table is doubled with re-delivered
+    copies (same payload, new event_id — every copy a true duplicate),
+    re-materialized as a streamable directory, and drained through
+    ``streaming_dedup_within_watermark`` (content-fingerprint key,
+    first-arrival-wins, per-key state evicted once the watermark
+    passes). The oracle knows the survivors exactly: one per original
+    payload — so the hash check proves the stream dropped every
+    duplicate and nothing else. n_ingested documents the 2× inflow.
+
+    Scale shape: the fingerprint is map-side; the stateful dedup
+    shuffles (fingerprint) only, and state is bounded by the watermark
+    horizon — the property that lets this run forever on an unbounded
+    crawl, where batch dedup would rescan history per batch."""
+    import os
+    import tempfile
+
+    from mrt_data_integration_spark.streaming.dedup import (
+        streaming_dedup_within_watermark,
+    )
+
+    # Watermarks require TIMESTAMP (driver testdata surfaces NTZ; the
+    # session is pinned UTC so the cast is value-identity).
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    dupes = events.withColumn("event_id", F.col("event_id") + 10_000_000)
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_sdedup_src_{abs(hash(os.path.abspath(sf_dir))) % 10**8}",
+    )
+    events.unionByName(dupes).repartition(4).write.mode("overwrite").parquet(src)
+    payload = ["ts", "user_id", "event_type", "value", "props"]
+    deduped = streaming_dedup_within_watermark(
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        payload,
+        delay="365 days",
+    )
+    name = f"sdedup_mem_{abs(hash(sf_dir)) % 10**8}"
+    ck = tempfile.mkdtemp(prefix="graft_sdedup_ck_")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique"),
+            (F.count(F.lit(1)) * 2).alias("n_ingested"),
+        )
+    )

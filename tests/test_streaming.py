@@ -423,3 +423,60 @@ def test_rollup_replay_is_idempotent(spark, sf_smoke, tmp_path):
     assert _latest_version(state) == 2
     merge_batch_into_state(batches[2], 2, state, ["event_type"], "value", "user_id")
     assert snapshot() == before
+
+
+def test_streaming_dedup_matches_batch(spark, sf_smoke, tmp_path):
+    """Ingest-time exact dedup: a stream carrying re-delivered copies
+    (same payload, new event_id) must come out with exactly the batch
+    dedup's row set — both the global variant and the watermarked
+    variant under a delay long enough that no state evicts."""
+    from mrt_data_integration_spark.streaming.dedup import (
+        fingerprint,
+        streaming_dedup_global,
+        streaming_dedup_within_watermark,
+    )
+    from mrt_data_integration_spark.streaming.windows import (
+        EVENTS_STREAM_SCHEMA,
+        read_event_stream,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").limit(2000)
+    dupes = ev.withColumn("event_id", F.col("event_id") + 10_000_000)
+    src = str(tmp_path / "src")
+    ev.unionByName(dupes).repartition(4).write.parquet(src)
+    payload = ["ts", "user_id", "event_type", "value", "props"]
+
+    def drain(stream_df, name):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+
+    want = (
+        fingerprint(ev.unionByName(dupes), payload)
+        .dropDuplicates(["__fp__"])
+        .count()
+    )
+    assert want == ev.count()  # every copy is a true duplicate
+    got_g = drain(
+        streaming_dedup_global(read_event_stream(spark, src), payload), "dd_g"
+    )
+    assert got_g.count() == want
+    got_w = drain(
+        streaming_dedup_within_watermark(
+            read_event_stream(spark, src), payload, delay="365 days"
+        ),
+        "dd_w",
+    )
+    assert got_w.count() == want
+    # payload sets agree with batch exactly (first-arrival-wins on a
+    # duplicate pair is payload-identical by construction)
+    b = set(map(tuple, fingerprint(ev, payload).select("__fp__").distinct().collect()))
+    s = set(map(tuple, fingerprint(got_g, payload).select("__fp__").distinct().collect()))
+    assert b == s
