@@ -71,6 +71,13 @@ HEADLINE = [
     "funnel_conversion",
     "campaign_event_attribution",
     "semantic_dedup_summary",
+    # r6 additions: weighted per-stratum sampling (bounded_topk over
+    # A-ES keys), the appended persisted index's query path, and the
+    # watermark-stateful streaming dedup drain — three new physical
+    # shapes, tracked per round from first registration
+    "weighted_doc_sample",
+    "ivfpq_appended_index_topk",
+    "streaming_dedup_ingest",
 ]
 
 
