@@ -223,3 +223,25 @@ def test_heavy_hitters_total_is_broadcast(spark, sf_smoke):
     # single-row frame, never a cartesian of real data
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_prunes_text_and_ranks_two_stage(spark, sf_smoke):
+    """The A-ES sampler must never read the text column (its keys come
+    from doc_id/n_chars only) and must select via the two-stage bounded
+    ranking — two window passes, not one global per-stratum sort."""
+    plan = _explain(spark, "weighted_doc_sample", sf_smoke)
+    sched = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" not in sched, "weighted sample reads document bodies"
+    simple = _explain(spark, "weighted_doc_sample", sf_smoke, "simple")
+    assert simple.count("RunningWindowFunction") >= 2 or simple.count("Window") >= 2
+    assert "EvalPython" not in simple
+
+
+def test_appended_index_query_still_prunes_partitions(spark, sf_smoke):
+    """Appending batches must not break the cell-partitioned layout:
+    the probe join over an appended index still plans dynamic partition
+    pruning on the codes scan."""
+    plan = _explain(spark, "ivfpq_appended_index_topk", sf_smoke)
+    assert "dynamicpruning" in plan.lower() or "DynamicPruning" in plan, (
+        "appended index lost DPP on the cell join"
+    )
