@@ -18,6 +18,14 @@ sweep-at-next-build released them early — losing the cache benefit for
 persists and BREAKING lineage-truncated local checkpoints. Frames tracked
 outside any query build go to a session-global list swept at the next
 query invocation (legacy behavior) and at interpreter exit.
+
+Lifetime contract: the finalizer watches the EXACT result object the
+registry returned. A frame derived from it (``result.filter(...)``)
+does not keep the result alive — hold (or collect) the returned frame
+itself before dropping it if derived plans still need its caches. This
+is the same consume-before-dropping contract the serial driver already
+follows; the r6 change widens what is safe (hold result → caches live),
+it cannot widen it to plans the tracker has no handle on.
 """
 
 from __future__ import annotations
@@ -34,8 +42,16 @@ _LOCK = threading.Lock()
 _TRACKED: list[DataFrame] = []
 _CHECKPOINTED: list[tuple] = []
 
-# Open generations (innermost last); each is {"frames": [...], "ckpts": [...]}.
-_GEN_STACK: list[dict] = []
+# Open generations, PER DRIVER THREAD (innermost last); each generation
+# is {"frames": [...], "ckpts": [...]}. Keyed by thread id rather than a
+# single shared stack: two driver threads building registered queries
+# concurrently (the standard parallel-job-submission pattern) must not
+# attribute one thread's caches to the other's result.
+_GEN_STACKS: dict[int, list[dict]] = {}
+
+
+def _stack() -> list[dict]:
+    return _GEN_STACKS.setdefault(threading.get_ident(), [])
 
 # Generations whose result frame has been garbage-collected — released at
 # the next sweep_pending()/sweep_caches().
@@ -50,8 +66,9 @@ def track_cache(df: DataFrame) -> DataFrame:
     """Register a persisted frame for release when its query's result is
     dropped (inside a query build) or at the next registry sweep."""
     with _LOCK:
-        if _GEN_STACK:
-            _GEN_STACK[-1]["frames"].append(df)
+        stack = _stack()
+        if stack:
+            stack[-1]["frames"].append(df)
         else:
             _TRACKED.append(df)
     return df
@@ -84,8 +101,9 @@ def checkpoint_tracked(df: DataFrame) -> DataFrame:
         new_ids = tuple(sorted(after - before))
         if new_ids:
             with _LOCK:
-                if _GEN_STACK:
-                    _GEN_STACK[-1]["ckpts"].append((sc, new_ids))
+                stack = _stack()
+                if stack:
+                    stack[-1]["ckpts"].append((sc, new_ids))
                 else:
                     _CHECKPOINTED.append((sc, new_ids))
     except Exception:
@@ -101,12 +119,13 @@ def untrack(df: DataFrame) -> None:
             return
         except ValueError:
             pass
-        for gen in _GEN_STACK:
-            try:
-                gen["frames"].remove(df)
-                return
-            except ValueError:
-                continue
+        for stack in _GEN_STACKS.values():
+            for gen in stack:
+                try:
+                    gen["frames"].remove(df)
+                    return
+                except ValueError:
+                    continue
 
 
 def begin_generation() -> dict:
@@ -115,7 +134,7 @@ def begin_generation() -> dict:
     nests cleanly)."""
     gen = {"frames": [], "ckpts": []}
     with _LOCK:
-        _GEN_STACK.append(gen)
+        _stack().append(gen)
     return gen
 
 
@@ -128,10 +147,14 @@ def end_generation(gen: dict, result: DataFrame | None) -> None:
     immediately — equivalent to the old sweep-at-next-build timing.
     """
     with _LOCK:
-        try:
-            _GEN_STACK.remove(gen)
-        except ValueError:
-            pass
+        stack = _stack()
+        # Identity scan, NOT list.remove: remove() compares dicts by
+        # value, and two empty generations are equal — a nested build
+        # closing its (empty) inner generation would pop the OUTER one.
+        for i, g in enumerate(stack):
+            if g is gen:
+                del stack[i]
+                break
         if not gen["frames"] and not gen["ckpts"]:
             return
         gid = _NEXT_GEN_ID[0]
@@ -199,7 +222,8 @@ def sweep_caches() -> int:
     scopes, and session-global frames; returns the number released.
     (Explicit full release for tests and interpreter exit.)"""
     with _LOCK:
-        gens = list(_PENDING) + list(_LIVE_GENERATIONS.values()) + list(_GEN_STACK)
+        open_gens = [g for s in _GEN_STACKS.values() for g in s]
+        gens = list(_PENDING) + list(_LIVE_GENERATIONS.values()) + open_gens
         _PENDING.clear()
         _LIVE_GENERATIONS.clear()
         frames = list(_TRACKED)

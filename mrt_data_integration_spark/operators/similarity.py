@@ -1035,10 +1035,14 @@ def ivfpq_topk(
         id_col, vec_col, index_cache_key,
     )
     if idx is None:  # empty corpus → no neighbors for any query
-        id_type = corpus.schema[id_col].dataType.simpleString()
+        # Each id column types from ITS OWN side's schema — typing
+        # query_id from the corpus would make the same call site's
+        # schema data-dependent (non-empty corpus → queries' type).
+        cid_type = corpus.schema[id_col].dataType.simpleString()
+        qid_type = queries.schema[id_col].dataType.simpleString()
         return corpus.sparkSession.createDataFrame(
             [],
-            f"query_id {id_type}, corpus_id {id_type}, "
+            f"query_id {qid_type}, corpus_id {cid_type}, "
             "cosine_sim double, rk int",
         )
     coded_key = None if index_cache_key is None else (
@@ -1282,10 +1286,14 @@ def pq_topk(
     """
     probe = corpus.select(F.size(_c(vec_col)).alias("d")).first()
     if probe is None:  # empty corpus → no neighbors for any query
-        id_type = corpus.schema[id_col].dataType.simpleString()
+        # Each id column types from ITS OWN side's schema — typing
+        # query_id from the corpus would make the same call site's
+        # schema data-dependent (non-empty corpus → queries' type).
+        cid_type = corpus.schema[id_col].dataType.simpleString()
+        qid_type = queries.schema[id_col].dataType.simpleString()
         return corpus.sparkSession.createDataFrame(
             [],
-            f"query_id {id_type}, corpus_id {id_type}, "
+            f"query_id {qid_type}, corpus_id {cid_type}, "
             "cosine_sim double, rk int",
         )
     d_sub = probe["d"] // n_subspaces

@@ -199,8 +199,8 @@ _CORE: list[str] = [
 # again would break the no-query-waits-more-than-two-rounds invariant);
 # sixteen CORE members with fresh green r5 rows sit out instead — shapes
 # stay covered:
-# `pricing_summary` + `group_moment_stats` (scan + grouped agg) by
-#   `exact_percentiles` + `colsums_single_row`; both bench-tracked,
+# `group_moment_stats` (scan + grouped agg) by `exact_percentiles` +
+#   `colsums_single_row` + `pricing_summary` (returning); bench-tracked,
 # `cluster_score_meat` (two-level cluster agg) by `weighted_gram` (grouped
 #   gram) + `wcls_large_panel` (same meat path inside the fit);
 #   bench-tracked,
@@ -225,13 +225,17 @@ _CORE: list[str] = [
 # `lsh_candidate_pairs` (band self-join) by `ngram_jaccard_pairs_prefix`
 #   (returning pair join) + `semantic_dedup_summary`; bench-tracked,
 # `ngram_jaccard_pairs` by `ngram_jaccard_pairs_prefix` (returning — same
-#   join, prefix-filtered); bench-tracked.
+#   join, prefix-filtered); bench-tracked,
+# `bpe_ish_token_counts` (tokenizer exprs, fresh r5 row) by
+#   `tfidf_top_terms` (returning) + `document_chunking`.
 # Staying in despite fresh r5 rows: `relative_efficiency` (reference-row
 # normalization has no other in-window representative), `distinct_exact` +
 # `doc_fingerprint_dedup` (exact-dedup shape — none of the returning
-# thirteen covers it), `bpe_ish_token_counts` (fills the 50th slot).
+# thirteen covers it). ALL thirteen r5 sit-outs return, pricing_summary
+# included — the no-query-waits-more-than-two-rounds invariant holds with
+# no exceptions (test_window_policy.py pins it).
 _R6_SIT_OUT = (
-    "pricing_summary",
+    "bpe_ish_token_counts",
     "cluster_score_meat",
     "group_moment_stats",
     "group_best_highlight",

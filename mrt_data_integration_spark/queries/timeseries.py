@@ -13,6 +13,17 @@ from mrt_data_integration_spark.queries.registry import query
 from mrt_data_integration_spark.sources import load_table
 
 
+def _stable_key(sf_dir: str) -> str:
+    """Process-stable digest for reusable staging-dir names. Python's
+    hash() is salted per process (PYTHONHASHSEED), so a hash()-derived
+    name never actually reuses the directory — every run writes a fresh
+    copy and the old ones accumulate in /tmp forever."""
+    import hashlib
+    import os
+
+    return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+
+
 @query(
     "events_hourly_rollup",
     oracle="""
@@ -212,7 +223,7 @@ def stateful_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     d = os.path.join(
         tempfile.gettempdir(),
-        f"graft_stream_{abs(hash(os.path.abspath(sf_dir))) % 10**8}",
+        f"graft_stream_{_stable_key(sf_dir)}",
     )
     events.repartition(4).write.mode("overwrite").parquet(d)
     name = f"capped_sess_{uuid.uuid4().hex[:8]}"
@@ -378,7 +389,7 @@ def streaming_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     src = os.path.join(
         tempfile.gettempdir(),
-        f"graft_rollup_src_{abs(hash(os.path.abspath(sf_dir))) % 10**8}",
+        f"graft_rollup_src_{_stable_key(sf_dir)}",
     )
     events.repartition(4).write.mode("overwrite").parquet(src)
     state = tempfile.mkdtemp(prefix="graft_rollup_state_")
@@ -427,7 +438,9 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon — the property that lets this run forever on an unbounded
     crawl, where batch dedup would rescan history per batch."""
     import os
+    import shutil
     import tempfile
+    import uuid
 
     from mrt_data_integration_spark.streaming.dedup import (
         streaming_dedup_within_watermark,
@@ -441,7 +454,7 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     dupes = events.withColumn("event_id", F.col("event_id") + 10_000_000)
     src = os.path.join(
         tempfile.gettempdir(),
-        f"graft_sdedup_src_{abs(hash(os.path.abspath(sf_dir))) % 10**8}",
+        f"graft_sdedup_src_{_stable_key(sf_dir)}",
     )
     events.unionByName(dupes).repartition(4).write.mode("overwrite").parquet(src)
     payload = ["ts", "user_id", "event_type", "value", "props"]
@@ -452,7 +465,7 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload,
         delay="365 days",
     )
-    name = f"sdedup_mem_{abs(hash(sf_dir)) % 10**8}"
+    name = f"sdedup_mem_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix="graft_sdedup_ck_")
     q = (
         deduped.writeStream.format("memory")
@@ -463,6 +476,10 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # availableNow drained to completion and the query never resumes —
+    # the checkpoint (dedup state store included) is dead weight; remove
+    # it instead of accumulating one per invocation in /tmp.
+    shutil.rmtree(ck, ignore_errors=True)
     return (
         spark.table(name)
         .groupBy("event_type")

@@ -257,10 +257,12 @@ def ivfpq_index_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regenerated corpus or changed layout rebuilds instead of reusing.
     src = os.path.join(sf_dir, "embeddings.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    # v2: store-vectors layout + blas encode (stale v1 dirs are left
-    # behind and ignored; the fallback re-rank would still be correct,
-    # but the pruned re-rank path is the one the bench should measure)
-    key = hashlib.md5(f"{sf_dir}|{mtime}|v2-nc8-s0".encode()).hexdigest()[:12]
+    # v3: r6 quantizer-training change (md5-ordered sample + gemm-form
+    # Lloyd) — the key must rev on ANY training change or a stale
+    # pre-change index is silently reused and the pinned
+    # persisted==online identity breaks (v2: store-vectors layout;
+    # stale old dirs are left behind and ignored)
+    key = hashlib.md5(f"{sf_dir}|{mtime}|v3-nc8-s0".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"mrt_ivfpq_index_{key}")
     if not os.path.exists(os.path.join(path, "meta.json")):
         sim.build_ivfpq_index(emb, path, n_cells=8, seed=0)
@@ -303,10 +305,17 @@ def ivfpq_appended_index_topk_query(spark: SparkSession, sf_dir: str) -> DataFra
     rest = emb.filter(F.col("vec_id") % 2 == 1)
     src = os.path.join(sf_dir, "embeddings.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    key = hashlib.md5(f"{sf_dir}|{mtime}|append-nc8-s0".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}|{mtime}|append-v3-nc8-s0".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"mrt_ivfpq_append_{key}")
-    if not os.path.exists(os.path.join(path, "meta.json")):
+    # Completion sentinel, not meta.json: build_ivfpq_index writes
+    # meta.json BEFORE the append runs, so a crash between the two would
+    # otherwise leave a half-empty index that every later invocation
+    # silently reuses.
+    done = os.path.join(path, "_APPEND_DONE")
+    if not os.path.exists(done):
         sim.build_ivfpq_index(half, path, n_cells=8, seed=0)
         sim.append_to_ivfpq_index(spark, path, rest)
+        with open(done, "w") as fh:
+            fh.write("ok")
     queries_df = emb.filter(F.col("vec_id") < 5)
     return sim.ivfpq_index_topk(spark, path, queries_df, emb, k=3, n_probe=4)

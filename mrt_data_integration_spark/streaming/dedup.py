@@ -29,13 +29,28 @@ from pyspark.sql import functions as F
 
 
 def fingerprint(df: DataFrame, payload_cols: list[str]) -> DataFrame:
-    """Attach the content fingerprint (md5 over the payload columns,
-    null-safe via explicit casts) used as the dedup key."""
+    """Attach the content fingerprint (md5 over the payload columns)
+    used as the dedup key.
+
+    Fields are joined with an explicit unit-separator delimiter and
+    NULLs mapped to a sentinel: an undelimited concat lets one field
+    bleed into the next ((value=1.5, props='promo') would equal
+    (value=NULL, props='1.5promo')) and concat_ws silently SKIPS nulls
+    (a NULL field would hash like an absent one, colliding with the
+    empty string), both of which wrongly dedup distinct payloads.
+    \x1f cannot occur in a cast-to-string numeric/timestamp and is
+    vanishingly rare in text --- same exposure class as the delimited
+    band keys in operators/dedup.py."""
+    sep = "\x1f"
     return df.withColumn(
         "__fp__",
         F.md5(
             F.concat_ws(
-                "", *[F.col(c).cast("string") for c in payload_cols]
+                sep,
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit(sep + "NULL"))
+                    for c in payload_cols
+                ],
             )
         ),
     )

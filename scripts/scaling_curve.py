@@ -117,6 +117,24 @@ def replicate_embeddings(emb, k):
     return out
 
 
+# Which replicated inputs each op needs — consulted BEFORE replication
+# so a filtered run (SPARK_GRAFT_SCALING_OPS=...) only pays for the
+# datasets/indexes its ops actually read.
+OP_INPUTS = {
+    "exact_dedup": {"docs"},
+    "minhash_lsh_pairs": {"docs"},
+    "ngram_jaccard_capped": {"docs"},
+    "simhash": {"docs"},
+    "heavy_hitters": {"events"},
+    "sessionize": {"events"},
+    "hourly_rollup": {"events"},
+    "dedup_clusters": {"docs"},
+    "semantic_dedup": {"emb"},
+    "funnel_conversion": {"events"},
+    "ivfpq_index_query": {"emb", "index"},
+}
+
+
 def main() -> None:
     spark = get_spark("scaling-curve")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -124,6 +142,12 @@ def main() -> None:
     base_ev = load_table(spark, SF_DIR, "events")
     base_emb = load_table(spark, SF_DIR, "embeddings")
     work = tempfile.mkdtemp(prefix="graft_scaling_")
+
+    only = os.environ.get("SPARK_GRAFT_SCALING_OPS")
+    wanted_ops = set(only.split(",")) if only else set(OP_INPUTS)
+    needed = set()
+    for op in wanted_ops:
+        needed |= OP_INPUTS.get(op, set())
 
     # Embeddings are tiny at sf0.1 (2k vectors) — measure the vector
     # shapes at 30× that base so the 1x point is past fixed overhead:
@@ -135,11 +159,14 @@ def main() -> None:
         dpath = os.path.join(work, f"docs_{k}x")
         epath = os.path.join(work, f"events_{k}x")
         vpath = os.path.join(work, f"emb_{k}x")
-        replicate_docs(base_docs, k).repartition(32).write.parquet(dpath)
-        replicate_events(base_ev, k).repartition(32).write.parquet(epath)
-        replicate_embeddings(base_emb, EMB_BASE * k).repartition(32).write.parquet(
-            vpath
-        )
+        if "docs" in needed:
+            replicate_docs(base_docs, k).repartition(32).write.parquet(dpath)
+        if "events" in needed:
+            replicate_events(base_ev, k).repartition(32).write.parquet(epath)
+        if "emb" in needed:
+            replicate_embeddings(base_emb, EMB_BASE * k).repartition(
+                32
+            ).write.parquet(vpath)
         datasets[k] = (dpath, epath, vpath)
 
     def docs(k):
@@ -158,12 +185,13 @@ def main() -> None:
     # per-cell candidate lists stay bounded.
     ann_queries = base_emb.limit(16)
     index_paths = {}
-    for k in SCALES:
-        ipath = os.path.join(work, f"ivfpq_{k}x")
-        sim.build_ivfpq_index(
-            emb(k), ipath, n_cells=16 * k, train_sample=4096
-        )
-        index_paths[k] = ipath
+    if "index" in needed:
+        for k in SCALES:
+            ipath = os.path.join(work, f"ivfpq_{k}x")
+            sim.build_ivfpq_index(
+                emb(k), ipath, n_cells=16 * k, train_sample=4096
+            )
+            index_paths[k] = ipath
 
     ops = {
         "exact_dedup": lambda k: dd.exact_dedup(docs(k)).count(),
@@ -203,10 +231,7 @@ def main() -> None:
         ).count(),
     }
 
-    only = os.environ.get("SPARK_GRAFT_SCALING_OPS")
-    if only:
-        wanted = set(only.split(","))
-        ops = {n: f for n, f in ops.items() if n in wanted}
+    ops = {n: f for n, f in ops.items() if n in wanted_ops}
 
     results = {}
     for name, fn in ops.items():

@@ -131,3 +131,56 @@ def test_build_several_then_collect_keeps_pending_caches(spark, sf_smoke):
     gc.collect()
     QUERIES[TRIGGER](spark, sf_smoke).limit(5).collect()
     assert _n_persisted(spark) <= baseline + 1  # singleton panel may pin
+
+
+def test_nested_empty_generation_removes_itself_not_outer(spark, sf_smoke):
+    """list.remove on dicts compares by VALUE — two empty generations
+    are equal, so a nested build closing its empty inner generation
+    used to pop the OUTER one, stranding the outer query's caches in an
+    abandoned dict forever. Removal must be by identity."""
+    from mrt_data_integration_spark import cache_registry as cr
+
+    sweep_caches()
+    outer = cr.begin_generation()
+    inner = cr.begin_generation()  # empty, value-equal to outer
+    cr.end_generation(inner, None)
+    # outer must still be the open scope and receive this cache
+    class FakeDF:
+        def unpersist(self):
+            self.released = True
+    fake = FakeDF()
+    cr.track_cache(fake)
+    assert outer["frames"] == [fake]
+    cr.end_generation(outer, None)  # queues (no result)
+    assert cr.sweep_pending() >= 1 and getattr(fake, "released", False)
+
+
+def test_generations_are_per_thread(spark):
+    """Concurrent builds on two driver threads must not cross-attribute
+    caches (the stack is keyed by thread id)."""
+    import threading
+
+    from mrt_data_integration_spark import cache_registry as cr
+
+    sweep_caches()
+    main_gen = cr.begin_generation()
+    seen = {}
+
+    def other_thread():
+        g = cr.begin_generation()
+
+        class FakeDF:
+            def unpersist(self):
+                pass
+
+        f = FakeDF()
+        cr.track_cache(f)
+        seen["gen"], seen["f"] = g, f
+        cr.end_generation(g, None)
+
+    t = threading.Thread(target=other_thread)
+    t.start(); t.join()
+    assert seen["gen"]["frames"] == [seen["f"]]
+    assert main_gen["frames"] == []  # nothing leaked across threads
+    cr.end_generation(main_gen, None)
+    sweep_caches()

@@ -480,3 +480,16 @@ def test_streaming_dedup_matches_batch(spark, sf_smoke, tmp_path):
     b = set(map(tuple, fingerprint(ev, payload).select("__fp__").distinct().collect()))
     s = set(map(tuple, fingerprint(got_g, payload).select("__fp__").distinct().collect()))
     assert b == s
+
+
+def test_fingerprint_distinguishes_null_and_bleed(spark):
+    """Delimiter + null sentinel: (1.5, 'promo') vs (NULL, '1.5promo')
+    and NULL vs '' must get DIFFERENT fingerprints."""
+    from mrt_data_integration_spark.streaming.dedup import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, 1.5, "promo"), (2, None, "1.5promo"), (3, None, ""), (4, None, None)],
+        "id long, value double, props string",
+    )
+    fps = {r["id"]: r["__fp__"] for r in fingerprint(df, ["value", "props"]).collect()}
+    assert len(set(fps.values())) == 4

@@ -52,11 +52,5 @@ def test_no_query_waits_more_than_two_rounds():
         "regr_by_group", "tfidf_top_terms", "rollup_hierarchy",
         "star_join_revenue", "pricing_summary",
     )
-    back = [n for n in r5_sat_out if n in window]
-    # pricing_summary is the one exception: bench-tracked every round and
-    # shape-covered; everything else must be back.
     missing = [n for n in r5_sat_out if n not in window]
-    assert missing == ["pricing_summary"] or not missing, (
-        f"r5 sit-outs not returned in r6: {missing}"
-    )
-    assert len(back) >= 12
+    assert not missing, f"r5 sit-outs not returned in r6: {missing}"
