@@ -78,6 +78,7 @@ HEADLINE = [
     "weighted_doc_sample",
     "ivfpq_appended_index_topk",
     "streaming_dedup_ingest",
+    "lsh_store_ingest_candidates",
 ]
 
 

@@ -291,6 +291,148 @@ def dedup_against_reference(
     return _attach_cache(out, list(getattr(cands, "__graft_cached__", ())))
 
 
+def build_lsh_signature_store(
+    docs: DataFrame,
+    path: str,
+    n_hashes: int = 4,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist a corpus's MinHash signatures as an LSH probe store —
+    the build-once/append-many layout for INCREMENTAL text dedup (the
+    E3 twin of the persisted IVFADC index).
+
+    Writes ``{path}/bands`` — (ref_id, band_key) rows partitioned by
+    band_id, sorted by band_key within files so selective probes prune
+    on row-group min/max — and ``{path}/sigs`` (the full signatures,
+    for the agreement verify), plus ``meta.json`` pinning the hash
+    parameters (a probe or append with different parameters would
+    silently produce garbage candidates; they are validated instead).
+
+    Why persist: ``lsh_cross_candidates`` re-shingles the REFERENCE
+    corpus on every batch — at a 100 TB training set vs a daily crawl
+    batch that is a daily full-corpus scan. The store amortizes it to
+    one scan ever; each ingest then costs one scan of the BATCH plus a
+    band-keyed join in which the store side never shuffles (the batch's
+    band frame is small → broadcast, by AQE or threshold).
+    """
+    import json
+    import os
+
+    sigs, bands = _banded_signatures(
+        docs, id_col, text_col, n_hashes, band_size, shingle_n, "ref_id"
+    )
+    (
+        bands.repartition(F.col("band_id"))
+        .sortWithinPartitions("band_id", "band_key")
+        .write.mode("overwrite")
+        .partitionBy("band_id")
+        .parquet(os.path.join(path, "bands"))
+    )
+    sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(
+            {
+                "n_hashes": n_hashes,
+                "band_size": band_size,
+                "shingle_n": shingle_n,
+            },
+            fh,
+        )
+    # The tracked signature persist fed both writes; release it now —
+    # the store on disk is the reusable artifact, not the cache.
+    sigs.unpersist()
+    untrack(sigs)
+
+
+def _read_lsh_store_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        return json.load(fh)
+
+
+def append_to_lsh_signature_store(
+    docs_batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Append a batch's signatures to a persisted store (one scan of
+    the batch; the stored corpus is never rescanned or rewritten).
+    Caller owns id uniqueness across batches. Returns rows appended."""
+    import os
+
+    meta = _read_lsh_store_meta(path)
+    sigs, bands = _banded_signatures(
+        docs_batch, id_col, text_col,
+        meta["n_hashes"], meta["band_size"], meta["shingle_n"], "ref_id",
+    )
+    (
+        bands.repartition(F.col("band_id"))
+        .sortWithinPartitions("band_id", "band_key")
+        .write.mode("append")
+        .partitionBy("band_id")
+        .parquet(os.path.join(path, "bands"))
+    )
+    sigs.write.mode("append").parquet(os.path.join(path, "sigs"))
+    sigs.unpersist()
+    untrack(sigs)
+    return docs_batch.count()
+
+
+def lsh_store_candidates(
+    spark,
+    path: str,
+    df_new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_sig_agreement: float = 0.0,
+) -> DataFrame:
+    """Near-dup candidates of a NEW batch against a persisted signature
+    store: (new_id, ref_id, sig_agreement) for pairs sharing ≥1 full
+    band, with the fraction of agreeing minhashes as the Jaccard
+    estimate — same semantics as ``lsh_cross_candidates`` with the
+    reference side read from the store instead of re-shingled
+    (differential-tested equal). The batch is scanned once; the store's
+    band table streams through one join keyed by (band_id, band_key)."""
+    import os
+
+    meta = _read_lsh_store_meta(path)
+    n_hashes = meta["n_hashes"]
+    sigs_new, bands_new = _banded_signatures(
+        df_new, id_col, text_col,
+        n_hashes, meta["band_size"], meta["shingle_n"], "new_id",
+    )
+    bands_ref = spark.read.parquet(os.path.join(path, "bands")).select(
+        "ref_id", F.col("band_id").cast("int").alias("band_id"), "band_key"
+    )
+    sigs_ref = spark.read.parquet(os.path.join(path, "sigs"))
+    cands = (
+        bands_new.join(bands_ref, ["band_id", "band_key"])
+        .select("new_id", "ref_id")
+        .distinct()
+    )
+    sig_n = F.array(*[F.col(f"n.minhash_{s}") for s in range(n_hashes)])
+    sig_r = F.array(*[F.col(f"r.minhash_{s}") for s in range(n_hashes)])
+    agree = (
+        F.size(F.filter(F.zip_with(sig_n, sig_r, lambda x, y: x == y), lambda b: b))
+        / float(n_hashes)
+    )
+    out = (
+        cands.join(sigs_new.alias("n"), "new_id")
+        .join(sigs_ref.alias("r"), "ref_id")
+        .select("new_id", "ref_id", F.round(agree, 4).alias("sig_agreement"))
+    )
+    if min_sig_agreement > 0.0:
+        out = out.filter(F.col("sig_agreement") >= min_sig_agreement)
+    return _attach_cache(out, [sigs_new])
+
+
 def simhash(text: Column | str, n_bits: int = 16) -> Column:
     """SimHash over word tokens: per-bit majority vote of token-md5 bits.
 

@@ -107,6 +107,7 @@ _POOL_A: list[str] = [
     "weighted_doc_sample",
     "ivfpq_appended_index_topk",
     "streaming_dedup_ingest",
+    "lsh_store_ingest_candidates",
 ]
 _POOL_B: list[str] = [
     "filter_project",

@@ -799,3 +799,68 @@ def char_trigram_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("lp"), 4).alias("avg_logprob"),
         F.round(F.exp(-F.avg("lp")), 2).alias("perplexity"),
     )
+
+
+@query(
+    "lsh_store_ingest_candidates",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id,
+             list_min(list_transform({_SHINGLES}, x -> md5('seed0:' || x))) AS mh0,
+             list_min(list_transform({_SHINGLES}, x -> md5('seed1:' || x))) AS mh1,
+             list_min(list_transform({_SHINGLES}, x -> md5('seed2:' || x))) AS mh2,
+             list_min(list_transform({_SHINGLES}, x -> md5('seed3:' || x))) AS mh3
+      FROM documents
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, md5(mh2 || '|' || mh3) AS band_key FROM sigs
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+    )
+    SELECT c.new_id, c.ref_id,
+           round((CASE WHEN n.mh0 = r.mh0 THEN 1 ELSE 0 END
+                + CASE WHEN n.mh1 = r.mh1 THEN 1 ELSE 0 END
+                + CASE WHEN n.mh2 = r.mh2 THEN 1 ELSE 0 END
+                + CASE WHEN n.mh3 = r.mh3 THEN 1 ELSE 0 END) / 4.0, 4)
+             AS sig_agreement
+    FROM cands c
+    JOIN sigs n ON n.doc_id = c.new_id
+    JOIN sigs r ON r.doc_id = c.ref_id
+    """,
+)
+def lsh_store_ingest_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 (round 6): incremental text-dedup ingest against a PERSISTED
+    LSH signature store (operators.dedup.build_lsh_signature_store /
+    lsh_store_candidates) — the even-id half of the corpus is the
+    stored "training set", the odd-id half the incoming batch; returns
+    candidate pairs + the minhash Jaccard estimate. The store is built
+    once per corpus under a content-keyed temp dir (build-once/
+    probe-many); each probe scans only the BATCH and joins the stored
+    band table without re-shingling the reference — at 100 TB the
+    difference between a daily full-corpus scan and a daily batch scan.
+    The DuckDB oracle recomputes both sides' signatures from scratch,
+    so the hash check covers store write, read-back, and the probe join
+    end-to-end."""
+    import hashlib
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    src = os.path.join(sf_dir, "documents.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    key = hashlib.md5(f"{sf_dir}|{mtime}|lshstore-v1-4x2".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"mrt_lsh_store_{key}")
+    done = os.path.join(path, "_BUILD_DONE")
+    if not os.path.exists(done):
+        dd.build_lsh_signature_store(ref, path, n_hashes=4, band_size=2)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return dd.lsh_store_candidates(spark, path, new)

@@ -218,3 +218,44 @@ def test_cross_corpus_join_is_band_keyed(spark, sf_smoke):
     dd.release_cache(df)
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_lsh_store_matches_cross_candidates(spark, sf_smoke, tmp_path):
+    """The persisted signature store must produce the SAME candidate
+    pairs + agreement estimates as the recompute-both-sides
+    lsh_cross_candidates, and appending batches must equal a bulk
+    build (signatures are pure functions of text + params)."""
+    from mrt_data_integration_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_smoke, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    # new batch: odd ids, with planted copies of reference docs
+    copies = ref.limit(5).select(
+        (F.col("doc_id") + 1_000_001).alias("doc_id"), "text", "lang",
+        "source", "n_chars",
+    )
+    new = docs.filter(F.col("doc_id") % 2 == 1).unionByName(copies)
+
+    path = str(tmp_path / "store")
+    dd.build_lsh_signature_store(ref, path, n_hashes=4, band_size=2)
+    got = sorted(map(tuple, dd.lsh_store_candidates(
+        spark, path, new
+    ).collect()))
+    want = sorted(map(tuple, dd.lsh_cross_candidates(
+        new, ref, n_hashes=4, band_size=2
+    ).collect()))
+    assert got == want and len(got) >= 5  # planted copies all surface
+
+    # incremental: half-build + append == bulk build
+    path2 = str(tmp_path / "store2")
+    dd.build_lsh_signature_store(
+        ref.filter(F.col("doc_id") % 4 == 0), path2, n_hashes=4, band_size=2
+    )
+    n = dd.append_to_lsh_signature_store(
+        ref.filter(F.col("doc_id") % 4 == 2), path2
+    )
+    assert n == ref.filter(F.col("doc_id") % 4 == 2).count()
+    got2 = sorted(map(tuple, dd.lsh_store_candidates(
+        spark, path2, new
+    ).collect()))
+    assert got2 == want
