@@ -132,6 +132,7 @@ OP_INPUTS = {
     "semantic_dedup": {"emb"},
     "funnel_conversion": {"events"},
     "ivfpq_index_query": {"emb", "index"},
+    "lsh_store_probe": {"docs", "lsh_store"},
 }
 
 
@@ -183,6 +184,24 @@ def main() -> None:
     # region — the r5 verdict asks for the QUERY path's slope; the
     # cell count grows with the corpus (the documented IVF contract) so
     # per-cell candidate lists stay bounded.
+    # Persisted LSH signature store per scale, built outside the timed
+    # region; the probe batch is FIXED (200 docs) — the claim under test
+    # is that probe cost is flat in store size (the store side streams
+    # through one band join, never rescans).
+    probe_batch = base_docs.limit(200).select(
+        (F.col("doc_id") + 77_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    store_paths = {}
+    if "lsh_store" in needed:
+        for k in SCALES:
+            spath = os.path.join(work, f"lsh_store_{k}x")
+            dd.build_lsh_signature_store(
+                spark.read.parquet(datasets[k][0]), spath,
+                n_hashes=4, band_size=2,
+            )
+            store_paths[k] = spath
+
     ann_queries = base_emb.limit(16)
     index_paths = {}
     if "index" in needed:
@@ -228,6 +247,9 @@ def main() -> None:
         ).count(),
         "ivfpq_index_query": lambda k: sim.ivfpq_index_topk(
             spark, index_paths[k], ann_queries, emb(k), k=5, n_probe=4
+        ).count(),
+        "lsh_store_probe": lambda k: dd.lsh_store_candidates(
+            spark, store_paths[k], probe_batch
         ).count(),
     }
 
