@@ -79,6 +79,7 @@ HEADLINE = [
     "ivfpq_appended_index_topk",
     "streaming_dedup_ingest",
     "lsh_store_ingest_candidates",
+    "corpus_ingest_pipeline",
 ]
 
 

@@ -108,6 +108,7 @@ _POOL_A: list[str] = [
     "ivfpq_appended_index_topk",
     "streaming_dedup_ingest",
     "lsh_store_ingest_candidates",
+    "corpus_ingest_pipeline",
 ]
 _POOL_B: list[str] = [
     "filter_project",

@@ -576,3 +576,135 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bounded_topk(
         keyed, 5, "__k__", key_col="lang", tie_col="doc_id"
     ).drop("__k__")
+
+
+@query(
+    "corpus_ingest_pipeline",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, text,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    dedup AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fp
+      ) WHERE rn = 1
+    ),
+    toks AS (
+      SELECT doc_id, text,
+             len(string_split_regex(text, '\\s+')) AS n_tokens,
+             1.0 - CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS DOUBLE)
+                 / len(string_split_regex(text, '\\s+')) AS dup_frac,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+               / len(string_split_regex(text, '\\s+')) AS mwl,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / length(text) AS sym
+      FROM dedup
+    ),
+    quality AS (
+      SELECT doc_id, text FROM toks
+      WHERE n_tokens BETWEEN 5 AND 100000 AND mwl BETWEEN 2 AND 12
+        AND dup_frac < 0.6 AND sym < 0.1
+    ),
+    seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN (CASE WHEN doc_id % 3 = 0
+                             THEN text || ' contact user' || doc_id
+                                       || '@example.com now'
+                             ELSE text END)
+                       || ' host 10.2.' || (doc_id % 256) || '.7 end'
+                  ELSE (CASE WHEN doc_id % 3 = 0
+                             THEN text || ' contact user' || doc_id
+                                       || '@example.com now'
+                             ELSE text END)
+             END AS raw
+      FROM quality
+    ),
+    redacted AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_IPV4_RE}', '<IP>', 'g') AS clean
+      FROM seeded
+    )
+    SELECT 'a_ingested' AS stage, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars FROM fp
+    UNION ALL
+    SELECT 'b_deduped', count(*), CAST(sum(length(text)) AS BIGINT) FROM dedup
+    UNION ALL
+    SELECT 'c_quality', count(*), CAST(sum(length(text)) AS BIGINT) FROM quality
+    UNION ALL
+    SELECT 'd_redacted', count(*), CAST(sum(length(clean)) AS BIGINT) FROM redacted
+    """,
+)
+def corpus_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 (round 6): the composed ingest pipeline — exact dedup →
+    Gopher quality gate → PII redaction — as ONE query, reporting
+    per-stage survivor counts and character totals. Each stage is an
+    operator that is individually oracle-verified elsewhere
+    (`doc_fingerprint_dedup`, `gopher_quality_flags`, `pii_redact`);
+    this query pins their COMPOSITION, the shape a production corpus
+    build actually runs (filters feed filters — predicate order and
+    survivor sets must agree end-to-end, which the total-chars checksum
+    makes hash-visible).
+
+    Scale shape: one shuffle total (the dedup window keyed by
+    fingerprint); the quality gate and redaction are map-only over its
+    survivors, so the composed plan is scan → shuffle → map — not one
+    pass per stage. PII is deterministically seeded (same convention as
+    `pii_redact`) because the synthetic corpus contains none."""
+    from pyspark.sql import Window
+
+    from mrt_data_integration_spark.operators import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", "text", tx.fingerprint("text").alias("fp"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    dedup = (
+        fp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+    quality = dedup.filter(tx.gopher_quality_pass("text") == 1)
+    with_email = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+        ),
+    ).otherwise(F.col("text"))
+    raw = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            with_email,
+            F.lit(" host 10.2."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 end"),
+        ),
+    ).otherwise(with_email)
+    redacted = quality.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _IPV4_RE, "<IP>"
+        ).alias("clean"),
+    )
+
+    def stage(df, name, col):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(col)).alias("total_chars"),
+        )
+
+    return (
+        stage(docs, "a_ingested", "text")
+        .unionByName(stage(dedup, "b_deduped", "text"))
+        .unionByName(stage(quality, "c_quality", "text"))
+        .unionByName(stage(redacted, "d_redacted", "clean"))
+    )
