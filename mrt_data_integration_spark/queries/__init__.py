@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the 96-query registry is split into a CORE of
-# 32 queries (one per physical shape — scan/agg, joins, windows, pivots,
-# dedup, text — always in the window) and two pools (POOL_A: 30, POOL_B: 34)
-# that ALTERNATE rounds, so no query goes more than two rounds without a
-# driver row:
+# ROTATION POLICY (round 4+): the registry (101 queries as of r6) is split
+# into a CORE of 32 queries (one per physical shape — scan/agg, joins,
+# windows, pivots, dedup, text — always in the window) and two pools
+# (POOL_A: 35, POOL_B: 34) that ALTERNATE rounds, so no query goes more
+# than two rounds without a driver row:
 #   - POOL_A (E4 vectors, E6/E7 timeseries, r2 text additions): driver rows
 #     in r3 (CORRECTNESS_r03) and r5, scheduled again for r7, ...
 #   - POOL_B (scalar/derive oracle queries + no_oracle estimator fits):
