@@ -80,6 +80,7 @@ HEADLINE = [
     "streaming_dedup_ingest",
     "lsh_store_ingest_candidates",
     "corpus_ingest_pipeline",
+    "streaming_funnel_conversion",
 ]
 
 

@@ -109,6 +109,7 @@ _POOL_A: list[str] = [
     "streaming_dedup_ingest",
     "lsh_store_ingest_candidates",
     "corpus_ingest_pipeline",
+    "streaming_funnel_conversion",
 ]
 _POOL_B: list[str] = [
     "filter_project",

@@ -501,3 +501,113 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) * 2).alias("n_ingested"),
         )
     )
+
+
+@query(
+    "streaming_funnel_conversion",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'click'
+        AND e.ts > t1.t AND e.ts <= t1.t + INTERVAL '12 hours'
+      GROUP BY 1
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN t2 USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND e.ts > t2.t AND e.ts <= t2.t + INTERVAL '12 hours'
+      GROUP BY 1
+    ),
+    c AS (SELECT (SELECT count(*) FROM t1) AS n1,
+                 (SELECT count(*) FROM t2) AS n2,
+                 (SELECT count(*) FROM t3) AS n3)
+    SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step,
+           CAST(n1 AS BIGINT) AS n_users, round(n1 / n1, 6) AS conversion
+    FROM c
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', CAST(n2 AS BIGINT),
+           round(n2 / n1, 6) FROM c
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', CAST(n3 AS BIGINT),
+           round(n3 / n2, 6) FROM c
+    ORDER BY stage
+    """,
+)
+def streaming_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 (round 6): the funnel computed ON A STREAM — events drained
+    file-by-file through the stateful `streaming/funnel.py` operator
+    (per-user state re-folds the greedy anchor walk each micro-batch,
+    so late-arriving earlier events revise stages correctly), reduced
+    to the same (stage, step, n_users, conversion) report. The oracle
+    is the identical 3-level min-join twin the batch query uses — a
+    hash match proves stream == batch == SQL end-to-end."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from mrt_data_integration_spark.streaming.funnel import (
+        funnel_stream,
+        latest_stage_times,
+    )
+
+    steps = ["view", "click", "purchase"]
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = os.path.join(
+        tempfile.gettempdir(), f"graft_sfunnel_src_{_stable_key(sf_dir)}"
+    )
+    ev_src = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(ev_src)) if os.path.exists(ev_src) else 0
+    stamp = os.path.join(src, f"_STAGED_{mtime}")
+    if not (os.path.exists(stamp) and os.path.exists(os.path.join(src, "_SUCCESS"))):
+        events.repartition(4).write.mode("overwrite").parquet(src)
+        with open(stamp, "w") as fh:
+            fh.write("ok")
+    updates = funnel_stream(
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src),
+        steps,
+    )
+    name = f"sfunnel_mem_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="graft_sfunnel_ck_")
+    q = (
+        updates.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ck, ignore_errors=True)
+    times = latest_stage_times(spark.table(name), 3)
+    counts = times.agg(
+        *[F.count(F.col(f"t{i + 1}")).alias(f"n{i + 1}") for i in range(3)]
+    )
+    rows = []
+    for i, step in enumerate(steps):
+        prev = F.col(f"n{i}") if i else F.col("n1")
+        rows.append(
+            F.struct(
+                F.lit(i + 1).cast("long").alias("stage"),
+                F.lit(step).alias("step"),
+                F.col(f"n{i + 1}").alias("n_users"),
+                F.round(F.try_divide(F.col(f"n{i + 1}"), prev), 6).alias(
+                    "conversion"
+                ),
+            )
+        )
+    return (
+        counts.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.stage", "r.step", "r.n_users", "r.conversion")
+        .orderBy("stage")
+    )

@@ -1,0 +1,155 @@
+"""Streaming first-touch funnel (E6): the stateful twin of
+``operators.funnel`` over an unbounded event stream.
+
+Per-user state is the list of funnel-step events seen so far; every
+micro-batch merges its new events and re-runs the SAME greedy fold the
+batch operator uses on the sorted union, emitting the user's refreshed
+stage times. Re-folding from state (rather than folding incrementally)
+is what makes the result arrival-order independent: a step-1 event
+arriving LATE with an earlier timestamp lowers the anchor and can
+invalidate previously resolved stages — an incremental fold would have
+discarded the step-2 candidates needed to re-resolve them, the re-fold
+has them in state. Boundedness contract: state per user is its funnel-
+step events only (the same per-user-bounded assumption the batch fold's
+``collect_list`` makes, documented there); point truly unbounded
+per-user streams at the batch ``bounded_history=False`` decomposition
+over a table instead.
+
+Output mode is ``update``: each batch emits one row per touched user
+with a monotone ``n_seen`` counter, so the CURRENT answer is the
+max-``n_seen`` row per user (``latest_stage_times`` wraps this).
+Differential contract: after draining a bounded stream, stage times
+equal the batch ``funnel_stage_times`` on the same rows exactly —
+pinned by test and by the ``streaming_funnel_conversion`` query, whose
+DuckDB oracle is the same 3-level min-join twin the batch query uses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def _output_schema(n_steps: int) -> StructType:
+    return StructType(
+        [StructField("user_id", LongType()), StructField("n_seen", LongType())]
+        + [
+            StructField(f"t{i + 1}", TimestampType())
+            for i in range(n_steps)
+        ]
+    )
+
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("ts_us", ArrayType(LongType())),
+        StructField("tp_idx", ArrayType(LongType())),
+    ]
+)
+
+
+def _fold(ts_us: list, tp_idx: list, steps: list[str], window_us: int):
+    """The batch operator's greedy fold: events sorted by
+    (ts, step-name string) — same tie order as array_sort over
+    struct(ts, tp) — each stage set once by the first qualifying
+    event."""
+    order = sorted(range(len(ts_us)), key=lambda i: (ts_us[i], steps[int(tp_idx[i])]))
+    stages: list = [None] * len(steps)
+    for i in order:
+        t, s = ts_us[i], int(tp_idx[i])
+        if s == 0:
+            if stages[0] is None:
+                stages[0] = t
+        else:
+            prev = stages[s - 1]
+            if (
+                stages[s] is None
+                and prev is not None
+                and t > prev
+                and t <= prev + window_us
+            ):
+                stages[s] = t
+    return stages
+
+
+def funnel_stream(
+    events_stream: DataFrame,
+    steps: list[str],
+    window_seconds: int = 12 * 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Stateful streaming funnel: emits (user_id, n_seen, t1..tk) rows
+    in update mode; the max-n_seen row per user is the current answer."""
+    window_us = window_seconds * 1_000_000
+    idx = {s: i for i, s in enumerate(steps)}
+    n_steps = len(steps)
+    out_schema = _output_schema(n_steps)
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            ts_us, tp_idx = state.get
+            ts_us, tp_idx = list(ts_us), list(tp_idx)
+        else:
+            ts_us, tp_idx = [], []
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            ts_us.extend(
+                pdf[ts_col].astype("datetime64[us]").astype("int64").tolist()
+            )
+            tp_idx.extend(int(idx[t]) for t in pdf[type_col])
+            state.update((ts_us, tp_idx))
+        stages = _fold(ts_us, tp_idx, steps, window_us)
+        row = {"user_id": user_id, "n_seen": len(ts_us)}
+        for i, t in enumerate(stages):
+            row[f"t{i + 1}"] = (
+                pd.Timestamp(t, unit="us") if t is not None else pd.NaT
+            )
+        yield pd.DataFrame([row]).astype(
+            {f"t{i + 1}": "datetime64[us]" for i in range(n_steps)}
+        )
+
+    filtered = events_stream.filter(
+        F.col(type_col).isin(list(steps))
+    ).select(F.col(user_col).alias("user_id"), ts_col, type_col)
+    return filtered.groupBy("user_id").applyInPandasWithState(
+        fn,
+        out_schema,
+        _STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def latest_stage_times(updates: DataFrame, n_steps: int) -> DataFrame:
+    """Reduce the update stream's emissions to the current per-user
+    stage times (the max-n_seen row per user wins)."""
+    return updates.groupBy("user_id").agg(
+        *[
+            F.max_by(f"t{i + 1}", "n_seen").alias(f"t{i + 1}")
+            for i in range(n_steps)
+        ]
+    )

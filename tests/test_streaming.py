@@ -493,3 +493,42 @@ def test_fingerprint_distinguishes_null_and_bleed(spark):
     )
     fps = {r["id"]: r["__fp__"] for r in fingerprint(df, ["value", "props"]).collect()}
     assert len(set(fps.values())) == 4
+
+
+def test_streaming_funnel_matches_batch(spark, sf_smoke, tmp_path):
+    """Stateful streaming funnel drained over a multi-batch source must
+    reproduce the batch fold's per-user stage times EXACTLY — including
+    users whose anchor event arrives in a later micro-batch than their
+    step-2 event (the re-fold-from-state case)."""
+    from mrt_data_integration_spark.operators.funnel import funnel_stage_times
+    from mrt_data_integration_spark.streaming.funnel import (
+        funnel_stream,
+        latest_stage_times,
+    )
+
+    steps = ["view", "click", "purchase"]
+    ev = load_table(spark, sf_smoke, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = str(tmp_path / "src")
+    # random file split → funnel events of one user scatter across
+    # micro-batches in arbitrary time order
+    ev.repartition(4).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    updates = funnel_stream(stream, steps)
+    q = (
+        updates.writeStream.format("memory")
+        .queryName("funnel_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        map(tuple, latest_stage_times(spark.table("funnel_mem"), 3).collect())
+    )
+    want = sorted(map(tuple, funnel_stage_times(ev, steps, "12 hours").collect()))
+    assert got == want and len(got) > 0
