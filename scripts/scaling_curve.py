@@ -133,6 +133,7 @@ OP_INPUTS = {
     "funnel_conversion": {"events"},
     "ivfpq_index_query": {"emb", "index"},
     "lsh_store_probe": {"docs", "lsh_store"},
+    "streaming_dedup_drain": {"events", "sdedup_src"},
 }
 
 
@@ -202,6 +203,21 @@ def main() -> None:
             )
             store_paths[k] = spath
 
+    # Doubled-events staging dirs for the streaming-dedup drain (the
+    # timed region is the stateful drain only; staging is setup).
+    sdedup_srcs = {}
+    if "sdedup_src" in needed:
+        from pyspark.sql import functions as SF
+
+        for k in SCALES:
+            ev = spark.read.parquet(datasets[k][1]).withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            )
+            dup = ev.withColumn("event_id", F.col("event_id") + 900_000_000)
+            spath = os.path.join(work, f"sdedup_src_{k}x")
+            ev.unionByName(dup).repartition(8).write.parquet(spath)
+            sdedup_srcs[k] = (spath, ev.schema)
+
     ann_queries = base_emb.limit(16)
     index_paths = {}
     if "index" in needed:
@@ -251,7 +267,39 @@ def main() -> None:
         "lsh_store_probe": lambda k: dd.lsh_store_candidates(
             spark, store_paths[k], probe_batch
         ).count(),
+        "streaming_dedup_drain": lambda k: _drain_dedup(k),
     }
+
+    def _drain_dedup(k):
+        import shutil as _sh
+        import uuid as _uuid
+
+        from mrt_data_integration_spark.streaming.dedup import (
+            streaming_dedup_within_watermark,
+        )
+
+        spath, schema = sdedup_srcs[k]
+        name = f"sc_dd_{_uuid.uuid4().hex[:8]}"
+        ck = tempfile.mkdtemp(prefix="graft_sc_dd_ck_")
+        q = (
+            streaming_dedup_within_watermark(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 4)
+                .parquet(spath),
+                ["ts", "user_id", "event_type", "value", "props"],
+                delay="365 days",
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination()
+        n = spark.table(name).count()
+        _sh.rmtree(ck, ignore_errors=True)
+        return n
 
     ops = {n: f for n, f in ops.items() if n in wanted_ops}
 
