@@ -325,7 +325,13 @@ def build_lsh_signature_store(
         docs, id_col, text_col, n_hashes, band_size, shingle_n, "ref_id"
     )
     (
-        bands.repartition(F.col("band_id"))
+        # Range-partition by (band_id, band_key), NOT by band_id alone:
+        # band_id has only n_hashes/band_size distinct values, so a
+        # band_id hash repartition would funnel the whole corpus's band
+        # table through that many write tasks. Range keeps full write
+        # parallelism AND the within-file band_key sort the probe's
+        # row-group pruning relies on.
+        bands.repartitionByRange("band_id", "band_key")
         .sortWithinPartitions("band_id", "band_key")
         .write.mode("overwrite")
         .partitionBy("band_id")
@@ -373,16 +379,20 @@ def append_to_lsh_signature_store(
         meta["n_hashes"], meta["band_size"], meta["shingle_n"], "ref_id",
     )
     (
-        bands.repartition(F.col("band_id"))
+        bands.repartitionByRange("band_id", "band_key")
         .sortWithinPartitions("band_id", "band_key")
         .write.mode("append")
         .partitionBy("band_id")
         .parquet(os.path.join(path, "bands"))
     )
     sigs.write.mode("append").parquet(os.path.join(path, "sigs"))
+    # Count the still-persisted signature frame (one row per batch doc,
+    # served from cache) — counting docs_batch would rescan the raw
+    # batch, the exact extra pass this operator exists to avoid.
+    n = sigs.count()
     sigs.unpersist()
     untrack(sigs)
-    return docs_batch.count()
+    return n
 
 
 def lsh_store_candidates(

@@ -854,13 +854,24 @@ def lsh_store_ingest_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ref = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
+    import shutil
+    import uuid
+
     src = os.path.join(sf_dir, "documents.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    key = hashlib.md5(f"{sf_dir}|{mtime}|lshstore-v1-4x2".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}|{mtime}|lshstore-v2-4x2".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"mrt_lsh_store_{key}")
-    done = os.path.join(path, "_BUILD_DONE")
-    if not os.path.exists(done):
-        dd.build_lsh_signature_store(ref, path, n_hashes=4, band_size=2)
-        with open(done, "w") as fh:
-            fh.write("ok")
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        # Build into a private temp dir, then atomically rename into
+        # place: two concurrent invocations (bench + parity test on the
+        # same sf_dir) would otherwise race check-then-build, and one's
+        # mode("overwrite") would delete bands/ under the other's probe.
+        # rename() fails if another builder won — its store is complete,
+        # use it and discard ours.
+        tmp = f"{path}.build-{uuid.uuid4().hex[:8]}"
+        dd.build_lsh_signature_store(ref, tmp, n_hashes=4, band_size=2)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
     return dd.lsh_store_candidates(spark, path, new)

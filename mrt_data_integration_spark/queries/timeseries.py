@@ -462,7 +462,7 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # after a partial write).
     ev_src = os.path.join(sf_dir, "events.parquet")
     mtime = int(os.path.getmtime(ev_src)) if os.path.exists(ev_src) else 0
-    stamp = os.path.join(src, f"_STAGED_{mtime}")
+    stamp = os.path.join(src, f"_STAGED_{mtime}_dup10M_ts_4f_v1")
     if not (os.path.exists(stamp) and os.path.exists(os.path.join(src, "_SUCCESS"))):
         events.unionByName(dupes).repartition(4).write.mode("overwrite").parquet(src)
         with open(stamp, "w") as fh:
@@ -566,7 +566,7 @@ def streaming_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev_src = os.path.join(sf_dir, "events.parquet")
     mtime = int(os.path.getmtime(ev_src)) if os.path.exists(ev_src) else 0
-    stamp = os.path.join(src, f"_STAGED_{mtime}")
+    stamp = os.path.join(src, f"_STAGED_{mtime}_dup10M_ts_4f_v1")
     if not (os.path.exists(stamp) and os.path.exists(os.path.join(src, "_SUCCESS"))):
         events.repartition(4).write.mode("overwrite").parquet(src)
         with open(stamp, "w") as fh:

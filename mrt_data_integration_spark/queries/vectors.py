@@ -305,17 +305,23 @@ def ivfpq_appended_index_topk_query(spark: SparkSession, sf_dir: str) -> DataFra
     rest = emb.filter(F.col("vec_id") % 2 == 1)
     src = os.path.join(sf_dir, "embeddings.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    import shutil
+    import uuid
+
     key = hashlib.md5(f"{sf_dir}|{mtime}|append-v3-nc8-s0".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"mrt_ivfpq_append_{key}")
-    # Completion sentinel, not meta.json: build_ivfpq_index writes
-    # meta.json BEFORE the append runs, so a crash between the two would
-    # otherwise leave a half-empty index that every later invocation
-    # silently reuses.
-    done = os.path.join(path, "_APPEND_DONE")
-    if not os.path.exists(done):
-        sim.build_ivfpq_index(half, path, n_cells=8, seed=0)
-        sim.append_to_ivfpq_index(spark, path, rest)
-        with open(done, "w") as fh:
-            fh.write("ok")
+    # Build + append into a private temp dir, then atomically rename into
+    # place: the rename is the completion sentinel (a crash mid-build
+    # leaves only an orphaned .build-* dir, never a half-appended index
+    # at the shared path), and concurrent invocations cannot race
+    # check-then-build — the rename loser discards its copy.
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        tmp = f"{path}.build-{uuid.uuid4().hex[:8]}"
+        sim.build_ivfpq_index(half, tmp, n_cells=8, seed=0)
+        sim.append_to_ivfpq_index(spark, tmp, rest)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
     queries_df = emb.filter(F.col("vec_id") < 5)
     return sim.ivfpq_index_topk(spark, path, queries_df, emb, k=3, n_probe=4)

@@ -187,14 +187,23 @@ def main() -> None:
     # per-cell candidate lists stay bounded.
     # Persisted LSH signature store per scale, built outside the timed
     # region; the probe batch is FIXED (200 docs) — the claim under test
-    # is that probe cost is flat in store size (the store side streams
-    # through one band join, never rescans).
-    probe_batch = base_docs.limit(200).select(
-        (F.col("doc_id") + 77_000_000).alias("doc_id"),
-        "text", "lang", "source", "n_chars",
-    )
+    # is that probe cost is flat in store size. The batch is drawn from
+    # the REPLICATED corpus (replica 0's vocabulary rewrite is identical
+    # at every scale), ids shifted so it reads as a new batch: probes
+    # must actually HIT stored bands, or the candidate-dedup and
+    # agreement-join stages — the parts whose cost could grow with the
+    # store — are never exercised.
     store_paths = {}
+    probe_batch = None
     if "lsh_store" in needed:
+        probe_batch = (
+            spark.read.parquet(datasets[1][0])
+            .limit(200)
+            .select(
+                (F.col("doc_id") + 77_000_000).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+            )
+        )
         for k in SCALES:
             spath = os.path.join(work, f"lsh_store_{k}x")
             dd.build_lsh_signature_store(
@@ -207,8 +216,6 @@ def main() -> None:
     # timed region is the stateful drain only; staging is setup).
     sdedup_srcs = {}
     if "sdedup_src" in needed:
-        from pyspark.sql import functions as SF
-
         for k in SCALES:
             ev = spark.read.parquet(datasets[k][1]).withColumn(
                 "ts", F.col("ts").cast("timestamp")
