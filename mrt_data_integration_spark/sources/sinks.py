@@ -136,3 +136,57 @@ def zorder_key(
             bit = F.shiftright(q, b).bitwiseAND(F.lit(1))
             key = key + F.shiftleft(bit, b * ndims + d)
     return key
+
+
+def shard_key(id_col: "Column | str", salt: str = "shard") -> Column:
+    """Deterministic 32-bit shuffle key from an id: the first 8 hex
+    chars of ``md5(salt || ':' || id)`` parsed as a long — uniform,
+    engine-portable (same convention as the stratified-sample gates),
+    and independent of the input's physical order."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> None:
+    """Deterministic global shuffle + sharding — the LAST step of a
+    training-data pipeline: documents leave the corpus in a fixed
+    pseudo-random order, split into ``n_shards`` hive directories
+    (``shard=K``), each file internally sorted by the shuffle key.
+
+    Determinism contract: shard assignment is ``shard_key(id) mod
+    n_shards`` and within-shard order is (shard_key, id) — both pure
+    functions of the id, so the SAME corpus yields byte-identical shard
+    membership and order on any cluster, any partitioning, any run (the
+    property that makes training runs reproducible and resumable). A
+    trainer reading ``shard=K`` in file order replays the canonical
+    order; epochs re-shuffle by changing ``salt``.
+
+    Scale shape: ONE shuffle, keyed by the (uniform) shard id via
+    ``repartitionByRange`` over (shard, key) — every writer task gets a
+    contiguous, equal-mass key range, so output files are balanced
+    regardless of input skew, and the within-file sort is a local sort
+    of an already-range-partitioned task. No global sort, no driver
+    involvement.
+    """
+    key = shard_key(id_col, salt)
+    out = df.withColumn("__sk__", key).withColumn(
+        "__shard__", F.pmod(F.col("__sk__"), F.lit(n_shards))
+    )
+    (
+        out.repartitionByRange(F.col("__shard__"), F.col("__sk__"))
+        .sortWithinPartitions("__shard__", "__sk__", id_col)
+        .drop("__sk__")
+        .write.mode("overwrite")
+        .partitionBy("__shard__")
+        .parquet(path)
+    )

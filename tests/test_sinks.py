@@ -159,3 +159,38 @@ def test_zorder_prunes_on_both_dimensions(spark):
     # several× fewer candidates. Require at least a 2× win so the test
     # is robust to boundary-straddling files.
     assert z_touched * 2 <= lin_touched
+
+
+def test_training_shards_deterministic_order_any_partitioning(spark, sf_smoke, tmp_path):
+    """write_training_shards: same corpus → identical shard membership
+    AND identical within-shard order regardless of input partitioning
+    (the reproducible-training-run contract), with balanced shards."""
+    from mrt_data_integration_spark.sources import load_table
+    from mrt_data_integration_spark.sources.sinks import write_training_shards
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "n_chars")
+
+    def ordered_ids(path):
+        out = {}
+        df = spark.read.parquet(path)
+        for shard in range(4):
+            rows = (
+                df.filter(F.col("__shard__") == shard)
+                .orderBy("__shard__")  # no-op; preserve file order via no sort
+                .collect()
+            )
+            out[shard] = [r["doc_id"] for r in rows]
+        return out
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(docs.repartition(7), a, n_shards=4)
+    write_training_shards(docs.coalesce(1), b, n_shards=4)
+    ia, ib = ordered_ids(a), ordered_ids(b)
+    assert ia == ib
+    sizes = [len(ia[s]) for s in range(4)]
+    assert sum(sizes) == docs.count()
+    assert min(sizes) > 0.5 * max(sizes)  # uniform hash → balanced
+    # a different salt is a different epoch order
+    c = str(tmp_path / "c")
+    write_training_shards(docs, c, n_shards=4, salt="epoch1")
+    assert ordered_ids(c) != ia
