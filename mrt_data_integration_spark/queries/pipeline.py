@@ -652,10 +652,13 @@ def corpus_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor sets must agree end-to-end, which the total-chars checksum
     makes hash-visible).
 
-    Scale shape: one shuffle total (the dedup window keyed by
-    fingerprint); the quality gate and redaction are map-only over its
-    survivors, so the composed plan is scan → shuffle → map — not one
-    pass per stage. PII is deterministically seeded (same convention as
+    Scale shape: ONE scan and ONE shuffle (the dedup window keyed by
+    fingerprint), executed ONCE — every row carries per-stage survival
+    flags computed in the same pass, and all four stage reports come
+    from a single conditional aggregation over that marked frame. (A
+    union of four per-stage aggregates would re-execute the window
+    lineage once per branch — three extra full shuffles at corpus
+    scale.) PII is deterministically seeded (same convention as
     `pii_redact`) because the synthetic corpus contains none."""
     from pyspark.sql import Window
 
@@ -664,12 +667,6 @@ def corpus_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fp = docs.select("doc_id", "text", tx.fingerprint("text").alias("fp"))
     w = Window.partitionBy("fp").orderBy("doc_id")
-    dedup = (
-        fp.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "fp")
-    )
-    quality = dedup.filter(tx.gopher_quality_pass("text") == 1)
     with_email = F.when(
         F.col("doc_id") % 3 == 0,
         F.concat(
@@ -688,25 +685,51 @@ def corpus_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".7 end"),
         ),
     ).otherwise(with_email)
-    redacted = quality.select(
-        "doc_id",
-        F.regexp_replace(
-            F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _IPV4_RE, "<IP>"
-        ).alias("clean"),
+    marked = (
+        fp.withColumn("__dedup__", F.row_number().over(w) == 1)
+        .withColumn(
+            "__quality__",
+            F.col("__dedup__") & (tx.gopher_quality_pass("text") == 1),
+        )
+        .withColumn(
+            "__clean_len__",
+            F.when(
+                F.col("__quality__"),
+                F.length(
+                    F.regexp_replace(
+                        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"),
+                        _IPV4_RE,
+                        "<IP>",
+                    )
+                ),
+            ),
+        )
     )
-
-    def stage(df, name, col):
-        return df.agg(
+    totals = marked.agg(
+        F.count(F.lit(1)).alias("n_a"),
+        F.sum(F.length("text")).alias("c_a"),
+        F.sum(F.col("__dedup__").cast("long")).alias("n_b"),
+        F.sum(F.when(F.col("__dedup__"), F.length("text"))).alias("c_b"),
+        F.sum(F.col("__quality__").cast("long")).alias("n_c"),
+        F.sum(F.when(F.col("__quality__"), F.length("text"))).alias("c_c"),
+        F.sum("__clean_len__").alias("c_d"),
+    )
+    def _row(name, n, c):
+        return F.struct(
             F.lit(name).alias("stage"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.length(col)).alias("total_chars"),
+            F.col(n).alias("n_docs"),
+            F.col(c).alias("total_chars"),
         )
 
+    rows = [
+        _row("a_ingested", "n_a", "c_a"),
+        _row("b_deduped", "n_b", "c_b"),
+        _row("c_quality", "n_c", "c_c"),
+        _row("d_redacted", "n_c", "c_d"),
+    ]
     return (
-        stage(docs, "a_ingested", "text")
-        .unionByName(stage(dedup, "b_deduped", "text"))
-        .unionByName(stage(quality, "c_quality", "text"))
-        .unionByName(stage(redacted, "d_redacted", "clean"))
+        totals.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.stage", "r.n_docs", "r.total_chars")
     )
 
 

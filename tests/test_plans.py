@@ -245,3 +245,15 @@ def test_appended_index_query_still_prunes_partitions(spark, sf_smoke):
     assert "dynamicpruning" in plan.lower() or "DynamicPruning" in plan, (
         "appended index lost DPP on the cell join"
     )
+
+
+def test_ingest_pipeline_is_single_scan_single_shuffle(spark, sf_smoke):
+    """corpus_ingest_pipeline: the four stage reports must come from ONE
+    scan + ONE fingerprint-keyed shuffle (per-row stage flags + one
+    conditional aggregation) — a union of per-stage aggregates would
+    re-execute the window lineage once per branch."""
+    plan = _explain(spark, "corpus_ingest_pipeline", sf_smoke, "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
