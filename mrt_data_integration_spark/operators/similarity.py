@@ -1122,7 +1122,14 @@ def build_ivfpq_index(
     if store_vectors:
         cols.insert(3, F.col("__vec__").alias("vec"))
     (
+        # Repartition by cell BEFORE the partitioned write: a direct
+        # partitionBy from T input tasks emits up to T × n_cells files
+        # (the small-files explosion grows with the cell count — the r6
+        # scaling study measured append cost 6× at 10× cells from file
+        # creation alone). One shuffle keyed by cell bounds output at
+        # ~one file per cell; AQE splits any skewed cell.
         coded.select(*cols)
+        .repartition(F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(path, "codes"))
@@ -1186,8 +1193,15 @@ def append_to_ivfpq_index(
     ]
     if store_vectors:
         cols.insert(3, F.col("__vec__").alias("vec"))
-    coded.select(*cols).write.mode("append").partitionBy("cell").parquet(
-        os.path.join(path, "codes")
+    (
+        # Same repartition-by-cell discipline as the build (bounds the
+        # append's new files at ~one per touched cell instead of
+        # tasks × cells).
+        coded.select(*cols)
+        .repartition(F.col("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "codes"))
     )
     # Row count from the cheap source scan (count-only, no Python
     # workers), not from the coded frame — that would re-run the encode.

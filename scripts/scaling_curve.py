@@ -134,6 +134,7 @@ OP_INPUTS = {
     "ivfpq_index_query": {"emb", "index"},
     "lsh_store_probe": {"docs", "lsh_store"},
     "streaming_dedup_drain": {"events", "sdedup_src"},
+    "ivfpq_append_batch": {"emb", "index_append"},
 }
 
 
@@ -225,6 +226,30 @@ def main() -> None:
             ev.unionByName(dup).repartition(8).write.parquet(spath)
             sdedup_srcs[k] = (spath, ev.schema)
 
+    # Dedicated append-target indexes (separate from the query-path ones
+    # so appends never mutate what ivfpq_index_query measures); the
+    # appended batch is FIXED (10k vectors) — the claim under test is
+    # that ingest cost is flat in STORE size (one encode of the batch,
+    # history untouched).
+    append_paths = {}
+    append_batch = None
+    if "index_append" in needed:
+        append_batch = (
+            spark.read.parquet(datasets[1][2])
+            .limit(10_000)
+            .select(
+                (F.col("vec_id") + 500_000_000).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+        )
+        for k in SCALES:
+            apath = os.path.join(work, f"ivfpq_app_{k}x")
+            sim.build_ivfpq_index(
+                emb(k), apath, n_cells=16 * k, train_sample=4096
+            )
+            append_paths[k] = apath
+
     ann_queries = base_emb.limit(16)
     index_paths = {}
     if "index" in needed:
@@ -274,6 +299,9 @@ def main() -> None:
         "lsh_store_probe": lambda k: dd.lsh_store_candidates(
             spark, store_paths[k], probe_batch
         ).count(),
+        "ivfpq_append_batch": lambda k: sim.append_to_ivfpq_index(
+            spark, append_paths[k], append_batch
+        ),
         "streaming_dedup_drain": lambda k: _drain_dedup(k),
     }
 
