@@ -135,6 +135,8 @@ OP_INPUTS = {
     "lsh_store_probe": {"docs", "lsh_store"},
     "streaming_dedup_drain": {"events", "sdedup_src"},
     "ivfpq_append_batch": {"emb", "index_append"},
+    "substring_chunk_dedup": {"docs"},
+    "sequence_packing": {"docs"},
 }
 
 
@@ -302,8 +304,50 @@ def main() -> None:
         "ivfpq_append_batch": lambda k: sim.append_to_ivfpq_index(
             spark, append_paths[k], append_batch
         ),
+        "substring_chunk_dedup": lambda k: dd.substring_chunk_pairs(
+            docs(k)
+        ).count(),
+        "sequence_packing": lambda k: _pack(docs(k)),
         "streaming_dedup_drain": lambda k: _drain_dedup(k),
     }
+
+    def _pack(d):
+        from mrt_data_integration_spark.operators.text import token_count
+
+        toks = d.select(
+            "lang", "doc_id", token_count("text").alias("n_tokens")
+        )
+        # same two-level running-sum shape as the sequence_packing query
+        bucket = (F.col("doc_id") / 4096).cast("long")
+        from pyspark.sql import Window as W
+
+        w_loc = W.partitionBy("lang", bucket.alias("b")).orderBy("doc_id")
+        local = toks.withColumn("__b__", bucket).withColumn(
+            "__loc__", F.sum("n_tokens").over(
+                W.partitionBy("lang", "__b__").orderBy("doc_id")
+            )
+        )
+        offs = (
+            local.groupBy("lang", "__b__")
+            .agg(F.sum("n_tokens").alias("__tot__"))
+            .withColumn(
+                "__off__",
+                F.coalesce(
+                    F.sum("__tot__").over(
+                        W.partitionBy("lang").orderBy("__b__")
+                        .rowsBetween(W.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .drop("__tot__")
+        )
+        packed = local.join(F.broadcast(offs), ["lang", "__b__"]).select(
+            "lang", "doc_id",
+            F.floor((F.col("__off__") + F.col("__loc__") - F.col("n_tokens")) / 512)
+            .alias("seq_bin"),
+        )
+        return packed.groupBy("lang", "seq_bin").count().count()
 
     def _drain_dedup(k):
         import shutil as _sh
