@@ -1122,14 +1122,16 @@ def build_ivfpq_index(
     if store_vectors:
         cols.insert(3, F.col("__vec__").alias("vec"))
     (
-        # Repartition by cell BEFORE the partitioned write: a direct
+        # Rebalance by cell BEFORE the partitioned write: a direct
         # partitionBy from T input tasks emits up to T × n_cells files
         # (the small-files explosion grows with the cell count — the r6
         # scaling study measured append cost 6× at 10× cells from file
-        # creation alone). One shuffle keyed by cell bounds output at
-        # ~one file per cell; AQE splits any skewed cell.
+        # creation alone). The REBALANCE hint (not repartition: AQE's
+        # skew splitting only applies to REBALANCE-origin shuffles)
+        # bounds output at ~one file per cell while still subdividing a
+        # hot cell across tasks instead of one straggler writer.
         coded.select(*cols)
-        .repartition(F.col("cell"))
+        .hint("rebalance", "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(path, "codes"))
@@ -1194,11 +1196,11 @@ def append_to_ivfpq_index(
     if store_vectors:
         cols.insert(3, F.col("__vec__").alias("vec"))
     (
-        # Same repartition-by-cell discipline as the build (bounds the
+        # Same rebalance-by-cell discipline as the build (bounds the
         # append's new files at ~one per touched cell instead of
-        # tasks × cells).
+        # tasks × cells; REBALANCE so a hot cell still splits).
         coded.select(*cols)
-        .repartition(F.col("cell"))
+        .hint("rebalance", "cell")
         .write.mode("append")
         .partitionBy("cell")
         .parquet(os.path.join(path, "codes"))

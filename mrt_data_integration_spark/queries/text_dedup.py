@@ -868,10 +868,9 @@ def lsh_store_ingest_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         # mode("overwrite") would delete bands/ under the other's probe.
         # rename() fails if another builder won — its store is complete,
         # use it and discard ours.
+        from mrt_data_integration_spark.sources.sinks import publish_build
+
         tmp = f"{path}.build-{uuid.uuid4().hex[:8]}"
         dd.build_lsh_signature_store(ref, tmp, n_hashes=4, band_size=2)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+        path = publish_build(tmp, path, "meta.json")
     return dd.lsh_store_candidates(spark, path, new)

@@ -316,12 +316,11 @@ def ivfpq_appended_index_topk_query(spark: SparkSession, sf_dir: str) -> DataFra
     # at the shared path), and concurrent invocations cannot race
     # check-then-build — the rename loser discards its copy.
     if not os.path.exists(os.path.join(path, "meta.json")):
+        from mrt_data_integration_spark.sources.sinks import publish_build
+
         tmp = f"{path}.build-{uuid.uuid4().hex[:8]}"
         sim.build_ivfpq_index(half, tmp, n_cells=8, seed=0)
         sim.append_to_ivfpq_index(spark, tmp, rest)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+        path = publish_build(tmp, path, "meta.json")
     queries_df = emb.filter(F.col("vec_id") < 5)
     return sim.ivfpq_index_topk(spark, path, queries_df, emb, k=3, n_probe=4)

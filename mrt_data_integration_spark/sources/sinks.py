@@ -190,3 +190,37 @@ def write_training_shards(
         .partitionBy("__shard__")
         .parquet(path)
     )
+
+
+def publish_build(tmp: str, path: str, marker: str) -> str:
+    """Atomically publish a freshly built artifact directory (index,
+    signature store, shard set) at its shared cache path; returns the
+    directory to READ from.
+
+    The build-into-private-dir + rename protocol makes concurrent
+    builders safe (the rename loser discards its copy), but the naive
+    fallback had a hole: rename also fails when ``path`` holds a STALE
+    PARTIAL directory (a killed earlier process), and discarding the
+    fresh build then leaves every future reader on the incomplete
+    artifact. So on rename failure: if ``path`` carries its completion
+    ``marker``, a concurrent winner published a complete copy — use it;
+    otherwise clear the debris and retry, falling back to reading the
+    private complete copy if the path stays contended.
+    """
+    import os
+    import shutil
+
+    try:
+        os.rename(tmp, path)
+        return path
+    except OSError:
+        pass
+    if os.path.exists(os.path.join(path, marker)):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        os.rename(tmp, path)
+        return path
+    except OSError:
+        return tmp

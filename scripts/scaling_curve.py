@@ -240,7 +240,7 @@ def main() -> None:
             spark.read.parquet(datasets[1][2])
             .limit(10_000)
             .select(
-                (F.col("vec_id") + 500_000_000).alias("vec_id"),
+                (F.col("vec_id") + 10_000_000_000).alias("vec_id"),
                 "embedding",
                 "label",
             )
@@ -321,7 +321,6 @@ def main() -> None:
         bucket = (F.col("doc_id") / 4096).cast("long")
         from pyspark.sql import Window as W
 
-        w_loc = W.partitionBy("lang", bucket.alias("b")).orderBy("doc_id")
         local = toks.withColumn("__b__", bucket).withColumn(
             "__loc__", F.sum("n_tokens").over(
                 W.partitionBy("lang", "__b__").orderBy("doc_id")

@@ -171,15 +171,23 @@ def test_training_shards_deterministic_order_any_partitioning(spark, sf_smoke, t
     docs = load_table(spark, sf_smoke, "documents").select("doc_id", "n_chars")
 
     def ordered_ids(path):
+        # Read each shard's part files individually, in lexicographic
+        # name order, via pyarrow — the only way to observe the WRITTEN
+        # row order (a Spark scan re-orders by size-descending file
+        # bin-packing, and any orderBy on the all-equal shard key would
+        # measure shuffle tie order, not file order).
+        import glob as g
+
+        import pyarrow.parquet as pq
+
         out = {}
-        df = spark.read.parquet(path)
         for shard in range(4):
-            rows = (
-                df.filter(F.col("__shard__") == shard)
-                .orderBy("__shard__")  # no-op; preserve file order via no sort
-                .collect()
-            )
-            out[shard] = [r["doc_id"] for r in rows]
+            ids = []
+            for f in sorted(
+                g.glob(os.path.join(path, f"__shard__={shard}", "part-*"))
+            ):
+                ids.extend(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+            out[shard] = ids
         return out
 
     a, b = str(tmp_path / "a"), str(tmp_path / "b")
@@ -187,6 +195,18 @@ def test_training_shards_deterministic_order_any_partitioning(spark, sf_smoke, t
     write_training_shards(docs.coalesce(1), b, n_shards=4)
     ia, ib = ordered_ids(a), ordered_ids(b)
     assert ia == ib
+    # ...and the written order IS the canonical (shard_key, doc_id) sort
+    from mrt_data_integration_spark.sources.sinks import shard_key
+
+    expect = {}
+    for r in (
+        docs.select("doc_id", shard_key("doc_id").alias("k"))
+        .withColumn("s", F.pmod(F.col("k"), F.lit(4)))
+        .orderBy("s", "k", "doc_id")
+        .collect()
+    ):
+        expect.setdefault(r["s"], []).append(r["doc_id"])
+    assert ia == expect
     sizes = [len(ia[s]) for s in range(4)]
     assert sum(sizes) == docs.count()
     assert min(sizes) > 0.5 * max(sizes)  # uniform hash → balanced
