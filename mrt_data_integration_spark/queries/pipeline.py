@@ -771,7 +771,6 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pays the write."""
     import hashlib
     import os
-    import shutil
     import tempfile
     import uuid
 

@@ -854,7 +854,6 @@ def lsh_store_ingest_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ref = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
-    import shutil
     import uuid
 
     src = os.path.join(sf_dir, "documents.parquet")

@@ -305,7 +305,6 @@ def ivfpq_appended_index_topk_query(spark: SparkSession, sf_dir: str) -> DataFra
     rest = emb.filter(F.col("vec_id") % 2 == 1)
     src = os.path.join(sf_dir, "embeddings.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    import shutil
     import uuid
 
     key = hashlib.md5(f"{sf_dir}|{mtime}|append-v3-nc8-s0".encode()).hexdigest()[:12]
