@@ -261,10 +261,17 @@ _WINDOW: list[str] = (
     _POOL_B
     + [n for n in _CORE if n not in _R6_SIT_OUT]
 )
-# r7 plan: POOL_A's turn + CORE; the sixteen r6 sit-outs return first.
-# Queries added in r6 join POOL_A/POOL_B per family and are forced into
-# their first eligible window per rule 2 — test_window_policy.py enforces
-# the bookkeeping either way.
+# r7 plan: POOL_A's turn (36, including the SEVEN r6 additions with zero
+# driver history — `weighted_doc_sample`, `ivfpq_appended_index_topk`,
+# `streaming_dedup_ingest`, `lsh_store_ingest_candidates`,
+# `corpus_ingest_pipeline`, `streaming_funnel_conversion`,
+# `training_shard_manifest` — forced per rule 2) + CORE(32) = 68 →
+# EIGHTEEN CORE members sit out; the sixteen r6 sit-outs return first
+# (every one of them has only an r5 row by then), so the two extra
+# sit-outs come from the sixteen CORE members holding fresh r6 rows.
+# Any r6 red row is force-included per rule 1. Queries added in r7 are
+# forced into their first eligible window per rule 2 —
+# test_window_policy.py enforces the bookkeeping either way.
 
 
 def _apply_window() -> None:
