@@ -214,3 +214,35 @@ def test_training_shards_deterministic_order_any_partitioning(spark, sf_smoke, t
     c = str(tmp_path / "c")
     write_training_shards(docs, c, n_shards=4, salt="epoch1")
     assert ordered_ids(c) != ia
+
+
+def test_publish_build_contention_paths(tmp_path):
+    """publish_build: normal publish, concurrent-winner, stale-partial
+    replacement, and unresolvable-contention fallback."""
+    import os
+
+    from mrt_data_integration_spark.sources.sinks import publish_build
+
+    def mk(d, complete=True):
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "data"), "w") as fh:
+            fh.write("x")
+        if complete:
+            open(os.path.join(d, "meta.json"), "w").close()
+        return str(d)
+
+    # 1. normal: tmp renamed into empty slot
+    t1, p1 = mk(tmp_path / "t1"), str(tmp_path / "p1")
+    assert publish_build(t1, p1, "meta.json") == p1
+    assert os.path.exists(os.path.join(p1, "meta.json"))
+    # 2. concurrent winner already published a COMPLETE copy → use it,
+    #    discard ours
+    t2 = mk(tmp_path / "t2")
+    p2 = mk(tmp_path / "p2", complete=True)
+    assert publish_build(t2, p2, "meta.json") == p2
+    assert not os.path.exists(t2)
+    # 3. stale PARTIAL at path (no marker) → replaced by the fresh build
+    t3 = mk(tmp_path / "t3")
+    p3 = mk(tmp_path / "p3", complete=False)
+    out = publish_build(t3, p3, "meta.json")
+    assert out == p3 and os.path.exists(os.path.join(p3, "meta.json"))

@@ -532,3 +532,61 @@ def test_streaming_funnel_matches_batch(spark, sf_smoke, tmp_path):
     )
     want = sorted(map(tuple, funnel_stage_times(ev, steps, "12 hours").collect()))
     assert got == want and len(got) > 0
+
+
+def test_streaming_funnel_fuzz_arrival_order_and_ties(spark, tmp_path):
+    """Deterministic fuzz: random small event sets (with timestamp TIES
+    across step types and users) split into random micro-batch orders
+    must reproduce the batch fold exactly — the arrival-order and
+    tie-order contract of the stateful re-fold."""
+    import datetime as dt
+    import random
+
+    from mrt_data_integration_spark.operators.funnel import funnel_stage_times
+    from mrt_data_integration_spark.streaming.funnel import (
+        funnel_stream,
+        latest_stage_times,
+    )
+
+    steps = ["view", "click", "purchase"]
+    rng = random.Random(7)
+    base = dt.datetime(2024, 3, 1)
+    for trial in range(3):
+        rows = []
+        eid = 0
+        for u in range(6):
+            for _ in range(rng.randint(1, 10)):
+                # coarse minute grid → frequent exact-ts ties
+                ts = base + dt.timedelta(minutes=rng.randint(0, 30))
+                rows.append((eid, ts, u, rng.choice(steps), 0.0, "{}"))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string"
+        )
+        src = str(tmp_path / f"src{trial}")
+        # random partitioning → random batch composition and order
+        ev.repartition(rng.randint(2, 5)).write.parquet(src)
+        updates = funnel_stream(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            steps,
+            window_seconds=3600,
+        )
+        q = (
+            updates.writeStream.format("memory")
+            .queryName(f"fz{trial}")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ck{trial}"))
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(map(tuple, latest_stage_times(
+            spark.table(f"fz{trial}"), 3
+        ).collect()))
+        want = sorted(map(tuple, funnel_stage_times(
+            ev, steps, "1 hour"
+        ).collect()))
+        assert got == want, f"trial {trial}"
