@@ -515,9 +515,9 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH keyed AS (
       SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-             pow(CAST(concat('0x', substr(md5('ws:' || doc_id), 1, 8))
-                      AS BIGINT) / 4294967296.0,
-                 1.0 / n_chars) AS k
+             round(pow(CAST(concat('0x', substr(md5('ws:' || doc_id), 1, 8))
+                           AS BIGINT) / 4294967296.0,
+                       1.0 / greatest(n_chars, 1)), 12) AS k
       FROM documents
     )
     SELECT lang, doc_id, n_chars, rk
@@ -543,9 +543,17 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars of md5('ws:' || doc_id) — the same derandomization convention
     as `stratified_sample`'s hash gate, so the draw is reproducible on
     any engine and independent of partitioning, and the oracle can
-    recompute it bit-for-bit (u is integer/2^32, exactly representable;
-    key ordering tolerates the last-ulp pow() difference between
-    engines because keys of distinct docs are ~uniform doubles).
+    recompute it bit-for-bit (u is integer/2^32, exactly representable).
+    The ranking key is ROUNDED to 12 decimal places in both engines,
+    with ties broken by doc_id: distinct docs' keys differ by far more
+    than 1e-12 (u is a 32-bit draw, weights are modest integers), while
+    Spark's and DuckDB's pow() differ by at most ~1 ulp (~1e-16), so
+    after rounding the two engines compute the IDENTICAL key and the
+    hash-match no longer rides on cross-engine floating-point tie
+    behavior (r6 verdict item 2). The weight is greatest(n_chars, 1) on
+    both sides — a zero/negative n_chars would otherwise hit
+    engine-dependent division semantics (NULL under Spark non-ANSI vs
+    inf in DuckDB) and order such rows differently (ADVICE r6).
 
     Scale shape: key computation is map-only; selection is the same
     two-stage `bounded_topk` every ANN path uses — per-partition top-k
@@ -567,11 +575,12 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         / F.lit(4294967296.0)
     )
+    w = F.greatest(F.col("n_chars").cast("long"), F.lit(1))
     keyed = docs.select(
         "lang",
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
-        F.pow(u, F.lit(1.0) / F.col("n_chars")).alias("__k__"),
+        F.round(F.pow(u, F.lit(1.0) / w), 12).alias("__k__"),
     )
     return bounded_topk(
         keyed, 5, "__k__", key_col="lang", tie_col="doc_id"

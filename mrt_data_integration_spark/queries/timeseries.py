@@ -415,10 +415,13 @@ def streaming_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "streaming_dedup_ingest",
     oracle="""
+    WITH uniq AS (
+      SELECT DISTINCT ts, user_id, event_type, value, props FROM events
+    )
     SELECT event_type,
            count(*)                                   AS n_unique,
            CAST(2 * count(*) AS BIGINT)               AS n_ingested
-    FROM events
+    FROM uniq
     GROUP BY event_type
     """,
 )
@@ -429,9 +432,13 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-materialized as a streamable directory, and drained through
     ``streaming_dedup_within_watermark`` (content-fingerprint key,
     first-arrival-wins, per-key state evicted once the watermark
-    passes). The oracle knows the survivors exactly: one per original
-    payload — so the hash check proves the stream dropped every
-    duplicate and nothing else. n_ingested documents the 2× inflow.
+    passes). The oracle knows the survivors exactly: one per DISTINCT
+    payload tuple — distinct, not count(*), because a natural payload
+    collision between two base events is a true duplicate the stream
+    correctly drops (ADVICE r6: count(*) would count both and go red on
+    exactly the driver scale where collisions first appear). The hash
+    check proves the stream dropped every duplicate and nothing else;
+    n_ingested documents the 2× survivor inflow.
 
     Scale shape: the fingerprint is map-side; the stateful dedup
     shuffles (fingerprint) only, and state is bounded by the watermark
@@ -452,21 +459,28 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", F.col("ts").cast("timestamp")
     )
     dupes = events.withColumn("event_id", F.col("event_id") + 10_000_000)
-    src = os.path.join(
-        tempfile.gettempdir(),
-        f"graft_sdedup_src_{_stable_key(sf_dir)}",
-    )
     # The doubled staging corpus is a pure function of the source table;
-    # write it once per (sf_dir, mtime) — rewriting it per invocation
-    # dominated the query's bench time (the _SUCCESS check also rebuilds
-    # after a partial write).
+    # write it once per (sf_dir, mtime). The content stamp lives IN THE
+    # DIRECTORY NAME (not a file written after a mode('overwrite')
+    # rebuild): a named build is immutable once its _SUCCESS exists, so
+    # a rebuild can never overwrite a directory a concurrent stream is
+    # draining (ADVICE r6 — the bench + parity-test race), and
+    # publication is the same build-private-then-rename protocol every
+    # shared artifact uses (sources/sinks.py publish_build).
     ev_src = os.path.join(sf_dir, "events.parquet")
     mtime = int(os.path.getmtime(ev_src)) if os.path.exists(ev_src) else 0
-    stamp = os.path.join(src, f"_STAGED_{mtime}_dup10M_ts_4f_v1")
-    if not (os.path.exists(stamp) and os.path.exists(os.path.join(src, "_SUCCESS"))):
-        events.unionByName(dupes).repartition(4).write.mode("overwrite").parquet(src)
-        with open(stamp, "w") as fh:
-            fh.write("ok")
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_sdedup_src_{_stable_key(sf_dir)}_{mtime}_dup10M_ts_4f_v2",
+    )
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        from mrt_data_integration_spark.sources.sinks import publish_build
+
+        tmp_build = f"{src}.build.{uuid.uuid4().hex[:8]}"
+        events.unionByName(dupes).repartition(4).write.mode("overwrite").parquet(
+            tmp_build
+        )
+        src = publish_build(tmp_build, src, "_SUCCESS")
     payload = ["ts", "user_id", "event_type", "value", "props"]
     deduped = streaming_dedup_within_watermark(
         # 2 files per micro-batch → two real batches (state must carry
@@ -561,16 +575,21 @@ def streaming_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
-    src = os.path.join(
-        tempfile.gettempdir(), f"graft_sfunnel_src_{_stable_key(sf_dir)}"
-    )
+    # Stamp-in-dir-name + atomic publish, same rationale as
+    # streaming_dedup_ingest's staging above: a named build is immutable
+    # once complete, so rebuilds never touch a dir another stream reads.
     ev_src = os.path.join(sf_dir, "events.parquet")
     mtime = int(os.path.getmtime(ev_src)) if os.path.exists(ev_src) else 0
-    stamp = os.path.join(src, f"_STAGED_{mtime}_dup10M_ts_4f_v1")
-    if not (os.path.exists(stamp) and os.path.exists(os.path.join(src, "_SUCCESS"))):
-        events.repartition(4).write.mode("overwrite").parquet(src)
-        with open(stamp, "w") as fh:
-            fh.write("ok")
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_sfunnel_src_{_stable_key(sf_dir)}_{mtime}_ts_4f_v2",
+    )
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        from mrt_data_integration_spark.sources.sinks import publish_build
+
+        tmp_build = f"{src}.build.{uuid.uuid4().hex[:8]}"
+        events.repartition(4).write.mode("overwrite").parquet(tmp_build)
+        src = publish_build(tmp_build, src, "_SUCCESS")
     updates = funnel_stream(
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 2)

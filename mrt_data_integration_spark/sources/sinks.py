@@ -204,23 +204,62 @@ def publish_build(tmp: str, path: str, marker: str) -> str:
     fresh build then leaves every future reader on the incomplete
     artifact. So on rename failure: if ``path`` carries its completion
     ``marker``, a concurrent winner published a complete copy — use it;
-    otherwise clear the debris and retry, falling back to reading the
-    private complete copy if the path stays contended.
+    otherwise move the debris ASIDE (an atomic rename to a private
+    debris name — never an in-place rmtree, which between the marker
+    check and the delete could destroy a complete artifact a concurrent
+    winner just published and a reader is mid-scan on; ADVICE r6) and
+    retry, falling back to reading the private complete copy if the
+    path stays contended. If the swept-aside directory turns out to
+    carry the marker (the race fired inside that window), it IS a
+    complete artifact — every builder builds the same deterministic
+    content — so it is reinstated rather than destroyed.
     """
     import os
     import shutil
+    import uuid
+
+    def _published() -> bool:
+        return os.path.exists(os.path.join(path, marker))
 
     try:
         os.rename(tmp, path)
         return path
     except OSError:
         pass
-    if os.path.exists(os.path.join(path, marker)):
+    if _published():
         shutil.rmtree(tmp, ignore_errors=True)
         return path
-    shutil.rmtree(path, ignore_errors=True)
+    debris = f"{path}.debris.{uuid.uuid4().hex[:8]}"
+    try:
+        os.rename(path, debris)
+    except OSError:
+        # path vanished or changed under us — fall through to the retry;
+        # a complete copy published meanwhile is honored below.
+        pass
+    else:
+        if os.path.exists(os.path.join(debris, marker)):
+            # We swept aside a COMPLETE artifact published in the race
+            # window. Put it back (atomic); if the slot was re-taken by
+            # another complete copy meanwhile, ours is redundant.
+            try:
+                os.rename(debris, path)
+                shutil.rmtree(tmp, ignore_errors=True)
+                return path
+            except OSError:
+                if _published():
+                    shutil.rmtree(debris, ignore_errors=True)
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    return path
+                # Contended with non-published debris again: serve the
+                # complete swept-aside copy rather than fight.
+                shutil.rmtree(tmp, ignore_errors=True)
+                return debris
+        shutil.rmtree(debris, ignore_errors=True)
     try:
         os.rename(tmp, path)
         return path
     except OSError:
+        if _published():
+            shutil.rmtree(tmp, ignore_errors=True)
+            return path
         return tmp

@@ -17,7 +17,13 @@ Two operators:
 
 Scale design: state is keyed by user_id (high-cardinality → even
 distribution over state-store partitions); each key holds O(1) numbers,
-so the state store is O(users), never O(events). Arrow batches flow
+so the state store is O(users), never O(events) — and with
+``idle_timeout_seconds`` set, O(recently-active users): a key idle for
+that much EVENT time is evicted once the watermark passes its deadline
+(r6 verdict; the same boundedness ``streaming/dedup.py`` gets from its
+watermark, and deterministic under replay — a wall-clock timeout would
+make state depend on drain pacing and never let an ``availableNow``
+backfill terminate). Arrow batches flow
 per group — no row-at-a-time Python. A group's micro-batch rows arrive
 as multiple Arrow chunks in arbitrary order, so the sessionizer
 materializes the group and sorts ONCE by (ts, event_id) before the
@@ -76,7 +82,7 @@ _TOTALS_STATE_SCHEMA = StructType(
 )
 
 
-def _capped_session_fn(gap_seconds: int, cap_seconds: int):
+def _capped_session_fn(gap_seconds: int, cap_seconds: int, timeout_ms: int = 0):
     gap_us = gap_seconds * 1_000_000
     cap_us = cap_seconds * 1_000_000
 
@@ -86,6 +92,12 @@ def _capped_session_fn(gap_seconds: int, cap_seconds: int):
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
         (user_id,) = key
+        if timeout_ms and state.hasTimedOut:
+            # Idle eviction: the open session's latest snapshot was
+            # already emitted (update mode re-emits on every growth), so
+            # dropping state closes it without changing any emitted row.
+            state.remove()
+            return
         if state.exists:
             ordinal, start_us, last_us, n_events, value = state.get
         else:
@@ -127,6 +139,15 @@ def _capped_session_fn(gap_seconds: int, cap_seconds: int):
         if last_us is not None:
             out.append((user_id, ordinal, start_us, last_us, n_events, value))
         state.update((ordinal, int(start_us), int(last_us), int(n_events), value))
+        if timeout_ms and last_us is not None:
+            # Event-time deadline: latest event + TTL, clamped above the
+            # current watermark (a passed deadline is rejected by Spark).
+            state.setTimeoutTimestamp(
+                max(
+                    int(last_us) // 1000 + timeout_ms,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
         if out:
             res = pd.DataFrame(
                 out,
@@ -151,6 +172,8 @@ def capped_sessionize_stream(
     events: DataFrame,
     gap_seconds: int = 1800,
     cap_seconds: int = 4 * 3600,
+    idle_timeout_seconds: float | None = None,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Gap + max-duration sessionization over an event stream.
 
@@ -160,37 +183,84 @@ def capped_sessionize_stream(
     express. Emits an updated (user_id, session_ordinal) aggregate row
     whenever a session grows or closes; downstream consumers keep the
     last row per (user_id, session_ordinal).
+
+    ``idle_timeout_seconds`` (r6 verdict): evicts a user's state once
+    the WATERMARK passes (their last event + TTL) — event-time, so
+    eviction is deterministic under replay and an ``availableNow``
+    backfill terminates. Safe whenever TTL ≥ ``gap_seconds`` + the
+    late-data horizon: an evicted user's next event would have started
+    a new session anyway (the gap already exceeded ``gap_seconds``), so
+    eviction changes only the session ORDINAL a returning user resumes
+    at (restarts at 1), never any session's boundaries or aggregates.
     """
+    timeout_ms = int(idle_timeout_seconds * 1000) if idle_timeout_seconds else 0
+    if timeout_ms:
+        events = events.withWatermark("ts", watermark_delay)
     return events.groupBy("user_id").applyInPandasWithState(
-        _capped_session_fn(gap_seconds, cap_seconds),
+        _capped_session_fn(gap_seconds, cap_seconds, timeout_ms),
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=_SESSION_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout
+        if timeout_ms
+        else GroupStateTimeout.NoTimeout,
     )
 
 
-def _totals_fn(
-    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterable[pd.DataFrame]:
-    (user_id,) = key
-    n, s = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += int(len(pdf))
-        s += float(pdf["value"].sum())
-    state.update((int(n), float(s)))
-    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "sum_value": [round(s, 4)]})
+def _totals_fn_factory(timeout_ms: int = 0):
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if timeout_ms and state.hasTimedOut:
+            # The user's last emitted totals row stands; dropping state
+            # frees the slot. A returning user restarts from zero — the
+            # documented trade for bounded state (caller's TTL choice).
+            state.remove()
+            return
+        n, s = state.get if state.exists else (0, 0.0)
+        last_ts_ms = None
+        for pdf in pdfs:
+            n += int(len(pdf))
+            s += float(pdf["value"].sum())
+            if timeout_ms and len(pdf):
+                m = int(pd.Timestamp(pdf["ts"].max()).value) // 1_000_000
+                last_ts_ms = m if last_ts_ms is None else max(last_ts_ms, m)
+        state.update((int(n), float(s)))
+        if timeout_ms and last_ts_ms is not None:
+            # Event-time deadline, clamped above the current watermark.
+            state.setTimeoutTimestamp(
+                max(last_ts_ms + timeout_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "sum_value": [round(s, 4)]}
+        )
+
+    return fn
 
 
-def user_running_totals_stream(events: DataFrame) -> DataFrame:
+def user_running_totals_stream(
+    events: DataFrame,
+    idle_timeout_seconds: float | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
     """Per-user lifetime (n_events, sum_value), refreshed every
-    micro-batch — O(1) state per user."""
+    micro-batch — O(1) state per user; with ``idle_timeout_seconds``
+    set, O(recently-active users) state total (a user whose last event
+    is that much event-time behind the watermark is evicted, their last
+    emission standing — lifetime exactness then holds only for users
+    never idle longer than the TTL)."""
+    timeout_ms = int(idle_timeout_seconds * 1000) if idle_timeout_seconds else 0
+    if timeout_ms:
+        events = events.withWatermark("ts", watermark_delay)
     return events.groupBy("user_id").applyInPandasWithState(
-        _totals_fn,
+        _totals_fn_factory(timeout_ms),
         outputStructType=TOTALS_OUTPUT_SCHEMA,
         stateStructType=_TOTALS_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout
+        if timeout_ms
+        else GroupStateTimeout.NoTimeout,
     )
 
 

@@ -246,3 +246,48 @@ def test_publish_build_contention_paths(tmp_path):
     p3 = mk(tmp_path / "p3", complete=False)
     out = publish_build(t3, p3, "meta.json")
     assert out == p3 and os.path.exists(os.path.join(p3, "meta.json"))
+
+
+def test_publish_build_never_destroys_published_artifact(tmp_path, monkeypatch):
+    """TOCTOU (ADVICE r6): a concurrent winner publishing a COMPLETE
+    artifact between the marker check and the debris sweep used to be
+    rmtree'd in place; the sweep is now an atomic rename-aside and a
+    swept-aside COMPLETE dir is reinstated — a published artifact is
+    never destroyed. Simulated by making the FIRST marker probe see the
+    pre-publish state (exactly the race window) while the directory
+    actually holds the winner's complete copy."""
+    import os
+
+    from mrt_data_integration_spark.sources.sinks import publish_build
+
+    def mk(d, complete=True, tag="x"):
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "data"), "w") as fh:
+            fh.write(tag)
+        if complete:
+            open(os.path.join(d, "meta.json"), "w").close()
+        return str(d)
+
+    t = mk(tmp_path / "t", tag="loser")
+    p = mk(tmp_path / "p", complete=True, tag="winner")
+    marker_path = os.path.join(p, "meta.json")
+    real_exists = os.path.exists
+    probes = {"n": 0}
+
+    def racy_exists(path):
+        if path == marker_path:
+            probes["n"] += 1
+            if probes["n"] == 1:
+                return False  # the stale read inside the race window
+        return real_exists(path)
+
+    monkeypatch.setattr("os.path.exists", racy_exists)
+    out = publish_build(t, p, "meta.json")
+    monkeypatch.undo()
+    assert out == p
+    with open(os.path.join(p, "data")) as fh:
+        assert fh.read() == "winner", "published copy must survive the sweep"
+    assert not os.path.exists(t), "the losing build is discarded"
+    assert not [d for d in os.listdir(tmp_path) if ".debris." in d], (
+        "reinstatement must leave no debris behind"
+    )

@@ -590,3 +590,129 @@ def test_streaming_funnel_fuzz_arrival_order_and_ties(spark, tmp_path):
             ev, steps, "1 hour"
         ).collect()))
         assert got == want, f"trial {trial}"
+
+
+def test_funnel_stream_idle_timeout_evicts_state(spark, tmp_path):
+    """State TTL (r6 verdict): with ``idle_timeout_seconds`` set, a user
+    whose latest event falls TTL behind the watermark is EVICTED — their
+    next appearance re-folds from EMPTY state (n_seen restarts, stage-1
+    time is the new event, not the forgotten original) — while a user
+    active before their deadline keeps exact funnel times. Event-time
+    timeout makes this fully deterministic: the watermark is driven by
+    the staged data, never wall-clock, so there are no sleeps and the
+    same files always evict the same users at the same batch."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from mrt_data_integration_spark.streaming.funnel import funnel_stream
+
+    steps = ["view", "click", "purchase"]
+    schema = "user_id long, ts timestamp, event_type string"
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ck", "out"))
+    t0 = dt.datetime(2024, 1, 1)
+    minute, hour = dt.timedelta(minutes=1), dt.timedelta(hours=1)
+
+    def add_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        stream = funnel_stream(
+            spark.readStream.schema(schema).parquet(src),
+            steps,
+            idle_timeout_seconds=3600,  # 1 h of EVENT time
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: A completes stages 1-2 (deadline t0+70m); B starts (t0+60m)
+    add_file([(1, t0, "view"), (1, t0 + 10 * minute, "click"),
+              (2, t0, "view")])
+    drain()
+    # batch 2: B extends BEFORE its deadline → state kept, t2 resolves
+    # against the original view; B's deadline re-arms to t0+90m
+    add_file([(2, t0 + 30 * minute, "click")])
+    drain()
+    # batch 3: watermark pusher → watermark t0+3h (past both deadlines)
+    add_file([(3, t0 + 3 * hour, "view")])
+    drain()
+    # batch 4: sees watermark t0+3h → A and B time out and are evicted
+    # (C, deadline t0+4h, survives); the D row just makes the batch run
+    add_file([(4, t0 + 5 * hour, "view")])
+    drain()
+    # batch 5: A returns — state was evicted, so the re-fold starts empty
+    new_ts = t0 + 6 * hour
+    add_file([(1, new_ts, "view")])
+    drain()
+
+    got = spark.read.parquet(out).toPandas()
+    a = got[got.user_id == 1]
+    # eviction proof: A's emissions are n_seen ∈ {2, 1} — the return row
+    # re-counts from zero (an unbounded-state run would emit n_seen=3)
+    assert sorted(a.n_seen.tolist()) == [1, 2]
+    returned = a[a.n_seen == 1].iloc[0]
+    assert pd.Timestamp(returned.t1) == new_ts, "stage-1 must be the NEW view"
+    assert pd.isna(returned.t2)
+    before = a[a.n_seen == 2].iloc[0]
+    assert pd.Timestamp(before.t2) == t0 + 10 * minute
+    # active-user proof: B's state survived batch 2 (extension arrived
+    # before its event-time deadline), so its click resolved stage 2
+    # against the ORIGINAL view time
+    b = got[got.user_id == 2]
+    final_b = b.loc[b.n_seen.idxmax()]
+    assert final_b.n_seen == 2
+    assert pd.Timestamp(final_b.t1) == t0
+    assert pd.Timestamp(final_b.t2) == t0 + 30 * minute
+
+
+def test_stateful_ttl_eviction_unit():
+    """The session and running-totals operators share the funnel's
+    eviction contract: a timed-out invocation removes state and emits
+    NOTHING (the user's last update-mode row must remain the standing
+    answer — emitting zeros here would corrupt max/last-row consumers),
+    and touches no other state API."""
+    from mrt_data_integration_spark.streaming.stateful import (
+        _capped_session_fn,
+        _totals_fn_factory,
+    )
+
+    class FakeTimedOutState:
+        exists = True
+        hasTimedOut = True
+
+        def __init__(self):
+            self.removed = False
+
+        @property
+        def get(self):
+            raise AssertionError("eviction must not read state")
+
+        def update(self, v):
+            raise AssertionError("eviction must not write state")
+
+        def setTimeoutTimestamp(self, ms):
+            raise AssertionError("eviction must not re-arm the timeout")
+
+        def getCurrentWatermarkMs(self):
+            raise AssertionError("eviction must not consult the watermark")
+
+        def remove(self):
+            self.removed = True
+
+    for fn in (
+        _capped_session_fn(1800, 4 * 3600, timeout_ms=1000),
+        _totals_fn_factory(timeout_ms=1000),
+    ):
+        st = FakeTimedOutState()
+        assert list(fn((7,), iter([]), st)) == []
+        assert st.removed

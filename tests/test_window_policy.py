@@ -6,17 +6,52 @@ instead of surfacing as a judge finding (the r4 ADVICE failure mode)."""
 from __future__ import annotations
 
 from mrt_data_integration_spark import queries as q
+from mrt_data_integration_spark.queries import ORACLES
+
+_R6_NEW = (
+    "weighted_doc_sample",
+    "ivfpq_appended_index_topk",
+    "streaming_dedup_ingest",
+    "lsh_store_ingest_candidates",
+    "corpus_ingest_pipeline",
+    "streaming_funnel_conversion",
+    "training_shard_manifest",
+)
+
+# The sixteen r6 sit-outs (last driver rows: r5). Thirteen must return in
+# the r7 window; the other three were retired to the CI-only tier with a
+# fresh-r6-hash-green twin each (see queries/__init__.py _RETIRED).
+_R6_SAT_OUT = (
+    "bpe_ish_token_counts",
+    "cluster_score_meat",
+    "group_moment_stats",
+    "group_best_highlight",
+    "unpivot_long",
+    "cube_revenue",
+    "topk_per_group",
+    "wls_normal_equations",
+    "wcls_cluster_robust",
+    "fact_fact_join",
+    "semi_join_active_customers",
+    "brand_part_rollup",
+    "doc_quality_stats",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+)
 
 
 def test_pools_partition_registry_exactly():
-    pa, pb, core = set(q._POOL_A), set(q._POOL_B), set(q._CORE)
-    assert not (pa & pb) and not (pa & core) and not (pb & core), (
-        "a query may belong to exactly one pool"
-    )
-    assert pa | pb | core == set(q.QUERIES), (
-        "every registered query must be assigned to a pool; "
-        f"unassigned: {sorted(set(q.QUERIES) - (pa | pb | core))}, "
-        f"stale: {sorted((pa | pb | core) - set(q.QUERIES))}"
+    pa, pb = set(q._POOL_A), set(q._POOL_B)
+    core, retired = set(q._CORE), set(q._RETIRED)
+    tiers = (pa, pb, core, retired)
+    for i, a in enumerate(tiers):
+        for b in tiers[i + 1:]:
+            assert not (a & b), "a query may belong to exactly one tier"
+    assert pa | pb | core | retired == set(q.QUERIES), (
+        "every registered query must be assigned to a tier; "
+        f"unassigned: {sorted(set(q.QUERIES) - (pa | pb | core | retired))}, "
+        f"stale: {sorted((pa | pb | core | retired) - set(q.QUERIES))}"
     )
 
 
@@ -25,32 +60,32 @@ def test_window_is_drawn_from_registry_front():
     assert names[:50] == q._WINDOW, "registration order must realize the window"
 
 
-def test_zero_history_rule_r6():
-    """The r6 forced set (the fifteen late-r5 registrations with zero
-    driver-row history — the r5 verdict's promised rotation) must all sit
-    inside the driver-recorded first 50."""
+def test_zero_history_rule_r7():
+    """The r7 forced set (the seven r6 registrations with zero driver-row
+    history — the r6 verdict's promised rotation) must all sit inside the
+    driver-recorded first 50."""
     window = set(q._WINDOW)
-    for name in ("heavy_hitters", "hll_daily_distinct",
-                 "approx_distinct_quantiles", "incremental_rollup_merge",
-                 "streaming_rollup_merge", "value_histogram",
-                 "partitioned_parquet_roundtrip", "semantic_dedup_summary",
-                 "funnel_conversion", "campaign_event_attribution",
-                 "stratified_fixed_k_sample", "document_chunking",
-                 "corpus_snapshot_diff", "char_trigram_lm_filter",
-                 "window_rank_features"):
-        assert name in window, f"{name} promised a first driver row in r6"
+    for name in _R6_NEW:
+        assert name in window, f"{name} promised a first driver row in r7"
 
 
 def test_no_query_waits_more_than_two_rounds():
-    """The thirteen r5 sit-outs must return in r6 (their last driver row
-    was r4; a second consecutive sit-out breaks the rotation invariant)."""
+    """The sixteen r6 sit-outs' last driver rows are r5; every one still
+    in the rotation must return in r7 (a second consecutive sit-out
+    breaks the invariant). The three retirees are exempt — they left the
+    rotation, not the verification surface (next test)."""
+    window, retired = set(q._WINDOW), set(q._RETIRED)
+    missing = [n for n in _R6_SAT_OUT if n not in window and n not in retired]
+    assert not missing, f"r6 sit-outs neither returned nor retired: {missing}"
+
+
+def test_retired_queries_stay_ci_verified():
+    """Retirement removes a query's driver slot, never its verification:
+    every retiree must still be registered, hold a DuckDB oracle (so
+    test_oracle_parity covers it each CI run), and sit OUTSIDE the
+    window (it must not consume one of the 50 slots its twin covers)."""
     window = set(q._WINDOW)
-    r5_sat_out = (
-        "running_total", "argmax_per_group", "anti_join_dormant_customers",
-        "ngram_jaccard_pairs_prefix", "weighted_gram",
-        "pivot_method_by_coef", "exact_percentiles", "doc_lang_id",
-        "regr_by_group", "tfidf_top_terms", "rollup_hierarchy",
-        "star_join_revenue", "pricing_summary",
-    )
-    missing = [n for n in r5_sat_out if n not in window]
-    assert not missing, f"r5 sit-outs not returned in r6: {missing}"
+    for name in q._RETIRED:
+        assert name in q.QUERIES, f"retired query {name} must stay registered"
+        assert name in ORACLES, f"retired query {name} must keep its oracle"
+        assert name not in window, f"retired query {name} must free its slot"
