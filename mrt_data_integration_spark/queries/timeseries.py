@@ -578,20 +578,27 @@ def streaming_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stamp-in-dir-name + atomic publish, same rationale as
     # streaming_dedup_ingest's staging above: a named build is immutable
     # once complete, so rebuilds never touch a dir another stream reads.
+    # Staged PRE-FILTERED to the funnel's step types and the three
+    # columns the operator consumes — at 100 TB the ingest stream is
+    # exactly this projection (ship the funnel events, not the firehose),
+    # and locally it cuts the per-batch scan/shuffle/state volume ~2×.
     ev_src = os.path.join(sf_dir, "events.parquet")
     mtime = int(os.path.getmtime(ev_src)) if os.path.exists(ev_src) else 0
     src = os.path.join(
         tempfile.gettempdir(),
-        f"graft_sfunnel_src_{_stable_key(sf_dir)}_{mtime}_ts_4f_v2",
+        f"graft_sfunnel_src_{_stable_key(sf_dir)}_{mtime}_steps3_4f_v3",
+    )
+    step_events = events.filter(F.col("event_type").isin(steps)).select(
+        "user_id", "ts", "event_type"
     )
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         from mrt_data_integration_spark.sources.sinks import publish_build
 
         tmp_build = f"{src}.build.{uuid.uuid4().hex[:8]}"
-        events.repartition(4).write.mode("overwrite").parquet(tmp_build)
+        step_events.repartition(4).write.mode("overwrite").parquet(tmp_build)
         src = publish_build(tmp_build, src, "_SUCCESS")
     updates = funnel_stream(
-        spark.readStream.schema(events.schema)
+        spark.readStream.schema(step_events.schema)
         .option("maxFilesPerTrigger", 2)
         .parquet(src),
         steps,
