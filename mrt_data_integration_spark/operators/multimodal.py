@@ -4,11 +4,21 @@ plumbing for a training-data pipeline (driver north star).
 Media travel as opaque ``binary`` columns plus typed metadata; all
 per-asset compute runs as Arrow-batched ``mapInPandas`` so each task
 processes a bounded batch of blobs without ever materializing them on
-the driver. The decode step itself is STUBBED: the runtime image/audio
-libraries (PIL/torchvision/ffmpeg) are not in this container, so
-``decode_fn`` falls back to a clearly-marked deterministic fake that
-exercises the real schema/batching/partitioning path; plug a real
-decoder into the same signature in production.
+the driver. Decode is layered (r6 verdict item 8):
+
+1. PIL, when importable (not in this container) — full pixel decode;
+2. a REAL stdlib header decoder for the standard container formats —
+   PNG / GIF / BMP / JPEG (SOF segment walk) / PPM-PGM dimensions and
+   channel counts, and WAV audio via the stdlib ``wave`` module — no
+   third-party library needed, format layouts are public specs;
+3. a clearly-marked deterministic fake for blobs matching no known
+   magic (the synthetic test corpus), exercising the same
+   schema/batching/partitioning path.
+
+Pixel-level transforms for COMPRESSED codecs (JPEG pixels, MP4 frames)
+still require external libraries and remain behind the same
+``decode_fn`` plug point; the stdlib layer is honest about being a
+header/metadata decoder plus uncompressed-PCM audio.
 
 Scale notes: blobs never shuffle — derivation is map-only; set
 ``spark.sql.files.maxPartitionBytes`` so a task's Arrow batch of blobs
@@ -20,6 +30,7 @@ batch iterator).
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -62,10 +73,99 @@ def _fake_decode(blob: bytes) -> tuple[int, int, int]:
     return 64 + h[0] % 960, 64 + h[1] % 960, 1 + h[2] % 4
 
 
+# channel count per PNG color type (spec §11.2.2): greyscale, truecolor,
+# palette (1 sample, palette expands later), grey+alpha, truecolor+alpha
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_dims(b: bytes) -> tuple[int, int, int]:
+    # 8-byte signature, then the IHDR chunk: length(4) 'IHDR'(4)
+    # width(4) height(4) bit-depth(1) color-type(1)
+    w, h = struct.unpack(">II", b[16:24])
+    return w, h, _PNG_CHANNELS[b[25]]
+
+
+def _gif_dims(b: bytes) -> tuple[int, int, int]:
+    # logical screen descriptor right after 'GIF87a'/'GIF89a'
+    w, h = struct.unpack("<HH", b[6:10])
+    return w, h, 3  # palette-indexed; expands to RGB
+
+
+def _bmp_dims(b: bytes) -> tuple[int, int, int]:
+    # BITMAPINFOHEADER: width/height at offset 18 (height may be
+    # negative for top-down rows), bit count at 28
+    w, h = struct.unpack("<ii", b[18:26])
+    bpp = struct.unpack("<H", b[28:30])[0]
+    return w, abs(h), (1 if bpp <= 8 else bpp // 8)
+
+
+def _jpeg_dims(b: bytes) -> tuple[int, int, int] | None:
+    # walk marker segments to the first frame header (SOFn): height,
+    # width, component count live at fixed offsets inside it
+    i = 2
+    while i + 9 < len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+            i += 2  # standalone markers carry no length
+            continue
+        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+            return w, h, b[i + 9]
+        i += 2 + seg_len
+    return None
+
+
+def _ppm_dims(b: bytes) -> tuple[int, int, int] | None:
+    # netpbm: magic, then whitespace/comment-separated width height
+    toks, i, n = [], 2, len(b)
+    while len(toks) < 2 and i < n:
+        c = b[i : i + 1]
+        if c == b"#":  # comment to end of line
+            while i < n and b[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not b[j : j + 1].isspace():
+                j += 1
+            toks.append(b[i:j])
+            i = j
+    if len(toks) < 2:
+        return None
+    w, h = int(toks[0]), int(toks[1])
+    return w, h, (3 if b[1:2] in (b"3", b"6") else 1)
+
+
+def stdlib_image_decode(blob: bytes) -> tuple[int, int, int] | None:
+    """REAL image-dimension decode with the standard library only:
+    sniff the magic, parse the format's public header layout. Returns
+    ``None`` for unrecognized content (caller picks the fallback)."""
+    try:
+        if blob[:8] == b"\x89PNG\r\n\x1a\n":
+            return _png_dims(blob)
+        if blob[:6] in (b"GIF87a", b"GIF89a"):
+            return _gif_dims(blob)
+        if blob[:2] == b"BM":
+            return _bmp_dims(blob)
+        if blob[:2] == b"\xff\xd8":
+            return _jpeg_dims(blob)
+        if blob[:1] == b"P" and blob[1:2] in b"123456":
+            return _ppm_dims(blob)
+    except (struct.error, IndexError, KeyError, ValueError):
+        return None  # matched a magic but the header is truncated/corrupt
+    return None
+
+
 def default_decode(blob: bytes) -> tuple[int, int, int]:
-    """Real decode if an imaging library is present, else the
-    deterministic fake (NotImplementedError is deliberately NOT raised
-    so the pipeline stays runnable end-to-end in this container)."""
+    """Layered decode: PIL when present (full decoder), else the
+    stdlib header decoder for standard formats, else the deterministic
+    fake (NotImplementedError is deliberately NOT raised so the
+    pipeline stays runnable end-to-end in this container)."""
     try:  # pragma: no cover - library absent in the test container
         from PIL import Image  # noqa: F401
         import io
@@ -73,7 +173,9 @@ def default_decode(blob: bytes) -> tuple[int, int, int]:
         with Image.open(io.BytesIO(blob)) as im:
             return im.width, im.height, len(im.getbands())
     except ImportError:
-        return _fake_decode(blob)
+        pass
+    real = stdlib_image_decode(bytes(blob))
+    return real if real is not None else _fake_decode(blob)
 
 
 def extract_image_features(
@@ -155,6 +257,91 @@ def frame_sample_plan(
         return pd.DataFrame(rows, columns=["asset_id", "frame_idx", "ts_ms"])
 
     return plan
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("sha256", StringType()),
+        StructField("byte_len", LongType()),
+    ]
+)
+
+
+def wav_decode(blob: bytes) -> tuple[int, int, int] | None:
+    """REAL audio decode for RIFF/WAVE PCM via the stdlib ``wave``
+    module: (n_channels, sample_rate, n_frames), ``None`` if the blob
+    is not a parseable WAV (caller picks the fallback). Compressed
+    codecs (mp3/aac/opus) need external decoders — same plug point."""
+    import io
+    import wave
+
+    if bytes(blob[:4]) != b"RIFF" or bytes(blob[8:12]) != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(bytes(blob))) as w:
+            return w.getnchannels(), w.getframerate(), w.getnframes()
+    except (wave.Error, EOFError):
+        return None
+
+
+def _fake_audio_decode(blob: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in mirroring ``_fake_decode``: plausible
+    (channels, rate, frames) from a content hash."""
+    h = hashlib.sha256(blob).digest()
+    return 1 + h[0] % 2, (8000, 16000, 22050, 44100)[h[1] % 4], 1000 + h[2] * 37
+
+
+def default_audio_decode(blob: bytes) -> tuple[int, int, int]:
+    real = wav_decode(blob)
+    return real if real is not None else _fake_audio_decode(blob)
+
+
+def extract_audio_features(
+    media: DataFrame,
+    decode_fn: Callable[[bytes], tuple[int, int, int]] = default_audio_decode,
+) -> DataFrame:
+    """binary audio column → per-asset feature rows (channels, rate,
+    frames, duration) via the same Arrow-batched mapInPandas shape as
+    the image path — blobs never shuffle, tasks see bounded batches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, blob in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(blob)
+                ch, rate, frames = decode_fn(b)
+                out.append(
+                    (
+                        int(asset_id),
+                        int(ch),
+                        int(rate),
+                        int(frames),
+                        int(frames * 1000 // max(rate, 1)),
+                        hashlib.sha256(b).hexdigest(),
+                        len(b),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id",
+                    "n_channels",
+                    "sample_rate",
+                    "n_frames",
+                    "duration_ms",
+                    "sha256",
+                    "byte_len",
+                ],
+            )
+
+    return media.select("asset_id", "content").mapInPandas(
+        run, AUDIO_FEATURES_SCHEMA
+    )
 
 
 def synthesize_media_table(spark, n_assets: int = 64) -> DataFrame:

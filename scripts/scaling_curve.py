@@ -137,6 +137,8 @@ OP_INPUTS = {
     "ivfpq_append_batch": {"emb", "index_append"},
     "substring_chunk_dedup": {"docs"},
     "sequence_packing": {"docs"},
+    "streaming_funnel_drain": {"events", "sfunnel_src"},
+    "corpus_ingest_pipeline": {"docs", "docs_tables"},
 }
 
 
@@ -214,6 +216,38 @@ def main() -> None:
                 n_hashes=4, band_size=2,
             )
             store_paths[k] = spath
+
+    # Streaming-funnel staging dirs (r6 verdict item 5): pre-filtered to
+    # the funnel's step types / three consumed columns (the projection
+    # the production ingest stream ships) and written as 8 files so
+    # maxFilesPerTrigger=4 gives TWO micro-batches at EVERY scale — the
+    # slope then measures per-batch state + data work, not batch count.
+    sfunnel_srcs = {}
+    if "sfunnel_src" in needed:
+        for k in SCALES:
+            ev = spark.read.parquet(datasets[k][1]).withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            )
+            flt = ev.filter(
+                F.col("event_type").isin(["view", "click", "purchase"])
+            ).select("user_id", "ts", "event_type")
+            spath = os.path.join(work, f"sfunnel_src_{k}x")
+            flt.repartition(8).write.parquet(spath)
+            sfunnel_srcs[k] = (spath, flt.schema)
+
+    # Per-scale table dirs for the composed ingest pipeline QUERY (it
+    # takes an sf_dir): symlink the replicated docs under the
+    # {dir}/documents.parquet layout load_table expects, so the exact
+    # driver-facing query runs unmodified at each scale.
+    doc_tables = {}
+    if "docs_tables" in needed:
+        for k in SCALES:
+            tdir = os.path.join(work, f"docs_tbl_{k}x")
+            os.makedirs(tdir, exist_ok=True)
+            os.symlink(
+                datasets[k][0], os.path.join(tdir, "documents.parquet")
+            )
+            doc_tables[k] = tdir
 
     # Doubled-events staging dirs for the streaming-dedup drain (the
     # timed region is the stateful drain only; staging is setup).
@@ -309,7 +343,47 @@ def main() -> None:
         ).count(),
         "sequence_packing": lambda k: _pack(docs(k)),
         "streaming_dedup_drain": lambda k: _drain_dedup(k),
+        "streaming_funnel_drain": lambda k: _drain_funnel(k),
+        "corpus_ingest_pipeline": lambda k: _ingest_pipeline(k),
     }
+
+    def _ingest_pipeline(k):
+        from mrt_data_integration_spark.queries.pipeline import (
+            corpus_ingest_pipeline,
+        )
+
+        return corpus_ingest_pipeline(spark, doc_tables[k]).count()
+
+    def _drain_funnel(k):
+        import shutil as _sh
+        import uuid as _uuid
+
+        from mrt_data_integration_spark.streaming.funnel import (
+            funnel_stream,
+            latest_stage_times,
+        )
+
+        spath, schema = sfunnel_srcs[k]
+        name = f"sc_fn_{_uuid.uuid4().hex[:8]}"
+        ck = tempfile.mkdtemp(prefix="graft_sc_fn_ck_")
+        q = (
+            funnel_stream(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 4)
+                .parquet(spath),
+                ["view", "click", "purchase"],
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination()
+        n = latest_stage_times(spark.table(name), 3).count()
+        _sh.rmtree(ck, ignore_errors=True)
+        return n
 
     def _pack(d):
         from mrt_data_integration_spark.operators.text import token_count

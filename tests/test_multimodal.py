@@ -59,3 +59,191 @@ def test_embed_stub_feeds_similarity(spark):
     rows = topk.collect()
     assert len(rows) == 3 * 2
     assert all(-1.0001 <= r.cosine_sim <= 1.0001 for r in rows)
+
+def _tiny_png(w, h, color_type=2):
+    """Hand-assembled valid PNG (spec-layout: signature, IHDR, IDAT
+    with zlib-compressed filtered scanlines, IEND)."""
+    import struct
+    import zlib
+
+    def chunk(tag, payload):
+        body = tag + payload
+        return struct.pack(">I", len(payload)) + body + struct.pack(
+            ">I", zlib.crc32(body)
+        )
+
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(w * channels) for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _tiny_gif(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00\x3b"
+
+
+def _tiny_bmp(w, h, bpp=24):
+    import struct
+
+    info = struct.pack("<IiiHH", 40, w, h, 1, bpp) + bytes(16)
+    return b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + info
+
+
+def _tiny_jpeg(w, h, n_components=3):
+    import struct
+
+    sof_payload = struct.pack(">BHHB", 8, h, w, n_components) + bytes(
+        3 * n_components
+    )
+    return (
+        b"\xff\xd8"                                   # SOI
+        + b"\xff\xe0" + struct.pack(">H", 6) + b"JF\x00\x00"  # APP0 stub
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof_payload)) + sof_payload
+        + b"\xff\xd9"                                 # EOI
+    )
+
+
+def _tiny_wav(n_channels, rate, n_frames):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(bytes(2 * n_channels * n_frames))
+    return buf.getvalue()
+
+
+def test_stdlib_image_decode_real_formats():
+    """The stdlib layer must parse REAL header layouts — dimensions and
+    channel counts round-trip exactly for every supported format, and
+    unknown content returns None (handing the fallback decision to the
+    caller instead of guessing)."""
+    from mrt_data_integration_spark.operators.multimodal import (
+        stdlib_image_decode,
+    )
+
+    assert stdlib_image_decode(_tiny_png(320, 200, color_type=2)) == (320, 200, 3)
+    assert stdlib_image_decode(_tiny_png(7, 5, color_type=0)) == (7, 5, 1)
+    assert stdlib_image_decode(_tiny_png(64, 64, color_type=6)) == (64, 64, 4)
+    assert stdlib_image_decode(_tiny_gif(99, 42)) == (99, 42, 3)
+    assert stdlib_image_decode(_tiny_bmp(31, 17, bpp=24)) == (31, 17, 3)
+    assert stdlib_image_decode(_tiny_bmp(31, 17, bpp=8)) == (31, 17, 1)
+    assert stdlib_image_decode(_tiny_jpeg(1024, 768)) == (1024, 768, 3)
+    assert stdlib_image_decode(b"P6\n# a comment\n640 480\n255\n") == (640, 480, 3)
+    assert stdlib_image_decode(b"P5 12 34 255 ") == (12, 34, 1)
+    assert stdlib_image_decode(b"not an image at all") is None
+    assert stdlib_image_decode(b"\x89PNG\r\n\x1a\n\x00\x00") is None  # truncated
+
+
+def test_extract_image_features_layered_decode(spark):
+    """End-to-end through the Spark mapInPandas path: real-format blobs
+    yield their TRUE dimensions, opaque blobs fall back to the
+    deterministic fake — both through the same default decoder."""
+    from mrt_data_integration_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _fake_decode,
+    )
+
+    opaque = b"\x00opaque-blob-0123456789"
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(_tiny_png(320, 200)), "image/png"),
+            (2, "image", bytearray(_tiny_jpeg(640, 480)), "image/jpeg"),
+            (3, "image", bytearray(opaque), "application/octet-stream"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {
+        r.asset_id: r for r in extract_image_features(media).collect()
+    }
+    assert (rows[1].width, rows[1].height, rows[1].n_channels) == (320, 200, 3)
+    assert (rows[2].width, rows[2].height, rows[2].n_channels) == (640, 480, 3)
+    assert (rows[3].width, rows[3].height, rows[3].n_channels) == _fake_decode(
+        opaque
+    )
+
+
+def test_extract_audio_features_wav(spark):
+    """WAV blobs decode their REAL channel/rate/frame counts through
+    the stdlib wave module; non-WAV content falls back deterministically
+    — same layered contract as the image path."""
+    from mrt_data_integration_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _fake_audio_decode,
+        extract_audio_features,
+    )
+
+    opaque = b"not-audio"
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(_tiny_wav(2, 16000, 8000)), "audio/wav"),
+            (2, "audio", bytearray(_tiny_wav(1, 44100, 44100)), "audio/wav"),
+            (3, "audio", bytearray(opaque), "application/octet-stream"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {
+        r.asset_id: r for r in extract_audio_features(media).collect()
+    }
+    assert (rows[1].n_channels, rows[1].sample_rate, rows[1].n_frames) == (
+        2, 16000, 8000,
+    )
+    assert rows[1].duration_ms == 500
+    assert (rows[2].n_channels, rows[2].sample_rate, rows[2].n_frames) == (
+        1, 44100, 44100,
+    )
+    assert rows[2].duration_ms == 1000
+    assert (
+        rows[3].n_channels, rows[3].sample_rate, rows[3].n_frames
+    ) == _fake_audio_decode(opaque)
+
+
+def test_stdlib_decode_fuzz_round_trip():
+    """Seeded fuzz over the header space: random dims / color types /
+    bit depths / component counts must round-trip exactly through every
+    stdlib decoder — the parsers read spec offsets, so any byte-layout
+    mistake shows up as a wrong dimension, not a crash."""
+    import random
+
+    from mrt_data_integration_spark.operators.multimodal import (
+        stdlib_image_decode,
+        wav_decode,
+    )
+
+    rng = random.Random(77)
+    png_channels = {0: 1, 2: 3, 6: 4}
+    for _ in range(100):
+        w, h = rng.randint(1, 60000), rng.randint(1, 60000)
+        ct = rng.choice([0, 2, 6])
+        # PNG IDAT payload size explodes for huge dims; header parsing
+        # doesn't read it, so cap the assembled-pixel path separately
+        if w * h <= 4096:
+            assert stdlib_image_decode(_tiny_png(w, h, ct)) == (
+                w, h, png_channels[ct],
+            )
+        wg, hg = rng.randint(1, 65535), rng.randint(1, 65535)
+        assert stdlib_image_decode(_tiny_gif(wg, hg)) == (wg, hg, 3)
+        bpp = rng.choice([1, 8, 24, 32])
+        assert stdlib_image_decode(_tiny_bmp(w, h, bpp)) == (
+            w, h, 1 if bpp <= 8 else bpp // 8,
+        )
+        nc = rng.choice([1, 3, 4])
+        assert stdlib_image_decode(_tiny_jpeg(wg, hg, nc)) == (wg, hg, nc)
+        assert stdlib_image_decode(
+            f"P6  {w} {h} 255 ".encode()
+        ) == (w, h, 3)
+    for _ in range(20):
+        ch = rng.randint(1, 2)
+        rate = rng.choice([8000, 16000, 44100, 48000])
+        frames = rng.randint(1, 5000)
+        assert wav_decode(_tiny_wav(ch, rate, frames)) == (ch, rate, frames)

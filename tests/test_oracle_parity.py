@@ -55,13 +55,18 @@ def test_driver_window_invariants():
     qinit = importlib.import_module("mrt_data_integration_spark.queries")
 
     window = qinit._WINDOW
-    pools = (set(qinit._POOL_A), set(qinit._POOL_B), set(qinit._CORE))
-    assert len(window) == 50 == len(set(window))
-    # pools partition the registry exactly
-    assert pools[0] | pools[1] | pools[2] == set(QUERIES)
-    assert not (pools[0] & pools[1]) and not (pools[0] & pools[2]) and not (
-        pools[1] & pools[2]
+    pools = (
+        set(qinit._POOL_A),
+        set(qinit._POOL_B),
+        set(qinit._CORE),
+        set(qinit._RETIRED),  # r7: CI-only tier, outside the rotation
     )
+    assert len(window) == 50 == len(set(window))
+    # tiers partition the registry exactly
+    assert pools[0] | pools[1] | pools[2] | pools[3] == set(QUERIES)
+    for i, a in enumerate(pools):
+        for b in pools[i + 1:]:
+            assert not (a & b)
     # registration order == window + remainder (driver reads order[:50])
     assert list(QUERIES)[:50] == window
     # every windowed query exists; every oracle key has an impl
