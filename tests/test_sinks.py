@@ -291,3 +291,52 @@ def test_publish_build_never_destroys_published_artifact(tmp_path, monkeypatch):
     assert not [d for d in os.listdir(tmp_path) if ".debris." in d], (
         "reinstatement must leave no debris behind"
     )
+
+
+def test_publish_build_concurrent_stress(tmp_path):
+    """Invariant under real concurrency: N builders racing the same
+    slot (some starting from a stale partial at path) must each end up
+    READING a complete artifact, and the slot must hold a complete
+    artifact afterward — no builder ever observes a partial dir, no
+    published dir is destroyed. Exercises the rename-aside fallback
+    under genuine interleaving rather than a simulated probe."""
+    import os
+    import shutil
+    import threading
+
+    from mrt_data_integration_spark.sources.sinks import publish_build
+
+    for trial in range(8):
+        path = str(tmp_path / f"slot{trial}")
+        if trial % 2:
+            # seed a stale PARTIAL at the slot (killed earlier builder)
+            os.makedirs(path)
+            open(os.path.join(path, "half-written"), "w").close()
+        results, errors = [], []
+
+        def build(i):
+            try:
+                t = str(tmp_path / f"b{trial}_{i}")
+                os.makedirs(t)
+                with open(os.path.join(t, "data"), "w") as fh:
+                    fh.write("payload")  # deterministic content, all builders
+                open(os.path.join(t, "meta.json"), "w").close()
+                out = publish_build(t, path, "meta.json")
+                # every builder must come away with a COMPLETE dir
+                assert os.path.exists(os.path.join(out, "meta.json"))
+                with open(os.path.join(out, "data")) as fh:
+                    assert fh.read() == "payload"
+                results.append(out)
+            except Exception as e:  # pragma: no cover - failure detail
+                errors.append(e)
+
+        threads = [threading.Thread(target=build, args=(i,)) for i in range(6)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors, errors
+        assert len(results) == 6
+        # the slot itself must end complete (no stale partial survives)
+        assert os.path.exists(os.path.join(path, "meta.json"))
+        shutil.rmtree(str(tmp_path / f"slot{trial}"), ignore_errors=True)
