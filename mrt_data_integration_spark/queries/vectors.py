@@ -264,8 +264,18 @@ def ivfpq_index_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stale old dirs are left behind and ignored)
     key = hashlib.md5(f"{sf_dir}|{mtime}|v3-nc8-s0".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"mrt_ivfpq_index_{key}")
+    # Build into a private dir + publish_build, same protocol as the
+    # append twin below: building straight into the shared path let a
+    # crash strand a partial index there and let two concurrent
+    # invocations write the same files simultaneously.
     if not os.path.exists(os.path.join(path, "meta.json")):
-        sim.build_ivfpq_index(emb, path, n_cells=8, seed=0)
+        import uuid
+
+        from mrt_data_integration_spark.sources.sinks import publish_build
+
+        tmp = f"{path}.build-{uuid.uuid4().hex[:8]}"
+        sim.build_ivfpq_index(emb, tmp, n_cells=8, seed=0)
+        path = publish_build(tmp, path, "meta.json")
     queries_df = emb.filter(F.col("vec_id") < 5)
     return sim.ivfpq_index_topk(spark, path, queries_df, emb, k=3, n_probe=4)
 
