@@ -89,3 +89,16 @@ def test_retired_queries_stay_ci_verified():
         assert name in q.QUERIES, f"retired query {name} must stay registered"
         assert name in ORACLES, f"retired query {name} must keep its oracle"
         assert name not in window, f"retired query {name} must free its slot"
+
+
+def test_r8_window_feasibility():
+    """The r8 window is POOL_B's turn plus the sixteen r7 sit-outs (all
+    due back — their last rows are r6). That sum must be EXACTLY 50: any
+    query registered after the r7 freeze, or any POOL_B growth, must be
+    paired with a retirement of a same-shape twin (the r7 precedent),
+    or the r8 rotation becomes infeasible and a due query silently
+    loses its slot."""
+    assert len(q._POOL_B) + len(q._R7_SIT_OUT) == 50, (
+        "r8 window over/under-subscribed — pair registry growth with a "
+        "retirement (see _RETIRED in queries/__init__.py)"
+    )
