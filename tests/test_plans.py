@@ -257,3 +257,28 @@ def test_ingest_pipeline_is_single_scan_single_shuffle(spark, sf_smoke):
     assert plan.count("Window") == 1
     assert plan.count("Exchange hashpartitioning") == 1
     assert "EvalPython" not in plan
+
+
+def test_snapshot_diff_exchanges_carry_fingerprints_not_bodies(spark, sf_smoke):
+    """corpus_snapshot_diff's scale claim: the full-outer join moves
+    (doc_id, fingerprint, n_chars) — md5 is computed in the Project
+    BELOW the exchange, so document bodies never shuffle."""
+    plan = _explain(spark, "corpus_snapshot_diff", sf_smoke)
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, f"doc bodies entered an exchange: {ln}"
+    assert "EvalPython" not in plan
+
+
+def test_lsh_store_probe_never_reshingles_store(spark, sf_smoke):
+    """lsh_store_ingest_candidates' scale claim: the stored corpus is
+    probed AS WRITTEN — its band table scans as plain (ref_id, band_key,
+    band_id) columns with NO shingle/minhash recomputation (exactly one
+    Generate explode in the whole plan: the ingest batch's banding), and
+    every join is keyed (no cartesian)."""
+    plan = _explain(spark, "lsh_store_ingest_candidates", sf_smoke, "simple")
+    assert plan.count("Generate explode") == 1, (
+        "store side re-shingled — the store's point is probing as-written"
+    )
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
