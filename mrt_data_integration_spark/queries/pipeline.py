@@ -781,7 +781,6 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
     import tempfile
-    import uuid
 
     from mrt_data_integration_spark.sources.sinks import (
         shard_key,
@@ -793,14 +792,15 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
     key = hashlib.md5(f"{sf_dir}|{mtime}|shards-v1-8".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"mrt_shards_{key}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        from mrt_data_integration_spark.sources.sinks import publish_build
+    from mrt_data_integration_spark.sources.sinks import build_and_publish
 
-        tmp = f"{path}.build-{uuid.uuid4().hex[:8]}"
-        write_training_shards(
+    path = build_and_publish(
+        path,
+        "_SUCCESS",
+        lambda tmp: write_training_shards(
             docs.select("doc_id", "n_chars"), tmp, n_shards=8
-        )
-        path = publish_build(tmp, path, "_SUCCESS")
+        ),
+    )
     back = spark.read.parquet(path)
     return (
         back.withColumn("__sk__", shard_key("doc_id"))

@@ -854,22 +854,21 @@ def lsh_store_ingest_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ref = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
-    import uuid
-
     src = os.path.join(sf_dir, "documents.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
     key = hashlib.md5(f"{sf_dir}|{mtime}|lshstore-v2-4x2".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"mrt_lsh_store_{key}")
-    if not os.path.exists(os.path.join(path, "meta.json")):
-        # Build into a private temp dir, then atomically rename into
-        # place: two concurrent invocations (bench + parity test on the
-        # same sf_dir) would otherwise race check-then-build, and one's
-        # mode("overwrite") would delete bands/ under the other's probe.
-        # rename() fails if another builder won — its store is complete,
-        # use it and discard ours.
-        from mrt_data_integration_spark.sources.sinks import publish_build
+    # Shared build-private-then-publish protocol: two concurrent
+    # invocations (bench + parity test on the same sf_dir) would
+    # otherwise race check-then-build, and one's mode("overwrite")
+    # would delete bands/ under the other's probe.
+    from mrt_data_integration_spark.sources.sinks import build_and_publish
 
-        tmp = f"{path}.build-{uuid.uuid4().hex[:8]}"
-        dd.build_lsh_signature_store(ref, tmp, n_hashes=4, band_size=2)
-        path = publish_build(tmp, path, "meta.json")
+    path = build_and_publish(
+        path,
+        "meta.json",
+        lambda tmp: dd.build_lsh_signature_store(
+            ref, tmp, n_hashes=4, band_size=2
+        ),
+    )
     return dd.lsh_store_candidates(spark, path, new)

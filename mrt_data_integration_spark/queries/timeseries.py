@@ -37,20 +37,15 @@ def _staged_stream_dir(sf_dir: str, tag: str, build) -> str:
     parquet commit creates the _SUCCESS marker)."""
     import os
     import tempfile
-    import uuid
 
-    from mrt_data_integration_spark.sources.sinks import publish_build
+    from mrt_data_integration_spark.sources.sinks import build_and_publish
 
     ev_src = os.path.join(sf_dir, "events.parquet")
     mtime = int(os.path.getmtime(ev_src)) if os.path.exists(ev_src) else 0
     src = os.path.join(
         tempfile.gettempdir(), f"graft_{tag}_{_stable_key(sf_dir)}_{mtime}"
     )
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        tmp_build = f"{src}.build.{uuid.uuid4().hex[:8]}"
-        build(tmp_build)
-        src = publish_build(tmp_build, src, "_SUCCESS")
-    return src
+    return build_and_publish(src, "_SUCCESS", build)
 
 
 @query(

@@ -264,18 +264,17 @@ def ivfpq_index_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stale old dirs are left behind and ignored)
     key = hashlib.md5(f"{sf_dir}|{mtime}|v3-nc8-s0".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"mrt_ivfpq_index_{key}")
-    # Build into a private dir + publish_build, same protocol as the
-    # append twin below: building straight into the shared path let a
+    # Build-private-then-publish, same protocol as every shared cache
+    # artifact: building straight into the shared path would let a
     # crash strand a partial index there and let two concurrent
     # invocations write the same files simultaneously.
-    if not os.path.exists(os.path.join(path, "meta.json")):
-        import uuid
+    from mrt_data_integration_spark.sources.sinks import build_and_publish
 
-        from mrt_data_integration_spark.sources.sinks import publish_build
-
-        tmp = f"{path}.build-{uuid.uuid4().hex[:8]}"
-        sim.build_ivfpq_index(emb, tmp, n_cells=8, seed=0)
-        path = publish_build(tmp, path, "meta.json")
+    path = build_and_publish(
+        path,
+        "meta.json",
+        lambda tmp: sim.build_ivfpq_index(emb, tmp, n_cells=8, seed=0),
+    )
     queries_df = emb.filter(F.col("vec_id") < 5)
     return sim.ivfpq_index_topk(spark, path, queries_df, emb, k=3, n_probe=4)
 
@@ -315,21 +314,19 @@ def ivfpq_appended_index_topk_query(spark: SparkSession, sf_dir: str) -> DataFra
     rest = emb.filter(F.col("vec_id") % 2 == 1)
     src = os.path.join(sf_dir, "embeddings.parquet")
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    import uuid
-
     key = hashlib.md5(f"{sf_dir}|{mtime}|append-v3-nc8-s0".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"mrt_ivfpq_append_{key}")
-    # Build + append into a private temp dir, then atomically rename into
-    # place: the rename is the completion sentinel (a crash mid-build
-    # leaves only an orphaned .build-* dir, never a half-appended index
-    # at the shared path), and concurrent invocations cannot race
+    # Build + append into a private temp dir, then atomically publish:
+    # the rename is the completion sentinel (a crash mid-build leaves
+    # only an orphaned .build-* dir, never a half-appended index at the
+    # shared path), and concurrent invocations cannot race
     # check-then-build — the rename loser discards its copy.
-    if not os.path.exists(os.path.join(path, "meta.json")):
-        from mrt_data_integration_spark.sources.sinks import publish_build
+    from mrt_data_integration_spark.sources.sinks import build_and_publish
 
-        tmp = f"{path}.build-{uuid.uuid4().hex[:8]}"
+    def _build(tmp: str) -> None:
         sim.build_ivfpq_index(half, tmp, n_cells=8, seed=0)
         sim.append_to_ivfpq_index(spark, tmp, rest)
-        path = publish_build(tmp, path, "meta.json")
+
+    path = build_and_publish(path, "meta.json", _build)
     queries_df = emb.filter(F.col("vec_id") < 5)
     return sim.ivfpq_index_topk(spark, path, queries_df, emb, k=3, n_probe=4)

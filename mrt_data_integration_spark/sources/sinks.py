@@ -192,6 +192,23 @@ def write_training_shards(
     )
 
 
+def build_and_publish(path: str, marker: str, build) -> str:
+    """Build a shared cache artifact if absent: run ``build(tmp_dir)``
+    into a private sibling directory, then :func:`publish_build` it at
+    ``path``; returns the directory to READ from. The
+    check-then-build-then-publish idiom lives here ONCE so the protocol
+    cannot drift across its call sites (persisted ANN indexes, the LSH
+    signature store, training shards, streamable staging dirs)."""
+    import os
+    import uuid
+
+    if os.path.exists(os.path.join(path, marker)):
+        return path
+    tmp = f"{path}.build-{uuid.uuid4().hex[:8]}"
+    build(tmp)
+    return publish_build(tmp, path, marker)
+
+
 def publish_build(tmp: str, path: str, marker: str) -> str:
     """Atomically publish a freshly built artifact directory (index,
     signature store, shard set) at its shared cache path; returns the
@@ -213,6 +230,16 @@ def publish_build(tmp: str, path: str, marker: str) -> str:
     carry the marker (the race fired inside that window), it IS a
     complete artifact — every builder builds the same deterministic
     content — so it is reinstated rather than destroyed.
+
+    Residual window, stated honestly: between sweeping a
+    just-published complete dir aside and reinstating it, ``path``
+    itself is briefly absent — a reader that resolved ``path`` in that
+    microsecond window sees ENOENT and should retry (its content is
+    never lost; the re-check immediately before the sweep makes the
+    window one syscall wide). Fully closing it needs a lock shared
+    with the publish fast-path, which trades a crash-stale-lock
+    liveness problem for a transient-retry problem — the retry is the
+    better failure mode for a /tmp artifact cache.
     """
     import os
     import shutil
@@ -230,6 +257,12 @@ def publish_build(tmp: str, path: str, marker: str) -> str:
         shutil.rmtree(tmp, ignore_errors=True)
         return path
     debris = f"{path}.debris.{uuid.uuid4().hex[:8]}"
+    # Re-check at the last instant: the sweep below takes a complete
+    # artifact OFF the path for a moment if one was published since the
+    # check above, so keep that window one syscall wide.
+    if _published():
+        shutil.rmtree(tmp, ignore_errors=True)
+        return path
     try:
         os.rename(path, debris)
     except OSError:

@@ -190,8 +190,15 @@ def capped_sessionize_stream(
     backfill terminates. Safe whenever TTL ≥ ``gap_seconds`` + the
     late-data horizon: an evicted user's next event would have started
     a new session anyway (the gap already exceeded ``gap_seconds``), so
-    eviction changes only the session ORDINAL a returning user resumes
-    at (restarts at 1), never any session's boundaries or aggregates.
+    no session's BOUNDARIES or AGGREGATES ever change. The ordinal
+    counter, however, restarts at 1 for a returning user (the count
+    lived in the evicted state) — so when a TTL is set, consumers must
+    key sessions by the collision-free (user_id, session_start) pair
+    that every emitted row carries, NOT by (user_id, session_ordinal):
+    a keep-last-per-ordinal consumer would overwrite the user's
+    historical session 1 with the post-eviction session. Without a TTL
+    the ordinal is a valid per-user key, as the bundled
+    `stateful_capped_sessions` query (no TTL) uses it.
     """
     timeout_ms = int(idle_timeout_seconds * 1000) if idle_timeout_seconds else 0
     if timeout_ms:

@@ -135,7 +135,9 @@ def test_stdlib_image_decode_real_formats():
     assert stdlib_image_decode(_tiny_png(320, 200, color_type=2)) == (320, 200, 3)
     assert stdlib_image_decode(_tiny_png(7, 5, color_type=0)) == (7, 5, 1)
     assert stdlib_image_decode(_tiny_png(64, 64, color_type=6)) == (64, 64, 4)
-    assert stdlib_image_decode(_tiny_gif(99, 42)) == (99, 42, 3)
+    # GIF is palette-indexed: 1 channel, matching PIL mode-P and the
+    # PNG palette convention
+    assert stdlib_image_decode(_tiny_gif(99, 42)) == (99, 42, 1)
     assert stdlib_image_decode(_tiny_bmp(31, 17, bpp=24)) == (31, 17, 3)
     assert stdlib_image_decode(_tiny_bmp(31, 17, bpp=8)) == (31, 17, 1)
     assert stdlib_image_decode(_tiny_jpeg(1024, 768)) == (1024, 768, 3)
@@ -232,7 +234,7 @@ def test_stdlib_decode_fuzz_round_trip():
                 w, h, png_channels[ct],
             )
         wg, hg = rng.randint(1, 65535), rng.randint(1, 65535)
-        assert stdlib_image_decode(_tiny_gif(wg, hg)) == (wg, hg, 3)
+        assert stdlib_image_decode(_tiny_gif(wg, hg)) == (wg, hg, 1)
         bpp = rng.choice([1, 8, 24, 32])
         assert stdlib_image_decode(_tiny_bmp(w, h, bpp)) == (
             w, h, 1 if bpp <= 8 else bpp // 8,
@@ -247,3 +249,36 @@ def test_stdlib_decode_fuzz_round_trip():
         rate = rng.choice([8000, 16000, 44100, 48000])
         frames = rng.randint(1, 5000)
         assert wav_decode(_tiny_wav(ch, rate, frames)) == (ch, rate, frames)
+
+
+def test_decoders_never_raise_on_corrupt_blobs():
+    """Robustness contract: a corrupt blob that passes the magic sniff
+    must yield a graceful None (fallback), never an exception — one bad
+    asset must not kill a mapInPandas task. Single-byte mutations of
+    valid blobs empirically hit wave.py's bare RuntimeError path (~13%
+    of mutations) and truncated headers hit struct.error."""
+    import random
+
+    from mrt_data_integration_spark.operators.multimodal import (
+        stdlib_image_decode,
+        wav_decode,
+    )
+
+    rng = random.Random(13)
+    wav = bytearray(_tiny_wav(2, 16000, 64))
+    png = bytearray(_tiny_png(32, 32))
+    for _ in range(500):
+        for base, fn in ((wav, wav_decode), (png, stdlib_image_decode)):
+            mutated = bytearray(base)
+            for _k in range(rng.randint(1, 4)):
+                mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+            out = fn(bytes(mutated))  # must not raise
+            assert out is None or isinstance(out, tuple)
+        # truncations too
+        cut = rng.randrange(1, len(wav))
+        assert wav_decode(bytes(wav[:cut])) in (None,) or isinstance(
+            wav_decode(bytes(wav[:cut])), tuple
+        )
+        cutp = rng.randrange(1, len(png))
+        r = stdlib_image_decode(bytes(png[:cutp]))
+        assert r is None or isinstance(r, tuple)

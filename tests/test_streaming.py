@@ -635,9 +635,11 @@ def test_funnel_stream_idle_timeout_evicts_state(spark, tmp_path):
         )
         q.awaitTermination()
 
-    # batch 1: A completes stages 1-2 (deadline t0+70m); B starts (t0+60m)
+    # batch 1: A completes stages 1-2 (deadline t0+70m); B starts
+    # (t0+60m); a NULL user id forms its own group (the emission path
+    # must pass the null key through, not crash on an int64 array)
     add_file([(1, t0, "view"), (1, t0 + 10 * minute, "click"),
-              (2, t0, "view")])
+              (2, t0, "view"), (None, t0, "view")])
     drain()
     # batch 2: B extends BEFORE its deadline → state kept, t2 resolves
     # against the original view; B's deadline re-arms to t0+90m
