@@ -718,3 +718,59 @@ def test_stateful_ttl_eviction_unit():
         st = FakeTimedOutState()
         assert list(fn((7,), iter([]), st)) == []
         assert st.removed
+
+
+def test_funnel_ttl_bounds_state_store_rows(spark, tmp_path):
+    """The boundedness claim, MEASURED: drain the same three batches
+    (50 early one-touch users, then two later cohorts that advance the
+    watermark far past their deadlines) with and without a TTL, and
+    read the state operator's numRowsTotal from the final batch's
+    progress. Without a TTL the store holds every user ever seen; with
+    it, only the cohorts still inside their event-time deadline."""
+    import datetime as dt
+
+    from mrt_data_integration_spark.streaming.funnel import funnel_stream
+
+    schema = "user_id long, ts timestamp, event_type string"
+    t0 = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+
+    def run(ttl):
+        tag = "ttl" if ttl else "nottl"
+        src = str(tmp_path / f"src_{tag}")
+        ckpt = str(tmp_path / f"ck_{tag}")
+        last_rows = None
+        batches = [
+            [(u, t0, "view") for u in range(1, 51)],          # one-touch cohort
+            [(u, t0 + 10 * day, "view") for u in range(51, 61)],
+            [(u, t0 + 20 * day, "view") for u in range(61, 71)],
+        ]
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q = (
+                funnel_stream(
+                    spark.readStream.schema(schema).parquet(src),
+                    ["view", "click", "purchase"],
+                    idle_timeout_seconds=ttl,
+                )
+                .writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            for p in q.recentProgress:
+                ops = p.get("stateOperators") or []
+                if ops:
+                    last_rows = ops[0]["numRowsTotal"]
+        return last_rows
+
+    unbounded = run(None)
+    bounded = run(24 * 3600)  # 1 day of event time
+    assert unbounded == 70, f"NoTimeout must hold every user ever: {unbounded}"
+    # cohort 1 (deadline t0+1d) and cohort 2 (t0+11d) are both past the
+    # final watermark (t0+20d) -> evicted; only cohort 3 remains
+    assert bounded == 10, f"TTL must evict idle cohorts: {bounded}"
