@@ -24,6 +24,30 @@ def _stable_key(sf_dir: str) -> str:
     return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
 
 
+def _drain_stream(updates, sink, mode: str = "update") -> None:
+    """Drain an availableNow stream through a foreachBatch ``sink`` —
+    every batch is processed EXECUTOR-side (aggregated or appended to
+    parquet by the cluster), so nothing streams through driver memory.
+    The previous ``format("memory")`` sinks materialized the whole
+    output on the driver — O(stream) rows for the dedup survivors,
+    O(users) for the funnel — exactly the shape that cannot exist at
+    corpus scale. The checkpoint is private per drain and removed by
+    the caller after the (bounded) final answer is computed."""
+    import shutil
+    import tempfile
+
+    ck = tempfile.mkdtemp(prefix="graft_drain_ck_")
+    q = (
+        updates.writeStream.foreachBatch(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ck, ignore_errors=True)
+
+
 def _staged_stream_dir(sf_dir: str, tag: str, build) -> str:
     """Shared streamable-staging protocol for every stream-twin query:
     the content stamp (source table mtime) lives in the DIRECTORY NAME
@@ -235,7 +259,8 @@ def stateful_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     comes from the within-batch (ts, event_id) sort, and agreement with
     a local sequential reference is pinned in tests/test_streaming.py.
     """
-    import uuid
+    import shutil
+    import tempfile
 
     from mrt_data_integration_spark.streaming.stateful import (
         capped_sessionize_stream,
@@ -248,18 +273,13 @@ def stateful_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "events4",
         lambda p: events.repartition(4).write.parquet(p),
     )
-    name = f"capped_sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        capped_sessionize_stream(read_event_stream(spark, d))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    out = tempfile.mkdtemp(prefix="graft_capped_out_")
+    _drain_stream(
+        capped_sessionize_stream(read_event_stream(spark, d)),
+        lambda df, bid: df.write.mode("append").parquet(out),
     )
-    q.awaitTermination()
     final = (
-        spark.table(name)
+        spark.read.parquet(out)
         .groupBy("user_id", "session_ordinal")
         .agg(
             F.max("n_events").alias("n_events"),
@@ -269,12 +289,18 @@ def stateful_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("session_value", "n_events").alias("session_value"),
         )
     )
-    return final.agg(
+    row = final.agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.countDistinct("user_id").alias("n_users"),
         F.sum("n_events").alias("total_events"),
         F.max("n_events").alias("max_session_events"),
         F.round(F.sum("session_value"), 2).alias("total_value"),
+    ).collect()[0]
+    shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [tuple(row)],
+        "n_sessions bigint, n_users bigint, total_events bigint, "
+        "max_session_events bigint, total_value double",
     )
 
 
@@ -477,7 +503,6 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl, where batch dedup would rescan history per batch."""
     import shutil
     import tempfile
-    import uuid
 
     from mrt_data_integration_spark.streaming.dedup import (
         streaming_dedup_within_watermark,
@@ -508,28 +533,31 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload,
         delay="365 days",
     )
-    name = f"sdedup_mem_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="graft_sdedup_ck_")
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ck)
-        .start()
+    # Each micro-batch's survivors are REDUCED executor-side to per-type
+    # partial counts (≤ |event_type| rows/batch) before anything reaches
+    # the sink — the survivors themselves are never shipped to the
+    # driver (a memory sink would hold the whole deduped stream there).
+    agg_out = tempfile.mkdtemp(prefix="graft_sdedup_agg_")
+    _drain_stream(
+        deduped,
+        lambda df, bid: (
+            df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("append")
+            .parquet(agg_out)
+        ),
+        mode="append",
     )
-    q.awaitTermination()
-    # availableNow drained to completion and the query never resumes —
-    # the checkpoint (dedup state store included) is dead weight; remove
-    # it instead of accumulating one per invocation in /tmp.
-    shutil.rmtree(ck, ignore_errors=True)
-    return (
-        spark.table(name)
+    rows = (
+        spark.read.parquet(agg_out)
         .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_unique"),
-            (F.count(F.lit(1)) * 2).alias("n_ingested"),
-        )
+        .agg(F.sum("n").alias("n_unique"))
+        .collect()
+    )
+    shutil.rmtree(agg_out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.event_type, int(r.n_unique), 2 * int(r.n_unique)) for r in rows],
+        "event_type string, n_unique bigint, n_ingested bigint",
     )
 
 
@@ -579,7 +607,6 @@ def streaming_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash match proves stream == batch == SQL end-to-end."""
     import shutil
     import tempfile
-    import uuid
 
     from mrt_data_integration_spark.streaming.funnel import (
         funnel_stream,
@@ -609,37 +636,32 @@ def streaming_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src),
         steps,
     )
-    name = f"sfunnel_mem_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="graft_sfunnel_ck_")
-    q = (
-        updates.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ck)
-        .start()
+    # Update-mode emissions are appended to parquet EXECUTOR-side; the
+    # per-user reduction + stage counts run as a batch job over that
+    # directory — the driver sees only the final 1-row count frame (a
+    # memory sink would hold O(users) update rows in driver memory).
+    out = tempfile.mkdtemp(prefix="graft_sfunnel_out_")
+    _drain_stream(
+        updates, lambda df, bid: df.write.mode("append").parquet(out)
     )
-    q.awaitTermination()
-    shutil.rmtree(ck, ignore_errors=True)
-    times = latest_stage_times(spark.table(name), 3)
+    times = latest_stage_times(spark.read.parquet(out), 3)
     counts = times.agg(
         *[F.count(F.col(f"t{i + 1}")).alias(f"n{i + 1}") for i in range(3)]
+    ).collect()[0]
+    shutil.rmtree(out, ignore_errors=True)
+    n = [int(counts[f"n{i + 1}"]) for i in range(3)]
+    base = spark.createDataFrame(
+        [
+            (i + 1, step, n[i], n[i - 1] if i else n[0])
+            for i, step in enumerate(steps)
+        ],
+        "stage bigint, step string, n_users bigint, denom bigint",
     )
-    rows = []
-    for i, step in enumerate(steps):
-        prev = F.col(f"n{i}") if i else F.col("n1")
-        rows.append(
-            F.struct(
-                F.lit(i + 1).cast("long").alias("stage"),
-                F.lit(step).alias("step"),
-                F.col(f"n{i + 1}").alias("n_users"),
-                F.round(F.try_divide(F.col(f"n{i + 1}"), prev), 6).alias(
-                    "conversion"
-                ),
-            )
-        )
-    return (
-        counts.select(F.explode(F.array(*rows)).alias("r"))
-        .select("r.stage", "r.step", "r.n_users", "r.conversion")
-        .orderBy("stage")
-    )
+    # conversion rounded by Spark (HALF_UP), matching the oracle's
+    # round() — python round() is banker's and could differ at ties
+    return base.select(
+        "stage",
+        "step",
+        "n_users",
+        F.round(F.try_divide("n_users", "denom"), 6).alias("conversion"),
+    ).orderBy("stage")
