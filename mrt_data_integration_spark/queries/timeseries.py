@@ -24,28 +24,62 @@ def _stable_key(sf_dir: str) -> str:
     return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
 
 
-def _drain_stream(updates, sink, mode: str = "update") -> None:
+def _drain_stream(
+    updates, sink, mode: str = "update", state_partitions: int | None = None
+) -> None:
     """Drain an availableNow stream through a foreachBatch ``sink`` —
     every batch is processed EXECUTOR-side (aggregated or appended to
     parquet by the cluster), so nothing streams through driver memory.
     The previous ``format("memory")`` sinks materialized the whole
     output on the driver — O(stream) rows for the dedup survivors,
     O(users) for the funnel — exactly the shape that cannot exist at
-    corpus scale. The checkpoint is private per drain and removed by
-    the caller after the (bounded) final answer is computed."""
+    corpus scale. The checkpoint is private per drain and removed HERE,
+    success or failure (finally) — a failing micro-batch must not
+    strand graft_drain_ck_* debris in /tmp on every retry.
+
+    ``state_partitions`` right-sizes the STATEFUL shuffle for this
+    stream: a streaming query pins its state-store partition count to
+    ``spark.sql.shuffle.partitions`` at first start, and each micro-
+    batch then pays per-partition fixed costs (state-store commit,
+    Arrow python-runner setup) regardless of rows. The session default
+    (32, sized for batch analytics over the whole table) is 4× too
+    many for a micro-batch of ~30k rows — measured on the funnel
+    drain: 32 partitions ≈ 1.6-2.4 s/batch, 8 ≈ 1.0-1.2 s/batch, and
+    2 is WORSE (2.4-3.1 s: the per-group python iteration serializes).
+    This is the streaming analogue of sizing shuffle partitions to
+    input volume — on a real cluster ingesting the firehose you would
+    set it to O(cores), here O(batch rows / 4k). The conf is set
+    around query START (that's when the count is read) and restored in
+    the same ``finally`` as the checkpoint cleanup; drains in this
+    engine are sequential per session, so the temporary session-wide
+    setting cannot leak into a concurrent query's plan."""
     import shutil
     import tempfile
 
-    ck = tempfile.mkdtemp(prefix="graft_drain_ck_")
-    q = (
-        updates.writeStream.foreachBatch(sink)
-        .outputMode(mode)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
+    spark = updates.sparkSession
+    orig = (
+        spark.conf.get("spark.sql.shuffle.partitions")
+        if state_partitions
+        else None
     )
-    q.awaitTermination()
-    shutil.rmtree(ck, ignore_errors=True)
+    ck = tempfile.mkdtemp(prefix="graft_drain_ck_")
+    try:
+        if state_partitions:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(state_partitions)
+            )
+        q = (
+            updates.writeStream.foreachBatch(sink)
+            .outputMode(mode)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if orig is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", orig)
+        shutil.rmtree(ck, ignore_errors=True)
 
 
 def _staged_stream_dir(sf_dir: str, tag: str, build) -> str:
@@ -274,29 +308,33 @@ def stateful_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda p: events.repartition(4).write.parquet(p),
     )
     out = tempfile.mkdtemp(prefix="graft_capped_out_")
-    _drain_stream(
-        capped_sessionize_stream(read_event_stream(spark, d)),
-        lambda df, bid: df.write.mode("append").parquet(out),
-    )
-    final = (
-        spark.read.parquet(out)
-        .groupBy("user_id", "session_ordinal")
-        .agg(
-            F.max("n_events").alias("n_events"),
-            # the FINAL snapshot is the one with the most events —
-            # max(session_value) would be wrong if event values can be
-            # negative (an intermediate snapshot could exceed the final)
-            F.max_by("session_value", "n_events").alias("session_value"),
+    try:
+        _drain_stream(
+            capped_sessionize_stream(read_event_stream(spark, d)),
+            lambda df, bid: df.write.mode("append").parquet(out),
+            state_partitions=8,
         )
-    )
-    row = final.agg(
-        F.count(F.lit(1)).alias("n_sessions"),
-        F.countDistinct("user_id").alias("n_users"),
-        F.sum("n_events").alias("total_events"),
-        F.max("n_events").alias("max_session_events"),
-        F.round(F.sum("session_value"), 2).alias("total_value"),
-    ).collect()[0]
-    shutil.rmtree(out, ignore_errors=True)
+        final = (
+            spark.read.parquet(out)
+            .groupBy("user_id", "session_ordinal")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                # the FINAL snapshot is the one with the most events —
+                # max(session_value) would be wrong if event values can
+                # be negative (an intermediate snapshot could exceed
+                # the final)
+                F.max_by("session_value", "n_events").alias("session_value"),
+            )
+        )
+        row = final.agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("n_events").alias("total_events"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.sum("session_value"), 2).alias("total_value"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(
         [tuple(row)],
         "n_sessions bigint, n_users bigint, total_events bigint, "
@@ -537,24 +575,37 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partial counts (≤ |event_type| rows/batch) before anything reaches
     # the sink — the survivors themselves are never shipped to the
     # driver (a memory sink would hold the whole deduped stream there).
+    # The batch id travels WITH the rows and the read side dedupes on
+    # (bid, event_type): foreachBatch is at-least-once, and a summed
+    # count is the one downstream that does NOT survive a replayed
+    # batch (the funnel/sessions appends do — their max_by reductions
+    # absorb identical rows). Latent today (private checkpoint, no
+    # restart possible) but the sink must be safe for any caller that
+    # reuses it with a persistent checkpoint.
     agg_out = tempfile.mkdtemp(prefix="graft_sdedup_agg_")
-    _drain_stream(
-        deduped,
-        lambda df, bid: (
-            df.groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .write.mode("append")
-            .parquet(agg_out)
-        ),
-        mode="append",
-    )
-    rows = (
-        spark.read.parquet(agg_out)
-        .groupBy("event_type")
-        .agg(F.sum("n").alias("n_unique"))
-        .collect()
-    )
-    shutil.rmtree(agg_out, ignore_errors=True)
+    try:
+        _drain_stream(
+            deduped,
+            lambda df, bid: (
+                df.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .withColumn("bid", F.lit(bid))
+                .write.mode("append")
+                .parquet(agg_out)
+            ),
+            mode="append",
+            state_partitions=8,
+        )
+        rows = (
+            spark.read.parquet(agg_out)
+            .groupBy("bid", "event_type")
+            .agg(F.max("n").alias("n"))
+            .groupBy("event_type")
+            .agg(F.sum("n").alias("n_unique"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(agg_out, ignore_errors=True)
     return spark.createDataFrame(
         [(r.event_type, int(r.n_unique), 2 * int(r.n_unique)) for r in rows],
         "event_type string, n_unique bigint, n_ingested bigint",
@@ -641,14 +692,18 @@ def streaming_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # directory — the driver sees only the final 1-row count frame (a
     # memory sink would hold O(users) update rows in driver memory).
     out = tempfile.mkdtemp(prefix="graft_sfunnel_out_")
-    _drain_stream(
-        updates, lambda df, bid: df.write.mode("append").parquet(out)
-    )
-    times = latest_stage_times(spark.read.parquet(out), 3)
-    counts = times.agg(
-        *[F.count(F.col(f"t{i + 1}")).alias(f"n{i + 1}") for i in range(3)]
-    ).collect()[0]
-    shutil.rmtree(out, ignore_errors=True)
+    try:
+        _drain_stream(
+            updates,
+            lambda df, bid: df.write.mode("append").parquet(out),
+            state_partitions=8,
+        )
+        times = latest_stage_times(spark.read.parquet(out), 3)
+        counts = times.agg(
+            *[F.count(F.col(f"t{i + 1}")).alias(f"n{i + 1}") for i in range(3)]
+        ).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
     n = [int(counts[f"n{i + 1}"]) for i in range(3)]
     base = spark.createDataFrame(
         [

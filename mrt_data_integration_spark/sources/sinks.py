@@ -253,13 +253,13 @@ def publish_build(tmp: str, path: str, marker: str) -> str:
         return path
     except OSError:
         pass
-    if _published():
-        shutil.rmtree(tmp, ignore_errors=True)
-        return path
     debris = f"{path}.debris.{uuid.uuid4().hex[:8]}"
-    # Re-check at the last instant: the sweep below takes a complete
-    # artifact OFF the path for a moment if one was published since the
-    # check above, so keep that window one syscall wide.
+    # Single marker check, immediately before the sweep: the sweep
+    # takes a complete artifact OFF the path for a moment if one was
+    # published since the rename failed, so the check sits adjacent to
+    # the os.rename — one syscall wide, and in exactly one place (a
+    # duplicated copy of this branch diverges the protocol the first
+    # time one copy is edited).
     if _published():
         shutil.rmtree(tmp, ignore_errors=True)
         return path

@@ -355,35 +355,37 @@ def main() -> None:
         return corpus_ingest_pipeline(spark, doc_tables[k]).count()
 
     def _drain_funnel(k):
+        # Measures the SHIPPED drain path (foreachBatch → executor-side
+        # parquet appends — queries/timeseries.py), not the old
+        # format("memory") sink: a memory sink re-introduces O(users)
+        # driver residency at exactly the large sf points this script
+        # exists to characterize, and omits the per-batch write cost
+        # the production numbers include.
         import shutil as _sh
-        import uuid as _uuid
 
+        from mrt_data_integration_spark.queries.timeseries import (
+            _drain_stream,
+        )
         from mrt_data_integration_spark.streaming.funnel import (
             funnel_stream,
             latest_stage_times,
         )
 
         spath, schema = sfunnel_srcs[k]
-        name = f"sc_fn_{_uuid.uuid4().hex[:8]}"
-        ck = tempfile.mkdtemp(prefix="graft_sc_fn_ck_")
-        q = (
-            funnel_stream(
-                spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 4)
-                .parquet(spath),
-                ["view", "click", "purchase"],
+        out = tempfile.mkdtemp(prefix="graft_sc_fn_out_")
+        try:
+            _drain_stream(
+                funnel_stream(
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 4)
+                    .parquet(spath),
+                    ["view", "click", "purchase"],
+                ),
+                lambda df, bid: df.write.mode("append").parquet(out),
             )
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ck)
-            .start()
-        )
-        q.awaitTermination()
-        n = latest_stage_times(spark.table(name), 3).count()
-        _sh.rmtree(ck, ignore_errors=True)
-        return n
+            return latest_stage_times(spark.read.parquet(out), 3).count()
+        finally:
+            _sh.rmtree(out, ignore_errors=True)
 
     def _pack(d):
         from mrt_data_integration_spark.operators.text import token_count
@@ -423,35 +425,48 @@ def main() -> None:
         return packed.groupBy("lang", "seq_bin").count().count()
 
     def _drain_dedup(k):
+        # Same rationale as _drain_funnel: measure the shipped
+        # foreachBatch reduction (per-batch per-type partial counts,
+        # batch-id tagged for replay idempotence) — not a memory sink
+        # that would hold the whole deduped stream on the driver.
         import shutil as _sh
-        import uuid as _uuid
 
+        from mrt_data_integration_spark.queries.timeseries import (
+            _drain_stream,
+        )
         from mrt_data_integration_spark.streaming.dedup import (
             streaming_dedup_within_watermark,
         )
 
         spath, schema = sdedup_srcs[k]
-        name = f"sc_dd_{_uuid.uuid4().hex[:8]}"
-        ck = tempfile.mkdtemp(prefix="graft_sc_dd_ck_")
-        q = (
-            streaming_dedup_within_watermark(
-                spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 4)
-                .parquet(spath),
-                ["ts", "user_id", "event_type", "value", "props"],
-                delay="365 days",
+        agg_out = tempfile.mkdtemp(prefix="graft_sc_dd_agg_")
+        try:
+            _drain_stream(
+                streaming_dedup_within_watermark(
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 4)
+                    .parquet(spath),
+                    ["ts", "user_id", "event_type", "value", "props"],
+                    delay="365 days",
+                ),
+                lambda df, bid: (
+                    df.groupBy("event_type")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .withColumn("bid", F.lit(bid))
+                    .write.mode("append")
+                    .parquet(agg_out)
+                ),
+                mode="append",
             )
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ck)
-            .start()
-        )
-        q.awaitTermination()
-        n = spark.table(name).count()
-        _sh.rmtree(ck, ignore_errors=True)
-        return n
+            return int(
+                spark.read.parquet(agg_out)
+                .groupBy("bid", "event_type")
+                .agg(F.max("n").alias("n"))
+                .agg(F.sum("n"))
+                .collect()[0][0]
+            )
+        finally:
+            _sh.rmtree(agg_out, ignore_errors=True)
 
     ops = {n: f for n, f in ops.items() if n in wanted_ops}
 

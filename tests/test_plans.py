@@ -6,6 +6,8 @@ regression here means a scale regression even if results stay correct.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from mrt_data_integration_spark.queries import QUERIES
@@ -264,9 +266,22 @@ def test_snapshot_diff_exchanges_carry_fingerprints_not_bodies(spark, sf_smoke):
     (doc_id, fingerprint, n_chars) — md5 is computed in the Project
     BELOW the exchange, so document bodies never shuffle."""
     plan = _explain(spark, "corpus_snapshot_diff", sf_smoke)
-    for ln in plan.splitlines():
-        if "Exchange hashpartitioning" in ln:
-            assert "text#" not in ln, f"doc bodies entered an exchange: {ln}"
+    # Formatted mode splits each node into a "(N) Exchange" header and
+    # an "Input [k]: [cols...]" detail line — the substring "Exchange
+    # hashpartitioning" never occurs on ONE line here (that's simple
+    # mode), so the check must pair headers with their Input lines.
+    lines = plan.splitlines()
+    n_checked = 0
+    for i, ln in enumerate(lines):
+        if re.match(r"^\(\d+\) Exchange", ln.strip()):
+            for detail in lines[i + 1 : i + 6]:
+                if detail.strip().startswith("Input"):
+                    n_checked += 1
+                    assert "text#" not in detail, (
+                        f"doc bodies entered an exchange: {detail}"
+                    )
+                    break
+    assert n_checked >= 1, "no Exchange node found — check is vacuous"
     assert "EvalPython" not in plan
 
 
