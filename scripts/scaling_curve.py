@@ -365,6 +365,7 @@ def main() -> None:
 
         from mrt_data_integration_spark.queries.timeseries import (
             _drain_stream,
+            _sized_state_partitions,
         )
         from mrt_data_integration_spark.streaming.funnel import (
             funnel_stream,
@@ -382,6 +383,10 @@ def main() -> None:
                     ["view", "click", "purchase"],
                 ),
                 lambda df, bid: df.write.mode("append").parquet(out),
+                # shipped volume-based sizing (queries/timeseries.py):
+                # a FIXED count either overpays fixed costs at 1x (32)
+                # or saturates at 10x (8 → slope 4.45 measured)
+                state_partitions=_sized_state_partitions(spark, spath, 2),
             )
             return latest_stage_times(spark.read.parquet(out), 3).count()
         finally:
@@ -433,6 +438,7 @@ def main() -> None:
 
         from mrt_data_integration_spark.queries.timeseries import (
             _drain_stream,
+            _sized_state_partitions,
         )
         from mrt_data_integration_spark.streaming.dedup import (
             streaming_dedup_within_watermark,
@@ -457,6 +463,7 @@ def main() -> None:
                     .parquet(agg_out)
                 ),
                 mode="append",
+                state_partitions=_sized_state_partitions(spark, spath, 2),
             )
             return int(
                 spark.read.parquet(agg_out)
