@@ -110,6 +110,42 @@ def _sized_state_partitions(spark, src: str, n_batches: int) -> int:
 _STAGED_ROW_COUNTS: dict[str, int] = {}
 
 
+def _batch_count_sink(agg_out: str, group_col: str):
+    """foreachBatch sink that reduces each micro-batch to per-group
+    partial counts EXECUTOR-side and appends them to ``agg_out`` tagged
+    with the batch id. foreachBatch is at-least-once: a replayed batch
+    appends a SECOND identical set of rows, which a plain sum would
+    double-count — ``_sum_batch_counts`` is the matching read side that
+    collapses replays on (bid, group) first. Kept as named module
+    functions (not inline lambdas) so the replay contract is testable:
+    tests/test_streaming.py calls the sink twice with the same bid and
+    asserts the summed counts are unchanged."""
+
+    def sink(df, bid):
+        (
+            df.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("bid", F.lit(bid))
+            .write.mode("append")
+            .parquet(agg_out)
+        )
+
+    return sink
+
+
+def _sum_batch_counts(spark, agg_out: str, group_col: str):
+    """Read side of ``_batch_count_sink``: replay-safe total per group.
+    Dedupe on (bid, group) — max(n) over identical replayed rows — then
+    sum across batches."""
+    return (
+        spark.read.parquet(agg_out)
+        .groupBy("bid", group_col)
+        .agg(F.max("n").alias("n"))
+        .groupBy(group_col)
+        .agg(F.sum("n").alias("n_unique"))
+    )
+
+
 def _staged_stream_dir(sf_dir: str, tag: str, build) -> str:
     """Shared streamable-staging protocol for every stream-twin query:
     the content stamp (source table mtime) lives in the DIRECTORY NAME
@@ -615,25 +651,12 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         _drain_stream(
             deduped,
-            lambda df, bid: (
-                df.groupBy("event_type")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .withColumn("bid", F.lit(bid))
-                .write.mode("append")
-                .parquet(agg_out)
-            ),
+            _batch_count_sink(agg_out, "event_type"),
             mode="append",
             # 4 staged files, 2 per trigger → 2 micro-batches
             state_partitions=_sized_state_partitions(spark, src, 2),
         )
-        rows = (
-            spark.read.parquet(agg_out)
-            .groupBy("bid", "event_type")
-            .agg(F.max("n").alias("n"))
-            .groupBy("event_type")
-            .agg(F.sum("n").alias("n_unique"))
-            .collect()
-        )
+        rows = _sum_batch_counts(spark, agg_out, "event_type").collect()
     finally:
         shutil.rmtree(agg_out, ignore_errors=True)
     return spark.createDataFrame(

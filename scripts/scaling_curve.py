@@ -437,8 +437,10 @@ def main() -> None:
         import shutil as _sh
 
         from mrt_data_integration_spark.queries.timeseries import (
+            _batch_count_sink,
             _drain_stream,
             _sized_state_partitions,
+            _sum_batch_counts,
         )
         from mrt_data_integration_spark.streaming.dedup import (
             streaming_dedup_within_watermark,
@@ -455,21 +457,13 @@ def main() -> None:
                     ["ts", "user_id", "event_type", "value", "props"],
                     delay="365 days",
                 ),
-                lambda df, bid: (
-                    df.groupBy("event_type")
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .withColumn("bid", F.lit(bid))
-                    .write.mode("append")
-                    .parquet(agg_out)
-                ),
+                _batch_count_sink(agg_out, "event_type"),
                 mode="append",
                 state_partitions=_sized_state_partitions(spark, spath, 2),
             )
             return int(
-                spark.read.parquet(agg_out)
-                .groupBy("bid", "event_type")
-                .agg(F.max("n").alias("n"))
-                .agg(F.sum("n"))
+                _sum_batch_counts(spark, agg_out, "event_type")
+                .agg(F.sum("n_unique"))
                 .collect()[0][0]
             )
         finally:

@@ -774,3 +774,54 @@ def test_funnel_ttl_bounds_state_store_rows(spark, tmp_path):
     # cohort 1 (deadline t0+1d) and cohort 2 (t0+11d) are both past the
     # final watermark (t0+20d) -> evicted; only cohort 3 remains
     assert bounded == 10, f"TTL must evict idle cohorts: {bounded}"
+
+
+def test_batch_count_sink_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: calling the dedup query's count
+    sink TWICE with the same batch id (a replayed batch) must not
+    change the summed totals — the read side collapses replays on
+    (bid, group) before summing across batches."""
+    from mrt_data_integration_spark.queries.timeseries import (
+        _batch_count_sink,
+        _sum_batch_counts,
+    )
+
+    agg_out = str(tmp_path / "agg")
+    sink = _batch_count_sink(agg_out, "event_type")
+    b0 = spark.createDataFrame(
+        [("view",), ("view",), ("click",)], "event_type string"
+    )
+    b1 = spark.createDataFrame([("view",), ("buy",)], "event_type string")
+    sink(b0, 0)
+    sink(b1, 1)
+    once = {
+        r.event_type: r.n_unique
+        for r in _sum_batch_counts(spark, agg_out, "event_type").collect()
+    }
+    assert once == {"view": 3, "click": 1, "buy": 1}
+    sink(b1, 1)  # replay of batch 1
+    replayed = {
+        r.event_type: r.n_unique
+        for r in _sum_batch_counts(spark, agg_out, "event_type").collect()
+    }
+    assert replayed == once, "replayed batch double-counted"
+
+
+def test_sized_state_partitions_floor_and_cap(spark, tmp_path):
+    """Volume-based stateful-shuffle sizing: floored at 8 for small
+    batches, ceil(rows/4000) in between, capped at the session default
+    for firehose batches."""
+    from mrt_data_integration_spark.queries import timeseries as ts
+
+    src = str(tmp_path / "staged")
+    spark.range(100).write.parquet(src)
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # tiny staged corpus -> floor
+    assert ts._sized_state_partitions(spark, src, 2) == 8
+    # count is cached per (immutable) staged dir — poke the cache to
+    # exercise the formula's middle and capped regimes
+    ts._STAGED_ROW_COUNTS[src] = 80_000
+    assert ts._sized_state_partitions(spark, src, 2) == min(default, 10)
+    ts._STAGED_ROW_COUNTS[src] = 4_000_000
+    assert ts._sized_state_partitions(spark, src, 2) == default
+    del ts._STAGED_ROW_COUNTS[src]
