@@ -104,7 +104,11 @@ def _sized_state_partitions(spark, src: str, n_batches: int) -> int:
         _STAGED_ROW_COUNTS[src] = spark.read.parquet(src).count()
     total = _STAGED_ROW_COUNTS[src]
     default = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    return max(8, min(default, math.ceil(total / n_batches / 4000)))
+    # cap OUTERMOST: on a session whose default is below the floor
+    # (e.g. a 4-core box), the default wins — the floor exists to keep
+    # per-group python iteration parallel, never to exceed the
+    # session's own parallelism ceiling
+    return min(default, max(8, math.ceil(total / n_batches / 4000)))
 
 
 _STAGED_ROW_COUNTS: dict[str, int] = {}

@@ -36,7 +36,12 @@ EVENTS_STREAM_SCHEMA = StructType(
 
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source event stream (one file per micro-batch by default)."""
+    """File-source event stream. No ``maxFilesPerTrigger`` is set, so
+    an availableNow drain takes ALL available files in ONE micro-batch
+    (empirically verified; callers sizing per-batch state partitions —
+    queries/timeseries.stateful_capped_sessions — rely on n_batches=1).
+    Callers that need multi-batch state carry set the option
+    themselves."""
     return spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(path)
 
 
