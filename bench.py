@@ -106,12 +106,18 @@ def main() -> None:
     ).limit(1_000).toPandas()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # The two stateful streaming drains are the suite's noisiest
+    # queries (micro-batch scheduling + state-store commits swing well
+    # beyond the batch queries' band — results/SCALING_CURVE.md late-r7
+    # notes); extra shots tighten their reported median for ~15 s of
+    # extra wall, which the headline number never sees.
+    NOISY = {"streaming_funnel_conversion", "streaming_dedup_ingest"}
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         shots: list[float] = []
-        for _ in range(reps):
+        for _ in range(reps + 2 if name in NOISY else reps):
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).collect()
             shots.append(time.perf_counter() - t0)
