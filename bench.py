@@ -2,12 +2,15 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
 line with per-query wall-clock seconds.
 
-Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and the
-recorded number is the PER-QUERY MEDIAN — single-shot numbers on a noisy
-box moved +/-15% round-over-round (wcls_large_panel, r2->r3), which made
-regressions indistinguishable from noise. "value" is the sum of medians;
-"reps" and per-query min/max spread are included so the reader can judge
-residual noise.
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3; the two
+stateful streaming drains run reps+2 — they are the suite's noisiest
+queries) and the recorded number is the PER-QUERY MEDIAN — single-shot
+numbers on a noisy box moved +/-15% round-over-round
+(wcls_large_panel, r2->r3), which made regressions indistinguishable
+from noise. "value" is the sum of medians; the diagnostics line's
+"shots" map records the actual per-query shot count alongside the
+min/max spread so a tightened median is never mistaken for a behavior
+change.
 
 Headline set covers every physical shape the engine exercises: scan+agg,
 star broadcast join, fact-fact shuffle join, ranking window,
@@ -114,10 +117,12 @@ def main() -> None:
     NOISY = {"streaming_funnel_conversion", "streaming_dedup_ingest"}
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    n_shots: dict[str, int] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         shots: list[float] = []
-        for _ in range(reps + 2 if name in NOISY else reps):
+        n_shots[name] = reps + 2 if name in NOISY else reps
+        for _ in range(n_shots[name]):
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).collect()
             shots.append(time.perf_counter() - t0)
@@ -132,7 +137,7 @@ def main() -> None:
     # JSON — r5's single fat line (~2.6 KB with spread included) outgrew
     # that capture and the round's headline number was lost
     # (BENCH_r05.json "parsed": null). Keep the last line compact.
-    print(json.dumps({"spread_min_max": spread, "reps": reps}))
+    print(json.dumps({"spread_min_max": spread, "shots": n_shots, "reps": reps}))
     sys.stdout.flush()
     print(
         json.dumps(
