@@ -219,6 +219,66 @@ def funnel_stream(
     )
 
 
+def merge_funnel_updates(
+    batch_df: DataFrame, batch_id: int, state_dir: str
+) -> None:
+    """Compacting foreachBatch sink for the funnel's update stream:
+    merges each micro-batch's per-user update rows into a versioned
+    parquet state table, keeping only the greatest-(last_ts, n_seen)
+    row per user. An append-only update log grows as O(updates) on an
+    open-ended stream and every \"current state\" read rescans all of
+    it; the compacted table is O(active users) — the same storage
+    bound the TTL gives the operator's internal state — and each
+    version is one bounded merge (previous state ∪ batch, reduced by
+    recency).
+
+    Replay contract (same protocol as streaming/rollup.py, where it is
+    documented in full): versions are keyed by batch id, a batch merges
+    from the highest COMPLETE version strictly below its own id and
+    overwrites its own directory, so foreachBatch's at-least-once
+    redelivery rebuilds the identical state instead of double-merging.
+    The recency reduction is idempotent anyway (max_by over identical
+    rows), but the versioning also keeps a mid-write crash invisible
+    (_SUCCESS-gated) and gives readers a consistent snapshot to query
+    mid-stream. At corpus scale, swap the single-file write for a
+    user-bucketed partitioned write; the merge stays one shuffle."""
+    import os
+
+    from mrt_data_integration_spark.streaming.rollup import _latest_version
+
+    rec = F.struct(F.col("last_ts"), F.col("n_seen"))
+    cols = batch_df.columns
+    prev_v = _latest_version(state_dir, below=int(batch_id))
+    merged_in = batch_df
+    if prev_v >= 0:
+        prev = batch_df.sparkSession.read.parquet(
+            os.path.join(state_dir, f"state_v{prev_v}")
+        )
+        merged_in = batch_df.unionByName(prev.select(cols))
+    compacted = (
+        merged_in.groupBy("user_id")
+        .agg(F.max_by(F.struct(*cols), rec).alias("r"))
+        .select("r.*")
+    )
+    compacted.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"state_v{int(batch_id)}")
+    )
+
+
+def read_funnel_state(spark, state_dir: str) -> DataFrame:
+    """Latest complete compacted funnel state (one row per user, with
+    the recency columns still attached — feed to ``latest_stage_times``
+    or select t1..tk directly; for a compacted table they agree)."""
+    import os
+
+    from mrt_data_integration_spark.streaming.rollup import _latest_version
+
+    v = _latest_version(state_dir)
+    if v < 0:
+        raise FileNotFoundError(f"no complete funnel state in {state_dir}")
+    return spark.read.parquet(os.path.join(state_dir, f"state_v{v}"))
+
+
 def latest_stage_times(updates: DataFrame, n_steps: int) -> DataFrame:
     """Reduce the update stream's emissions to the current per-user
     stage times: the row with the greatest (last_ts, n_seen) wins.
