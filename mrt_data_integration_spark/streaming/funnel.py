@@ -220,55 +220,71 @@ def funnel_stream(
 
 
 def merge_funnel_updates(
-    batch_df: DataFrame, batch_id: int, state_dir: str
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    ttl_seconds: float | None = None,
 ) -> None:
     """Compacting foreachBatch sink for the funnel's update stream:
     merges each micro-batch's per-user update rows into a versioned
     parquet state table, keeping only the greatest-(last_ts, n_seen)
     row per user. An append-only update log grows as O(updates) on an
     open-ended stream and every \"current state\" read rescans all of
-    it; the compacted table is O(active users) — the same storage
-    bound the TTL gives the operator's internal state — and each
-    version is one bounded merge (previous state ∪ batch, reduced by
-    recency).
+    it; the compacted table plus the protocol's version pruning keeps
+    disk at O(retained users) — AT MOST TWO versions exist at a time.
 
-    Replay contract (same protocol as streaming/rollup.py, where it is
-    documented in full): versions are keyed by batch id, a batch merges
-    from the highest COMPLETE version strictly below its own id and
-    overwrites its own directory, so foreachBatch's at-least-once
-    redelivery rebuilds the identical state instead of double-merging.
-    The recency reduction is idempotent anyway (max_by over identical
-    rows), but the versioning also keeps a mid-write crash invisible
-    (_SUCCESS-gated) and gives readers a consistent snapshot to query
-    mid-stream. At corpus scale, swap the single-file write for a
-    user-bucketed partitioned write; the merge stays one shuffle."""
-    import os
+    ``ttl_seconds`` bounds the RETAINED population the way
+    ``idle_timeout_seconds`` bounds the operator's internal state:
+    without it, a drive-by visitor's last row is carried into every
+    future version forever, so a single version still grows as
+    O(users ever seen) on a high-churn stream. With it, rows whose
+    ``last_ts`` is older than (max last_ts in the merged state − TTL)
+    are dropped at each merge — event-time, hence deterministic under
+    replay, and computed with a broadcast 1-row cross join (no driver
+    collect). Pair it with the operator's own TTL (same horizon) so
+    the serving table and the state store expire together.
 
-    from mrt_data_integration_spark.streaming.rollup import _latest_version
+    Versioning/replay/pruning/stale-chain semantics are the shared
+    protocol in ``streaming.rollup.merge_into_versioned_state`` (see
+    that module's docstring). At corpus scale, swap the single-file
+    write for a user-bucketed partitioned write; the merge stays one
+    shuffle."""
+    from mrt_data_integration_spark.streaming.rollup import (
+        merge_into_versioned_state,
+    )
 
     rec = F.struct(F.col("last_ts"), F.col("n_seen"))
-    cols = batch_df.columns
-    prev_v = _latest_version(state_dir, below=int(batch_id))
-    merged_in = batch_df
-    if prev_v >= 0:
-        prev = batch_df.sparkSession.read.parquet(
-            os.path.join(state_dir, f"state_v{prev_v}")
+
+    def merge(b: DataFrame, prev: DataFrame | None) -> DataFrame:
+        cols = b.columns
+        merged_in = b if prev is None else b.unionByName(prev.select(cols))
+        compacted = (
+            merged_in.groupBy("user_id")
+            .agg(F.max_by(F.struct(*cols), rec).alias("r"))
+            .select("r.*")
         )
-        merged_in = batch_df.unionByName(prev.select(cols))
-    compacted = (
-        merged_in.groupBy("user_id")
-        .agg(F.max_by(F.struct(*cols), rec).alias("r"))
-        .select("r.*")
-    )
-    compacted.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(state_dir, f"state_v{int(batch_id)}")
-    )
+        if ttl_seconds:
+            horizon = compacted.agg(
+                (
+                    F.max("last_ts")
+                    - F.make_interval(secs=F.lit(float(ttl_seconds)))
+                ).alias("cutoff")
+            )
+            compacted = (
+                compacted.crossJoin(F.broadcast(horizon))
+                .where(F.col("last_ts") >= F.col("cutoff"))
+                .drop("cutoff")
+            )
+        return compacted
+
+    merge_into_versioned_state(batch_df, batch_id, state_dir, merge)
 
 
 def read_funnel_state(spark, state_dir: str) -> DataFrame:
-    """Latest complete compacted funnel state (one row per user, with
-    the recency columns still attached — feed to ``latest_stage_times``
-    or select t1..tk directly; for a compacted table they agree)."""
+    """Latest complete compacted funnel state (one row per retained
+    user, with the recency columns still attached — feed to
+    ``latest_stage_times`` or select t1..tk directly; for a compacted
+    table they agree)."""
     import os
 
     from mrt_data_integration_spark.streaming.rollup import _latest_version

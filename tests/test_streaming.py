@@ -376,7 +376,9 @@ def test_streaming_rollup_merge_equals_direct(spark, sf_smoke, tmp_path):
     }
     assert got == direct and len(got) == 5
     versions = [d for d in os.listdir(state) if d.startswith("state_v")]
-    assert len(versions) == 4
+    # pruning keeps at most the latest version and its merge
+    # predecessor — storage is O(one state), not O(states x batches)
+    assert sorted(versions) == ["state_v2", "state_v3"]
 
 
 def test_rollup_replay_is_idempotent(spark, sf_smoke, tmp_path):
@@ -409,11 +411,12 @@ def test_rollup_replay_is_idempotent(spark, sf_smoke, tmp_path):
         }
 
     before = snapshot()
-    # Replay the LAST batch (the crash-after-write case): must not double-merge.
+    # Replay the LAST batch (the crash-after-write case): the complete
+    # published version IS the rebuild — reused, never double-merged.
     merge_batch_into_state(batches[2], 2, state, ["event_type"], "value", "user_id")
     assert snapshot() == before
-    # Replay a MIDDLE batch: rebuilds v1 from v0, leaving v2 (the latest
-    # complete state) untouched.
+    # Replay a MIDDLE batch: its version is complete -> no-op; v2 (the
+    # latest complete state) untouched.
     merge_batch_into_state(batches[1], 1, state, ["event_type"], "value", "user_id")
     assert snapshot() == before
     # A partial (no-_SUCCESS) directory with a higher id must be ignored.
@@ -895,12 +898,15 @@ def test_funnel_compacting_sink_matches_update_log(spark, tmp_path):
         map(tuple, from_log.select(key).collect())
     )
 
+    # at most two versions on disk (latest + its merge predecessor)
+    import os as _os
+
+    from mrt_data_integration_spark.streaming.rollup import _latest_version
+
+    vdirs = [d for d in _os.listdir(state_dir) if d.startswith("state_v")]
+    assert len(vdirs) <= 2, f"version pruning failed: {vdirs}"
     # replay: re-merge the last batch's rows; state must be unchanged
-    last_bid = max(
-        int(d.split("_v")[1])
-        for d in __import__("os").listdir(state_dir)
-        if d.startswith("state_v")
-    )
+    last_bid = _latest_version(state_dir)
     before = sorted(map(tuple, state.select(key).collect()))
     # a replayed batch re-merges rows already reflected in the state;
     # merging the compacted output against itself is the worst case
@@ -913,3 +919,55 @@ def test_funnel_compacting_sink_matches_update_log(spark, tmp_path):
         )
     )
     assert after == before, "replayed merge changed the compacted state"
+
+
+def test_funnel_compaction_ttl_expires_idle_users(spark, tmp_path):
+    """ttl_seconds bounds the RETAINED population: a drive-by visitor
+    whose last_ts falls behind (max last_ts - TTL) is dropped at the
+    merge, while recent users survive with stages intact."""
+    import datetime as dt
+
+    from mrt_data_integration_spark.streaming.funnel import (
+        merge_funnel_updates,
+        read_funnel_state,
+    )
+
+    schema = (
+        "user_id long, n_seen long, last_ts timestamp, "
+        "t1 timestamp, t2 timestamp, t3 timestamp"
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+    b0 = spark.createDataFrame(
+        [(1, 1, t0, t0, None, None), (2, 1, t0, t0, None, None)], schema
+    )
+    b1 = spark.createDataFrame(
+        [(3, 2, t0 + 10 * day, t0 + 10 * day, None, None)], schema
+    )
+    state = str(tmp_path / "st")
+    ttl = 24 * 3600.0
+    merge_funnel_updates(b0, 0, state, ttl_seconds=ttl)
+    assert read_funnel_state(spark, state).count() == 2
+    merge_funnel_updates(b1, 1, state, ttl_seconds=ttl)
+    kept = read_funnel_state(spark, state)
+    assert [r.user_id for r in kept.collect()] == [3], (
+        "users 1,2 are 10 days idle past a 1-day TTL and must be dropped"
+    )
+
+
+def test_versioned_state_rejects_stale_chain_restart(spark, tmp_path):
+    """A stream restarted with a fresh checkpoint (batch ids reset to
+    0) against a state_dir already at a higher version must fail loudly
+    instead of silently forking a new chain under stale readers."""
+    import pytest as _pytest
+
+    from mrt_data_integration_spark.streaming.rollup import (
+        merge_into_versioned_state,
+    )
+
+    df = spark.createDataFrame([(1,)], "k long")
+    state = str(tmp_path / "st")
+    ident = lambda b, prev: b  # noqa: E731
+    merge_into_versioned_state(df, 5, state, ident)
+    with _pytest.raises(ValueError, match="fresh state_dir"):
+        merge_into_versioned_state(df, 0, state, ident)
