@@ -224,6 +224,7 @@ def merge_funnel_updates(
     batch_id: int,
     state_dir: str,
     ttl_seconds: float | None = None,
+    chain: str | None = None,
 ) -> None:
     """Compacting foreachBatch sink for the funnel's update stream:
     merges each micro-batch's per-user update rows into a versioned
@@ -264,27 +265,42 @@ def merge_funnel_updates(
             .select("r.*")
         )
         if ttl_seconds:
-            horizon = compacted.agg(
-                (
-                    F.max("last_ts")
-                    - F.make_interval(secs=F.lit(float(ttl_seconds)))
-                ).alias("cutoff")
-            )
+            # single pass: a global window computes the cutoff without
+            # re-executing the union+compaction lineage (an agg +
+            # cross-join would run it twice). The empty partitionBy
+            # funnels the state through one task — fine for a table the
+            # protocol writes as ONE file anyway; at a scale where that
+            # bites, derive the horizon from the operator's watermark
+            # instead.
+            from pyspark.sql import Window as W
+
+            cutoff = F.max("last_ts").over(
+                W.partitionBy()
+            ) - F.make_interval(secs=F.lit(float(ttl_seconds)))
             compacted = (
-                compacted.crossJoin(F.broadcast(horizon))
-                .where(F.col("last_ts") >= F.col("cutoff"))
-                .drop("cutoff")
+                # window expressions are not allowed in WHERE — project
+                # the cutoff first, then filter on the plain column
+                compacted.withColumn("__cutoff__", cutoff)
+                .where(F.col("last_ts") >= F.col("__cutoff__"))
+                .drop("__cutoff__")
             )
         return compacted
 
-    merge_into_versioned_state(batch_df, batch_id, state_dir, merge)
+    merge_into_versioned_state(batch_df, batch_id, state_dir, merge, chain)
 
 
 def read_funnel_state(spark, state_dir: str) -> DataFrame:
     """Latest complete compacted funnel state (one row per retained
     user, with the recency columns still attached — feed to
     ``latest_stage_times`` or select t1..tk directly; for a compacted
-    table they agree)."""
+    table they agree).
+
+    Reader contract: the returned DataFrame is lazy over a version the
+    writer prunes only after TWO newer versions publish, so a reader
+    that consumes promptly (within a micro-batch interval) never loses
+    its snapshot; one that lingers past the pruning horizon can see
+    ENOENT mid-scan and should re-call this function — the same
+    transient-retry contract publish_build documents."""
     import os
 
     from mrt_data_integration_spark.streaming.rollup import _latest_version

@@ -971,3 +971,92 @@ def test_versioned_state_rejects_stale_chain_restart(spark, tmp_path):
     merge_into_versioned_state(df, 5, state, ident)
     with _pytest.raises(ValueError, match="fresh state_dir"):
         merge_into_versioned_state(df, 0, state, ident)
+
+
+def test_versioned_state_rebuilds_after_crash_before_publish(
+    spark, sf_smoke, tmp_path
+):
+    """The replay-REBUILD branch (not the complete-version reuse): a
+    crash before state_v{N} published leaves it absent/partial; the
+    redelivered batch must rebuild it from the same predecessor,
+    yielding the identical state."""
+    import os
+    import shutil
+
+    from mrt_data_integration_spark.operators import sketches as sk
+    from mrt_data_integration_spark.sources import load_table
+    from mrt_data_integration_spark.streaming.rollup import (
+        _latest_version,
+        merge_batch_into_state,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    batches = [ev.filter(F.pmod(F.col("user_id"), F.lit(2)) == i) for i in range(2)]
+    state = str(tmp_path / "state")
+    for i, b in enumerate(batches):
+        merge_batch_into_state(b, i, state, ["event_type"], "value", "user_id")
+
+    def snapshot():
+        return {
+            r["event_type"]: (r["n_rows"], round(r["sum_value"], 4))
+            for r in sk.finalize_rollup(
+                spark.read.parquet(
+                    os.path.join(state, f"state_v{_latest_version(state)}")
+                )
+            ).collect()
+        }
+
+    before = snapshot()
+    # crash-before-publish: v1 vanishes entirely (rename never happened)
+    shutil.rmtree(os.path.join(state, "state_v1"))
+    assert _latest_version(state) == 0
+    merge_batch_into_state(batches[1], 1, state, ["event_type"], "value", "user_id")
+    assert _latest_version(state) == 1
+    assert snapshot() == before, "rebuild from predecessor diverged"
+
+
+def test_versioned_state_rejects_chain_collision(spark, tmp_path):
+    """The id-COLLISION case the latest>bid guard cannot see: a fresh
+    checkpoint restarts batch ids at 0 against a state_dir whose v0
+    already exists from an old chain — with a chain token the reuse
+    path becomes a loud error instead of silently swallowing the new
+    stream's batch 0."""
+    import pytest as _pytest
+
+    from mrt_data_integration_spark.streaming.rollup import (
+        merge_into_versioned_state,
+    )
+
+    df = spark.createDataFrame([(1,)], "k long")
+    state = str(tmp_path / "st")
+    ident = lambda b, prev: b  # noqa: E731
+    merge_into_versioned_state(df, 0, state, ident, chain="query-uuid-A")
+    # same chain, same id: replay no-op, no error
+    merge_into_versioned_state(df, 0, state, ident, chain="query-uuid-A")
+    with _pytest.raises(ValueError, match="belongs to chain"):
+        merge_into_versioned_state(df, 0, state, ident, chain="query-uuid-B")
+
+
+def test_version_pruning_reclaims_crash_debris(spark, tmp_path):
+    """Orphaned build/debris directories (killed builder, publish race)
+    parse to their version id and are reclaimed by the same pruning
+    pass as plain versions — disk stays bounded across crashes."""
+    import os
+
+    from mrt_data_integration_spark.streaming.rollup import (
+        merge_into_versioned_state,
+    )
+
+    df = spark.createDataFrame([(1,)], "k long")
+    state = str(tmp_path / "st")
+    ident = lambda b, prev: b  # noqa: E731
+    merge_into_versioned_state(df, 0, state, ident)
+    # fake a killed builder's leftover for v0
+    os.makedirs(os.path.join(state, "state_v0.build-deadbeef"))
+    os.makedirs(os.path.join(state, "state_v0.debris.cafe0000"))
+    merge_into_versioned_state(df, 1, state, ident)
+    merge_into_versioned_state(df, 2, state, ident)  # prunes < v1
+    left = sorted(
+        d for d in os.listdir(state) if d.startswith("state_v")
+    )
+    assert left == ["state_v1", "state_v2"], left
