@@ -97,10 +97,34 @@ def _gif_dims(b: bytes) -> tuple[int, int, int]:
 
 def _bmp_dims(b: bytes) -> tuple[int, int, int]:
     # BITMAPINFOHEADER: width/height at offset 18 (height may be
-    # negative for top-down rows), bit count at 28
+    # negative for top-down rows), bit count at 28, compression at 30.
     w, h = struct.unpack("<ii", b[18:26])
     bpp = struct.unpack("<H", b[28:30])[0]
-    return w, abs(h), (1 if bpp <= 8 else bpp // 8)
+    if bpp <= 8:
+        ch = 1  # palette-indexed — the module's palette convention
+    elif bpp == 32:
+        # The 4th byte per pixel is ALPHA only when a BITFIELDS alpha
+        # mask says so; plain BI_RGB's 4th byte is padding. PIL reports
+        # RGBA vs RGB accordingly — the layers must agree. The alpha
+        # mask sits at absolute offset 66 in every layout that has one:
+        # BITMAPV3+/V4/V5 headers (mask inside the header at info
+        # offset 52) and a 40-byte header with BI_ALPHABITFIELDS
+        # (masks appended after the header).
+        comp = struct.unpack("<I", b[30:34])[0]
+        hdr_size = struct.unpack("<I", b[14:18])[0]
+        has_alpha_slot = comp == 6 or (comp == 3 and hdr_size >= 56)
+        alpha_mask = (
+            struct.unpack("<I", b[66:70])[0]
+            if has_alpha_slot and len(b) >= 70
+            else 0
+        )
+        ch = 4 if alpha_mask else 3
+    else:
+        # 16bpp RGB555/565 packs three samples into two bytes — it is a
+        # 3-channel image (bpp // 8 == 2 is a channel count no image
+        # has); 24bpp is plain BGR.
+        ch = 3
+    return w, abs(h), ch
 
 
 def _jpeg_dims(b: bytes) -> tuple[int, int, int] | None:
@@ -112,7 +136,14 @@ def _jpeg_dims(b: bytes) -> tuple[int, int, int] | None:
             i += 1
             continue
         marker = b[i + 1]
-        if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+        if marker == 0xFF:
+            # fill byte (spec B.1.1.2): any number of 0xFF bytes may pad
+            # before a marker — consume ONE so the next iteration sees
+            # the real marker (advancing two would skip it when the pad
+            # run has odd length)
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
             i += 2  # standalone markers carry no length
             continue
         seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]

@@ -48,6 +48,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from mrt_data_integration_spark.streaming.stateful import arm_event_time_timeout
+
 
 def _output_schema(n_steps: int) -> StructType:
     return StructType(
@@ -176,13 +178,9 @@ def funnel_stream(
             state.update((ts_us, tp_idx))
         if timeout_ms and ts_us:
             # Re-arm per invocation: deadline = latest event + TTL in
-            # EVENT time, clamped above the current watermark (Spark
-            # rejects a deadline the watermark already passed — reachable
-            # when a user's only events are older than watermark - TTL).
-            deadline = max(ts_us) // 1000 + timeout_ms
-            state.setTimeoutTimestamp(
-                max(deadline, state.getCurrentWatermarkMs() + 1)
-            )
+            # EVENT time (shared clamp protocol — see
+            # streaming.stateful.arm_event_time_timeout).
+            arm_event_time_timeout(state, max(ts_us), timeout_ms)
         stages = _fold(ts_us, tp_idx, steps, window_us)
         # One tiny frame per group per batch: build it from dtype-typed
         # numpy arrays. pd.DataFrame([dict]) + astype costs ~1 ms per
@@ -241,9 +239,11 @@ def merge_funnel_updates(
     O(users ever seen) on a high-churn stream. With it, rows whose
     ``last_ts`` is older than (max last_ts in the merged state − TTL)
     are dropped at each merge — event-time, hence deterministic under
-    replay, and computed with a broadcast 1-row cross join (no driver
-    collect). Pair it with the operator's own TTL (same horizon) so
-    the serving table and the state store expire together.
+    replay, computed in a single global-window pass over the compacted
+    state (one task, matched to a table the protocol writes as one
+    file; the inline note covers the at-scale alternative). Pair it
+    with the operator's own TTL (same horizon) so the serving table
+    and the state store expire together.
 
     Versioning/replay/pruning/stale-chain semantics are the shared
     protocol in ``streaming.rollup.merge_into_versioned_state`` (see

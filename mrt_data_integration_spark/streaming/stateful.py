@@ -82,6 +82,28 @@ _TOTALS_STATE_SCHEMA = StructType(
 )
 
 
+def arm_event_time_timeout(
+    state: GroupState, last_event_us: int, timeout_ms: int
+) -> None:
+    """Arm this group's EVENT-time timeout at (latest event + TTL).
+
+    The one shared clamp protocol for every stateful operator (funnel,
+    capped sessions, running totals): Spark rejects a deadline at or
+    below the current watermark — reachable whenever a group's newest
+    event is already older than (watermark − TTL) — so such a deadline
+    is clamped to watermark + 1 ms. The group then lingers exactly one
+    more watermark advance before evicting, instead of erroring the
+    batch. ``last_event_us`` is epoch MICROseconds (the operators'
+    common state unit); GroupState deadlines are epoch milliseconds.
+    """
+    state.setTimeoutTimestamp(
+        max(
+            int(last_event_us) // 1000 + timeout_ms,
+            state.getCurrentWatermarkMs() + 1,
+        )
+    )
+
+
 def _capped_session_fn(gap_seconds: int, cap_seconds: int, timeout_ms: int = 0):
     gap_us = gap_seconds * 1_000_000
     cap_us = cap_seconds * 1_000_000
@@ -140,14 +162,7 @@ def _capped_session_fn(gap_seconds: int, cap_seconds: int, timeout_ms: int = 0):
             out.append((user_id, ordinal, start_us, last_us, n_events, value))
         state.update((ordinal, int(start_us), int(last_us), int(n_events), value))
         if timeout_ms and last_us is not None:
-            # Event-time deadline: latest event + TTL, clamped above the
-            # current watermark (a passed deadline is rejected by Spark).
-            state.setTimeoutTimestamp(
-                max(
-                    int(last_us) // 1000 + timeout_ms,
-                    state.getCurrentWatermarkMs() + 1,
-                )
-            )
+            arm_event_time_timeout(state, last_us, timeout_ms)
         if out:
             res = pd.DataFrame(
                 out,
@@ -226,19 +241,16 @@ def _totals_fn_factory(timeout_ms: int = 0):
             state.remove()
             return
         n, s = state.get if state.exists else (0, 0.0)
-        last_ts_ms = None
+        last_ts_us = None
         for pdf in pdfs:
             n += int(len(pdf))
             s += float(pdf["value"].sum())
             if timeout_ms and len(pdf):
-                m = int(pd.Timestamp(pdf["ts"].max()).value) // 1_000_000
-                last_ts_ms = m if last_ts_ms is None else max(last_ts_ms, m)
+                m = int(pd.Timestamp(pdf["ts"].max()).value) // 1_000
+                last_ts_us = m if last_ts_us is None else max(last_ts_us, m)
         state.update((int(n), float(s)))
-        if timeout_ms and last_ts_ms is not None:
-            # Event-time deadline, clamped above the current watermark.
-            state.setTimeoutTimestamp(
-                max(last_ts_ms + timeout_ms, state.getCurrentWatermarkMs() + 1)
-            )
+        if timeout_ms and last_ts_us is not None:
+            arm_event_time_timeout(state, last_ts_us, timeout_ms)
         yield pd.DataFrame(
             {"user_id": [user_id], "n_events": [n], "sum_value": [round(s, 4)]}
         )

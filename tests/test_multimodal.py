@@ -96,7 +96,25 @@ def _tiny_bmp(w, h, bpp=24):
     return b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + info
 
 
-def _tiny_jpeg(w, h, n_components=3):
+def _tiny_bmp_v4(w, h, alpha_mask):
+    # BITMAPV4HEADER (108 bytes): masks live IN the header at info
+    # offsets 40 (red) .. 52 (alpha); compression = BI_BITFIELDS
+    import struct
+
+    info = (
+        struct.pack("<IiiHHI", 108, w, h, 1, 32, 3)
+        + bytes(12)  # image size, x/y ppm
+        + bytes(8)  # colors used / important
+        + struct.pack(
+            "<IIII", 0x00FF0000, 0x0000FF00, 0x000000FF, alpha_mask
+        )
+        + bytes(108 - 56)  # cs type, endpoints, gammas
+    )
+    assert len(info) == 108
+    return b"BM" + struct.pack("<IHHI", 14 + 108, 0, 0, 14 + 108) + info
+
+
+def _tiny_jpeg(w, h, n_components=3, fill=0):
     import struct
 
     sof_payload = struct.pack(">BHHB", 8, h, w, n_components) + bytes(
@@ -105,6 +123,7 @@ def _tiny_jpeg(w, h, n_components=3):
     return (
         b"\xff\xd8"                                   # SOI
         + b"\xff\xe0" + struct.pack(">H", 6) + b"JF\x00\x00"  # APP0 stub
+        + b"\xff" * fill                              # B.1.1.2 fill bytes
         + b"\xff\xc0" + struct.pack(">H", 2 + len(sof_payload)) + sof_payload
         + b"\xff\xd9"                                 # EOI
     )
@@ -140,7 +159,22 @@ def test_stdlib_image_decode_real_formats():
     assert stdlib_image_decode(_tiny_gif(99, 42)) == (99, 42, 1)
     assert stdlib_image_decode(_tiny_bmp(31, 17, bpp=24)) == (31, 17, 3)
     assert stdlib_image_decode(_tiny_bmp(31, 17, bpp=8)) == (31, 17, 1)
+    # 16bpp RGB555/565 is a THREE-channel image (bpp // 8 == 2 is a
+    # channel count no image has); plain 32bpp BI_RGB's 4th byte is
+    # padding (PIL: RGB); alpha only with a BITFIELDS alpha mask
+    assert stdlib_image_decode(_tiny_bmp(31, 17, bpp=16)) == (31, 17, 3)
+    assert stdlib_image_decode(_tiny_bmp(31, 17, bpp=32)) == (31, 17, 3)
+    assert stdlib_image_decode(_tiny_bmp_v4(31, 17, alpha_mask=0xFF000000)) == (
+        31, 17, 4,
+    )
+    assert stdlib_image_decode(_tiny_bmp_v4(31, 17, alpha_mask=0)) == (31, 17, 3)
     assert stdlib_image_decode(_tiny_jpeg(1024, 768)) == (1024, 768, 3)
+    # any number of 0xFF fill bytes may pad before a marker (B.1.1.2) —
+    # odd-length runs used to desync the segment walk
+    for fill in (1, 2, 3):
+        assert stdlib_image_decode(_tiny_jpeg(1024, 768, fill=fill)) == (
+            1024, 768, 3,
+        )
     assert stdlib_image_decode(b"P6\n# a comment\n640 480\n255\n") == (640, 480, 3)
     assert stdlib_image_decode(b"P5 12 34 255 ") == (12, 34, 1)
     assert stdlib_image_decode(b"not an image at all") is None
@@ -235,12 +269,14 @@ def test_stdlib_decode_fuzz_round_trip():
             )
         wg, hg = rng.randint(1, 65535), rng.randint(1, 65535)
         assert stdlib_image_decode(_tiny_gif(wg, hg)) == (wg, hg, 1)
-        bpp = rng.choice([1, 8, 24, 32])
+        bpp = rng.choice([1, 8, 16, 24, 32])
         assert stdlib_image_decode(_tiny_bmp(w, h, bpp)) == (
-            w, h, 1 if bpp <= 8 else bpp // 8,
+            w, h, 1 if bpp <= 8 else 3,
         )
         nc = rng.choice([1, 3, 4])
-        assert stdlib_image_decode(_tiny_jpeg(wg, hg, nc)) == (wg, hg, nc)
+        assert stdlib_image_decode(
+            _tiny_jpeg(wg, hg, nc, fill=rng.randint(0, 4))
+        ) == (wg, hg, nc)
         assert stdlib_image_decode(
             f"P6  {w} {h} 255 ".encode()
         ) == (w, h, 3)

@@ -905,13 +905,13 @@ def test_funnel_compacting_sink_matches_update_log(spark, tmp_path):
 
     vdirs = [d for d in _os.listdir(state_dir) if d.startswith("state_v")]
     assert len(vdirs) <= 2, f"version pruning failed: {vdirs}"
-    # replay: re-merge the last batch's rows; state must be unchanged
     last_bid = _latest_version(state_dir)
     before = sorted(map(tuple, state.select(key).collect()))
-    # a replayed batch re-merges rows already reflected in the state;
-    # merging the compacted output against itself is the worst case
-    # (every row a duplicate) and must leave the state unchanged
+    # replayed batch id: the protocol's complete-version reuse path —
+    # merge_fn must not even run (a second writer of the same bid is a
+    # foreachBatch retry), so the state is byte-identical
     merge_funnel_updates(state, last_bid, state_dir)
+    assert _latest_version(state_dir) == last_bid
     after = sorted(
         map(
             tuple,
@@ -919,6 +919,23 @@ def test_funnel_compacting_sink_matches_update_log(spark, tmp_path):
         )
     )
     assert after == before, "replayed merge changed the compacted state"
+    # duplicate-content worst case, actually exercising the merge: feed
+    # the compacted state back in as a NEW batch (every row already
+    # present in the predecessor) — max_by compaction must keep exactly
+    # the same winner per user, so the new version equals the old
+    merge_funnel_updates(
+        read_funnel_state(spark, state_dir), last_bid + 1, state_dir
+    )
+    assert _latest_version(state_dir) == last_bid + 1, (
+        "duplicate-content merge must still publish a new version"
+    )
+    after_dup = sorted(
+        map(
+            tuple,
+            read_funnel_state(spark, state_dir).select(key).collect(),
+        )
+    )
+    assert after_dup == before, "all-duplicate merge changed the state"
 
 
 def test_funnel_compaction_ttl_expires_idle_users(spark, tmp_path):
