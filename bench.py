@@ -85,6 +85,10 @@ HEADLINE = [
     "corpus_ingest_pipeline",
     "streaming_funnel_conversion",
     "training_shard_manifest",
+    # late-r7 addition: iterative BPE tokenizer training — the second
+    # multi-round driver loop (after dedup_clusters); per-round cost is
+    # a small cached-table agg + O(1)-row collect, tracked per round
+    "bpe_train_merges",
 ]
 
 

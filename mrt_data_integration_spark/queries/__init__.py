@@ -155,6 +155,11 @@ _POOL_B: list[str] = [
     "wcls_large_panel",
     "sensitivity_scenarios",
     "mc_simulation_grid",
+    # r7 addition (E5+ — distributed BPE tokenizer training): registered
+    # after the r7 window froze, zero driver history; POOL_B's r8 turn
+    # force-includes it per exception rule 2. Its slot is funded by the
+    # paired retirement of `ngram_jaccard_pairs_prefix` (see _RETIRED).
+    "bpe_train_merges",
 ]
 _CORE: list[str] = [
     "pricing_summary",
@@ -183,7 +188,6 @@ _CORE: list[str] = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
-    "ngram_jaccard_pairs_prefix",
     "tfidf_top_terms",
     "bpe_ish_token_counts",
 ]
@@ -210,6 +214,13 @@ _RETIRED: list[str] = [
     "group_moment_stats",
     "cube_revenue",
     "semi_join_active_customers",
+    # r7 (late): retired to fund the `bpe_train_merges` slot in the zero-
+    # slack r8 window, per the pairing rule below. Twin coverage: it is
+    # `ngram_jaccard_pairs` (scheduled for a fresh r7 row — same pair
+    # join and jaccard arithmetic, unfiltered) plus the prefix-pruning
+    # idea itself exercised at scale by `substring_chunk_pairs` (r7 row)
+    # and the PPJoin crossover study (results/PPJOIN_CROSSOVER.md).
+    "ngram_jaccard_pairs_prefix",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,
@@ -283,14 +294,15 @@ _WINDOW: list[str] = (
     _POOL_A
     + [n for n in _CORE if n not in _R7_SIT_OUT]
 )
-# r8 plan: POOL_B's turn (34) + the sixteen r7 sit-outs (their last rows
-# are r6, due back) = exactly 50 — a perfect fit with ZERO slack, so any
-# query ADDED in r8's window (or registered in r7 after this freeze)
-# must be paired with a retirement of a same-shape twin to the CI-only
-# tier, exactly as the three r7 retirements were. Any r7 red row is
-# force-included per rule 1 and displaces a fresh-r7 POOL_A member whose
-# shape must then be delegated in-window. test_window_policy.py enforces
-# the bookkeeping either way.
+# r8 plan: POOL_B's turn (35, including late-r7 `bpe_train_merges` with
+# zero driver history, force-included per rule 2) + the r7 sit-outs due
+# back (16 sat out; `ngram_jaccard_pairs_prefix` was then RETIRED to
+# fund the bpe slot, leaving 15 due back) = exactly 50 — still ZERO
+# slack, so any further addition must again be paired with a
+# retirement of a same-shape twin to the CI-only tier. Any r7 red row
+# is force-included per rule 1 and displaces a fresh-r7 POOL_A member
+# whose shape must then be delegated in-window. test_window_policy.py
+# enforces the bookkeeping either way.
 
 
 def _apply_window() -> None:

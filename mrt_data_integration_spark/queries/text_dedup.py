@@ -872,3 +872,61 @@ def lsh_store_ingest_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return dd.lsh_store_candidates(spark, path, new)
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Replay the full BPE training loop in SQL: one chained CTE stage
+    per merge round (pair explode → weighted count → argmax with the
+    (count DESC, left, right) tie-break → double-replace merge), over
+    the same one-scan word-frequency table the operator aggregates.
+    Programmatically generated so the oracle covers the ITERATION, not
+    one round. CAST the HUGEINT sum back to BIGINT (the r3
+    sessionization lesson)."""
+    ctes = [
+        r"""w0 AS (
+      SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' </w>' AS s, cnt
+      FROM (
+        SELECT w AS word, count(*) AS cnt FROM (
+          SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+          FROM documents)
+        WHERE w <> '' GROUP BY w)
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""p{i} AS (
+      SELECT syms[k] AS "left", syms[k+1] AS "right", sum(cnt) AS total
+      FROM (SELECT string_split(s, ' ') AS syms, cnt FROM w{i - 1}),
+           LATERAL (SELECT unnest(range(1, len(syms))) AS k) u
+      GROUP BY 1, 2
+    ), b{i} AS (
+      SELECT "left", "right", total FROM p{i}
+      ORDER BY total DESC, "left", "right" LIMIT 1
+    ), w{i} AS (
+      SELECT trim(replace(replace(' ' || s || ' ',
+                  ' ' || "left" || ' ' || "right" || ' ',
+                  ' ' || "left" || "right" || ' '),
+                  ' ' || "left" || ' ' || "right" || ' ',
+                  ' ' || "left" || "right" || ' ')) AS s, cnt
+      FROM w{i - 1}, b{i}
+    )""")
+    finals = "\n    UNION ALL ".join(
+        f'SELECT {i} AS rank, "left", "right", "left" || "right" AS merged,'
+        f" CAST(total AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + finals
+
+
+@query("bpe_train_merges", oracle=_bpe_oracle(8))
+def bpe_train_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5+ (round 7): distributed BPE tokenizer TRAINING — learn the
+    first 8 merges from the documents corpus (operators/tokenizer.py:
+    one corpus scan to a Zipf-compressed word-frequency table, then one
+    small distributed job + O(1)-row argmax collect per round). The
+    oracle replays the whole training loop as chained SQL CTEs, so the
+    hash match pins every round's pair counts, tie-breaks, and merge
+    applications, not just the final table."""
+    from mrt_data_integration_spark.operators.tokenizer import train_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_bpe_merges(docs, n_merges=8, min_pair_count=1)

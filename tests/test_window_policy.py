@@ -92,13 +92,15 @@ def test_retired_queries_stay_ci_verified():
 
 
 def test_r8_window_feasibility():
-    """The r8 window is POOL_B's turn plus the sixteen r7 sit-outs (all
-    due back — their last rows are r6). That sum must be EXACTLY 50: any
-    query registered after the r7 freeze, or any POOL_B growth, must be
-    paired with a retirement of a same-shape twin (the r7 precedent),
-    or the r8 rotation becomes infeasible and a due query silently
-    loses its slot."""
-    assert len(q._POOL_B) + len(q._R7_SIT_OUT) == 50, (
+    """The r8 window is POOL_B's turn plus the r7 sit-outs still in the
+    rotation (due back — their last rows are r6). That sum must be
+    EXACTLY 50: any query registered after the r7 freeze, or any POOL_B
+    growth, must be paired with a retirement of a same-shape twin (the
+    r7 precedent; late-r7 `bpe_train_merges` was funded by retiring
+    `ngram_jaccard_pairs_prefix`), or the r8 rotation becomes
+    infeasible and a due query silently loses its slot."""
+    due_back = [n for n in q._R7_SIT_OUT if n not in q._RETIRED]
+    assert len(q._POOL_B) + len(due_back) == 50, (
         "r8 window over/under-subscribed — pair registry growth with a "
         "retirement (see _RETIRED in queries/__init__.py)"
     )
