@@ -29,6 +29,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from mrt_data_integration_spark.operators import dedup as dd  # noqa: E402
 from mrt_data_integration_spark.operators import similarity as sim  # noqa: E402
 from mrt_data_integration_spark.operators import sketches as sk  # noqa: E402
+from mrt_data_integration_spark.operators import tokenizer as tk  # noqa: E402
 from mrt_data_integration_spark.operators.components import (  # noqa: E402
     connected_components,
 )
@@ -139,6 +140,7 @@ OP_INPUTS = {
     "sequence_packing": {"docs"},
     "streaming_funnel_drain": {"events", "sfunnel_src"},
     "corpus_ingest_pipeline": {"docs", "docs_tables"},
+    "bpe_train": {"docs"},
 }
 
 
@@ -298,6 +300,14 @@ def main() -> None:
 
     ops = {
         "exact_dedup": lambda k: dd.exact_dedup(docs(k)).count(),
+        # r7 addition: iterative BPE training. replicate_docs rewrites
+        # each replica's vocabulary, so the word-frequency table — the
+        # per-round input — grows ~k×: this measures the rounds'
+        # scaling in DISTINCT WORDS, the quantity that matters (corpus
+        # size only affects the one-scan word count).
+        "bpe_train": lambda k: tk.train_bpe_merges(
+            docs(k), n_merges=8, min_pair_count=1
+        ).count(),
         "minhash_lsh_pairs": lambda k: dd.lsh_candidate_pairs(docs(k)).count(),
         "ngram_jaccard_capped": lambda k: dd.ngram_jaccard_pairs(
             docs(k), threshold=0.5, max_shingle_df=500
