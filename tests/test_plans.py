@@ -297,3 +297,42 @@ def test_lsh_store_probe_never_reshingles_store(spark, sf_smoke):
     )
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_bpe_round_is_map_plus_partial_agg(spark, sf_smoke):
+    """One BPE merge round = map-only replace + partially-aggregated
+    pair count. The merge must add NO exchange on top of the word
+    table (a per-round shuffle would make n_merges rounds n_merges
+    shuffles of the vocabulary), and the pair count must combine
+    map-side before its single exchange."""
+    from pyspark.sql import functions as F
+
+    from mrt_data_integration_spark.operators.tokenizer import (
+        _apply_merge,
+        _initial_symbols,
+        _pair_counts,
+        word_frequencies,
+    )
+    from mrt_data_integration_spark.sources import load_table
+
+    words = word_frequencies(load_table(spark, sf_smoke, "documents")).select(
+        _initial_symbols(F.col("word")).alias("s"), "cnt"
+    )
+
+    def simple(df):
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+        return df._jdf.queryExecution().explainString(jmode)
+
+    base, merged = simple(words), simple(_apply_merge(words, "e", "r"))
+    assert merged.count("Exchange") == base.count("Exchange"), (
+        "merge application must be map-only — no new shuffle per round"
+    )
+    agg = simple(_pair_counts(words))
+    assert re.search(r"partial_sum|HashAggregate.*partial", agg, re.I), (
+        "pair counting must combine map-side"
+    )
+    assert agg.count("Exchange") == base.count("Exchange") + 1, (
+        "pair counting must add exactly ONE exchange (the pair-key agg)"
+    )
