@@ -158,3 +158,17 @@ def bpe_encode_words(words: DataFrame, merges: list[tuple[str, str]]) -> DataFra
     for left, right in merges:
         words = _apply_merge(words, left, right)
     return words
+
+
+def token_frequencies(encoded_words: DataFrame) -> DataFrame:
+    """Corpus token frequencies under a learned tokenizer: explode the
+    encoded symbol strings, weight by word count. One partial-agg
+    shuffle on the token key; the input is the (already tiny)
+    word-frequency table, never the corpus."""
+    return (
+        encoded_words.select(
+            F.explode(F.split(F.col("s"), " ")).alias("token"), "cnt"
+        )
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("n_occurrences"))
+    )

@@ -155,11 +155,13 @@ _POOL_B: list[str] = [
     "wcls_large_panel",
     "sensitivity_scenarios",
     "mc_simulation_grid",
-    # r7 addition (E5+ — distributed BPE tokenizer training): registered
-    # after the r7 window froze, zero driver history; POOL_B's r8 turn
-    # force-includes it per exception rule 2. Its slot is funded by the
-    # paired retirement of `ngram_jaccard_pairs_prefix` (see _RETIRED).
+    # r7 additions (E5+ — distributed BPE tokenizer training + encode):
+    # registered after the r7 window froze, zero driver history; POOL_B's
+    # r8 turn force-includes both per exception rule 2. Slots funded by
+    # the paired retirements of `ngram_jaccard_pairs_prefix` and
+    # `distinct_exact` (see _RETIRED).
     "bpe_train_merges",
+    "bpe_token_counts",
 ]
 _CORE: list[str] = [
     "pricing_summary",
@@ -172,7 +174,6 @@ _CORE: list[str] = [
     "rollup_hierarchy",
     "exact_percentiles",
     "running_total",
-    "distinct_exact",
     "argmax_per_group",
     "topk_per_group",
     "regr_by_group",
@@ -221,6 +222,12 @@ _RETIRED: list[str] = [
     # idea itself exercised at scale by `substring_chunk_pairs` (r7 row)
     # and the PPJoin crossover study (results/PPJOIN_CROSSOVER.md).
     "ngram_jaccard_pairs_prefix",
+    # r7 (late): retired to fund the `bpe_token_counts` slot. Twin
+    # coverage for the exact-dedup hash-agg shape: `doc_fingerprint_dedup`
+    # (r6 hash-green, due back r8 — same DISTINCT-count physical plan on
+    # richer keys) and `streaming_dedup_ingest` (r7 row — ingest-time
+    # exact dedup on the same md5 payload fingerprints).
+    "distinct_exact",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,
@@ -294,15 +301,15 @@ _WINDOW: list[str] = (
     _POOL_A
     + [n for n in _CORE if n not in _R7_SIT_OUT]
 )
-# r8 plan: POOL_B's turn (35, including late-r7 `bpe_train_merges` with
-# zero driver history, force-included per rule 2) + the r7 sit-outs due
-# back (16 sat out; `ngram_jaccard_pairs_prefix` was then RETIRED to
-# fund the bpe slot, leaving 15 due back) = exactly 50 — still ZERO
-# slack, so any further addition must again be paired with a
-# retirement of a same-shape twin to the CI-only tier. Any r7 red row
-# is force-included per rule 1 and displaces a fresh-r7 POOL_A member
-# whose shape must then be delegated in-window. test_window_policy.py
-# enforces the bookkeeping either way.
+# r8 plan: POOL_B's turn (36, including late-r7 `bpe_train_merges` and
+# `bpe_token_counts` with zero driver history, force-included per rule
+# 2) + the r7 sit-outs due back (16 sat out; `ngram_jaccard_pairs_prefix`
+# and `distinct_exact` were then RETIRED to fund the two bpe slots,
+# leaving 14 due back) = exactly 50 — still ZERO slack, so any further
+# addition must again be paired with a retirement of a same-shape twin
+# to the CI-only tier. Any r7 red row is force-included per rule 1 and
+# displaces a fresh-r7 POOL_A member whose shape must then be delegated
+# in-window. test_window_policy.py enforces the bookkeeping either way.
 
 
 def _apply_window() -> None:

@@ -917,6 +917,25 @@ def _bpe_oracle(n_merges: int) -> str:
     return "WITH " + ",\n    ".join(ctes) + "\n    " + finals
 
 
+def _bpe_tokens_oracle(n_merges: int, top: int) -> str:
+    """Same generated training chain, but the final select re-encodes
+    nothing — it reads the chain's LAST word-state CTE (w{n}) directly:
+    trainer final state == encoder output by construction, so this
+    oracle pins the encode path's token frequencies too."""
+    chain = _bpe_oracle(n_merges)
+    chain = chain[: chain.index("\n    SELECT 1 AS rank")]
+    return (
+        chain
+        + f"""
+    SELECT token, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+    FROM (SELECT string_split(s, ' ') AS syms, cnt FROM w{n_merges}),
+         LATERAL (SELECT unnest(syms) AS token) u
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT {top}"""
+    )
+
+
 @query("bpe_train_merges", oracle=_bpe_oracle(8))
 def bpe_train_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5+ (round 7): distributed BPE tokenizer TRAINING — learn the
@@ -930,3 +949,38 @@ def bpe_train_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return train_bpe_merges(docs, n_merges=8, min_pair_count=1)
+
+
+@query("bpe_token_counts", oracle=_bpe_tokens_oracle(8, 20))
+def bpe_token_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5+ (late r7): the ENCODE half of the tokenizer contract — train
+    8 merges, apply them to the word-frequency table
+    (operators.tokenizer.bpe_encode_words — map-only replace chain, no
+    per-merge shuffle), and return the top-20 corpus tokens by
+    occurrence. The oracle reads the training chain's final word-state
+    CTE, so a hash match proves encoder output == trainer final state
+    ON THE DRIVER'S DATA, not just in unit tests. Deterministic
+    (count DESC, token) top-k cut on both sides."""
+    from mrt_data_integration_spark.operators.tokenizer import (
+        _initial_symbols,
+        bpe_encode_words,
+        token_frequencies,
+        train_bpe_merges,
+        word_frequencies,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in train_bpe_merges(docs, n_merges=8, min_pair_count=1)
+        .orderBy("rank")
+        .collect()
+    ]
+    words = word_frequencies(docs).select(
+        _initial_symbols(F.col("word")).alias("s"), "cnt"
+    )
+    return (
+        token_frequencies(bpe_encode_words(words, merges))
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(20)
+    )

@@ -164,3 +164,19 @@ def test_lowercase_toggle(spark, lowercase):
         assert (got[0]["left"], got[0]["right"], got[0]["pair_count"]) == (
             "A", "B", 1,
         )
+
+
+def test_token_frequencies_weighted(spark):
+    from pyspark.sql import functions as F
+
+    from mrt_data_integration_spark.operators.tokenizer import (
+        token_frequencies,
+    )
+
+    enc = spark.createDataFrame(
+        [("lo w </w>", 5), ("lo </w>", 2)], "s string, cnt long"
+    )
+    got = {
+        r["token"]: r["n_occurrences"] for r in token_frequencies(enc).collect()
+    }
+    assert got == {"lo": 7, "w": 5, "</w>": 7}
