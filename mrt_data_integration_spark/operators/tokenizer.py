@@ -51,10 +51,14 @@ def word_frequencies(
     docs: DataFrame, text_col: str = "text", lowercase: bool = True
 ) -> DataFrame:
     """One-scan ``(word, cnt)`` aggregation — the sufficient statistic
-    for BPE training. Whitespace tokenization; empty tokens dropped."""
+    for BPE training. Tokenization is the engine's shared whitespace
+    rule (operators.text.tokens), so the trainer splits words exactly
+    like every other E5 operator; empty tokens dropped."""
+    from mrt_data_integration_spark.operators.text import tokens
+
     col = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     return (
-        docs.select(F.explode(F.split(col, r"\s+")).alias("word"))
+        docs.select(F.explode(tokens(col)).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -105,7 +109,8 @@ def train_bpe_merges(
     text_col: str = "text",
     lowercase: bool = True,
     min_pair_count: int = 2,
-) -> DataFrame:
+    return_state: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Learn ``n_merges`` BPE merges from a document corpus.
 
     Returns a DataFrame ``(rank int, left, right, merged, pair_count)``
@@ -113,6 +118,13 @@ def train_bpe_merges(
     on the driver from one argmax row per round; the corpus-scale work
     stays distributed). Stops early if no pair reaches
     ``min_pair_count``.
+
+    With ``return_state=True`` also returns the final symbol table
+    ``(s, cnt)`` — which IS the training corpus encoded under the
+    learned merges (the trainer already computed it; re-encoding from
+    scratch would pay the corpus scan and every merge pass a second
+    time). The state DataFrame is handed over still cached; the caller
+    owns its lifetime (evicted → recomputes through lineage, one scan).
     """
     spark = docs.sparkSession
     cur = word_frequencies(docs, text_col, lowercase).select(
@@ -140,14 +152,19 @@ def train_bpe_merges(
             l, r, total = top[0]["left"], top[0]["right"], int(top[0]["total"])
             merges.append((rank, l, r, l + r, total))
             prev, cur = cur, _apply_merge(cur, l, r).cache()
+    except BaseException:
+        cur.unpersist()  # error path: never leak the state cache
+        raise
     finally:
-        cur.unpersist()
         if prev is not None:
             prev.unpersist()
-    return spark.createDataFrame(
+    if not return_state:
+        cur.unpersist()
+    merges_df = spark.createDataFrame(
         merges,
         "rank int, left string, right string, merged string, pair_count bigint",
     )
+    return (merges_df, cur) if return_state else merges_df
 
 
 def bpe_encode_words(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:

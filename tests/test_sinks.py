@@ -314,6 +314,27 @@ def test_publish_build_concurrent_stress(tmp_path):
             open(os.path.join(path, "half-written"), "w").close()
         results, errors = [], []
 
+        def read_with_retry(out):
+            # The protocol's documented residual window (sinks.py): a
+            # reader resolving `path` in the one-syscall moment where a
+            # racer sweeps a just-published complete dir aside before
+            # reinstating it sees ENOENT and SHOULD RETRY — content is
+            # never lost. Implement that reader contract here; more
+            # than a few retries means the window is no longer
+            # one-syscall wide and the test must fail.
+            import time
+
+            for attempt in range(5):
+                try:
+                    assert os.path.exists(os.path.join(out, "meta.json"))
+                    with open(os.path.join(out, "data")) as fh:
+                        assert fh.read() == "payload"
+                    return
+                except (FileNotFoundError, AssertionError):
+                    if attempt == 4:
+                        raise
+                    time.sleep(0.002)
+
         def build(i):
             try:
                 t = str(tmp_path / f"b{trial}_{i}")
@@ -323,9 +344,7 @@ def test_publish_build_concurrent_stress(tmp_path):
                 open(os.path.join(t, "meta.json"), "w").close()
                 out = publish_build(t, path, "meta.json")
                 # every builder must come away with a COMPLETE dir
-                assert os.path.exists(os.path.join(out, "meta.json"))
-                with open(os.path.join(out, "data")) as fh:
-                    assert fh.read() == "payload"
+                read_with_retry(out)
                 results.append(out)
             except Exception as e:  # pragma: no cover - failure detail
                 errors.append(e)

@@ -43,7 +43,9 @@ def _py_bpe(texts, n_merges, min_pair_count=1):
         merges.append((rank, l, r, l + r, total))
         pat, rep = f" {l} {r} ", f" {l}{r} "
         words = {
-            (" " + s + " ").replace(pat, rep).replace(pat, rep).strip(): c
+            # strip SPACES only — F.trim and DuckDB trim remove ' ' not
+            # \s, and a word may legitimately contain e.g. NBSP symbols
+            (" " + s + " ").replace(pat, rep).replace(pat, rep).strip(" "): c
             for s, c in words.items()
         }
     return merges, words
