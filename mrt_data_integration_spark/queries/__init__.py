@@ -34,10 +34,10 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (105 queries as of late r7)
-# is split into a CORE of 27 queries (one per physical shape — scan/agg,
+# ROTATION POLICY (round 4+): the registry (106 queries as of late r7)
+# is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 36) that ALTERNATE rounds, and a RETIRED tier (r7+: 5 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r7+: 6 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -164,6 +164,10 @@ _POOL_B: list[str] = [
     # `distinct_exact` (see _RETIRED).
     "bpe_train_merges",
     "bpe_token_counts",
+    # late-r7 addition (S1+S2 — JSONL sink/source, the LLM-corpus
+    # interchange format): zero driver history, force-included in r8 per
+    # rule 2; slot funded by retiring `pivot_method_by_coef`.
+    "jsonl_roundtrip",
 ]
 _CORE: list[str] = [
     "pricing_summary",
@@ -171,7 +175,6 @@ _CORE: list[str] = [
     "weighted_gram",
     "relative_efficiency",
     "group_best_highlight",
-    "pivot_method_by_coef",
     "unpivot_long",
     "rollup_hierarchy",
     "exact_percentiles",
@@ -230,6 +233,12 @@ _RETIRED: list[str] = [
     # richer keys) and `streaming_dedup_ingest` (r7 row — ingest-time
     # exact dedup on the same md5 payload fingerprints).
     "distinct_exact",
+    # r7 (late): retired to fund the `jsonl_roundtrip` slot. Twin
+    # coverage for the wide-reshape shape: `unpivot_long` (CORE,
+    # fresh r7 row — the same stack/unstack machinery inverted) and
+    # `estimator_report_pivot` (POOL_B, r6 row, due back r8 — a pivot
+    # over the same estimator-report long format).
+    "pivot_method_by_coef",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,
@@ -303,11 +312,12 @@ _WINDOW: list[str] = (
     _POOL_A
     + [n for n in _CORE if n not in _R7_SIT_OUT]
 )
-# r8 plan: POOL_B's turn (36, including late-r7 `bpe_train_merges` and
-# `bpe_token_counts` with zero driver history, force-included per rule
-# 2) + the r7 sit-outs due back (16 sat out; `ngram_jaccard_pairs_prefix`
-# and `distinct_exact` were then RETIRED to fund the two bpe slots,
-# leaving 14 due back) = exactly 50 — still ZERO slack, so any further
+# r8 plan: POOL_B's turn (37, including late-r7 `bpe_train_merges`,
+# `bpe_token_counts`, and `jsonl_roundtrip` with zero driver history,
+# force-included per rule 2) + the r7 sit-outs due back (16 sat out;
+# `ngram_jaccard_pairs_prefix`, `distinct_exact`, and
+# `pivot_method_by_coef` were then RETIRED to fund the three new slots,
+# leaving 13 due back) = exactly 50 — still ZERO slack, so any further
 # addition must again be paired with a retirement of a same-shape twin
 # to the CI-only tier. Any r7 red row is force-included per rule 1 and
 # displaces a fresh-r7 POOL_A member whose shape must then be delegated

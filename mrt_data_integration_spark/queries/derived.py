@@ -250,3 +250,49 @@ def string_report_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.col("p_name"), "[aeiou]", "_").alias("consonant_name"),
         F.round(F.col("p_retailprice") / 100.0, 3).alias("price_hundreds"),
     )
+
+
+@query(
+    "jsonl_roundtrip",
+    oracle="""
+    SELECT lang,
+           count(*)                                  AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)              AS total_chars,
+           count(DISTINCT md5(text))                 AS n_distinct_texts,
+           CAST(sum(length(text)) AS BIGINT)         AS sum_text_len
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2 (late r7): JSON-lines sink + source round-trip — the
+    interchange format of LLM training corpora (one JSON object per
+    line; the reference's CSV round-trip, extended with the NESTING
+    that CSV cannot carry). Write doc rows with a nested ``meta``
+    struct, read back with an EXPLICIT schema (inference on a corpus
+    scan is an extra pass and can widen types), aggregate with per-lang
+    content checksums (distinct md5, total text length) — the oracle
+    aggregates the original rows, so the hash match proves the
+    round-trip preserved every byte of every document and the nested
+    fields."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select(
+        "doc_id",
+        "text",
+        F.struct("lang", "source", "n_chars").alias("meta"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="mrt_jsonl_roundtrip_")
+    rows.write.mode("overwrite").json(out_dir)
+    schema = (
+        "doc_id long, text string, "
+        "meta struct<lang:string,source:string,n_chars:long>"
+    )
+    back = spark.read.schema(schema).json(out_dir)
+    return back.groupBy(F.col("meta.lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("meta.n_chars").alias("total_chars"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_distinct_texts"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+    )
