@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from mrt_data_integration_spark.functions import derive
 from mrt_data_integration_spark.queries.registry import query
 from mrt_data_integration_spark.sources import load_table
+from mrt_data_integration_spark.sources.sinks import ephemeral_dir
 
 
 def _panelized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,13 +212,11 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     temp CSV directory with headers, read it back with schema
     inference, aggregate — the oracle aggregates the original rows
     directly, so the round-trip must be value-preserving."""
-    import tempfile
-
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
     subset = li.select(
         "l_returnflag", F.round("l_extendedprice", 2).alias("price"), "l_quantity"
     )
-    out_dir = tempfile.mkdtemp(prefix="mrt_csv_roundtrip_")
+    out_dir = ephemeral_dir("mrt_csv_roundtrip_")
     subset.write.mode("overwrite").option("header", True).csv(out_dir)
     back = spark.read.csv(out_dir, header=True, inferSchema=True)
     return back.groupBy("l_returnflag").agg(
@@ -275,15 +274,13 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates the original rows, so the hash match proves the
     round-trip preserved every byte of every document and the nested
     fields."""
-    import tempfile
-
     docs = load_table(spark, sf_dir, "documents")
     rows = docs.select(
         "doc_id",
         "text",
         F.struct("lang", "source", "n_chars").alias("meta"),
     )
-    out_dir = tempfile.mkdtemp(prefix="mrt_jsonl_roundtrip_")
+    out_dir = ephemeral_dir("mrt_jsonl_roundtrip_")
     rows.write.mode("overwrite").json(out_dir)
     schema = (
         "doc_id long, text string, "

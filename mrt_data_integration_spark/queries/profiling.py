@@ -121,10 +121,10 @@ def partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     be value-preserving including the partition-column round-trip
     (lang values become directory names and must come back as the same
     strings)."""
-    import tempfile
+    from mrt_data_integration_spark.sources.sinks import ephemeral_dir
 
     docs = load_table(spark, sf_dir, "documents")
-    out_dir = tempfile.mkdtemp(prefix="mrt_part_roundtrip_")
+    out_dir = ephemeral_dir("mrt_part_roundtrip_")
     write_partitioned_dataset(
         docs,
         out_dir,

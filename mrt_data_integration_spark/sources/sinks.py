@@ -192,6 +192,22 @@ def write_training_shards(
     )
 
 
+def ephemeral_dir(prefix: str) -> str:
+    """mkdtemp whose removal is registered at interpreter exit. For
+    round-trip queries whose written dir must outlive the query's lazy
+    result (the sink is the thing under test), so per-invocation
+    cleanup isn't possible — without exit-time cleanup every bench
+    shot / parity run leaks a directory into /tmp forever (observed:
+    50+ per query family before this existed)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
 def build_and_publish(path: str, marker: str, build) -> str:
     """Build a shared cache artifact if absent: run ``build(tmp_dir)``
     into a private sibling directory, then :func:`publish_build` it at
