@@ -36,7 +36,7 @@ def write_partitioned_dataset(
     path: str,
     partition_cols: list[str],
     sort_cols: list[str] | None = None,
-    files_per_partition: int = 1,
+    files_per_partition: "int | Column" = 1,
     max_records_per_file: int | None = None,
     mode: str = "overwrite",
 ) -> None:
@@ -54,12 +54,19 @@ def write_partitioned_dataset(
     them, so the small-files bound holds unconditionally.
     """
     sort_cols = sort_cols or []
+    # files_per_partition may be a Column (evaluated per row from df's
+    # own columns) so a caller can size file counts PER PARTITION VALUE
+    # — the compaction path's skew-aware layout. Clamped to ≥ 1.
+    if isinstance(files_per_partition, int):
+        n_files = F.lit(max(1, files_per_partition))
+    else:
+        n_files = F.greatest(files_per_partition.cast("int"), F.lit(1))
     # pmod, not abs(hash) % n: abs(Integer.MIN_VALUE) overflows (stays
     # negative, or throws under ANSI mode), which would mint a negative
     # salt bucket — an extra file beyond the files_per_partition bound.
     salt = F.pmod(
         F.hash(*[F.col(c) for c in df.columns]),
-        F.lit(max(1, files_per_partition)),
+        n_files,
     ).alias("__salt__")
     arranged = df.withColumn("__salt__", salt).repartition(
         *[F.col(c) for c in partition_cols], F.col("__salt__")
@@ -85,6 +92,100 @@ def read_partitioned_dataset(spark, path: str) -> DataFrame:
     point of partitioning the 100 TB corpus by coarse keys.
     """
     return spark.read.parquet(path)
+
+
+def compaction_plan(path: str, target_file_bytes: int) -> list[dict]:
+    """Per-partition-directory compaction plan for a hive-layout
+    dataset: current parquet file count and bytes, and the file count a
+    rewrite to ``target_file_bytes`` would produce. Driver-side
+    ``os.walk`` over directory METADATA only — the same listing any
+    metastore pays; zero data read. At object-store scale the walk
+    becomes a manifest listing; the arithmetic is unchanged."""
+    import math
+    import os
+
+    plan = []
+    for root, _dirs, files in os.walk(path):
+        pq = [f for f in files if f.endswith(".parquet")]
+        if not pq:
+            continue
+        n_bytes = sum(os.path.getsize(os.path.join(root, f)) for f in pq)
+        after = max(1, math.ceil(n_bytes / max(1, target_file_bytes)))
+        plan.append(
+            {
+                "partition_dir": os.path.relpath(root, path),
+                "n_files": len(pq),
+                "bytes": n_bytes,
+                # compaction only ever MERGES files — a dir already at
+                # or under target density keeps its file count
+                "files_after": min(after, len(pq)),
+            }
+        )
+    return plan
+
+
+def compact_dataset(
+    spark,
+    src: str,
+    dest: str,
+    partition_cols: list[str],
+    target_file_bytes: int,
+    sort_cols: list[str] | None = None,
+) -> list[dict]:
+    """Rewrite a small-files hive dataset into bounded-size files —
+    the standard 100 TB table-maintenance operation (streaming sinks
+    and incremental appends accrete files; every future scan then pays
+    per-file open/footer costs and the listing overwhelms the planner).
+
+    Skew-aware by measurement: each partition VALUE gets the file count
+    its MEASURED bytes warrant (``compaction_plan``), carried into the
+    writer's salt as a per-row map lookup — the 40 %-of-corpus ``en``
+    directory keeps enough files to parallelize, a two-row language
+    collapses to one, in the same single shuffle. One data pass total.
+
+    Writes to ``dest`` (a FRESH directory): compaction must never
+    rewrite in place under readers. Publish by atomically flipping a
+    current-version pointer (the versioned-dir protocol in
+    streaming/rollup.py) or, for build-once artifacts,
+    :func:`publish_build`. Returns the plan it executed.
+
+    Partition values are matched through their hive directory encoding
+    (``col=value`` path segments, string-cast) — exact for the
+    string/int keys coarse partitioning uses; a null partition value
+    (``__HIVE_DEFAULT_PARTITION__``) falls back to one file per dir.
+
+    AQE interaction: small-partition coalescing can merge salt buckets
+    that are far below the advisory partition size — which only ever
+    produces FEWER, larger files (compaction's goal). At production
+    targets (hundreds of MB per bucket, above the advisory size)
+    nothing merges and the planned counts hold.
+    """
+    plan = compaction_plan(src, target_file_bytes)
+    df = read_partitioned_dataset(spark, src)
+    if plan:
+        key = F.concat_ws(
+            "/",
+            *[
+                F.concat(F.lit(c + "="), F.col(c).cast("string"))
+                for c in partition_cols
+            ],
+        )
+        entries: list = []
+        for p in plan:
+            entries += [F.lit(p["partition_dir"]), F.lit(int(p["files_after"]))]
+        n_files = F.coalesce(
+            F.element_at(F.create_map(*entries), key), F.lit(1)
+        )
+    else:
+        n_files = F.lit(1)
+    write_partitioned_dataset(
+        df,
+        dest,
+        partition_cols,
+        sort_cols=sort_cols,
+        files_per_partition=n_files,
+    )
+    return plan
 
 
 def zorder_key(

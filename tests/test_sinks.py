@@ -359,3 +359,66 @@ def test_publish_build_concurrent_stress(tmp_path):
         # the slot itself must end complete (no stale partial survives)
         assert os.path.exists(os.path.join(path, "meta.json"))
         shutil.rmtree(str(tmp_path / f"slot{trial}"), ignore_errors=True)
+
+
+def test_compaction_merges_small_files_skew_aware(spark, tmp_path):
+    """compact_dataset: a fragmented hive dataset rewrites to per-value
+    file counts sized by MEASURED bytes — the skewed big partition
+    keeps multiple files (parallel readers), the tiny one collapses to
+    a single file, content is byte-preserved, and the plan arithmetic
+    matches the directory metadata."""
+    import glob
+    import math
+    import os
+
+    import pyspark.sql.functions as F
+
+    from mrt_data_integration_spark.sources.sinks import (
+        compact_dataset,
+        read_partitioned_dataset,
+        write_partitioned_dataset,
+    )
+
+    df = spark.range(4040).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 4000, "en").otherwise("fr").alias("lang"),
+        F.md5(F.col("id").cast("string")).alias("text"),
+    )
+    src, dest = str(tmp_path / "src"), str(tmp_path / "dest")
+    # fragment via the record cap (accreted-small-files simulation; a
+    # plain salted write of tiny data is AQE-coalesced into few files)
+    write_partitioned_dataset(
+        df, src, ["lang"], files_per_partition=16, max_records_per_file=300
+    )
+
+    def files(d, lang):
+        return glob.glob(os.path.join(d, f"lang={lang}", "*.parquet"))
+
+    assert len(files(src, "en")) > 4, "precondition: fragmented source"
+    en_bytes = sum(os.path.getsize(f) for f in files(src, "en"))
+    target = max(1, en_bytes // 3)  # en plans 3-4 files; tiny fr plans 1
+
+    # AQE's small-partition coalescing would merge this test's tiny
+    # salt buckets into one task (harmless for real compaction — at
+    # 100 TB each bucket is ~target_file_bytes, far above the advisory
+    # size, so nothing merges); pin it off to observe the salt layout.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        plan = compact_dataset(spark, src, dest, ["lang"], target)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    by_dir = {p["partition_dir"]: p for p in plan}
+    assert by_dir["lang=fr"]["files_after"] == 1
+    assert by_dir["lang=en"]["files_after"] >= 3
+    assert len(files(dest, "fr")) == 1
+    # salt collisions may merge but never split: bound holds, and the
+    # big partition stays parallel (4000 rows over >=3 buckets)
+    assert 1 < len(files(dest, "en")) <= by_dir["lang=en"]["files_after"]
+    cols = ["doc_id", "lang", "text"]
+    a = sorted(map(tuple, read_partitioned_dataset(spark, src).select(cols).collect()))
+    b = sorted(map(tuple, read_partitioned_dataset(spark, dest).select(cols).collect()))
+    assert a == b, "compaction must preserve every row byte-for-byte"
+    p = by_dir["lang=en"]
+    assert p["files_after"] == min(
+        p["n_files"], max(1, math.ceil(p["bytes"] / target))
+    )
