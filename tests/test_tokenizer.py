@@ -182,3 +182,32 @@ def test_token_frequencies_weighted(spark):
         r["token"]: r["n_occurrences"] for r in token_frequencies(enc).collect()
     }
     assert got == {"lo": 7, "w": 5, "</w>": 7}
+
+
+def test_random_corpus_fuzz_vs_twin(spark):
+    """Seeded random corpora over a 3-letter alphabet (heavy pair-count
+    TIES, short words, repeated words) — the trainer must agree with
+    the python twin exactly on every one; ties are where cross-engine
+    argmax bugs hide."""
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(5):
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(5, 30))
+        ]
+        texts = [
+            " ".join(rng.choice(words) for _ in range(rng.randint(1, 12)))
+            for _ in range(rng.randint(2, 6))
+        ]
+        got = sorted(
+            map(
+                tuple,
+                train_bpe_merges(
+                    _docs(spark, texts), n_merges=6, min_pair_count=1
+                ).collect(),
+            )
+        )
+        want, _ = _py_bpe(texts, 6)
+        assert got == sorted(want), f"trial {trial}: {texts}"
