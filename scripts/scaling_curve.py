@@ -141,6 +141,7 @@ OP_INPUTS = {
     "streaming_funnel_drain": {"events", "sfunnel_src"},
     "corpus_ingest_pipeline": {"docs", "docs_tables"},
     "bpe_train": {"docs"},
+    "compaction": {"docs"},
 }
 
 
@@ -298,6 +299,40 @@ def main() -> None:
             )
             index_paths[k] = ipath
 
+    # Fragmented compaction sources per scale, built OUTSIDE the timed
+    # region (fragmentation is the precondition, not the operator).
+    comp_srcs = {}
+    if "compaction" in wanted_ops:
+        from mrt_data_integration_spark.sources.sinks import (
+            write_partitioned_dataset,
+        )
+
+        for k in SCALES:
+            cpath = os.path.join(work, f"comp_src_{k}x")
+            write_partitioned_dataset(
+                docs(k),
+                cpath,
+                ["lang"],
+                files_per_partition=16,
+                max_records_per_file=40,
+            )
+            comp_srcs[k] = cpath
+
+    def _compact_roundtrip(k):
+        import shutil as _sh
+
+        from mrt_data_integration_spark.sources.sinks import compact_dataset
+
+        dest = tempfile.mkdtemp(prefix="graft_sc_comp_")
+        try:
+            return len(
+                compact_dataset(
+                    spark, comp_srcs[k], dest, ["lang"], 128 * 1024 * 1024
+                )
+            )
+        finally:
+            _sh.rmtree(dest, ignore_errors=True)
+
     ops = {
         "exact_dedup": lambda k: dd.exact_dedup(docs(k)).count(),
         # r7 addition: iterative BPE training. replicate_docs rewrites
@@ -308,6 +343,11 @@ def main() -> None:
         "bpe_train": lambda k: tk.train_bpe_merges(
             docs(k), n_merges=8, min_pair_count=1
         ).count(),
+        # late-r7: small-file compaction — fragment the corpus into
+        # ~40-row files per lang dir, then one-pass rewrite to 128 MiB
+        # targets. Expected linear in bytes (it is a read+shuffle+write
+        # of the data), with the metadata plan a rounding error.
+        "compaction": lambda k: _compact_roundtrip(k),
         "minhash_lsh_pairs": lambda k: dd.lsh_candidate_pairs(docs(k)).count(),
         "ngram_jaccard_capped": lambda k: dd.ngram_jaccard_pairs(
             docs(k), threshold=0.5, max_shingle_df=500
