@@ -173,8 +173,14 @@ def compact_dataset(
         entries: list = []
         for p in plan:
             entries += [F.lit(p["partition_dir"]), F.lit(int(p["files_after"]))]
+        # try_element_at, not element_at: a key that misses the map
+        # (null partition value → __HIVE_DEFAULT_PARTITION__ dir, or a
+        # hive-escaped special character) must take the 1-file fallback,
+        # and ANSI-mode element_at semantics for missing keys have
+        # changed across Spark versions — try_ is NULL-on-missing by
+        # contract.
         n_files = F.coalesce(
-            F.element_at(F.create_map(*entries), key), F.lit(1)
+            F.try_element_at(F.create_map(*entries), key), F.lit(1)
         )
     else:
         n_files = F.lit(1)
