@@ -422,3 +422,34 @@ def test_compaction_merges_small_files_skew_aware(spark, tmp_path):
     assert p["files_after"] == min(
         p["n_files"], max(1, math.ceil(p["bytes"] / target))
     )
+
+
+def test_compaction_null_partition_value_fallback(spark, tmp_path):
+    """A null partition value writes to __HIVE_DEFAULT_PARTITION__,
+    whose hive dir name never matches the string-cast key — the
+    try_element_at lookup must take the one-file fallback and the
+    rewrite must still preserve every row."""
+    import pyspark.sql.functions as F
+
+    from mrt_data_integration_spark.sources.sinks import (
+        compact_dataset,
+        read_partitioned_dataset,
+        write_partitioned_dataset,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise(F.when(F.col("id") < 400, "en").otherwise("fr"))
+        .alias("lang"),
+        F.md5(F.col("id").cast("string")).alias("text"),
+    )
+    src, dest = str(tmp_path / "nsrc"), str(tmp_path / "ndst")
+    write_partitioned_dataset(
+        df, src, ["lang"], files_per_partition=8, max_records_per_file=40
+    )
+    plan = compact_dataset(spark, src, dest, ["lang"], 512 * 1024 * 1024)
+    assert "lang=__HIVE_DEFAULT_PARTITION__" in {
+        p["partition_dir"] for p in plan
+    }
+    assert read_partitioned_dataset(spark, dest).count() == 500
