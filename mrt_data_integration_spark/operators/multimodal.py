@@ -37,6 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -256,6 +257,150 @@ def extract_image_features(
 
     return media.select("asset_id", "content").mapInPandas(
         run, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def _ppm_pixels(b: bytes):
+    """Binary netpbm pixel decode (P5 grey / P6 RGB, maxval ≤ 255):
+    header token walk, then exactly one whitespace byte, then raw
+    samples. Returns (h, w, c) uint8 or None."""
+    import numpy as np
+
+    if b[:1] != b"P" or b[1:2] not in (b"5", b"6"):
+        return None
+    toks, i, n = [], 2, len(b)
+    while len(toks) < 3 and i < n:
+        c = b[i : i + 1]
+        if c == b"#":
+            while i < n and b[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not b[j : j + 1].isspace():
+                j += 1
+            toks.append(b[i:j])
+            i = j
+    if len(toks) < 3 or int(toks[2]) > 255:
+        return None
+    w, h = int(toks[0]), int(toks[1])
+    ch = 3 if b[1:2] == b"6" else 1
+    data = b[i + 1 : i + 1 + w * h * ch]  # header ends with ONE whitespace
+    if len(data) < w * h * ch:
+        return None
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, ch)
+
+
+def _bmp_pixels(b: bytes):
+    """BMP 24bpp BI_RGB pixel decode: data offset from the file header,
+    4-byte-aligned BGR rows, bottom-up unless height is negative.
+    Returns (h, w, 3) uint8 RGB or None (other depths/compressions are
+    not raw rasters)."""
+    import numpy as np
+
+    if b[:2] != b"BM":
+        return None
+    data_off = struct.unpack("<I", b[10:14])[0]
+    w, h = struct.unpack("<ii", b[18:26])
+    bpp = struct.unpack("<H", b[28:30])[0]
+    comp = struct.unpack("<I", b[30:34])[0]
+    if bpp != 24 or comp != 0:
+        return None
+    stride = ((w * 3 + 3) // 4) * 4
+    rows_bottom_up, h = h > 0, abs(h)
+    raw = b[data_off : data_off + stride * h]
+    if len(raw) < stride * h:
+        return None
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    arr = arr[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # strip pad, BGR→RGB
+    return arr[::-1] if rows_bottom_up else arr
+
+
+def stdlib_pixel_decode(blob: bytes):
+    """Full PIXEL decode for the UNCOMPRESSED raster formats whose
+    byte layouts are parseable exactly with the standard library —
+    binary netpbm (P5/P6) and 24bpp BI_RGB BMP. Compressed codecs
+    (PNG deflate, JPEG DCT, GIF LZW) still require external decoders
+    and stay behind the ``decode_fn`` plug point. Returns an
+    (h, w, c) uint8 array or None."""
+    try:
+        if blob[:1] == b"P" and blob[1:2] in (b"5", b"6"):
+            return _ppm_pixels(blob)
+        if blob[:2] == b"BM":
+            return _bmp_pixels(blob)
+    except (struct.error, IndexError, ValueError):
+        return None
+    return None
+
+
+def resize_pixels(img, max_side: int):
+    """Nearest-neighbor downscale preserving aspect ratio — pure
+    integer index sampling (deterministic, no interpolation library).
+    Images already within ``max_side`` pass through unchanged."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    if max(h, w) <= max_side:
+        return img
+    scale = max_side / max(h, w)
+    nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
+    ys = (np.arange(nh) * h) // nh
+    xs = (np.arange(nw) * w) // nw
+    return img[ys][:, xs]
+
+
+PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("px_mean", DoubleType()),
+        StructField("px_std", DoubleType()),
+        StructField("thumb_w", IntegerType()),
+        StructField("thumb_h", IntegerType()),
+        StructField("thumb_sha256", StringType()),
+    ]
+)
+
+
+def extract_pixel_stats(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """Pixel-level feature extraction via Arrow-batched mapInPandas:
+    real mean/std and a deterministic nearest-neighbor thumbnail hash
+    for blobs ``stdlib_pixel_decode`` can fully decode; NULL stats for
+    compressed/unknown formats (the honest boundary — their METADATA
+    still flows through ``extract_image_features``)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, blob in zip(pdf["asset_id"], pdf["content"]):
+                img = stdlib_pixel_decode(bytes(blob))
+                if img is None:
+                    out.append(
+                        (int(asset_id), None, None, None, None, None, None, None, None)
+                    )
+                    continue
+                thumb = resize_pixels(img, max_side)
+                out.append(
+                    (
+                        int(asset_id),
+                        int(img.shape[1]),
+                        int(img.shape[0]),
+                        int(img.shape[2]),
+                        round(float(np.mean(img)), 4),
+                        round(float(np.std(img)), 4),
+                        int(thumb.shape[1]),
+                        int(thumb.shape[0]),
+                        hashlib.sha256(np.ascontiguousarray(thumb).tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in PIXEL_STATS_SCHEMA])
+
+    return media.select("asset_id", "content").mapInPandas(
+        run, PIXEL_STATS_SCHEMA
     )
 
 

@@ -318,3 +318,126 @@ def test_decoders_never_raise_on_corrupt_blobs():
         cutp = rng.randrange(1, len(png))
         r = stdlib_image_decode(bytes(png[:cutp]))
         assert r is None or isinstance(r, tuple)
+
+
+def _p6_bytes(w, h, pixels):
+    """pixels: list of (r,g,b) row-major."""
+    body = bytes(v for px in pixels for v in px)
+    return f"P6 {w} {h} 255\n".encode() + body
+
+
+def _bmp24_bytes(w, h, rows_rgb, top_down=False):
+    """rows_rgb: rows top-to-bottom, each a list of (r,g,b). Assembles
+    a spec-valid 24bpp BI_RGB BMP (bottom-up storage unless top_down),
+    4-byte-aligned rows."""
+    import struct
+
+    stride = ((w * 3 + 3) // 4) * 4
+    stored = rows_rgb if top_down else rows_rgb[::-1]
+    body = b""
+    for row in stored:
+        line = bytes(v for (r, g, b) in row for v in (b, g, r))  # BGR
+        body += line + bytes(stride - len(line))
+    hdr_h = -h if top_down else h
+    info = struct.pack("<IiiHHI", 40, w, hdr_h, 1, 24, 0) + bytes(20)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + info
+        + body
+    )
+
+
+def test_ppm_pixel_decode_exact():
+    import numpy as np
+
+    from mrt_data_integration_spark.operators.multimodal import (
+        stdlib_pixel_decode,
+    )
+
+    px = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)]
+    img = stdlib_pixel_decode(_p6_bytes(2, 2, px))
+    assert img.shape == (2, 2, 3)
+    assert img.tolist() == [
+        [[10, 20, 30], [40, 50, 60]],
+        [[70, 80, 90], [100, 110, 120]],
+    ]
+    # P5 grey
+    grey = stdlib_pixel_decode(b"P5 3 1 255\n" + bytes([7, 8, 9]))
+    assert grey.shape == (1, 3, 1) and grey.ravel().tolist() == [7, 8, 9]
+    assert np.issubdtype(img.dtype, np.uint8)
+
+
+def test_bmp24_pixel_decode_row_order_and_padding():
+    from mrt_data_integration_spark.operators.multimodal import (
+        stdlib_pixel_decode,
+    )
+
+    rows = [
+        [(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+        [(10, 11, 12), (13, 14, 15), (16, 17, 18)],
+    ]
+    # bottom-up storage (positive height) must come back top-to-bottom,
+    # BGR→RGB converted, 3-byte pad per 9-byte row stripped
+    for top_down in (False, True):
+        img = stdlib_pixel_decode(_bmp24_bytes(3, 2, rows, top_down=top_down))
+        assert img.shape == (2, 3, 3)
+        assert img.tolist() == [[list(p) for p in r] for r in rows], top_down
+
+
+def test_pixel_decode_rejects_compressed_and_other_depths():
+    from mrt_data_integration_spark.operators.multimodal import (
+        stdlib_pixel_decode,
+    )
+
+    assert stdlib_pixel_decode(_tiny_png(8, 8)) is None  # compressed
+    assert stdlib_pixel_decode(_tiny_jpeg(8, 8)) is None
+    assert stdlib_pixel_decode(_tiny_bmp(8, 8, bpp=8)) is None  # palette
+    assert stdlib_pixel_decode(b"P6 2 2 65535\n" + bytes(24)) is None  # 16-bit
+    assert stdlib_pixel_decode(b"opaque") is None
+
+
+def test_resize_pixels_nearest_neighbor_exact():
+    import numpy as np
+
+    from mrt_data_integration_spark.operators.multimodal import resize_pixels
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    small = resize_pixels(img, 2)
+    assert small.shape == (2, 2, 3)
+    # index sampling: rows (0*4)//2=0,(1*4)//2=2; cols same
+    assert small.tolist() == img[[0, 2]][:, [0, 2]].tolist()
+    assert resize_pixels(img, 8) is img  # within bound: pass-through
+    tall = np.zeros((100, 10, 3), dtype=np.uint8)
+    t = resize_pixels(tall, 10)
+    assert t.shape == (10, 1, 3)  # aspect preserved, floor≥1
+
+
+def test_extract_pixel_stats_real_vs_opaque(spark):
+    """Through the Spark mapInPandas path: decodable rasters get exact
+    stats + a deterministic thumbnail hash; compressed/unknown blobs
+    get NULL stats (the honest boundary)."""
+    import numpy as np
+
+    from mrt_data_integration_spark.operators.multimodal import (
+        extract_pixel_stats,
+    )
+
+    px = [(0, 0, 0), (255, 255, 255), (255, 255, 255), (0, 0, 0)]
+    ppm = _p6_bytes(2, 2, px)
+    rows = [
+        (1, "image", bytearray(ppm), "image/x-portable-pixmap"),
+        (2, "image", bytearray(_tiny_png(8, 8)), "image/png"),
+    ]
+    media = spark.createDataFrame(
+        rows, "asset_id long, media_type string, content binary, mime string"
+    )
+    got = {r["asset_id"]: r for r in extract_pixel_stats(media).collect()}
+    r1 = got[1]
+    assert (r1["width"], r1["height"], r1["n_channels"]) == (2, 2, 3)
+    assert r1["px_mean"] == 127.5
+    assert r1["px_std"] == round(float(np.std([0, 255, 255, 0])), 4)
+    assert (r1["thumb_w"], r1["thumb_h"]) == (2, 2)
+    assert len(r1["thumb_sha256"]) == 64
+    r2 = got[2]
+    assert r2["width"] is None and r2["px_mean"] is None
