@@ -535,11 +535,29 @@ def extract_audio_features(
     )
 
 
-def synthesize_media_table(spark, n_assets: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests (no real codecs in the
-    container): content bytes are seeded by asset id."""
+def synthesize_media_table(
+    spark, n_assets: int = 64, real_raster_every: int = 0
+) -> DataFrame:
+    """Deterministic media table for tests: content bytes seeded by
+    asset id. With ``real_raster_every=k``, every k-th asset is a
+    SPEC-VALID binary P6 raster (deterministic gradient pixels) so the
+    real pixel-decode path gets exercised alongside the opaque-blob
+    fallback; default 0 keeps the all-opaque corpus."""
     rows = []
     for i in range(n_assets):
+        if real_raster_every and i % real_raster_every == 0:
+            w, h = 32 + (i % 5) * 8, 24 + (i % 3) * 8
+            body = bytes(
+                (x * 7 + y * 13 + i) % 256
+                for y in range(h)
+                for x in range(w)
+                for _ in range(3)
+            )
+            blob = f"P6 {w} {h} 255\n".encode() + body
+            rows.append(
+                (i, "image", bytearray(blob), "image/x-portable-pixmap")
+            )
+            continue
         blob = hashlib.sha256(f"asset-{i}".encode()).digest() * (4 + i % 7)
         rows.append((i, "image", bytearray(blob), "application/octet-stream"))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -34,29 +34,37 @@ def synthetic_panel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver north star (multimodal columns): binary media assets →
     Arrow-batched decode/feature extraction → resize planning →
-    pseudo-embeddings → aggregate profile. Decode is the deterministic
-    stub (no codecs in this container); every Spark-side seam — schema,
-    partitioning, batch shape — is the production one."""
+    pseudo-embeddings → REAL pixel stats for the uncompressed rasters
+    (every 4th asset is a spec-valid P6; stdlib_pixel_decode parses it
+    byte-exactly, opaque blobs get NULL stats) → aggregate profile.
+    Every Spark-side seam — schema, partitioning, batch shape — is the
+    production one; only compressed-codec pixel decode remains behind
+    the decode_fn plug point."""
     from mrt_data_integration_spark.operators.multimodal import (
         embed_stub,
         extract_image_features,
+        extract_pixel_stats,
         resize_plan,
         synthesize_media_table,
     )
     from mrt_data_integration_spark.operators.similarity import norm
 
-    media = synthesize_media_table(spark, n_assets=128)
+    media = synthesize_media_table(spark, n_assets=128, real_raster_every=4)
     feats = extract_image_features(media)
     plan = resize_plan(feats, max_side=256)
     emb = embed_stub(feats)
+    px = extract_pixel_stats(media, max_side=64)
     return (
         plan.join(emb, "asset_id")
+        .join(px.select("asset_id", "px_mean"), "asset_id", "left")
         .agg(
             F.count(F.lit(1)).alias("n_assets"),
             F.sum(F.col("keep").cast("long")).alias("n_kept"),
             F.round(F.avg("target_w"), 4).alias("avg_target_w"),
             F.round(F.avg("target_h"), 4).alias("avg_target_h"),
             F.round(F.avg(norm("embedding")), 4).alias("avg_emb_norm"),
+            F.count("px_mean").alias("n_pixel_decoded"),
+            F.round(F.avg("px_mean"), 4).alias("avg_px_mean"),
         )
     )
 
