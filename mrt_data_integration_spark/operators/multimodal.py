@@ -155,10 +155,14 @@ def _jpeg_dims(b: bytes) -> tuple[int, int, int] | None:
     return None
 
 
-def _ppm_dims(b: bytes) -> tuple[int, int, int] | None:
-    # netpbm: magic, then whitespace/comment-separated width height
+def _netpbm_tokens(b: bytes, n_tokens: int) -> tuple[list[bytes], int]:
+    """Shared netpbm header scanner: collect ``n_tokens``
+    whitespace/comment-separated tokens starting after the 2-byte
+    magic. Returns ``(tokens, end)`` where ``end`` indexes the byte
+    immediately AFTER the last token (its terminating whitespace, for
+    binary formats whose raster follows one whitespace later)."""
     toks, i, n = [], 2, len(b)
-    while len(toks) < 2 and i < n:
+    while len(toks) < n_tokens and i < n:
         c = b[i : i + 1]
         if c == b"#":  # comment to end of line
             while i < n and b[i : i + 1] != b"\n":
@@ -171,9 +175,17 @@ def _ppm_dims(b: bytes) -> tuple[int, int, int] | None:
                 j += 1
             toks.append(b[i:j])
             i = j
+    return toks, i
+
+
+def _ppm_dims(b: bytes) -> tuple[int, int, int] | None:
+    # netpbm: magic, then whitespace/comment-separated width height
+    toks, _ = _netpbm_tokens(b, 2)
     if len(toks) < 2:
         return None
     w, h = int(toks[0]), int(toks[1])
+    if w <= 0 or h <= 0:
+        return None
     return w, h, (3 if b[1:2] in (b"3", b"6") else 1)
 
 
@@ -231,7 +243,8 @@ def extract_image_features(
         for pdf in batches:
             out = []
             for asset_id, blob in zip(pdf["asset_id"], pdf["content"]):
-                b = bytes(blob)
+                # content is nullable — a NULL blob must not kill the task
+                b = bytes(blob) if blob is not None else b""
                 w, h, c = decode_fn(b)
                 out.append(
                     (
@@ -268,25 +281,23 @@ def _ppm_pixels(b: bytes):
 
     if b[:1] != b"P" or b[1:2] not in (b"5", b"6"):
         return None
-    toks, i, n = [], 2, len(b)
-    while len(toks) < 3 and i < n:
-        c = b[i : i + 1]
-        if c == b"#":
-            while i < n and b[i : i + 1] != b"\n":
-                i += 1
-        elif c.isspace():
-            i += 1
-        else:
-            j = i
-            while j < n and not b[j : j + 1].isspace():
-                j += 1
-            toks.append(b[i:j])
-            i = j
+    toks, i = _netpbm_tokens(b, 3)
     if len(toks) < 3 or int(toks[2]) > 255:
         return None
     w, h = int(toks[0]), int(toks[1])
+    if w <= 0 or h <= 0:
+        # zero/negative header dims: an empty reshape (or numpy treating
+        # a negative dim as inferred) would leak NaN stats downstream —
+        # not a decodable raster.
+        return None
     ch = 3 if b[1:2] == b"6" else 1
-    data = b[i + 1 : i + 1 + w * h * ch]  # header ends with ONE whitespace
+    # Header ends with ONE whitespace byte after maxval. A file written
+    # in text mode turns that '\n' into '\r\n' — treat the pair as the
+    # separator, else every sample reads one byte shifted.
+    pos = i + 1
+    if b[i : i + 1] == b"\r" and b[pos : pos + 1] == b"\n":
+        pos += 1
+    data = b[pos : pos + w * h * ch]
     if len(data) < w * h * ch:
         return None
     return np.frombuffer(data, dtype=np.uint8).reshape(h, w, ch)
@@ -306,6 +317,8 @@ def _bmp_pixels(b: bytes):
     bpp = struct.unpack("<H", b[28:30])[0]
     comp = struct.unpack("<I", b[30:34])[0]
     if bpp != 24 or comp != 0:
+        return None
+    if w <= 0 or h == 0:  # h < 0 is valid (top-down rows); 0/negative w is not
         return None
     stride = ((w * 3 + 3) // 4) * 4
     rows_bottom_up, h = h > 0, abs(h)
@@ -343,8 +356,12 @@ def resize_pixels(img, max_side: int):
     h, w = img.shape[:2]
     if max(h, w) <= max_side:
         return img
-    scale = max_side / max(h, w)
-    nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
+    # exact integer scaling — int(h * (max_side / long)) float-truncates
+    # to max_side-1 for ~13% of sizes, an avoidable float artifact in a
+    # function advertised as pure integer sampling
+    long_side = max(h, w)
+    nh = max(1, (h * max_side) // long_side)
+    nw = max(1, (w * max_side) // long_side)
     ys = (np.arange(nh) * h) // nh
     xs = (np.arange(nw) * w) // nw
     return img[ys][:, xs]
@@ -377,7 +394,12 @@ def extract_pixel_stats(media: DataFrame, max_side: int = 64) -> DataFrame:
         for pdf in batches:
             out = []
             for asset_id, blob in zip(pdf["asset_id"], pdf["content"]):
-                img = stdlib_pixel_decode(bytes(blob))
+                # NULL content takes the same NULL-stats row as an
+                # undecodable blob — one corrupt asset must never kill
+                # the mapInPandas task
+                img = (
+                    stdlib_pixel_decode(bytes(blob)) if blob is not None else None
+                )
                 if img is None:
                     out.append(
                         (int(asset_id), None, None, None, None, None, None, None, None)

@@ -39,6 +39,7 @@ def write_partitioned_dataset(
     files_per_partition: "int | Column" = 1,
     max_records_per_file: int | None = None,
     mode: str = "overwrite",
+    helper_cols: list[str] | None = None,
 ) -> None:
     """Write ``df`` as a hive-layout parquet dataset at ``path``.
 
@@ -52,8 +53,15 @@ def write_partitioned_dataset(
     same value can hash into one reduce task, which then writes their
     rows as one file — collisions only ever merge files, never split
     them, so the small-files bound holds unconditionally.
+
+    ``helper_cols`` name columns that exist only to carry per-row
+    writer directives (e.g. the compaction path's joined-in file-count
+    lookup): they are excluded from the content-derived salt and
+    dropped before the write, so the output layout and schema are
+    identical to a run where the directive was a literal.
     """
     sort_cols = sort_cols or []
+    helper_cols = helper_cols or []
     # files_per_partition may be a Column (evaluated per row from df's
     # own columns) so a caller can size file counts PER PARTITION VALUE
     # — the compaction path's skew-aware layout. Clamped to ≥ 1.
@@ -65,7 +73,7 @@ def write_partitioned_dataset(
     # negative, or throws under ANSI mode), which would mint a negative
     # salt bucket — an extra file beyond the files_per_partition bound.
     salt = F.pmod(
-        F.hash(*[F.col(c) for c in df.columns]),
+        F.hash(*[F.col(c) for c in df.columns if c not in helper_cols]),
         n_files,
     ).alias("__salt__")
     arranged = df.withColumn("__salt__", salt).repartition(
@@ -75,7 +83,11 @@ def write_partitioned_dataset(
         arranged = arranged.sortWithinPartitions(
             *[F.col(c) for c in partition_cols + sort_cols]
         )
-    writer = arranged.drop("__salt__").write.mode(mode).partitionBy(*partition_cols)
+    writer = (
+        arranged.drop("__salt__", *helper_cols)
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+    )
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
@@ -139,7 +151,8 @@ def compact_dataset(
 
     Skew-aware by measurement: each partition VALUE gets the file count
     its MEASURED bytes warrant (``compaction_plan``), carried into the
-    writer's salt as a per-row map lookup — the 40 %-of-corpus ``en``
+    writer's salt via a broadcast-joined per-row lookup — the
+    40 %-of-corpus ``en``
     directory keeps enough files to parallelize, a two-row language
     collapses to one, in the same single shuffle. One data pass total.
 
@@ -162,6 +175,7 @@ def compact_dataset(
     """
     plan = compaction_plan(src, target_file_bytes)
     df = read_partitioned_dataset(spark, src)
+    helper_cols: list[str] = []
     if plan:
         key = F.concat_ws(
             "/",
@@ -170,18 +184,24 @@ def compact_dataset(
                 for c in partition_cols
             ],
         )
-        entries: list = []
-        for p in plan:
-            entries += [F.lit(p["partition_dir"]), F.lit(int(p["files_after"]))]
-        # try_element_at, not element_at: a key that misses the map
-        # (null partition value → __HIVE_DEFAULT_PARTITION__ dir, or a
-        # hive-escaped special character) must take the 1-file fallback,
-        # and ANSI-mode element_at semantics for missing keys have
-        # changed across Spark versions — try_ is NULL-on-missing by
-        # contract.
-        n_files = F.coalesce(
-            F.try_element_at(F.create_map(*entries), key), F.lit(1)
+        # The plan is joined in as a BROADCAST dim, not inlined as a
+        # create_map literal: a date-partitioned table has thousands of
+        # partition dirs, and a 2×N-literal expression tree slows
+        # analysis superlinearly and can blow the 64 KB JVM method
+        # limit on the per-row salt path. The broadcast lookup is O(1)
+        # plan size at any partition count. A LEFT join keeps rows
+        # whose dir misses the plan (null partition value →
+        # __HIVE_DEFAULT_PARTITION__, hive-escaped specials) — they
+        # coalesce to the 1-file fallback.
+        plan_df = spark.createDataFrame(
+            [(p["partition_dir"], int(p["files_after"])) for p in plan],
+            "__part_dir__ string, __files_after__ int",
         )
+        df = df.join(
+            F.broadcast(plan_df), key == F.col("__part_dir__"), "left"
+        ).drop("__part_dir__")
+        n_files = F.coalesce(F.col("__files_after__"), F.lit(1))
+        helper_cols = ["__files_after__"]
     else:
         n_files = F.lit(1)
     write_partitioned_dataset(
@@ -190,6 +210,7 @@ def compact_dataset(
         partition_cols,
         sort_cols=sort_cols,
         files_per_partition=n_files,
+        helper_cols=helper_cols,
     )
     return plan
 

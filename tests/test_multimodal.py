@@ -441,3 +441,83 @@ def test_extract_pixel_stats_real_vs_opaque(spark):
     assert len(r1["thumb_sha256"]) == 64
     r2 = got[2]
     assert r2["width"] is None and r2["px_mean"] is None
+
+
+def test_pixel_decode_rejects_degenerate_dims():
+    """Zero/negative header dimensions must decode to None, not an
+    empty array — an empty array's np.mean is NaN, which would land in
+    px_mean as a non-NULL NaN and poison the whole-corpus avg."""
+    from mrt_data_integration_spark.operators.multimodal import (
+        stdlib_image_decode,
+        stdlib_pixel_decode,
+    )
+
+    assert stdlib_pixel_decode(b"P6 0 0 255\n") is None
+    assert stdlib_pixel_decode(b"P6 -2 2 255\n" + bytes(12)) is None
+    assert stdlib_pixel_decode(b"P5 3 0 255\n") is None
+    assert stdlib_image_decode(b"P6 0 0 255\n") is None
+    # zero-width BMP (width is signed; 0 and negative are both invalid)
+    import struct
+
+    for bad_w in (0, -3):
+        info = struct.pack("<IiiHHI", 40, bad_w, 2, 1, 24, 0) + bytes(20)
+        bmp = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + info + bytes(64)
+        assert stdlib_pixel_decode(bmp) is None
+
+
+def test_ppm_crlf_header_not_desynced():
+    """A PPM whose single post-maxval whitespace became '\\r\\n' (text-
+    mode write) must decode the raster unshifted — consuming only one
+    byte would read the 0x0A as the first sample."""
+    from mrt_data_integration_spark.operators.multimodal import (
+        stdlib_pixel_decode,
+    )
+
+    px = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)]
+    body = bytes(v for p in px for v in p)
+    img = stdlib_pixel_decode(b"P6 2 2 255\r\n" + body)
+    assert img is not None and img.tolist() == [
+        [[10, 20, 30], [40, 50, 60]],
+        [[70, 80, 90], [100, 110, 120]],
+    ]
+    # a plain '\n' separator followed by a raster that STARTS with 0x0A
+    # must not lose that first sample (no false CRLF pairing)
+    body2 = bytes([0x0A]) + body[1:]
+    img2 = stdlib_pixel_decode(b"P6 2 2 255\n" + body2)
+    assert img2 is not None and img2.ravel().tolist()[0] == 0x0A
+
+
+def test_pixel_stats_null_blob_is_null_row(spark):
+    """A NULL content cell takes the NULL-stats row (and the metadata
+    extractor's empty-bytes path), never a task-killing TypeError."""
+    from mrt_data_integration_spark.operators.multimodal import (
+        extract_image_features,
+        extract_pixel_stats,
+    )
+
+    rows = [
+        (1, "image", bytearray(_p6_bytes(1, 1, [(9, 9, 9)])), "x"),
+        (2, "image", None, "x"),
+    ]
+    media = spark.createDataFrame(
+        rows, "asset_id long, media_type string, content binary, mime string"
+    )
+    got = {r["asset_id"]: r for r in extract_pixel_stats(media).collect()}
+    assert got[1]["px_mean"] == 9.0
+    assert got[2]["px_mean"] is None and got[2]["width"] is None
+    feats = {r["asset_id"]: r for r in extract_image_features(media).collect()}
+    assert feats[2]["byte_len"] == 0  # empty-bytes fallback, not a crash
+
+
+def test_resize_pixels_exact_long_side():
+    """Integer scaling must hit max_side exactly — float truncation
+    int(h*scale) yields max_side-1 for ~13% of sizes (e.g. 98→63)."""
+    import numpy as np
+
+    from mrt_data_integration_spark.operators.multimodal import resize_pixels
+
+    img = np.zeros((98, 40, 3), dtype=np.uint8)
+    out = resize_pixels(img, 64)
+    assert out.shape[0] == 64  # not 63
+    for h in range(65, 400):
+        assert resize_pixels(np.zeros((h, 1, 3), np.uint8), 64).shape[0] == 64

@@ -402,11 +402,16 @@ def test_compaction_merges_small_files_skew_aware(spark, tmp_path):
     # salt buckets into one task (harmless for real compaction — at
     # 100 TB each bucket is ~target_file_bytes, far above the advisory
     # size, so nothing merges); pin it off to observe the salt layout.
+    saved_coalesce = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled"
+    )
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try:
         plan = compact_dataset(spark, src, dest, ["lang"], target)
     finally:
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", saved_coalesce
+        )
     by_dir = {p["partition_dir"]: p for p in plan}
     assert by_dir["lang=fr"]["files_after"] == 1
     assert by_dir["lang=en"]["files_after"] >= 3
@@ -427,8 +432,9 @@ def test_compaction_merges_small_files_skew_aware(spark, tmp_path):
 def test_compaction_null_partition_value_fallback(spark, tmp_path):
     """A null partition value writes to __HIVE_DEFAULT_PARTITION__,
     whose hive dir name never matches the string-cast key — the
-    try_element_at lookup must take the one-file fallback and the
-    rewrite must still preserve every row."""
+    broadcast plan join misses, the file count coalesces to the
+    one-file fallback, and the rewrite must still preserve every
+    row."""
     import pyspark.sql.functions as F
 
     from mrt_data_integration_spark.sources.sinks import (
