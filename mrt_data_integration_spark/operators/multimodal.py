@@ -35,6 +35,7 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     DoubleType,
@@ -362,9 +363,42 @@ def resize_pixels(img, max_side: int):
     long_side = max(h, w)
     nh = max(1, (h * max_side) // long_side)
     nw = max(1, (w * max_side) // long_side)
+    return _index_resample(img, nh, nw)
+
+
+def _index_resample(img, nh: int, nw: int):
+    """Nearest-neighbor resample to EXACT (nh, nw) — pure integer index
+    sampling, shared by the aspect-preserving ``resize_pixels`` and the
+    fixed-grid perceptual hash."""
+    import numpy as np
+
+    h, w = img.shape[:2]
     ys = (np.arange(nh) * h) // nh
     xs = (np.arange(nw) * w) // nw
     return img[ys][:, xs]
+
+
+def dhash_pixels(img, hash_size: int = 8) -> int:
+    """Difference hash (dHash) of a decoded raster: grayscale →
+    nearest-neighbor ``hash_size × (hash_size+1)`` grid → one bit per
+    horizontal neighbor pair (left < right). The standard perceptual
+    image fingerprint: stable under resize/re-encode/small edits, and
+    pure integer index math, so the same pixels hash identically on any
+    machine. Returns a SIGNED 64-bit value (Spark ``long``) for
+    ``hash_size=8``."""
+    import numpy as np
+
+    g = img.astype(np.int32)
+    if g.ndim == 3:
+        g = g.sum(axis=2)  # channel sum — same order as the mean, no floats
+    small = _index_resample(g, hash_size, hash_size + 1)
+    bits = (small[:, 1:] < small[:, :-1]).ravel()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    if val >= 1 << 63:  # two's-complement into a signed long
+        val -= 1 << 64
+    return val
 
 
 PIXEL_STATS_SCHEMA = StructType(
@@ -424,6 +458,127 @@ def extract_pixel_stats(media: DataFrame, max_side: int = 64) -> DataFrame:
     return media.select("asset_id", "content").mapInPandas(
         run, PIXEL_STATS_SCHEMA
     )
+
+
+IMAGE_DHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def extract_image_dhash(
+    media: DataFrame, hash_size: int = 8
+) -> DataFrame:
+    """Per-asset perceptual hash via Arrow-batched mapInPandas — the
+    map-only first stage of image dedup (blobs never shuffle; only the
+    8-byte hash does). NULL for blobs the stdlib pixel decoder cannot
+    fully decode (compressed codecs go through the ``decode_fn`` plug
+    point in production)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, blob in zip(pdf["asset_id"], pdf["content"]):
+                img = (
+                    stdlib_pixel_decode(bytes(blob)) if blob is not None else None
+                )
+                out.append(
+                    (
+                        int(asset_id),
+                        dhash_pixels(img, hash_size) if img is not None else None,
+                    )
+                )
+            yield pd.DataFrame(out, columns=["asset_id", "dhash"])
+
+    return media.select("asset_id", "content").mapInPandas(
+        run, IMAGE_DHASH_SCHEMA
+    )
+
+
+def image_near_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    id_col: str = "asset_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Near-duplicate image pairs by hamming distance over 64-bit
+    perceptual hashes — the image-side twin of the text SimHash/LSH
+    family (operators/dedup.py): band the hash into ``n_bands`` equal
+    slices, equi-join per band (the ONLY shuffle, keyed by band value),
+    then verify exact hamming distance with one ``bit_count(a XOR b)``
+    per candidate.
+
+    Recall guarantee by pigeonhole: two hashes within ``max_hamming ≤
+    n_bands − 1`` bits differ in at most n_bands−1 bands, so at least
+    one band matches exactly — zero false negatives. (A larger
+    ``max_hamming`` would need more bands or multi-probe; rejected
+    loudly rather than silently losing pairs.)
+
+    At corpus scale this is all-pairs-free: candidates per band bucket
+    ~ (bucket size)², bounded by how many images genuinely share a
+    16-bit band — the same scaling argument as the text LSH path.
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > {n_bands} bands for "
+            "guaranteed recall (pigeonhole: at most n_bands-1 differing "
+            "bits can still leave one band identical)"
+        )
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
+    h = F.col(hash_col)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftrightunsigned(h, band_bits * b)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = hashes.where(h.isNotNull()).select(
+        F.col(id_col),
+        h,
+        F.explode(F.array(*band_structs)).alias("band"),
+    ).select(
+        id_col,
+        hash_col,
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_key").alias("band_key"),
+    )
+    # Persist the banded hashes: without it both sides of the self-join
+    # re-run the upstream lineage — for a hashes frame fed straight from
+    # extract_image_dhash that means decoding every image TWICE. Same
+    # handle discipline as the text LSH path (dedup.release_cache).
+    from mrt_data_integration_spark.cache_registry import track_cache
+    from mrt_data_integration_spark.operators.dedup import _attach_cache
+
+    bands = track_cache(bands.persist())
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        # a pair within distance k can collide in several bands — one row
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _attach_cache(pairs, [bands])
 
 
 def resize_plan(features: DataFrame, max_side: int = 256) -> DataFrame:

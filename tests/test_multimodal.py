@@ -509,6 +509,101 @@ def test_pixel_stats_null_blob_is_null_row(spark):
     assert feats[2]["byte_len"] == 0  # empty-bytes fallback, not a crash
 
 
+def _dhash_twin(img, hash_size=8):
+    """Independent python dhash: float grayscale + explicit loops."""
+    import numpy as np
+
+    g = img.astype(np.int64).sum(axis=2) if img.ndim == 3 else img.astype(np.int64)
+    h, w = g.shape
+    small = [
+        [
+            g[(y * h) // hash_size][(x * w) // (hash_size + 1)]
+            for x in range(hash_size + 1)
+        ]
+        for y in range(hash_size)
+    ]
+    val = 0
+    for y in range(hash_size):
+        for x in range(hash_size):
+            val = (val << 1) | int(small[y][x + 1] < small[y][x])
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def test_dhash_matches_python_twin_and_is_resize_stable():
+    import random
+
+    import numpy as np
+
+    from mrt_data_integration_spark.operators.multimodal import dhash_pixels
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    assert dhash_pixels(img) == _dhash_twin(img)
+    grey = rng.integers(0, 256, size=(30, 30, 1), dtype=np.uint8)
+    assert dhash_pixels(grey) == _dhash_twin(grey)
+    # perceptual property: a nearest-neighbor 2x upscale of the same
+    # image lands on (nearly) the same hash — resize-robust by design
+    big = img.repeat(2, axis=0).repeat(2, axis=1)
+    d = bin((dhash_pixels(img) ^ dhash_pixels(big)) & ((1 << 64) - 1)).count("1")
+    assert d <= 2, d
+
+
+def test_image_near_dup_pairs_recall_and_verify(spark):
+    """Planted near-dups are found through the band join; unrelated
+    images produce no pair; hamming comes back exact."""
+    import numpy as np
+
+    from mrt_data_integration_spark.operators.multimodal import (
+        dhash_pixels,
+        extract_image_dhash,
+        image_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    near = base.copy()
+    near[0, 0] = 255 - near[0, 0]  # tiny edit → a few bits at most
+    far = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    true_d = bin(
+        (dhash_pixels(base) ^ dhash_pixels(near)) & ((1 << 64) - 1)
+    ).count("1")
+    assert true_d <= 3, "fixture must be a genuine near-dup"
+
+    def p6(img):
+        h, w = img.shape[:2]
+        return bytearray(f"P6 {w} {h} 255\n".encode() + img.tobytes())
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", p6(base), "x"),
+            (2, "image", p6(near), "x"),
+            (3, "image", p6(far), "x"),
+            (4, "image", None, "x"),  # NULL blob: hashless, never pairs
+        ],
+        "asset_id long, media_type string, content binary, mime string",
+    )
+    hashes = extract_image_dhash(media)
+    got = {r["asset_id"]: r["dhash"] for r in hashes.collect()}
+    assert got[1] == dhash_pixels(base) and got[4] is None
+    pairs = image_near_dup_pairs(hashes, max_hamming=3).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [
+        (1, 2, true_d)
+    ]
+
+
+def test_image_near_dup_pairs_pigeonhole_guard():
+    import pytest
+
+    from mrt_data_integration_spark.operators.multimodal import (
+        image_near_dup_pairs,
+    )
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        image_near_dup_pairs(None, max_hamming=4, n_bands=4)
+    with pytest.raises(ValueError, match="divide"):
+        image_near_dup_pairs(None, max_hamming=2, n_bands=3)
+
+
 def test_resize_pixels_exact_long_side():
     """Integer scaling must hit max_side exactly — float truncation
     int(h*scale) yields max_side-1 for ~13% of sizes (e.g. 98→63)."""
