@@ -142,6 +142,7 @@ OP_INPUTS = {
     "corpus_ingest_pipeline": {"docs", "docs_tables"},
     "bpe_train": {"docs"},
     "compaction": {"docs"},
+    "image_near_dup": {"media"},
 }
 
 
@@ -318,6 +319,72 @@ def main() -> None:
             )
             comp_srcs[k] = cpath
 
+    # Synthetic media corpus per scale for the perceptual image dedup:
+    # per-asset seeded NOISE rasters (a gradient pattern would give every
+    # image the same dhash — one giant band bucket measuring output
+    # blow-up, not the engine), 1% planted one-pixel-edited near-dups so
+    # the verify stage has real work. Blobs are built EXECUTOR-side via
+    # mapInPandas and written to parquet (setup, untimed).
+    media_srcs = {}
+    if "media" in needed:
+        import pandas as _pd
+
+        from mrt_data_integration_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+        )
+
+        def _synth_media(n):
+            def gen(batches):
+                import numpy as _np
+
+                for pdf in batches:
+                    out = []
+                    for aid in pdf["id"]:
+                        aid = int(aid)
+                        near = aid % 100 == 99
+                        rng = _np.random.default_rng(aid - 1 if near else aid)
+                        img = rng.integers(
+                            0, 256, size=(24, 24, 3), dtype=_np.uint8
+                        )
+                        if near:
+                            img = img.copy()
+                            img[0, 0] ^= 1
+                        out.append(
+                            (
+                                aid,
+                                "image",
+                                b"P6 24 24 255\n" + img.tobytes(),
+                                "image/x-portable-pixmap",
+                            )
+                        )
+                    yield _pd.DataFrame(
+                        out,
+                        columns=["asset_id", "media_type", "content", "mime"],
+                    )
+
+            return spark.range(n).repartition(32).mapInPandas(
+                gen, MEDIA_SCHEMA
+            )
+
+        for k in SCALES:
+            mpath = os.path.join(work, f"media_{k}x")
+            _synth_media(3000 * k).write.parquet(mpath)
+            media_srcs[k] = mpath
+
+    def _image_near_dup(k):
+        from mrt_data_integration_spark.operators.dedup import release_cache
+        from mrt_data_integration_spark.operators.multimodal import (
+            extract_image_dhash,
+            image_near_dup_pairs,
+        )
+
+        pairs = image_near_dup_pairs(
+            extract_image_dhash(spark.read.parquet(media_srcs[k]))
+        )
+        n = pairs.count()
+        release_cache(pairs)
+        return n
+
     def _compact_roundtrip(k):
         import shutil as _sh
 
@@ -348,6 +415,9 @@ def main() -> None:
         # targets. Expected linear in bytes (it is a read+shuffle+write
         # of the data), with the metadata plan a rounding error.
         "compaction": lambda k: _compact_roundtrip(k),
+        # late-r7: perceptual image dedup — map-only decode+hash, then
+        # the hamming band join. Expected linear (bounded band buckets).
+        "image_near_dup": lambda k: _image_near_dup(k),
         "minhash_lsh_pairs": lambda k: dd.lsh_candidate_pairs(docs(k)).count(),
         "ngram_jaccard_capped": lambda k: dd.ngram_jaccard_pairs(
             docs(k), threshold=0.5, max_shingle_df=500
