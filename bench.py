@@ -89,6 +89,10 @@ HEADLINE = [
     # multi-round driver loop (after dedup_clusters); per-round cost is
     # a small cached-table agg + O(1)-row collect, tracked per round
     "bpe_train_merges",
+    # late-r7 addition: the watermarked stream-stream interval join —
+    # a third stateful-streaming drain shape (two-sided join state vs
+    # the dedup's keyed fingerprints and the funnel's per-user folds)
+    "streaming_click_attribution",
 ]
 
 
@@ -118,7 +122,11 @@ def main() -> None:
     # beyond the batch queries' band — results/SCALING_CURVE.md late-r7
     # notes); extra shots tighten their reported median for ~15 s of
     # extra wall, which the headline number never sees.
-    NOISY = {"streaming_funnel_conversion", "streaming_dedup_ingest"}
+    NOISY = {
+        "streaming_funnel_conversion",
+        "streaming_dedup_ingest",
+        "streaming_click_attribution",
+    }
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     n_shots: dict[str, int] = {}

@@ -122,7 +122,6 @@ _POOL_B: list[str] = [
     "counterfactual_pseudo_outcome",
     "ci_coverage_flags",
     "union_pooled_studies",
-    "csv_roundtrip",
     "string_report_format",
     "colsums_single_row",
     "pwcls_fit",
@@ -168,6 +167,11 @@ _POOL_B: list[str] = [
     # interchange format): zero driver history, force-included in r8 per
     # rule 2; slot funded by retiring `pivot_method_by_coef`.
     "jsonl_roundtrip",
+    # late-r7 addition (E6+ — watermarked stream-stream interval join,
+    # the missing Structured Streaming primitive): zero driver history,
+    # force-included in r8 per rule 2; slot funded by retiring
+    # `csv_roundtrip`.
+    "streaming_click_attribution",
 ]
 _CORE: list[str] = [
     "pricing_summary",
@@ -239,6 +243,13 @@ _RETIRED: list[str] = [
     # `estimator_report_pivot` (POOL_B, r6 row, due back r8 — a pivot
     # over the same estimator-report long format).
     "pivot_method_by_coef",
+    # r7 (late): retired to fund the `streaming_click_attribution` slot.
+    # Twin coverage for the sink/source round-trip shape:
+    # `jsonl_roundtrip` (POOL_B, r8 row — the same write-then-read
+    # checksum contract over a richer nested format) and
+    # `partitioned_parquet_roundtrip` (POOL_B, r6 hash-green, due back
+    # r8 — the production sink the CSV path was the toy twin of).
+    "csv_roundtrip",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,
@@ -313,15 +324,18 @@ _WINDOW: list[str] = (
     + [n for n in _CORE if n not in _R7_SIT_OUT]
 )
 # r8 plan: POOL_B's turn (37, including late-r7 `bpe_train_merges`,
-# `bpe_token_counts`, and `jsonl_roundtrip` with zero driver history,
-# force-included per rule 2) + the r7 sit-outs due back (16 sat out;
+# `bpe_token_counts`, `jsonl_roundtrip`, and
+# `streaming_click_attribution` with zero driver history, force-included
+# per rule 2) + the r7 sit-outs due back (16 sat out;
 # `ngram_jaccard_pairs_prefix`, `distinct_exact`, and
-# `pivot_method_by_coef` were then RETIRED to fund the three new slots,
-# leaving 13 due back) = exactly 50 — still ZERO slack, so any further
-# addition must again be paired with a retirement of a same-shape twin
-# to the CI-only tier. Any r7 red row is force-included per rule 1 and
-# displaces a fresh-r7 POOL_A member whose shape must then be delegated
-# in-window. test_window_policy.py enforces the bookkeeping either way.
+# `pivot_method_by_coef` were then RETIRED to fund three of the new
+# slots, leaving 13 due back; `csv_roundtrip` — POOL_B, not a sit-out —
+# was retired to fund the fourth) = 37 + 13 = exactly 50 — still ZERO
+# slack, so any further addition must again be paired with a retirement
+# of a same-shape twin to the CI-only tier. Any r7 red row is
+# force-included per rule 1 and displaces a fresh-r7 POOL_A member whose
+# shape must then be delegated in-window. test_window_policy.py enforces
+# the bookkeeping either way.
 
 
 def _apply_window() -> None:

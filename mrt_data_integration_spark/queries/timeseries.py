@@ -778,3 +778,122 @@ def streaming_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.round(F.try_divide("n_users", "denom"), 6).alias("conversion"),
     ).orderBy("stage")
+
+
+@query(
+    "streaming_click_attribution",
+    oracle="""
+    SELECT strftime(date_trunc('day', v.ts), '%Y-%m-%d') AS view_day,
+           count(*)                                      AS n_attributed,
+           round(sum(c.value), 4)                        AS click_value
+    FROM events v
+    JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL '12 hours'
+    GROUP BY 1
+    """,
+)
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6+ (late r7): attribution as a STREAM-STREAM interval join
+    (streaming/join.py) — impressions and clicks arrive as two
+    watermarked streams; each click joins every view by the same user
+    in the preceding 12 hours, reduced to a per-day attribution report.
+    The oracle is the plain batch interval join in SQL, so the hash
+    match proves the streaming join emitted EXACTLY the batch pair set
+    (the 365-day delay means no row is watermark-dropped — eviction
+    semantics are pinned separately in tests/test_streaming_join.py).
+
+    Scale shape: the batch form rescans the full impression history per
+    click batch; the streaming form holds each side in state only while
+    the 12-hour join horizon (plus delay) can still match it — Spark
+    derives both sides' eviction from the time bounds INSIDE the join
+    condition. Per batch, the join output is reduced executor-side to
+    per-day (count, value-sum) partials tagged with the batch id
+    (foreachBatch is at-least-once; the read side collapses replays on
+    (bid, day) before summing) — the joined pairs themselves never
+    reach the driver."""
+    import shutil
+    import tempfile
+
+    from mrt_data_integration_spark.streaming.join import (
+        stream_interval_join,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), "value"
+    )
+    src_v = _staged_stream_dir(
+        sf_dir, "sattr_views_4f",
+        lambda p: views.repartition(4).write.parquet(p),
+    )
+    src_c = _staged_stream_dir(
+        sf_dir, "sattr_clicks_4f",
+        lambda p: clicks.repartition(4).write.parquet(p),
+    )
+    joined = stream_interval_join(
+        # 2 files per trigger per side → two real micro-batches, so
+        # pairs split across batches must be served from join state
+        spark.readStream.schema(views.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_v),
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_c),
+        on="user_id",
+        left_ts="v_ts",
+        right_ts="c_ts",
+        upper="12 hours",
+        left_delay="365 days",
+        right_delay="365 days",
+    )
+    agg_out = tempfile.mkdtemp(prefix="graft_sattr_agg_")
+
+    def sink(df, bid):
+        (
+            df.groupBy(
+                F.date_format(F.date_trunc("day", "v_ts"), "yyyy-MM-dd").alias(
+                    "view_day"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("sv"),
+            )
+            .withColumn("bid", F.lit(bid))
+            .write.mode("append")
+            .parquet(agg_out)
+        )
+
+    try:
+        _drain_stream(
+            joined,
+            sink,
+            mode="append",
+            state_partitions=_sized_state_partitions(spark, src_c, 2),
+        )
+        totals = (
+            spark.read.parquet(agg_out)
+            # replay-safe: a replayed batch appends an identical
+            # (bid, view_day) row set; max() collapses it before the sum
+            .groupBy("bid", "view_day")
+            .agg(F.max("n").alias("n"), F.max("sv").alias("sv"))
+            .groupBy("view_day")
+            .agg(
+                F.sum("n").alias("n_attributed"),
+                F.round(F.sum("sv"), 4).alias("click_value"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(agg_out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.view_day, int(r.n_attributed), float(r.click_value)) for r in totals],
+        "view_day string, n_attributed bigint, click_value double",
+    )
