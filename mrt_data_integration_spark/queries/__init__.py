@@ -123,7 +123,6 @@ _POOL_B: list[str] = [
     "ci_coverage_flags",
     "union_pooled_studies",
     "string_report_format",
-    "colsums_single_row",
     "pwcls_fit",
     "etwcls_fit",
     "drwcls_fit",
@@ -172,6 +171,11 @@ _POOL_B: list[str] = [
     # force-included in r8 per rule 2; slot funded by retiring
     # `csv_roundtrip`.
     "streaming_click_attribution",
+    # late-r7 addition (E13 — PageRank power iteration over the
+    # near-dup graph, the engine's first collect-free iterative loop):
+    # zero driver history, force-included in r8 per rule 2; slot funded
+    # by retiring `colsums_single_row`.
+    "near_dup_pagerank",
 ]
 _CORE: list[str] = [
     "pricing_summary",
@@ -250,6 +254,13 @@ _RETIRED: list[str] = [
     # `partitioned_parquet_roundtrip` (POOL_B, r6 hash-green, due back
     # r8 — the production sink the CSV path was the toy twin of).
     "csv_roundtrip",
+    # r7 (late): retired to fund the `near_dup_pagerank` slot. Twin
+    # coverage for the single-row global-aggregation shape:
+    # `weighted_gram` (CORE, r6 hash-green, due back r8 — the same
+    # one-scan/one-row sufficient-stats reduction over richer columns)
+    # and `wls_normal_equations` (CORE, fresh r7 row — the d×d gram
+    # collapse every estimator rides on).
+    "colsums_single_row",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,
@@ -324,18 +335,18 @@ _WINDOW: list[str] = (
     + [n for n in _CORE if n not in _R7_SIT_OUT]
 )
 # r8 plan: POOL_B's turn (37, including late-r7 `bpe_train_merges`,
-# `bpe_token_counts`, `jsonl_roundtrip`, and
-# `streaming_click_attribution` with zero driver history, force-included
-# per rule 2) + the r7 sit-outs due back (16 sat out;
+# `bpe_token_counts`, `jsonl_roundtrip`, `streaming_click_attribution`,
+# and `near_dup_pagerank` with zero driver history, force-included per
+# rule 2) + the r7 sit-outs due back (16 sat out;
 # `ngram_jaccard_pairs_prefix`, `distinct_exact`, and
 # `pivot_method_by_coef` were then RETIRED to fund three of the new
-# slots, leaving 13 due back; `csv_roundtrip` — POOL_B, not a sit-out —
-# was retired to fund the fourth) = 37 + 13 = exactly 50 — still ZERO
-# slack, so any further addition must again be paired with a retirement
-# of a same-shape twin to the CI-only tier. Any r7 red row is
-# force-included per rule 1 and displaces a fresh-r7 POOL_A member whose
-# shape must then be delegated in-window. test_window_policy.py enforces
-# the bookkeeping either way.
+# slots, leaving 13 due back; `csv_roundtrip` and `colsums_single_row`
+# — POOL_B members, not sit-outs — were retired to fund the other two)
+# = 37 + 13 = exactly 50 — still ZERO slack, so any further addition
+# must again be paired with a retirement of a same-shape twin to the
+# CI-only tier. Any r7 red row is force-included per rule 1 and
+# displaces a fresh-r7 POOL_A member whose shape must then be delegated
+# in-window. test_window_policy.py enforces the bookkeeping either way.
 
 
 def _apply_window() -> None:

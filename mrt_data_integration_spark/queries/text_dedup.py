@@ -984,3 +984,113 @@ def bpe_token_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "token")
         .limit(20)
     )
+
+
+def _pagerank_oracle(iters: int, damping: float, topk: int) -> str:
+    """Chained-CTE replay of the FULL PageRank power iteration (same
+    generator pattern as the BPE oracle): edge derivation (the exact
+    Jaccard pair join, verbatim from `ngram_jaccard_pairs`), then one
+    (contrib, dangling-mass, rank) CTE triple per iteration. Float
+    constants are emitted with repr() so DuckDB parses the IDENTICAL
+    double Python handed Spark ((1-0.85) is 0.15000000000000002, not
+    0.15) — every arithmetic step is then the same IEEE op on the same
+    operands in both engines; only summation ORDER can differ, which
+    round(,8) absorbs (see the A-ES rounding note, LATE_R7_NOTES.md)."""
+    head = f"""
+    WITH sh AS (
+      SELECT doc_id, substr(md5(unnest({_SHINGLES})), 1, 16) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+    r0 AS (
+      SELECT doc_id AS node, 1.0 / (SELECT n FROM nn) AS rank
+      FROM documents
+    )"""
+    teleport = repr(1.0 - damping)
+    its = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        its.append(f""",
+    c{i} AS (
+      SELECT e.dst AS node, sum(r.rank / o.odeg) AS c
+      FROM r{p} r
+      JOIN edges e ON r.node = e.src
+      JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst
+    ),
+    dm{i} AS (
+      SELECT coalesce(sum(r.rank), 0) AS dm
+      FROM r{p} r LEFT JOIN outdeg o ON r.node = o.src
+      WHERE o.src IS NULL
+    ),
+    r{i} AS (
+      SELECT d.doc_id AS node,
+             {teleport} / (SELECT n FROM nn)
+             + {damping!r} * (coalesce(c.c, 0)
+                              + (SELECT dm FROM dm{i}) / (SELECT n FROM nn))
+               AS rank
+      FROM documents d LEFT JOIN c{i} c ON d.doc_id = c.node
+    )"""
+        )
+    tail = f"""
+    SELECT node AS doc_id, round(rank, 8) AS rank8
+    FROM r{iters}
+    ORDER BY rank8 DESC, doc_id
+    LIMIT {topk}
+    """
+    return head + "".join(its) + tail
+
+
+@query("near_dup_pagerank", oracle=_pagerank_oracle(6, 0.85, 20))
+def near_dup_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 (late r7): PageRank centrality over the document
+    near-duplicate graph (operators/graph.py) — rank documents by how
+    central they are in the exact-Jaccard near-dup neighborhood (the
+    canonical-representative selection signal; the host-rank pattern at
+    doc granularity). Edges are the `ngram_jaccard_pairs` pair set
+    (threshold 0.2), symmetrized; nodes are ALL documents, so the many
+    isolated docs exercise the dangling-mass redistribution every
+    round. Six fixed power iterations — no convergence collect — which
+    is what lets the DuckDB oracle replay the ENTIRE run as chained
+    CTEs: a hash match pins the edge derivation, out-degrees, dangling
+    mass, and all six rank updates, not just the final ordering. Output
+    is the top-20 by rank rounded to 8 places (identical IEEE ops both
+    sides — see `_pagerank_oracle`), ties broken by doc_id."""
+    from mrt_data_integration_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, threshold=0.2, max_shingle_df=None
+    ).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    pr = pagerank(edges, nodes, iterations=6, damping=0.85)
+    return (
+        pr.select(
+            F.col("node").alias("doc_id"), F.round("rank", 8).alias("rank8")
+        )
+        .orderBy(F.col("rank8").desc(), "doc_id")
+        .limit(20)
+    )
