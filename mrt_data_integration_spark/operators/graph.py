@@ -70,7 +70,13 @@ def pagerank(
         return nodes.select(
             F.col(node_col), F.lit(0.0).alias("rank")
         )
-    outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__outdeg__"))
+    # persisted: the dangling-mass anti-join probes it every iteration —
+    # without the persist each round would re-run the edges groupBy
+    outdeg = (
+        edges.groupBy(src)
+        .agg(F.count(F.lit(1)).alias("__outdeg__"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # out-degree folded into the edge table ONCE; every iteration
     # reuses the persisted result instead of re-joining
     ew = (
@@ -129,6 +135,7 @@ def pagerank(
             )
     finally:
         ew.unpersist()
+        outdeg.unpersist()
         base.unpersist()
     return ranks.select(
         F.col("__node__").alias(node_col), F.col("__rank__").alias("rank")

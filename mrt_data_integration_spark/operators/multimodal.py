@@ -381,7 +381,9 @@ def _index_resample(img, nh: int, nw: int):
 def dhash_pixels(img, hash_size: int = 8) -> int:
     """Difference hash (dHash) of a decoded raster: grayscale →
     nearest-neighbor ``hash_size × (hash_size+1)`` grid → one bit per
-    horizontal neighbor pair (left < right). The standard perceptual
+    horizontal neighbor pair (bit set when right < left; orientation is
+    self-consistent on both hash and compare sides, and the banding/join
+    logic is orientation-agnostic). The standard perceptual
     image fingerprint: stable under resize/re-encode/small edits, and
     pure integer index math, so the same pixels hash identically on any
     machine. Returns a SIGNED 64-bit value (Spark ``long``) for
@@ -479,18 +481,26 @@ def extract_image_dhash(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
+            ids, hashes = [], []
             for asset_id, blob in zip(pdf["asset_id"], pdf["content"]):
                 img = (
                     stdlib_pixel_decode(bytes(blob)) if blob is not None else None
                 )
-                out.append(
-                    (
-                        int(asset_id),
-                        dhash_pixels(img, hash_size) if img is not None else None,
-                    )
+                ids.append(int(asset_id))
+                hashes.append(
+                    dhash_pixels(img, hash_size) if img is not None else None
                 )
-            yield pd.DataFrame(out, columns=["asset_id", "dhash"])
+            # nullable Int64, NOT a plain object/None column: pandas
+            # would coerce int+None to float64, silently rounding the
+            # hash's low bits away above 2^53 — every batch mixing one
+            # opaque blob with real rasters would corrupt EVERY hash in
+            # it (caught by the image_near_dup_pairs oracle, r8)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(ids, dtype="Int64"),
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                }
+            )
 
     return media.select("asset_id", "content").mapInPandas(
         run, IMAGE_DHASH_SCHEMA
@@ -523,9 +533,9 @@ def image_near_dup_pairs(
     """
     if max_hamming > n_bands - 1:
         raise ValueError(
-            f"max_hamming={max_hamming} needs > {n_bands} bands for "
-            "guaranteed recall (pigeonhole: at most n_bands-1 differing "
-            "bits can still leave one band identical)"
+            f"max_hamming={max_hamming} needs n_bands >= {max_hamming + 1} "
+            f"(got {n_bands}) for guaranteed recall (pigeonhole: at most "
+            "n_bands-1 differing bits can still leave one band identical)"
         )
     if 64 % n_bands:
         raise ValueError("n_bands must divide 64")
@@ -681,7 +691,9 @@ def extract_audio_features(
         for pdf in batches:
             out = []
             for asset_id, blob in zip(pdf["asset_id"], pdf["content"]):
-                b = bytes(blob)
+                # MEDIA_SCHEMA's content column is nullable — a NULL blob
+                # must not kill the task (same invariant as the image path)
+                b = bytes(blob) if blob is not None else b""
                 ch, rate, frames = decode_fn(b)
                 out.append(
                     (

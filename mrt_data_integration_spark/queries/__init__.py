@@ -34,7 +34,8 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (106 queries as of late r7)
+# ROTATION POLICY (round 4+): the registry (109 queries as of r8 —
+# counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
 # POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r7+: 6 queries
@@ -140,7 +141,6 @@ _POOL_B: list[str] = [
     "partitioned_parquet_roundtrip",
     "semantic_dedup_summary",
     "funnel_conversion",
-    "value_histogram",
     "campaign_event_attribution",
     "incremental_rollup_merge",
     "stratified_fixed_k_sample",
@@ -176,6 +176,12 @@ _POOL_B: list[str] = [
     # zero driver history, force-included in r8 per rule 2; slot funded
     # by retiring `colsums_single_row`.
     "near_dup_pagerank",
+    # r8 addition (E3×E12 — perceptual image dedup, the r7 verdict's
+    # item 2: dHash over REAL P6 pixel decode + hamming band join, with
+    # a closed-form full-hash oracle): zero driver history,
+    # force-included in r8 per rule 2; slot funded by retiring
+    # `value_histogram`.
+    "image_near_dup_pairs",
 ]
 _CORE: list[str] = [
     "pricing_summary",
@@ -261,6 +267,14 @@ _RETIRED: list[str] = [
     # and `wls_normal_equations` (CORE, fresh r7 row — the d×d gram
     # collapse every estimator rides on).
     "colsums_single_row",
+    # r8: retired to fund the `image_near_dup_pairs` slot (the r7
+    # verdict's item 2 query). Twin coverage for the fixed-bucket
+    # histogram shape: `exact_percentiles` (CORE, r6 hash-green, in the
+    # r8 window — the same global-ordering bucket arithmetic, exact
+    # instead of width-fixed) and `heavy_hitters` (POOL_B, r6
+    # hash-green, r8 row — grouped frequency counting over the same
+    # scan).
+    "value_histogram",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,
@@ -330,23 +344,87 @@ _R7_SIT_OUT = (
     "ngram_jaccard_pairs_prefix",
     "tfidf_top_terms",
 )
-_WINDOW: list[str] = (
-    _POOL_A
-    + [n for n in _CORE if n not in _R7_SIT_OUT]
+# Round 8 window: POOL_B's turn (37 after the r8 add/retire pair:
+# late-r7 `bpe_train_merges`, `bpe_token_counts`, `jsonl_roundtrip`,
+# `streaming_click_attribution`, `near_dup_pagerank` plus r8
+# `image_near_dup_pairs` all have ZERO driver history and are
+# force-included per rule 2 — this is the r7 verdict's promised
+# rotation, items 1 and 2) + the r7 sit-outs still in the rotation
+# (13 of 16: `ngram_jaccard_pairs_prefix`, `distinct_exact`, and
+# `pivot_method_by_coef` were retired late r7) = 37 + 13 = exactly 50.
+# No r7 row was red, so rule 1 forces nothing. The THIRTEEN CORE
+# members holding fresh r7 hash rows sit out — shapes stay covered
+# in-window:
+# `cluster_score_meat` (grouped gram/crossprod) by `weighted_gram`
+#   (returning — the same sufficient-stats reduction),
+# `group_best_highlight` (argmax + flag) by `argmax_per_group`
+#   (returning — the same struct-max shape),
+# `unpivot_long` (reshape) by `estimator_report_pivot` (POOL_B — the
+#   inverse reshape over the same long format),
+# `topk_per_group` (window rank) by `window_rank_features` (POOL_B)
+#   + `exact_percentiles` (returning — same sort/window machinery),
+# `wls_normal_equations` (d×d gram collapse) by `weighted_gram`
+#   (returning — the same normal-equations family),
+# `wcls_cluster_robust` (per-group regression) by `regr_by_group`
+#   (returning) + `wcls_large_panel` (POOL_B — the distributed fit),
+# `fact_fact_join` (SMJ) by `star_join_revenue` (returning — broadcast
+#   star join) + `campaign_event_attribution` (POOL_B — range join),
+# `brand_part_rollup` (grouping sets) by `rollup_hierarchy` (returning
+#   — the same GROUPING SETS physical operator),
+# `doc_quality_stats` (text scan aggregates) by `doc_lang_id`
+#   (returning) + `char_trigram_lm_filter` (POOL_B),
+# `minhash_signatures` (grouped hash-agg signatures) by
+#   `doc_fingerprint_dedup` (returning — hash dedup on the same scan)
+#   + `semantic_dedup_summary` (POOL_B),
+# `lsh_candidate_pairs` (band-keyed self-join) by
+#   `image_near_dup_pairs` (POOL_B r8 — the SAME band→equi-join→verify
+#   physical shape on image hashes),
+# `ngram_jaccard_pairs` (pair join + set overlap verify) by
+#   `image_near_dup_pairs` (POOL_B r8 — pair join + distance verify)
+#   + `corpus_snapshot_diff` (POOL_B — join-based set comparison),
+# `bpe_ish_token_counts` (tokenize-explode-count) by `bpe_token_counts`
+#   (POOL_B r8 — the REAL BPE encode over the same explode/count shape)
+#   + `char_trigram_lm_filter` (POOL_B).
+_R8_SIT_OUT = (
+    "cluster_score_meat",
+    "group_best_highlight",
+    "unpivot_long",
+    "topk_per_group",
+    "wls_normal_equations",
+    "wcls_cluster_robust",
+    "fact_fact_join",
+    "brand_part_rollup",
+    "doc_quality_stats",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "bpe_ish_token_counts",
 )
-# r8 plan: POOL_B's turn (37, including late-r7 `bpe_train_merges`,
-# `bpe_token_counts`, `jsonl_roundtrip`, `streaming_click_attribution`,
-# and `near_dup_pagerank` with zero driver history, force-included per
-# rule 2) + the r7 sit-outs due back (16 sat out;
-# `ngram_jaccard_pairs_prefix`, `distinct_exact`, and
-# `pivot_method_by_coef` were then RETIRED to fund three of the new
-# slots, leaving 13 due back; `csv_roundtrip` and `colsums_single_row`
-# — POOL_B members, not sit-outs — were retired to fund the other two)
-# = 37 + 13 = exactly 50 — still ZERO slack, so any further addition
-# must again be paired with a retirement of a same-shape twin to the
-# CI-only tier. Any r7 red row is force-included per rule 1 and
-# displaces a fresh-r7 POOL_A member whose shape must then be delegated
-# in-window. test_window_policy.py enforces the bookkeeping either way.
+_WINDOW: list[str] = (
+    _POOL_B
+    + [n for n in _CORE if n not in _R8_SIT_OUT]
+)
+# r9 plan (written BEFORE any r8 additions, per the r7 verdict's item
+# 6): POOL_A's turn. POOL_A is 37 and the 13 r8 sit-outs (all CORE,
+# last rows r7) are due back: 37 + 13 = exactly 50 — ZERO slack again.
+# Consequences, enforceable now:
+#   - any NEW query registered during r8 (beyond `image_near_dup_pairs`,
+#     which is in the r8 window) must join POOL_A for its forced r9 row
+#     AND be paired with the retirement of a same-shape POOL_A twin
+#     that holds a fresh r7 hash row — the zero-slack rule;
+#   - no rotation query waits >2 rounds under this plan: POOL_B + the
+#     13 r8-sit-out CORE members get r8 rows, POOL_A + the 13 r9-sit-out
+#     CORE members (the ones with r8 rows) get r9 rows;
+#   - the structural fix the r7 verdict asked to prefer — consolidating
+#     same-shape twins instead of growing the rotation — has r9-ready
+#     candidates if slots are needed: `ivfpq_topk` vs
+#     `ivfpq_index_topk` (both rows-only, same IVFADC probe shape; the
+#     persisted-index variant is the production path, the online one
+#     the CI twin) and `sensitivity_scenarios` vs `mc_simulation_grid`
+#     (both rows-only MC fan-outs over the same harness).
+# Any r8 red row is force-included per rule 1 and displaces a
+# fresh-r8 POOL_B member whose shape must then be delegated in-window.
+# test_window_policy.py enforces the bookkeeping either way.
 
 
 def _apply_window() -> None:

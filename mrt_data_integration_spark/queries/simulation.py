@@ -172,3 +172,72 @@ def mc_simulation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tilt_warnings",
         F.round("rel_efficiency", 4).alias("rel_efficiency"),
     )
+
+
+# E3×E12: perceptual image dedup, driver-visible end to end — the SAME
+# synthetic corpus multimodal_features pushes through pixel decode
+# (every 4th asset a spec-valid P6 gradient raster), dHashed by the
+# Arrow-batched map-only stage, paired by the hamming band join. The
+# oracle replays the ENTIRE computation closed-form in SQL: the raster
+# at (x, y) is (x*7 + y*13 + i) % 256 on all three channels
+# (multimodal.synthesize_media_table), so the grayscale channel-sum
+# comparison 3*v_r < 3*v_l reduces to v_r < v_l; the 8×9 grid indices
+# are ys[r] = r*h//8, xs[c] = c*w//9 (multimodal._index_resample); and
+# bit k (MSB-first, k = r*8 + c) is set iff g(xs[c+1], ys[r]) <
+# g(xs[c], ys[r]) (multimodal.dhash_pixels). Banding is recall-lossless
+# for max_hamming <= n_bands - 1 (pigeonhole), so the oracle's
+# brute-force pair filter is result-identical to the banded join.
+_IMAGE_DHASH_ORACLE = """
+WITH assets AS (
+  SELECT i AS asset_id,
+         32 + (i % 5) * 8 AS w,
+         24 + (i % 3) * 8 AS h
+  FROM generate_series(0, 127) t(i)
+  WHERE i % 4 = 0
+),
+bits AS (
+  SELECT asset_id, k,
+         CASE WHEN ((((k % 8 + 1) * w) // 9) * 7
+                    + ((k // 8) * h // 8) * 13 + asset_id) % 256
+                 < ((((k % 8) * w) // 9) * 7
+                    + ((k // 8) * h // 8) * 13 + asset_id) % 256
+              THEN 1 ELSE 0 END AS bit
+  FROM assets, generate_series(0, 63) g(k)
+),
+halves AS (
+  -- 64-bit pack in two 32-bit halves: hi/lo stay < 2^32, and the
+  -- signed two's-complement fold keeps every product inside BIGINT
+  SELECT asset_id,
+         SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << (31 - k)) ELSE 0 END) AS hi,
+         SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (63 - k)) ELSE 0 END) AS lo
+  FROM bits GROUP BY asset_id
+),
+hashes AS (
+  SELECT asset_id,
+         (CASE WHEN hi >= (1::BIGINT << 31) THEN hi - (1::BIGINT << 32)
+               ELSE hi END) * 4294967296 + lo AS dhash
+  FROM halves
+)
+SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b ON a.asset_id < b.asset_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+"""
+
+
+@query("image_near_dup_pairs", oracle=_IMAGE_DHASH_ORACLE)
+def image_near_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3×E12: perceptual image dedup — REAL P6 pixel decode → dHash
+    (map-only, blobs never shuffle) → hamming band join (n_bands=8
+    covers max_hamming=6 by pigeonhole) → bit_count verify. 18 genuine
+    near-dup pairs exist in the 32-raster corpus (the +60 gray-offset
+    twins share every comparison except mod-256 wrap crossings)."""
+    from mrt_data_integration_spark.operators.multimodal import (
+        extract_image_dhash,
+        image_near_dup_pairs,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(spark, n_assets=128, real_raster_every=4)
+    hashes = extract_image_dhash(media)
+    return image_near_dup_pairs(hashes, max_hamming=6, n_bands=8)

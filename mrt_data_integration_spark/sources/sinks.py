@@ -289,14 +289,15 @@ def write_training_shards(
     """Deterministic global shuffle + sharding — the LAST step of a
     training-data pipeline: documents leave the corpus in a fixed
     pseudo-random order, split into ``n_shards`` hive directories
-    (``shard=K``), each file internally sorted by the shuffle key.
+    (``__shard__=K`` — the physical hive partition column is the
+    engine-internal ``__shard__``), each file internally sorted by the shuffle key.
 
     Determinism contract: shard assignment is ``shard_key(id) mod
     n_shards`` and within-shard order is (shard_key, id) — both pure
     functions of the id, so the SAME corpus yields byte-identical shard
     membership and order on any cluster, any partitioning, any run (the
     property that makes training runs reproducible and resumable). A
-    trainer reading ``shard=K`` in file order replays the canonical
+    trainer reading ``__shard__=K`` in file order replays the canonical
     order; epochs re-shuffle by changing ``salt``.
 
     Scale shape: ONE shuffle, keyed by the (uniform) shard id via

@@ -616,3 +616,34 @@ def test_resize_pixels_exact_long_side():
     assert out.shape[0] == 64  # not 63
     for h in range(65, 400):
         assert resize_pixels(np.zeros((h, 1, 3), np.uint8), 64).shape[0] == 64
+
+
+def test_dhash_exact_in_mixed_opaque_batch(spark):
+    """Regression (r8): a batch mixing opaque blobs (NULL dhash) with
+    real rasters must keep every hash BIT-EXACT. The original
+    mapInPandas emitted a python list with None → pandas coerced the
+    column to float64 → every hash above 2^53 in that batch lost its
+    low bits (off by 1..32), minting phantom near-dup pairs."""
+    import numpy as np
+
+    from mrt_data_integration_spark.operators.multimodal import (
+        dhash_pixels,
+        extract_image_dhash,
+        synthesize_media_table,
+    )
+
+    # one partition → one Arrow batch mixing rasters and opaque blobs
+    media = synthesize_media_table(
+        spark, n_assets=32, real_raster_every=4
+    ).coalesce(1)
+    got = {
+        r.asset_id: r.dhash for r in extract_image_dhash(media).collect()
+    }
+    for i in range(0, 32, 4):
+        w, h = 32 + (i % 5) * 8, 24 + (i % 3) * 8
+        v = (np.arange(w)[None, :] * 7 + np.arange(h)[:, None] * 13 + i) % 256
+        img = np.repeat(v[:, :, None], 3, axis=2)
+        assert got[i] == dhash_pixels(img), f"asset {i} hash not bit-exact"
+    for i in range(32):
+        if i % 4:
+            assert got[i] is None  # opaque blobs stay NULL

@@ -8,36 +8,38 @@ from __future__ import annotations
 from mrt_data_integration_spark import queries as q
 from mrt_data_integration_spark.queries import ORACLES
 
-_R6_NEW = (
-    "weighted_doc_sample",
-    "ivfpq_appended_index_topk",
-    "streaming_dedup_ingest",
-    "lsh_store_ingest_candidates",
-    "corpus_ingest_pipeline",
-    "streaming_funnel_conversion",
-    "training_shard_manifest",
+# The r7/r8 registrations with zero driver-row history before r8 — the
+# r7 verdict's promised rotation (items 1 and 2). All must hold r8
+# window slots per exception rule 2.
+_R8_FORCED = (
+    "bpe_train_merges",
+    "bpe_token_counts",
+    "jsonl_roundtrip",
+    "streaming_click_attribution",
+    "near_dup_pagerank",
+    "image_near_dup_pairs",
 )
 
-# The sixteen r6 sit-outs (last driver rows: r5). Thirteen must return in
-# the r7 window; the other three were retired to the CI-only tier with a
-# fresh-r6-hash-green twin each (see queries/__init__.py _RETIRED).
-_R6_SAT_OUT = (
-    "bpe_ish_token_counts",
-    "cluster_score_meat",
-    "group_moment_stats",
-    "group_best_highlight",
-    "unpivot_long",
-    "cube_revenue",
-    "topk_per_group",
-    "wls_normal_equations",
-    "wcls_cluster_robust",
-    "fact_fact_join",
-    "semi_join_active_customers",
-    "brand_part_rollup",
-    "doc_quality_stats",
-    "minhash_signatures",
-    "lsh_candidate_pairs",
-    "ngram_jaccard_pairs",
+# The sixteen r7 sit-outs (last driver rows: r6). Thirteen must return
+# in the r8 window; the other three were retired to the CI-only tier
+# with a same-shape twin each (see queries/__init__.py _RETIRED).
+_R7_SAT_OUT = (
+    "pricing_summary",
+    "weighted_gram",
+    "relative_efficiency",
+    "pivot_method_by_coef",
+    "rollup_hierarchy",
+    "exact_percentiles",
+    "running_total",
+    "distinct_exact",
+    "argmax_per_group",
+    "regr_by_group",
+    "star_join_revenue",
+    "anti_join_dormant_customers",
+    "doc_lang_id",
+    "doc_fingerprint_dedup",
+    "ngram_jaccard_pairs_prefix",
+    "tfidf_top_terms",
 )
 
 
@@ -60,23 +62,36 @@ def test_window_is_drawn_from_registry_front():
     assert names[:50] == q._WINDOW, "registration order must realize the window"
 
 
-def test_zero_history_rule_r7():
-    """The r7 forced set (the seven r6 registrations with zero driver-row
-    history — the r6 verdict's promised rotation) must all sit inside the
-    driver-recorded first 50."""
+def test_zero_history_rule_r8():
+    """Every query with zero driver-row history at the r8 freeze must
+    sit inside the driver-recorded first 50 (exception rule 2 — the r7
+    verdict's promised rotation)."""
     window = set(q._WINDOW)
-    for name in _R6_NEW:
-        assert name in window, f"{name} promised a first driver row in r7"
+    for name in _R8_FORCED:
+        assert name in window, f"{name} promised a first driver row in r8"
 
 
 def test_no_query_waits_more_than_two_rounds():
-    """The sixteen r6 sit-outs' last driver rows are r5; every one still
-    in the rotation must return in r7 (a second consecutive sit-out
-    breaks the invariant). The three retirees are exempt — they left the
+    """The sixteen r7 sit-outs' last driver rows are r6; every one still
+    in the rotation must return in r8 (a second consecutive sit-out
+    breaks the invariant). The retirees are exempt — they left the
     rotation, not the verification surface (next test)."""
     window, retired = set(q._WINDOW), set(q._RETIRED)
-    missing = [n for n in _R6_SAT_OUT if n not in window and n not in retired]
-    assert not missing, f"r6 sit-outs neither returned nor retired: {missing}"
+    missing = [n for n in _R7_SAT_OUT if n not in window and n not in retired]
+    assert not missing, f"r7 sit-outs neither returned nor retired: {missing}"
+
+
+def test_r8_sit_outs_hold_fresh_r7_rows():
+    """Only CORE members that actually got an r7 driver row may sit out
+    the r8 window — sitting out two consecutive rounds is the invariant
+    the rotation exists to prevent. An r7-row member is exactly one that
+    was IN the r7 window, i.e. not in the r7 sit-out list."""
+    for name in q._R8_SIT_OUT:
+        assert name in q._CORE, f"r8 sit-out {name} must be a CORE member"
+        assert name not in _R7_SAT_OUT, (
+            f"{name} sat out r7 too — two consecutive sit-outs break the "
+            "two-round invariant"
+        )
 
 
 def test_retired_queries_stay_ci_verified():
@@ -91,16 +106,28 @@ def test_retired_queries_stay_ci_verified():
         assert name not in window, f"retired query {name} must free its slot"
 
 
-def test_r8_window_feasibility():
-    """The r8 window is POOL_B's turn plus the r7 sit-outs still in the
-    rotation (due back — their last rows are r6). That sum must be
-    EXACTLY 50: any query registered after the r7 freeze, or any POOL_B
-    growth, must be paired with a retirement of a same-shape twin (the
-    r7 precedent; late-r7 `bpe_train_merges` was funded by retiring
-    `ngram_jaccard_pairs_prefix`), or the r8 rotation becomes
-    infeasible and a due query silently loses its slot."""
-    due_back = [n for n in q._R7_SIT_OUT if n not in q._RETIRED]
-    assert len(q._POOL_B) + len(due_back) == 50, (
-        "r8 window over/under-subscribed — pair registry growth with a "
+def test_r9_window_feasibility():
+    """The r9 window is POOL_A's turn plus the r8 sit-outs (all CORE,
+    due back — their last rows are r7). That sum must be EXACTLY 50:
+    any query registered after the r8 freeze, or any POOL_A growth,
+    must be paired with a retirement of a same-shape twin (the r7/r8
+    precedent: `image_near_dup_pairs` was funded by retiring
+    `value_histogram`), or the r9 rotation becomes infeasible and a due
+    query silently loses its slot."""
+    assert len(q._POOL_A) + len(q._R8_SIT_OUT) == 50, (
+        "r9 window over/under-subscribed — pair registry growth with a "
         "retirement (see _RETIRED in queries/__init__.py)"
+    )
+
+
+def test_registry_count_comment_is_current():
+    """The ROTATION POLICY comment states the registry size; this pins
+    it so the comment can't silently go stale again (the r7 verdict's
+    '106 queries' nit)."""
+    import inspect
+
+    src = inspect.getsource(q)
+    assert f"registry ({len(q.QUERIES)} queries" in src, (
+        f"queries/__init__.py ROTATION POLICY comment disagrees with the "
+        f"real registry size {len(q.QUERIES)} — recount after add/retire"
     )
