@@ -42,6 +42,42 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+def _edge_tables(edges: DataFrame, src: str, dst: str):
+    """Build the two tables every PageRank round reuses.
+
+    ``outdeg`` is persisted because the dangling-mass anti-join probes
+    it every iteration — without the persist each round would re-run
+    the edges groupBy.
+
+    ``ew`` (out-degree folded into the edge table ONCE) is
+    pre-partitioned on the per-round join key BEFORE persisting: the
+    cached InMemoryRelation then REPORTS hashpartitioning(__esrc__), so
+    every iteration's ranks-join reuses it and only the (small,
+    fresh-each-round) ranks side shuffles — one exchange per round on
+    the edge table would otherwise re-move the 100 TB side every
+    iteration (the r7 SCALING_CURVE note; plan pinned by
+    tests/test_graph.py::test_pagerank_round_join_is_exchange_free_on_edges).
+    ``repartition`` numPartitions defaults to
+    spark.sql.shuffle.partitions, matching the join's requirement.
+    """
+    outdeg = (
+        edges.groupBy(src)
+        .agg(F.count(F.lit(1)).alias("__outdeg__"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ew = (
+        edges.join(outdeg, on=src)
+        .select(
+            F.col(src).alias("__esrc__"),
+            F.col(dst).alias("__edst__"),
+            "__outdeg__",
+        )
+        .repartition(F.col("__esrc__"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return ew, outdeg
+
+
 def pagerank(
     edges: DataFrame,
     nodes: DataFrame,
@@ -70,24 +106,7 @@ def pagerank(
         return nodes.select(
             F.col(node_col), F.lit(0.0).alias("rank")
         )
-    # persisted: the dangling-mass anti-join probes it every iteration —
-    # without the persist each round would re-run the edges groupBy
-    outdeg = (
-        edges.groupBy(src)
-        .agg(F.count(F.lit(1)).alias("__outdeg__"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # out-degree folded into the edge table ONCE; every iteration
-    # reuses the persisted result instead of re-joining
-    ew = (
-        edges.join(outdeg, on=src)
-        .select(
-            F.col(src).alias("__esrc__"),
-            F.col(dst).alias("__edst__"),
-            "__outdeg__",
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    ew, outdeg = _edge_tables(edges, src, dst)
     base = nodes.select(F.col(node_col).alias("__node__")).persist(
         StorageLevel.MEMORY_AND_DISK
     )

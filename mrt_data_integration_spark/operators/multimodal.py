@@ -513,6 +513,7 @@ def image_near_dup_pairs(
     n_bands: int = 4,
     id_col: str = "asset_id",
     hash_col: str = "dhash",
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs by hamming distance over 64-bit
     perceptual hashes — the image-side twin of the text SimHash/LSH
@@ -529,7 +530,20 @@ def image_near_dup_pairs(
 
     At corpus scale this is all-pairs-free: candidates per band bucket
     ~ (bucket size)², bounded by how many images genuinely share a
-    16-bit band — the same scaling argument as the text LSH path.
+    16-bit band — IF hashes spread. A gradient-heavy real corpus
+    concentrates dHashes into few values (every smooth left-to-right
+    gradient hashes to all-ones), making one band bucket O(corpus) and
+    its self-join O(corpus²). ``max_band_df`` is the same skew guard as
+    the text LSH path (dedup.py ``max_shingle_df``): band buckets whose
+    population exceeds the cap are dropped from candidate generation
+    (broadcast anti-join — the hot set is tiny by construction), so
+    join fan-out per bucket is bounded by cap². Trade-off stated
+    plainly: a pair whose ONLY matching band was dropped is lost, so
+    the pigeonhole recall guarantee holds only for pairs untouched by
+    hot buckets — which is the right trade, because a dropped bucket's
+    members are near-identical boilerplate imagery that exact/grouped
+    dedup (groupBy the full hash) already collapses for free. ``None``
+    (default) keeps exact recall for oracle checks.
     """
     if max_hamming > n_bands - 1:
         raise ValueError(
@@ -569,6 +583,16 @@ def image_near_dup_pairs(
     from mrt_data_integration_spark.operators.dedup import _attach_cache
 
     bands = track_cache(bands.persist())
+    if max_band_df is not None:
+        hot = (
+            bands.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_band_df)
+            .select("band_id", "band_key")
+        )
+        bands = bands.join(
+            F.broadcast(hot), ["band_id", "band_key"], "left_anti"
+        )
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(

@@ -100,3 +100,52 @@ def test_pagerank_lineage_is_truncated(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_pagerank_round_join_is_exchange_free_on_edges(spark):
+    """The per-round ranks⋈edges join must NOT re-shuffle the edge
+    table (the 100 TB side): _edge_tables pre-partitions + persists it
+    on __esrc__, so the cached partitioning satisfies the join's
+    requirement and only the fresh-each-round ranks side exchanges.
+    Pinned with broadcast off — at scale neither side is broadcastable,
+    SMJ/SHJ is the real plan."""
+    from mrt_data_integration_spark.operators.graph import _edge_tables
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = spark.range(500).select(
+            (F.col("id") % 97).alias("src"), (F.col("id") % 53).alias("dst")
+        )
+        ew, outdeg = _edge_tables(edges, "src", "dst")
+        try:
+            ew.count()  # materialize the cache, as the first round does
+            ranks = (
+                spark.range(97)
+                .select(
+                    F.col("id").alias("__node__"),
+                    F.lit(1.0 / 97).alias("__rank__"),
+                )
+                .localCheckpoint()  # the loop's ranks are checkpointed
+            )
+            contrib = (
+                ranks.join(ew, ranks["__node__"] == ew["__esrc__"])
+                .groupBy("__edst__")
+                .agg(
+                    F.sum(F.col("__rank__") / F.col("__outdeg__")).alias("__c__")
+                )
+            )
+            plan = contrib._jdf.queryExecution().executedPlan().toString()
+            # only inspect the TOP-LEVEL join section: the cached
+            # relation prints its own build plan (which legitimately
+            # contains the one-time repartition exchange) below the
+            # first InMemoryRelation marker
+            top = plan.split("InMemoryRelation", 1)[0]
+            assert "InMemoryTableScan" in top, top
+            assert "Exchange hashpartitioning(__esrc__" not in top, top
+            assert "Exchange hashpartitioning(__node__" in top, top
+        finally:
+            ew.unpersist()
+            outdeg.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

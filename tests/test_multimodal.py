@@ -647,3 +647,30 @@ def test_dhash_exact_in_mixed_opaque_batch(spark):
     for i in range(32):
         if i % 4:
             assert got[i] is None  # opaque blobs stay NULL
+
+
+def test_image_near_dup_band_cap_bounds_degenerate_corpus(spark):
+    """Skew guard (r8): a gradient-heavy corpus concentrates dHashes
+    into ONE value → one band bucket of size O(corpus) → O(corpus²)
+    candidates. With max_band_df the hot buckets leave candidate
+    generation (bounded fan-out) while pairs in cold buckets keep their
+    pigeonhole recall."""
+    from mrt_data_integration_spark.operators.multimodal import (
+        image_near_dup_pairs,
+    )
+
+    # 60 identical hashes (the degenerate gradient block) + one planted
+    # near-dup pair far away in hamming space (hashes differ in 1 bit)
+    rows = [(i, 0x0123456789ABCDEF - (1 << 63)) for i in range(60)]
+    rows += [(100, 42), (101, 43)]  # hamming(42,43)=1, cold buckets
+    hashes = spark.createDataFrame(rows, "asset_id long, dhash long")
+
+    uncapped = image_near_dup_pairs(hashes, max_hamming=2, n_bands=4)
+    # degenerate block alone contributes C(60,2) = 1770 pairs
+    assert uncapped.count() == 1770 + 1
+
+    capped = image_near_dup_pairs(
+        hashes, max_hamming=2, n_bands=4, max_band_df=10
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in capped.collect()}
+    assert got == {(100, 101): 1}, got  # hot block dropped, cold pair kept
