@@ -718,7 +718,8 @@ def streaming_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mrt_data_integration_spark.streaming.funnel import (
         funnel_stream,
-        latest_stage_times,
+        merge_funnel_updates,
+        read_funnel_state,
     )
 
     steps = ["view", "click", "purchase"]
@@ -744,19 +745,23 @@ def streaming_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src),
         steps,
     )
-    # Update-mode emissions are appended to parquet EXECUTOR-side; the
-    # per-user reduction + stage counts run as a batch job over that
-    # directory — the driver sees only the final 1-row count frame (a
-    # memory sink would hold O(users) update rows in driver memory).
-    out = tempfile.mkdtemp(prefix="graft_sfunnel_out_")
+    # Update-mode emissions flow through the COMPACTED serving-state
+    # path (r7 verdict item 8): merge_funnel_updates folds each
+    # micro-batch into the versioned per-user state table (greatest
+    # (last_ts, n_seen) row wins — the same reduction
+    # latest_stage_times applies to an append log, pre-applied at write
+    # time), so disk stays O(retained users) instead of O(updates) and
+    # the serving read is the production read_funnel_state path. The
+    # driver still sees only the final 1-row count frame.
+    out = tempfile.mkdtemp(prefix="graft_sfunnel_state_")
     try:
         _drain_stream(
             updates,
-            lambda df, bid: df.write.mode("append").parquet(out),
+            lambda df, bid: merge_funnel_updates(df, bid, out),
             # 4 staged files, 2 per trigger → 2 micro-batches
             state_partitions=_sized_state_partitions(spark, src, 2),
         )
-        times = latest_stage_times(spark.read.parquet(out), 3)
+        times = read_funnel_state(spark, out)
         counts = times.agg(
             *[F.count(F.col(f"t{i + 1}")).alias(f"n{i + 1}") for i in range(3)]
         ).collect()[0]
