@@ -93,6 +93,12 @@ HEADLINE = [
     # a third stateful-streaming drain shape (two-sided join state vs
     # the dedup's keyed fingerprints and the funnel's per-user folds)
     "streaming_click_attribution",
+    # r8 additions: three new operator families — the SCD2 window
+    # collapse, the sequence()-explode gap-fill with two shared-sort
+    # window fills, and BM25's pruned-postings join + per-query top-k
+    "scd2_priority_history",
+    "gap_filled_user_series",
+    "bm25_doc_search",
 ]
 
 

@@ -1,0 +1,115 @@
+"""BM25 ranked retrieval over the document corpus.
+
+Training-data pipelines score documents against probe queries for
+retrieval-augmented mixing, benchmark decontamination triage, and
+topic-targeted sampling; BM25 (Robertson-Spärck Jones) is the standard
+lexical ranking function. (The reference has no retrieval surface —
+this is part of the LLM-pipeline mandate, like operators/text.py.)
+
+Spark-first shape, one pass over the corpus:
+
+- postings are built by exploding the SAME whitespace tokenization the
+  rest of the text stack uses (operators/text.tokens — oracle twin
+  ``string_split_regex``), immediately semi-joined to the query
+  vocabulary (broadcast — a query set is small by definition), so the
+  per-(doc, term) aggregation only shuffles rows for terms somebody
+  asked about, not the whole corpus vocabulary;
+- corpus stats (N, avgdl) are a 1-row aggregate crossJoined back
+  (broadcast of one row — the same scale shape as PageRank's dangling
+  mass);
+- document frequencies ride the postings (count over the term's
+  posting rows = docs containing it, since tf rows are per doc);
+- final scores are one (query, term)×(term → postings) join keyed by
+  term + a (query, doc) partial-agg sum + a bounded top-k window.
+
+Float determinism for the DuckDB oracle: tf/df/N/dl/avgdl are exact
+(integer-derived; avgdl's integer sum is exact in double far past any
+corpus size here), so the only libm call is the idf log — rounded to
+12 decimals on BOTH engines before entering the score product, the
+same ULP-proofing as the A-ES sampling key (queries/pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mrt_data_integration_spark.operators.text import tokens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25.
+
+    ``queries`` has one row per query: (query_id, terms array<string>).
+    Duplicate terms within a query are counted once (classic BM25 query
+    form). Returns (query_id, rank, doc_id, score) with score rounded
+    to 6 decimals and ties broken by doc_id — fully deterministic.
+
+        score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+        idf(t)      = ln(1 + (N − df + 0.5)/(df + 0.5))
+    """
+    qterms = queries.select(
+        query_id_col, F.explode(F.array_distinct(F.col(terms_col))).alias("term")
+    )
+    vocab = qterms.select("term").distinct()
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    # postings for queried terms only — the broadcast semi-join prunes
+    # the explode BEFORE the (doc, term) shuffle
+    tf = (
+        toks.join(F.broadcast(vocab), "term", "left_semi")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = docs.select(
+        F.col(id_col), F.size(tokens(text_col)).alias("dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(tokens(text_col))).alias("avgdl"),
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    postings = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+        12,
+    )
+    contrib = idf * (
+        F.col("tf") * F.lit(k1 + 1.0)
+    ) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        qterms.join(postings, "term")
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "score")
+    )

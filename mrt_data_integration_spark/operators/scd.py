@@ -1,0 +1,164 @@
+"""Slowly-changing-dimension (type 2) operators — changelog → history.
+
+The reference materializes analysis frames as point-in-time snapshots
+(simulation.R's per-run result frames); a 100 TB warehouse instead
+tracks attribute CHANGES and needs the standard SCD2 reshape: an
+ordered change log per key collapsed into effective-dated version rows
+(valid_from/valid_to/is_current), plus the incremental MERGE that
+folds a new change batch into an existing history without rebuilding
+it.
+
+Spark-first shape: both operators are pure window/join compositions —
+one shuffle keyed by the dimension key for the run-collapse windows
+(lag/lead/row_number share a single Window spec → a single Exchange +
+Sort, pinned in tests/test_plans.py), and the merge touches only the
+PARTITIONS holding changed keys (broadcast semi-join pruning when the
+batch is small). No UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def changelog_to_scd2(
+    changes: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    seq_cols: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Collapse an ordered change log into SCD2 version rows.
+
+    ``changes`` has one row per OBSERVATION of a key's tracked
+    attributes; consecutive observations (ordered by ``seq_cols``,
+    which must be a total order within a key — include a tiebreaker
+    like the source row id) with identical ``tracked_cols`` collapse
+    into one version row:
+
+        key_cols…, tracked_cols…,
+        valid_from  = ts_col of the run's first observation,
+        valid_to    = next run's valid_from (NULL for the current run),
+        version     = 1-based run index per key,
+        is_current  = valid_to IS NULL
+
+    Change detection is null-safe (``eqNullSafe`` on the tracked
+    struct): NULL → value and value → NULL transitions open new
+    versions, NULL → NULL does not — a plain ``!=`` would silently
+    treat every NULL row as "no change".
+
+    One hash shuffle on ``key_cols``; the detect window and the
+    run-collapse windows share the same (partitionBy, orderBy) spec so
+    Catalyst plans a single Exchange + Sort for all of them.
+    """
+    kt = [F.col(c) for c in key_cols]
+    w = Window.partitionBy(*kt).orderBy(*[F.col(c) for c in seq_cols])
+    cur = F.struct(*[F.col(c) for c in tracked_cols])
+    is_new = ~F.lag(cur).over(w).eqNullSafe(cur) | F.lag(cur).over(w).isNull()
+    runs = changes.withColumn("__new__", is_new).filter("__new__")
+    return (
+        runs.withColumn("valid_to", F.lead(F.col(ts_col)).over(w))
+        .withColumn("version", F.row_number().over(w))
+        .select(
+            *key_cols,
+            *tracked_cols,
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            "version",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+def scd2_merge(
+    history: DataFrame,
+    batch: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    seq_cols: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Fold a NEW change batch into an existing SCD2 ``history``.
+
+    Contract: every batch observation is strictly later (by
+    ``seq_cols``) than the history's current rows — the standard
+    incremental-load shape. The merge is exactly equivalent to
+    rebuilding from the full concatenated change log
+    (``changelog_to_scd2``), pinned by the merge==rebuild identity
+    test, but touches only the affected keys:
+
+    - keys absent from the batch pass through UNCHANGED (no shuffle of
+      the untouched history beyond the anti-join probe);
+    - for affected keys, the CURRENT row re-enters the collapse as the
+      baseline observation (its valid_from/version carried through),
+      so an unchanged attribute batch extends no version and a changed
+      one closes the current row at the first differing observation.
+
+    At 100 TB the history side is the big one: affected keys are a
+    broadcast semi/anti-join prune (micro-batch sized), so the closed
+    (immutable) version rows never move.
+    """
+    affected = batch.select(*key_cols).distinct()
+    untouched = history.join(F.broadcast(affected), key_cols, "left_anti")
+    closed = history.filter(~F.col("is_current")).join(
+        F.broadcast(affected), key_cols, "left_semi"
+    )
+    # current rows re-enter the collapse as the baseline observation;
+    # __v0__ carries their version so re-numbering can resume from it.
+    # seq tiebreaker columns (seq_cols minus ts_col) ride along from
+    # the batch; the baseline fills them with typed NULLs — NULLS FIRST
+    # sorts the baseline before any batch row that ties on ts (the
+    # contract says batch seq is strictly later anyway).
+    tiebreak = [c for c in seq_cols if c != ts_col]
+    batch_types = dict(batch.dtypes)
+    base = (
+        history.filter(F.col("is_current"))
+        .join(F.broadcast(affected), key_cols, "left_semi")
+        .select(
+            *key_cols,
+            *tracked_cols,
+            F.col("valid_from").alias(ts_col),
+            *[F.lit(None).cast(batch_types[c]).alias(c) for c in tiebreak],
+            F.col("version").alias("__v0__"),
+        )
+    )
+    batch_obs = batch.select(
+        *key_cols,
+        *tracked_cols,
+        ts_col,
+        *tiebreak,
+        F.lit(None).cast("long").alias("__v0__"),
+    )
+    merged_log = base.unionByName(batch_obs, allowMissingColumns=False)
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+        F.col(ts_col), *[F.col(c) for c in tiebreak]
+    )
+    cur = F.struct(*[F.col(c) for c in tracked_cols])
+    is_new = ~F.lag(cur).over(w).eqNullSafe(cur) | F.lag(cur).over(w).isNull()
+    v0 = F.first("__v0__", ignorenulls=True).over(
+        Window.partitionBy(*[F.col(c) for c in key_cols])
+    )
+    rebuilt = (
+        merged_log.withColumn("__new__", is_new)
+        .filter("__new__")
+        .withColumn("valid_to", F.lead(F.col(ts_col)).over(w))
+        .withColumn("__rn__", F.row_number().over(w))
+        # brand-new keys (no history) have no __v0__ → resume from 1
+        .withColumn(
+            "version",
+            (F.col("__rn__") + F.coalesce(v0, F.lit(1)) - F.lit(1)).cast(
+                "int"
+            ),  # keep IntegerType so merge output unions cleanly with
+            # changelog_to_scd2's row_number()-typed history
+        )
+        .select(
+            *key_cols,
+            *tracked_cols,
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            "version",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+    return untouched.unionByName(closed).unionByName(rebuilt)

@@ -34,7 +34,7 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (109 queries as of r8 —
+# ROTATION POLICY (round 4+): the registry (112 queries as of r8 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
@@ -64,11 +64,9 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # tests/test_oracle_parity.py; rotated-out no_oracle fits keep their golden
 # tests.
 _POOL_A: list[str] = [
-    "char_ngram_min_sketch",
     "simhash_buckets",
     "gopher_quality_flags",
     "deterministic_split",
-    "training_data_prep",
     "events_hourly_rollup",
     "sessionization",
     "asof_latest_order",
@@ -78,7 +76,6 @@ _POOL_A: list[str] = [
     "embedding_norm_stats",
     "cosine_topk",
     "label_centroids",
-    "embedding_similar_pairs",
     "lsh_bucket_profile",
     "embedding_similar_pairs_lsh",
     "ivf_topk",
@@ -116,6 +113,19 @@ _POOL_A: list[str] = [
     "corpus_ingest_pipeline",
     "streaming_funnel_conversion",
     "training_shard_manifest",
+    # r8 additions (new operator families, registered after the r8
+    # window froze — zero driver history, force-included in POOL_A's r9
+    # turn per rule 2; each slot funded by the paired retirement of a
+    # same-shape POOL_A twin to keep the r9 window at exactly 50):
+    # SCD2 changelog→history (operators/scd.py; funded by retiring
+    # `training_data_prep`), gap-fill/linear-interpolation resample
+    # (operators/resample.py; funded by retiring
+    # `char_ngram_min_sketch`), BM25 ranked retrieval
+    # (operators/retrieval.py; funded by retiring
+    # `embedding_similar_pairs`).
+    "scd2_priority_history",
+    "gap_filled_user_series",
+    "bm25_doc_search",
 ]
 _POOL_B: list[str] = [
     "filter_project",
@@ -275,6 +285,26 @@ _RETIRED: list[str] = [
     # hash-green, r8 row — grouped frequency counting over the same
     # scan).
     "value_histogram",
+    # r8: retired to fund the `scd2_priority_history` r9 slot. Twin
+    # coverage for the composed dedup→quality→split prep shape:
+    # `corpus_ingest_pipeline` (POOL_A, r7 hash — the richer composed
+    # ingest pipeline that superseded it) plus the per-stage queries
+    # `gopher_quality_flags` and `deterministic_split` (both POOL_A,
+    # r7 hash).
+    "training_data_prep",
+    # r8: retired to fund the `gap_filled_user_series` r9 slot. Twin
+    # coverage for the per-doc hash-sketch scan shape:
+    # `simhash_buckets` (POOL_A, r7 hash — the same token-hash bit
+    # arithmetic over the same scan) and `heavy_hitters` (POOL_B, r8
+    # row — the sketch-family grouped profile).
+    "char_ngram_min_sketch",
+    # r8: retired to fund the `bm25_doc_search` r9 slot. Twin coverage
+    # for the all-pairs cosine-threshold shape:
+    # `embedding_similar_pairs_lsh` (POOL_A, r7 hash — the same pair
+    # join + cosine verify behind the LSH prefilter, the production
+    # path) and `cosine_topk` (POOL_A, r7 hash — the same dot-product
+    # arithmetic, top-k form).
+    "embedding_similar_pairs",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,
@@ -411,7 +441,12 @@ _WINDOW: list[str] = (
 #   - any NEW query registered during r8 (beyond `image_near_dup_pairs`,
 #     which is in the r8 window) must join POOL_A for its forced r9 row
 #     AND be paired with the retirement of a same-shape POOL_A twin
-#     that holds a fresh r7 hash row — the zero-slack rule;
+#     that holds a fresh r7 hash row — the zero-slack rule. EXECUTED
+#     for the three r8 operator families: `scd2_priority_history` /
+#     `gap_filled_user_series` / `bm25_doc_search` joined POOL_A,
+#     funded by retiring `training_data_prep` /
+#     `char_ngram_min_sketch` / `embedding_similar_pairs` (see
+#     _RETIRED);
 #   - no rotation query waits >2 rounds under this plan: POOL_B + the
 #     13 r8-sit-out CORE members get r8 rows, POOL_A + the 13 r9-sit-out
 #     CORE members (the ones with r8 rows) get r9 rows;

@@ -167,3 +167,61 @@ def brand_part_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_partkey").alias("n_parts"),
         )
     )
+
+
+@query(
+    "scd2_priority_history",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey AS k, o_orderpriority AS p,
+             o_orderdate AS d, o_orderkey AS ok
+      FROM orders WHERE o_custkey % 10 = 0
+    ),
+    s AS (
+      SELECT *, lag(p) OVER (PARTITION BY k ORDER BY d, ok) AS pp FROM c
+    ),
+    r AS (SELECT k, p, d, ok FROM s WHERE pp IS NULL OR pp <> p),
+    h AS (
+      SELECT k, p, d,
+             lead(d) OVER (PARTITION BY k ORDER BY d, ok) AS vt,
+             row_number() OVER (PARTITION BY k ORDER BY d, ok) AS v
+      FROM r
+    )
+    SELECT k AS custkey, p AS priority,
+           strftime(d, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CAST(v AS INTEGER) AS version,
+           (vt IS NULL) AS is_current
+    FROM h
+    """,
+)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (r8, operators/scd.py): each customer's order stream read
+    as a changelog of their order priority, collapsed into effective-
+    dated version rows — consecutive same-priority orders extend a
+    version, a priority change closes it and opens the next. One
+    window shuffle keyed by the dimension key; the oracle replays the
+    identical lag/lead/row_number collapse."""
+    from mrt_data_integration_spark.operators.scd import changelog_to_scd2
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 10 == 0
+    )
+    hist = changelog_to_scd2(
+        orders.select(
+            "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+        ),
+        key_cols=["o_custkey"],
+        tracked_cols=["o_orderpriority"],
+        seq_cols=["o_orderdate", "o_orderkey"],
+        ts_col="o_orderdate",
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return hist.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "version",
+        "is_current",
+    )

@@ -1094,3 +1094,76 @@ def near_dup_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank8").desc(), "doc_id")
         .limit(20)
     )
+
+
+# r8: BM25 ranked retrieval (operators/retrieval.py). The probe-query
+# vocabulary is a fixed literal set over the corpus's synthetic
+# vocabulary; every float input to the score is integer-derived except
+# the idf log, rounded to 12 in BOTH engines before the product (the
+# A-ES ULP-proofing pattern). k1=1.2, b=0.75 appear as the evaluated
+# literals 2.2 / 0.25 / 0.75 so both engines see identical doubles.
+_BM25_QUERIES = [
+    ("q_join", ["hash", "join"]),
+    ("q_scan", ["scan", "filter", "slow"]),
+    ("q_stream", ["stream", "window", "batch"]),
+    ("q_vector", ["vector", "data", "customer"]),
+]
+_BM25_Q_SQL = ", ".join(
+    f"('{qid}', '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+)
+
+
+@query(
+    "bm25_doc_search",
+    oracle=f"""
+    WITH q(query_id, term) AS (VALUES {_BM25_Q_SQL}),
+    toks AS (
+      SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN (SELECT term FROM q) GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, len({_TOKENS}) AS dl FROM documents),
+    st AS (
+      SELECT count(*) AS n_docs, avg(len({_TOKENS})) AS avgdl
+      FROM documents
+    ),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    sc AS (
+      SELECT q.query_id, tf.doc_id,
+             round(sum(
+               round(ln(1 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)), 12)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
+             ), 6) AS score
+      FROM q
+      JOIN tf USING (term)
+      JOIN dl USING (doc_id)
+      JOIN dft USING (term)
+      CROSS JOIN st
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             ) AS rank
+      FROM sc
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score
+    FROM r WHERE rank <= 5
+    """,
+)
+def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5+ (r8): BM25 top-5 per probe query over the whole documents
+    table — postings pruned to the query vocabulary by broadcast
+    semi-join BEFORE the (doc, term) shuffle, corpus stats as a 1-row
+    broadcast, deterministic (rounded score desc, doc_id) ranking."""
+    from mrt_data_integration_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries_df = spark.createDataFrame(
+        _BM25_QUERIES, "query_id string, terms array<string>"
+    )
+    return bm25_topk(docs, queries_df, k=5)

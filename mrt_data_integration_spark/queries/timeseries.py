@@ -902,3 +902,93 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r.view_day, int(r.n_attributed), float(r.click_value)) for r in totals],
         "view_day string, n_attributed bigint, click_value double",
     )
+
+
+@query(
+    "gap_filled_user_series",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, value FROM events
+      WHERE event_type = 'purchase' AND user_id % 40 = 0
+    ),
+    -- floor(x*10^d + 0.5)/10^d in BOTH engines: engine round()s
+    -- disagree on representational ties (operators/resample.py
+    -- _round_half_up rationale)
+    -- max, not avg: a float SUM is summation-order-dependent, so the
+    -- two engines disagree by ULPs before any rounding; max picks an
+    -- existing bit pattern and is order-independent (resample docstring)
+    obs AS (SELECT user_id, h,
+                   floor(max(value) * 1000000 + 0.5) / 1000000 AS v
+            FROM e GROUP BY 1, 2),
+    span AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM obs GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM span
+    ),
+    j AS (
+      SELECT g.user_id, g.h, o.v
+      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+    ),
+    f AS (
+      SELECT user_id, h, v,
+        last_value(v IGNORE NULLS) OVER wp AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+          OVER wp AS pt,
+        first_value(v IGNORE NULLS) OVER wn AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+          OVER wn AS nt
+      FROM j
+      WINDOW wp AS (PARTITION BY user_id ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY h
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, strftime(h, '%Y-%m-%d %H:%M') AS hour,
+           floor((CASE WHEN v IS NOT NULL THEN v
+                       WHEN pv IS NULL THEN nv
+                       WHEN nv IS NULL THEN pv
+                       -- parenthesized fraction: Spark computes
+                       -- (nv-pv) * (dt/span); x*y/z associates as
+                       -- (x*y)/z and differs by ULPs
+                       ELSE pv + (nv - pv)
+                            * ((epoch(h) - epoch(pt))
+                               / (epoch(nt) - epoch(pt)))
+                  END) * 10000 + 0.5) / 10000 AS value_filled,
+           (v IS NOT NULL) AS is_observed
+    FROM f
+    """,
+)
+def gap_filled_user_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill/resample (r8, operators/resample.py): each sampled
+    user's sparse purchase series densified onto an hourly grid with
+    linear interpolation between observed hours (constant extrapolation
+    at the edges). sequence()+explode grid, two shared-sort window
+    fills, one key shuffle — no UDF. The oracle replays the identical
+    grid + IGNORE NULLS window fills; the only float inputs (hourly avg
+    values) are rounded to 6 BEFORE interpolation in both engines, so
+    the interpolation arithmetic sees bit-identical operands."""
+    from mrt_data_integration_spark.operators.resample import resample_series
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 40 == 0)
+    ).select("user_id", "ts", "value")
+    out = resample_series(
+        purchases,
+        ["user_id"],
+        "ts",
+        "value",
+        unit="hour",
+        how="linear",
+        # max, not avg: float-sum aggregation is summation-order-
+        # dependent, so Spark and DuckDB disagree by ULPs that a
+        # boundary row then rounds apart; max is order-independent and
+        # bit-exact across engines
+        agg="max",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm").alias("hour"),
+        "value_filled",
+        "is_observed",
+    )

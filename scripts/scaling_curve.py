@@ -91,6 +91,26 @@ def replicate_events(ev, k):
     return out
 
 
+def replicate_orders(od, k):
+    """Replica i mints fresh customers and orders — key-space growth,
+    the realistic dimension-table axis for the SCD2 collapse."""
+    parts = [
+        od.select(
+            (F.col("o_orderkey") + i * 100_000_000).alias("o_orderkey"),
+            (F.col("o_custkey") + i * 10_000_000).alias("o_custkey"),
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        for i in range(k)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def replicate_embeddings(emb, k):
     """Replica i flips a per-replica deterministic sign pattern onto
     every vector: norms (and within-replica geometry) are preserved,
@@ -146,6 +166,9 @@ OP_INPUTS = {
     "image_near_dup": {"media"},
     "pagerank": {"docs", "pr_edges"},
     "stream_interval_join_drain": {"events", "sjoin_src"},
+    "scd2_history": {"orders"},
+    "gap_fill_linear": {"events"},
+    "bm25_search": {"docs"},
 }
 
 
@@ -169,6 +192,7 @@ def main() -> None:
     EMB_BASE = 30
 
     datasets = {}
+    orders_paths = {}
     for k in SCALES:
         dpath = os.path.join(work, f"docs_{k}x")
         epath = os.path.join(work, f"events_{k}x")
@@ -181,6 +205,12 @@ def main() -> None:
             replicate_embeddings(base_emb, EMB_BASE * k).repartition(
                 32
             ).write.parquet(vpath)
+        if "orders" in needed:
+            opath = os.path.join(work, f"orders_{k}x")
+            replicate_orders(
+                load_table(spark, SF_DIR, "orders"), k
+            ).repartition(32).write.parquet(opath)
+            orders_paths[k] = opath
         datasets[k] = (dpath, epath, vpath)
 
     def docs(k):
@@ -541,6 +571,20 @@ def main() -> None:
         "streaming_dedup_drain": lambda k: _drain_dedup(k),
         "streaming_funnel_drain": lambda k: _drain_funnel(k),
         "stream_interval_join_drain": lambda k: _drain_sjoin(k),
+        # r8: SCD2 changelog collapse — key-space growth (replicated
+        # orders mint fresh customers). Expected linear: one window
+        # shuffle keyed by the dimension key.
+        "scd2_history": lambda k: _scd2(k),
+        # r8: gap-fill densification — key-space growth (replicated
+        # events mint fresh users; per-user spans unchanged, so grid
+        # rows scale k×). Expected linear: grid explode + one key
+        # shuffle for the shared-sort window fills.
+        "gap_fill_linear": lambda k: _gap_fill(k),
+        # r8: BM25 — corpus AND query-batch growth (per-replica probe
+        # terms follow the vocabulary rewrite, so postings scale k×
+        # alongside the scan). Expected linear: tokenize scan dominates;
+        # postings are pruned to the query vocabulary pre-shuffle.
+        "bm25_search": lambda k: _bm25(k),
         "corpus_ingest_pipeline": lambda k: _ingest_pipeline(k),
     }
 
@@ -566,11 +610,12 @@ def main() -> None:
         )
         from mrt_data_integration_spark.streaming.funnel import (
             funnel_stream,
-            latest_stage_times,
+            merge_funnel_updates,
+            read_funnel_state,
         )
 
         spath, schema = sfunnel_srcs[k]
-        out = tempfile.mkdtemp(prefix="graft_sc_fn_out_")
+        out = tempfile.mkdtemp(prefix="graft_sc_fn_state_")
         try:
             _drain_stream(
                 funnel_stream(
@@ -579,13 +624,15 @@ def main() -> None:
                     .parquet(spath),
                     ["view", "click", "purchase"],
                 ),
-                lambda df, bid: df.write.mode("append").parquet(out),
+                # the shipped sink (r8, queries/timeseries.py): compact
+                # each batch into the versioned per-user serving state
+                lambda df, bid: merge_funnel_updates(df, bid, out),
                 # shipped volume-based sizing (queries/timeseries.py):
                 # a FIXED count either overpays fixed costs at 1x (32)
                 # or saturates at 10x (8 → slope 4.45 measured)
                 state_partitions=_sized_state_partitions(spark, spath, 2),
             )
-            return latest_stage_times(spark.read.parquet(out), 3).count()
+            return read_funnel_state(spark, out).count()
         finally:
             _sh.rmtree(out, ignore_errors=True)
 
@@ -670,6 +717,60 @@ def main() -> None:
             return spark.read.parquet(out).count()
         finally:
             _sh.rmtree(out, ignore_errors=True)
+
+    def _scd2(k):
+        from mrt_data_integration_spark.operators.scd import changelog_to_scd2
+
+        od = spark.read.parquet(orders_paths[k])
+        return changelog_to_scd2(
+            od.select(
+                "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+            ),
+            key_cols=["o_custkey"],
+            tracked_cols=["o_orderpriority"],
+            seq_cols=["o_orderdate", "o_orderkey"],
+            ts_col="o_orderdate",
+        ).count()
+
+    def _gap_fill(k):
+        from mrt_data_integration_spark.operators.resample import (
+            resample_series,
+        )
+
+        ev = events(k).withColumn("ts", F.col("ts").cast("timestamp"))
+        purchases = ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("user_id") % 4 == 0)
+        ).select("user_id", "ts", "value")
+        return resample_series(
+            purchases, ["user_id"], "ts", "value", unit="hour", how="linear",
+            agg="max",
+        ).count()
+
+    def _bm25(k):
+        import hashlib as _hl
+
+        from mrt_data_integration_spark.operators.retrieval import bm25_topk
+
+        base_terms = [
+            ["hash", "join"],
+            ["scan", "filter", "slow"],
+            ["vector", "data", "customer"],
+        ]
+
+        def rw(t, i):
+            # the same per-replica vocabulary rewrite replicate_docs
+            # applies: substring(md5(word|i), 1, len(word))
+            return _hl.md5(f"{t}|{i}".encode()).hexdigest()[: len(t)]
+
+        qrows = [
+            (f"q{qi}_{i}", [rw(t, i) for t in terms])
+            for i in range(k)
+            for qi, terms in enumerate(base_terms)
+        ]
+        qdf = spark.createDataFrame(
+            qrows, "query_id string, terms array<string>"
+        )
+        return bm25_topk(docs(k), qdf, k=5).count()
 
     def _drain_dedup(k):
         # Same rationale as _drain_funnel: measure the shipped

@@ -1,0 +1,123 @@
+"""SCD2 operators (operators/scd.py): changelog run-collapse semantics,
+null-safe change detection, and the merge==rebuild identity that makes
+the incremental path trustworthy."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from mrt_data_integration_spark.operators.scd import (
+    changelog_to_scd2,
+    scd2_merge,
+)
+
+
+def _ts(d):
+    return datetime(2024, 1, d)
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, attr string, ts timestamp, rid long"
+    )
+
+
+def _hist(spark, log):
+    return changelog_to_scd2(log, ["k"], ["attr"], ["ts", "rid"], "ts")
+
+
+def test_run_collapse_and_versioning(spark):
+    log = _log(
+        spark,
+        [
+            (1, "A", _ts(1), 1),
+            (1, "A", _ts(2), 2),  # no change — same run
+            (1, "B", _ts(3), 3),  # new version
+            (1, "B", _ts(4), 4),
+            (1, "A", _ts(5), 5),  # back to A → THIRD version, not merged
+            (2, "X", _ts(1), 6),
+        ],
+    )
+    got = sorted(
+        _hist(spark, log).collect(), key=lambda r: (r.k, r.version)
+    )
+    assert [(r.k, r.attr, r.valid_from, r.valid_to, r.version, r.is_current)
+            for r in got] == [
+        (1, "A", _ts(1), _ts(3), 1, False),
+        (1, "B", _ts(3), _ts(5), 2, False),
+        (1, "A", _ts(5), None, 3, True),
+        (2, "X", _ts(1), None, 1, True),
+    ]
+
+
+def test_null_transitions_open_versions(spark):
+    """NULL→value and value→NULL are changes; NULL→NULL is not — a
+    plain != would return NULL on every comparison with a NULL side and
+    silently drop those version boundaries."""
+    log = _log(
+        spark,
+        [
+            (1, None, _ts(1), 1),
+            (1, None, _ts(2), 2),  # NULL → NULL: same run
+            (1, "A", _ts(3), 3),  # NULL → A: new version
+            (1, None, _ts(4), 4),  # A → NULL: new version
+        ],
+    )
+    got = sorted(_hist(spark, log).collect(), key=lambda r: r.version)
+    assert [(r.attr, r.version) for r in got] == [
+        (None, 1), ("A", 2), (None, 3)
+    ]
+
+
+def test_merge_equals_rebuild(spark):
+    """Folding a later batch into an existing history must yield
+    EXACTLY the history rebuilt from the concatenated log — versions,
+    closed rows, untouched keys, brand-new keys, all of it."""
+    early = [
+        (1, "A", _ts(1), 1),
+        (1, "B", _ts(3), 2),
+        (2, "X", _ts(1), 3),
+        (3, "Q", _ts(2), 4),  # untouched by the batch
+    ]
+    late = [
+        (1, "B", _ts(5), 5),  # unchanged → extends no version
+        (1, "C", _ts(6), 6),  # closes (1, B), opens v3
+        (2, "Y", _ts(5), 7),  # closes (2, X)
+        (9, "N", _ts(5), 8),  # brand-new key → version starts at 1
+        (9, "M", _ts(6), 9),
+    ]
+    hist = _hist(spark, _log(spark, early))
+    merged = scd2_merge(
+        hist, _log(spark, late), ["k"], ["attr"], ["ts", "rid"], "ts"
+    )
+    rebuilt = _hist(spark, _log(spark, early + late))
+    key = lambda r: (r.k, r.version)  # noqa: E731
+    got = sorted(
+        [(r.k, r.attr, r.valid_from, r.valid_to, r.version, r.is_current)
+         for r in merged.collect()]
+    )
+    want = sorted(
+        [(r.k, r.attr, r.valid_from, r.valid_to, r.version, r.is_current)
+         for r in rebuilt.collect()]
+    )
+    assert got == want
+
+
+def test_merge_untouched_keys_pass_through_unshuffled(spark):
+    """Affected-key pruning: the anti/semi probes must broadcast (the
+    batch key set is micro-batch sized), so closed history rows never
+    enter a shuffle."""
+    hist = _hist(
+        spark,
+        _log(spark, [(i, "A", _ts(1), i) for i in range(20)]),
+    )
+    batch = _log(spark, [(0, "B", _ts(9), 99)])
+    merged = scd2_merge(hist, batch, ["k"], ["attr"], ["ts", "rid"], "ts")
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows = {(r.k, r.version): r for r in merged.collect()}
+    assert rows[(0, 1)].is_current is False
+    assert rows[(0, 2)].attr == "B" and rows[(0, 2)].is_current
+    assert rows[(5, 1)].is_current  # untouched
