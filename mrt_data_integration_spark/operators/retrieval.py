@@ -62,28 +62,38 @@ def bm25_topk(
         query_id_col, F.explode(F.array_distinct(F.col(terms_col))).alias("term")
     )
     vocab = qterms.select("term").distinct()
+    # dl rides the explode (a per-row constant repeated on each token
+    # row, folded back with max in the same (doc, term) aggregation) —
+    # a separate doc-length frame would cost a second corpus scan AND a
+    # fact-fact doc_id join (a 9-exchange plan measured; this shape is
+    # 6 with zero SortMergeJoin)
     toks = docs.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("dl"),
+        F.explode(tokens(text_col)).alias("term"),
     )
     # postings for queried terms only — the broadcast semi-join prunes
     # the explode BEFORE the (doc, term) shuffle
     tf = (
         toks.join(F.broadcast(vocab), "term", "left_semi")
         .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
-    dl = docs.select(
-        F.col(id_col), F.size(tokens(text_col)).alias("dl")
-    )
+    # tf feeds TWO consumers (document frequencies + the postings
+    # join); without a persist each re-executes the corpus explode —
+    # two full scans. Same handle discipline as the dedup family
+    # (release_cache on the returned frame frees it).
+    from mrt_data_integration_spark.cache_registry import track_cache
+    from mrt_data_integration_spark.operators.dedup import _attach_cache
+
+    tf = track_cache(tf.persist())
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.size(tokens(text_col))).alias("avgdl"),
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    postings = (
-        tf.join(dl, id_col)
-        .join(F.broadcast(df_t), "term")
-        .crossJoin(F.broadcast(stats))
+    postings = tf.join(F.broadcast(df_t), "term").crossJoin(
+        F.broadcast(stats)
     )
     idf = F.round(
         F.log(
@@ -108,8 +118,9 @@ def bm25_topk(
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col)
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "score")
     )
+    return _attach_cache(out, [tf])

@@ -1678,3 +1678,66 @@ def semantic_dedup(
     )
     out.__graft_cached__ = [assigned]  # released by the registry sweep
     return out
+
+
+def hard_negative_topk(
+    emb: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    min_sim: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: for each
+    anchor, the ``k`` corpus vectors MOST similar to it that carry a
+    DIFFERENT label — the negatives a contrastive loss learns the most
+    from (easy negatives are already far away; false negatives are
+    same-label rows, excluded by construction).
+
+    The physical shape is exactly :func:`brute_force_topk` — broadcast
+    anchors, one corpus scan computing score triples, two-stage bounded
+    ranking — plus a map-side label-mismatch predicate BEFORE the rank
+    (cheaper than ranking then discarding) and an optional ``min_sim``
+    floor that drops trivially-easy negatives from the shuffle
+    entirely. At corpus scale the IVF/LSH variants in this module
+    replace the brute scan the same way they do for plain top-k; the
+    label filter composes unchanged.
+
+    Returns (anchor_id, rank, negative_id, negative_label, cosine_sim),
+    rank 1 = hardest negative, ties by negative id.
+    """
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("__alabel__"),
+        F.col(vec_col).alias("__avec__"),
+        norm(vec_col).alias("__an__"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("negative_label"),
+        F.col(vec_col).alias("__cvec__"),
+        norm(vec_col).alias("__cn__"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col("negative_label") != F.col("__alabel__"))
+        .select(
+            F.col("anchor_id").alias("query_id"),
+            F.col("negative_id").alias("corpus_id"),
+            "negative_label",
+            (
+                dot("__avec__", "__cvec__")
+                / (F.col("__an__") * F.col("__cn__"))
+            ).alias("cosine_sim"),
+        )
+    )
+    if min_sim is not None:
+        scored = scored.filter(F.col("cosine_sim") >= min_sim)
+    return bounded_topk(scored, k, "cosine_sim").select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("rk").alias("rank"),
+        F.col("corpus_id").alias("negative_id"),
+        "negative_label",
+        F.round("cosine_sim", 4).alias("cosine_sim"),
+    )

@@ -593,3 +593,64 @@ def test_weighted_sample_prefers_heavy_weights(spark):
     out = QUERIES["weighted_doc_sample"](spark, d).filter("rk = 1").collect()
     got = {r["lang"]: r["doc_id"] for r in out}
     assert got == {"en": 7, "de": 103}
+
+
+def test_hard_negative_topk_semantics(spark):
+    """Hard negatives: most-similar DIFFERENT-label vectors, same-label
+    rows and self excluded by construction, numpy twin agreement."""
+    import numpy as np
+
+    from mrt_data_integration_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    labels = [f"l{i % 4}" for i in range(40)]
+    emb = spark.createDataFrame(
+        [(i, labels[i], [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, label string, embedding array<float>",
+    )
+    anchors = emb.filter("vec_id < 3")
+    out = hard_negative_topk(emb, anchors, k=4)
+    rows = out.collect()
+    # no same-label negative, no self
+    lbl = dict(enumerate(labels))
+    for r in rows:
+        assert r.negative_label != lbl[r.anchor_id]
+        assert r.negative_id != r.anchor_id
+
+    # numpy twin for anchor 0
+    v = vecs.astype("float64")
+    n = np.linalg.norm(v, axis=1)
+    cs = (v @ v[0]) / (n * n[0])
+    cands = sorted(
+        ((round(float(cs[j]), 4), j) for j in range(40) if lbl[j] != lbl[0]),
+        key=lambda p: (-p[0], p[1]),
+    )[:4]
+    got = sorted(
+        ((r.cosine_sim, r.negative_id) for r in rows if r.anchor_id == 0),
+        key=lambda p: (-p[0], p[1]),
+    )
+    assert [(round(s, 4), j) for s, j in cands] == [
+        (round(s, 4), j) for s, j in got
+    ]
+
+
+def test_hard_negative_min_sim_floor(spark):
+    from mrt_data_integration_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, "a", [1.0, 0.0]),
+            (1, "b", [0.99, 0.14]),  # hard negative (cos ≈ 0.990)
+            (2, "b", [0.0, 1.0]),  # easy negative (cos = 0)
+            (3, "a", [1.0, 0.01]),  # same label — never a negative
+        ],
+        "vec_id long, label string, embedding array<float>",
+    )
+    anchors = emb.filter("vec_id = 0")
+    out = hard_negative_topk(emb, anchors, k=5, min_sim=0.5).collect()
+    assert [(r.negative_id, r.rank) for r in out] == [(1, 1)]
