@@ -99,6 +99,7 @@ HEADLINE = [
     "scd2_priority_history",
     "gap_filled_user_series",
     "bm25_doc_search",
+    "lineitem_priority_regime",
 ]
 
 

@@ -162,3 +162,56 @@ def scd2_merge(
         )
     )
     return untouched.unionByName(closed).unionByName(rebuilt)
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+    broadcast_history: bool = False,
+) -> DataFrame:
+    """Join facts to the SCD2 version that was valid AT each fact's
+    timestamp — the temporal/point-in-time join every SCD2 history
+    exists to answer ("which plan was this user on when the event
+    fired").
+
+    Version-interval semantics match :func:`changelog_to_scd2`:
+    half-open ``[valid_from, valid_to)``, NULL ``valid_to`` = current.
+    A fact earlier than the key's first version matches nothing
+    (``how="left"`` keeps it with NULL dimension columns).
+
+    Scale shape: the EQUALITY key is in the join condition, so Catalyst
+    plans a hash/sort-merge join keyed on it with the two interval
+    bounds as residual join filters — never a banded explode or a
+    nested-loop (that machinery, operators/rangejoin.py, exists for
+    PURE range joins with no equi key; here versions-per-key is small
+    and the equi key does the distribution). ``broadcast_history=True``
+    hints the usual case of a dimension history that fits in memory;
+    left at False, AQE still converts when sizes allow.
+    """
+    h = history
+    if broadcast_history:
+        h = F.broadcast(h)
+    cond = None
+    for c in key_cols:
+        eq = facts[c] == history[c]
+        cond = eq if cond is None else cond & eq
+    cond = (
+        cond
+        & (facts[ts_col] >= history[valid_from])
+        & (
+            history[valid_to].isNull()
+            | (facts[ts_col] < history[valid_to])
+        )
+    )
+    joined = facts.join(h, cond, how)
+    # drop the history's duplicate key columns — the fact side's values
+    # are identical (equi condition) and a doubled name poisons every
+    # downstream select
+    for c in key_cols:
+        joined = joined.drop(history[c])
+    return joined

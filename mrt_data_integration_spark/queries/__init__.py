@@ -34,7 +34,7 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (112 queries as of r8 —
+# ROTATION POLICY (round 4+): the registry (113 queries as of r8 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
@@ -69,7 +69,6 @@ _POOL_A: list[str] = [
     "deterministic_split",
     "events_hourly_rollup",
     "sessionization",
-    "asof_latest_order",
     "json_props_extract",
     "user_activity_lag_features",
     "stateful_capped_sessions",
@@ -126,6 +125,10 @@ _POOL_A: list[str] = [
     "scd2_priority_history",
     "gap_filled_user_series",
     "bm25_doc_search",
+    # r8 addition: point-in-time (temporal) join — facts probed against
+    # the SCD2 history valid at event time (operators/scd.py); funded
+    # by retiring `asof_latest_order`.
+    "lineitem_priority_regime",
 ]
 _POOL_B: list[str] = [
     "filter_project",
@@ -305,6 +308,15 @@ _RETIRED: list[str] = [
     # path) and `cosine_topk` (POOL_A, r7 hash — the same dot-product
     # arithmetic, top-k form).
     "embedding_similar_pairs",
+    # r8: retired to fund the `lineitem_priority_regime` r9 slot. Twin
+    # coverage for the temporal-ordered-join shape:
+    # `lineitem_priority_regime` itself generalizes the as-of probe
+    # (version-interval containment ⊃ latest-before-t), and among
+    # fresh-row holders: `user_activity_lag_features` (POOL_A, r7 hash
+    # — the same per-key time-ordered window machinery) and
+    # `campaign_event_attribution` (POOL_B, r8 row — the time-interval
+    # join family's banded variant).
+    "asof_latest_order",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,

@@ -225,3 +225,82 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version",
         "is_current",
     )
+
+
+@query(
+    "lineitem_priority_regime",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey AS k, o_orderpriority AS p,
+             o_orderdate AS d, o_orderkey AS ok
+      FROM orders WHERE o_custkey % 10 = 0
+    ),
+    s AS (
+      SELECT *, lag(p) OVER (PARTITION BY k ORDER BY d, ok) AS pp FROM c
+    ),
+    r AS (SELECT k, p, d, ok FROM s WHERE pp IS NULL OR pp <> p),
+    h AS (
+      SELECT k, p, d AS vf,
+             lead(d) OVER (PARTITION BY k ORDER BY d, ok) AS vt
+      FROM r
+    ),
+    f AS (
+      SELECT o.o_custkey AS k, l.l_shipdate AS ts, l.l_quantity AS qty
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey % 10 = 0
+    )
+    SELECT h.p AS priority,
+           count(*) AS n_items,
+           CAST(sum(f.qty) AS DOUBLE) AS total_qty,
+           strftime(min(f.ts), '%Y-%m-%d') AS first_ship,
+           strftime(max(f.ts), '%Y-%m-%d') AS last_ship
+    FROM f JOIN h ON f.k = h.k
+               AND f.ts >= h.vf AND (h.vt IS NULL OR f.ts < h.vt)
+    GROUP BY 1
+    """,
+)
+def lineitem_priority_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (r8, operators/scd.py): every lineitem
+    shipment joined to the priority REGIME its customer was in at ship
+    time — the SCD2 history built by `scd2_priority_history`'s collapse,
+    probed with the temporal join (equi key drives the distribution,
+    interval bounds are residual filters; never a banded explode or
+    nested loop). total_qty sums integer-valued doubles — exact at any
+    summation order, so the oracle needs no float proofing."""
+    from mrt_data_integration_spark.operators.scd import (
+        changelog_to_scd2,
+        point_in_time_join,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 10 == 0
+    )
+    hist = changelog_to_scd2(
+        orders.select(
+            "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+        ),
+        key_cols=["o_custkey"],
+        tracked_cols=["o_orderpriority"],
+        seq_cols=["o_orderdate", "o_orderkey"],
+        ts_col="o_orderdate",
+    ).select("o_custkey", "o_orderpriority", "valid_from", "valid_to")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    facts = lineitem.join(
+        orders.select("o_orderkey", "o_custkey"),
+        lineitem["l_orderkey"] == F.col("o_orderkey"),
+    ).select("o_custkey", "l_shipdate", "l_quantity")
+    joined = point_in_time_join(
+        facts,
+        hist,
+        key_cols=["o_custkey"],
+        ts_col="l_shipdate",
+        broadcast_history=True,
+    )
+    return joined.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").alias("total_qty"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
+    )

@@ -121,3 +121,43 @@ def test_merge_untouched_keys_pass_through_unshuffled(spark):
     assert rows[(0, 1)].is_current is False
     assert rows[(0, 2)].attr == "B" and rows[(0, 2)].is_current
     assert rows[(5, 1)].is_current  # untouched
+
+
+def test_point_in_time_join_version_selection(spark):
+    """Each fact lands in the version interval containing its ts —
+    half-open [valid_from, valid_to), NULL valid_to = current; facts
+    before the first version survive only under how='left'."""
+    from mrt_data_integration_spark.operators.scd import point_in_time_join
+
+    hist = _hist(
+        spark,
+        _log(
+            spark,
+            [(1, "A", _ts(2), 1), (1, "B", _ts(5), 2), (2, "X", _ts(3), 3)],
+        ),
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, _ts(1)),  # before first version → unmatched
+            (101, 1, _ts(2)),  # boundary: valid_from inclusive → A
+            (102, 1, _ts(4)),  # inside [2, 5) → A
+            (103, 1, _ts(5)),  # boundary: valid_to exclusive → B
+            (104, 1, _ts(9)),  # current version → B
+            (105, 2, _ts(7)),  # key 2 current → X
+        ],
+        "fact_id long, k long, ts timestamp",
+    )
+    out = point_in_time_join(
+        facts, hist, ["k"], "ts", how="left", broadcast_history=True
+    )
+    got = {r.fact_id: r.attr for r in out.collect()}
+    assert got == {
+        100: None, 101: "A", 102: "A", 103: "B", 104: "B", 105: "X"
+    }
+    # inner join drops the pre-history fact
+    inner = point_in_time_join(facts, hist, ["k"], "ts")
+    assert inner.count() == 5
+    # equi key drives the join — never a nested loop / cartesian
+    plan = inner._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
