@@ -167,6 +167,7 @@ OP_INPUTS = {
     "pagerank": {"docs", "pr_edges"},
     "stream_interval_join_drain": {"events", "sjoin_src"},
     "scd2_history": {"orders"},
+    "pit_join": {"orders"},
     "gap_fill_linear": {"events"},
     "bm25_search": {"docs"},
 }
@@ -575,6 +576,11 @@ def main() -> None:
         # orders mint fresh customers). Expected linear: one window
         # shuffle keyed by the dimension key.
         "scd2_history": lambda k: _scd2(k),
+        # r8: point-in-time join — the SCD2 probe side: every replicated
+        # order probed against its customer's priority history (facts
+        # AND history key space scale k× together). Expected linear:
+        # one equi-keyed join with residual interval filters.
+        "pit_join": lambda k: _pit(k),
         # r8: gap-fill densification — key-space growth (replicated
         # events mint fresh users; per-user spans unchanged, so grid
         # rows scale k×). Expected linear: grid explode + one key
@@ -730,6 +736,29 @@ def main() -> None:
             tracked_cols=["o_orderpriority"],
             seq_cols=["o_orderdate", "o_orderkey"],
             ts_col="o_orderdate",
+        ).count()
+
+    def _pit(k):
+        from mrt_data_integration_spark.operators.scd import (
+            changelog_to_scd2,
+            point_in_time_join,
+        )
+
+        od = spark.read.parquet(orders_paths[k])
+        hist = changelog_to_scd2(
+            od.select(
+                "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+            ),
+            key_cols=["o_custkey"],
+            tracked_cols=["o_orderpriority"],
+            seq_cols=["o_orderdate", "o_orderkey"],
+            ts_col="o_orderdate",
+        ).select("o_custkey", "o_orderpriority", "valid_from", "valid_to")
+        facts = od.select(
+            "o_custkey", "o_orderdate", "o_totalprice"
+        ).withColumnRenamed("o_orderdate", "ts")
+        return point_in_time_join(
+            facts, hist, ["o_custkey"], "ts"
         ).count()
 
     def _gap_fill(k):

@@ -23,11 +23,27 @@ def test_all_queries_have_impl():
 
 
 def test_queries_run_on_smoke(spark, sf_smoke):
-    # Every registered query must at least execute at sf0.001.
+    # Every registered query must at least execute at sf0.001 — and
+    # every query's PHYSICAL PLAN must pass the registry-wide scale
+    # lint (piggybacked on this sweep so it costs no extra execution):
+    #   - no CartesianProduct — an unkeyed join anywhere is a 100 TB
+    #     non-starter (1-row crossJoin broadcasts plan as
+    #     BroadcastNestedLoopJoin over a single-row side, not as
+    #     CartesianProduct, so the legitimate stats-broadcast pattern
+    #     passes);
+    #   - no BatchEvalPython — a row-at-a-time Python UDF in any plan
+    #     contradicts the engine's Arrow-only Python contract
+    #     (mapInPandas/ArrowEval nodes are the sanctioned path).
+    lint_hits = []
     for name, fn in sorted(QUERIES.items()):
         df = fn(spark, sf_smoke)
         assert df.columns, name
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for marker in ("CartesianProduct", "BatchEvalPython"):
+            if marker in plan:
+                lint_hits.append((name, marker))
         df.limit(5).collect()
+    assert not lint_hits, f"plan lint violations: {lint_hits}"
 
 
 def test_comparator_rejects_int_vs_float_representation():
