@@ -100,6 +100,7 @@ HEADLINE = [
     "gap_filled_user_series",
     "bm25_doc_search",
     "lineitem_priority_regime",
+    "leakage_safe_split",
 ]
 
 

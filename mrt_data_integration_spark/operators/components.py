@@ -195,3 +195,65 @@ def connected_components(
         .union(roots)
         .distinct()
     )
+
+
+def leakage_safe_split(
+    items: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    boundaries: list[tuple[str, int]] = (
+        ("train", 80),
+        ("val", 90),
+        ("test", 100),
+    ),
+    src: str = "id_a",
+    dst: str = "id_b",
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicate CLUSTERS cannot
+    straddle — the split a training pipeline actually needs: hashing
+    raw ids (the naive split) puts one near-dup copy in train and its
+    twin in test, silently inflating eval scores; hashing the CLUSTER
+    id keeps every member of a duplicate cluster on the same side of
+    the boundary.
+
+    ``pairs`` are near-dup edges (any detector: LSH, SimHash, embedding
+    cosine); items absent from every pair are their own singleton
+    cluster. Assignment = md5(``salt``:component) bucket mod 100
+    against ``boundaries`` (cumulative upper bounds) — deterministic
+    across engines/partitionings/corpus growth, exactly like the plain
+    hash split, just keyed one level up.
+
+    One CC pass (alternating star, O(log n) rounds) + a left join +
+    map-only hashing. Returns (id, component, split).
+    """
+    cc = connected_components(pairs, src, dst)
+    assigned = items.select(F.col(id_col)).join(
+        cc, items[id_col] == cc["node"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}:"), F.col("component").cast("string")
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+    expr = None
+    for name, upper in boundaries:
+        cond = h < upper
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return assigned.select(
+        id_col, "component", expr.alias("split")
+    )

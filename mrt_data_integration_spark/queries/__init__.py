@@ -34,7 +34,7 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (113 queries as of r8 —
+# ROTATION POLICY (round 4+): the registry (114 queries as of r8 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
@@ -66,7 +66,6 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 _POOL_A: list[str] = [
     "simhash_buckets",
     "gopher_quality_flags",
-    "deterministic_split",
     "events_hourly_rollup",
     "sessionization",
     "json_props_extract",
@@ -129,6 +128,12 @@ _POOL_A: list[str] = [
     # the SCD2 history valid at event time (operators/scd.py); funded
     # by retiring `asof_latest_order`.
     "lineitem_priority_regime",
+    # r8 addition: leakage-safe split — near-dup clusters (LSH pairs →
+    # connected components) hashed as UNITS into train/val/test, with
+    # the zero-straddle guarantee itself a hash-verified oracle column
+    # (operators/components.py); funded by retiring
+    # `deterministic_split`, which it generalizes.
+    "leakage_safe_split",
 ]
 _POOL_B: list[str] = [
     "filter_project",
@@ -317,6 +322,13 @@ _RETIRED: list[str] = [
     # `campaign_event_attribution` (POOL_B, r8 row — the time-interval
     # join family's banded variant).
     "asof_latest_order",
+    # r8: retired to fund the `leakage_safe_split` r9 slot, which
+    # generalizes it (same md5-bucket split arithmetic, keyed one level
+    # up at the cluster). Twin coverage for the md5-threshold gate
+    # shape among fresh-row holders: `stratified_sample` (POOL_A, r7
+    # hash — the identical hex-threshold arithmetic per stratum) and
+    # `stratified_fixed_k_sample` (POOL_B, r8 row).
+    "deterministic_split",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,

@@ -813,3 +813,80 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("__sk__").alias("max_key"),
         )
     )
+
+
+@query(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIRS_SQL},
+    edges AS (
+      SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+    ),
+    cc AS (SELECT n AS node, min(m) AS component FROM reach GROUP BY n),
+    assigned AS (
+      SELECT d.doc_id,
+             coalesce(cc.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+    ),
+    tagged AS (
+      SELECT doc_id, component,
+             CAST(('0x' || substr(
+               md5('split:' || CAST(component AS VARCHAR)), 1, 4))
+               AS INTEGER) % 100 AS h
+      FROM assigned
+    ),
+    labeled AS (
+      SELECT doc_id, component,
+             CASE WHEN h < 80 THEN 'train'
+                  WHEN h < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM tagged
+    ),
+    span AS (
+      SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS spanning_clusters
+      FROM (SELECT component, count(DISTINCT split) AS ns
+            FROM labeled GROUP BY 1)
+    )
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT component) AS n_clusters,
+           span.spanning_clusters
+    FROM labeled, span
+    GROUP BY split, span.spanning_clusters
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 (r8): split assignment that near-dup clusters cannot
+    straddle — LSH pairs → connected components → md5(component)
+    bucket split (operators/components.leakage_safe_split). The
+    ``spanning_clusters`` column (global count of clusters touching
+    more than one split) is hash-verified to be 0 — the leakage
+    guarantee itself is part of the oracle contract, not a side
+    assertion."""
+    from mrt_data_integration_spark.operators.components import (
+        leakage_safe_split as lss,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.lsh_candidate_pairs(docs, n_hashes=4, band_size=2)
+    labeled = lss(docs, pairs, "doc_id")
+    span = (
+        labeled.groupBy("component")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(
+            F.sum((F.col("ns") > 1).cast("long")).alias("spanning_clusters")
+        )
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("component").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(span))
+    )
