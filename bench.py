@@ -148,7 +148,11 @@ def main() -> None:
             shots.append(time.perf_counter() - t0)
             _ = len(rows)
         shots.sort()
-        times[name] = round(shots[len(shots) // 2], 3)  # median
+        # lower-middle median: identical for odd reps (the driver's 3),
+        # but for even reps shots[n//2] is the UPPER middle — at reps=2
+        # that reported the MAX of two shots, which read as a phantom
+        # 1.7× regression in an r8 preview (results/LATE_R8_NOTES.md)
+        times[name] = round(shots[(len(shots) - 1) // 2], 3)
         spread[name] = [round(shots[0], 3), round(shots[-1], 3)]
 
     total = round(sum(times.values()), 3)
