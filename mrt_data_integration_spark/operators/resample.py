@@ -65,12 +65,15 @@ def resample_series(
     fills); (2) explode each key's [min, max] bucket span via
     ``sequence()``; (3) left-join observations onto the grid; (4) fill:
 
-    - ``how="locf"``: last observed value at or before the bucket;
-      leading holes (before the first observation) stay NULL.
+    - ``how="locf"``: last observed value at or before the bucket.
+      Never NULL: the grid spans [first observed bucket, last observed
+      bucket] per key, so every grid row has an observation at or
+      before it. (The fill expressions still guard the pv-NULL case so
+      a future span widening can't silently mint NULLs.)
     - ``how="linear"``: linear interpolation between the previous and
-      next observed buckets, weighted by time distance; holes before
-      the first / after the last observation take the nearest observed
-      value (constant extrapolation).
+      next observed buckets, weighted by time distance; holes after
+      the last observation (unreachable under the current span, same
+      note) take the nearest observed value.
 
     Returns one row per key per grid bucket:
     ``key_cols…, bucket, value_filled, is_observed``.

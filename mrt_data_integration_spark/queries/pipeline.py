@@ -1,11 +1,12 @@
 """Training-data pipeline queries: duplicate-cluster resolution,
-deterministic stratified sampling, sequence packing, and PII redaction —
-the post-detection half of a 100 TB corpus build (the detection half
-lives in queries/text_dedup.py). Every query here is oracle-checked
-against DuckDB, including the iterative connected-components pass
-(DuckDB twin: recursive-CTE transitive closure — fine at driver-check
-scale, impossible at corpus scale, which is exactly why the Spark side
-uses alternating star instead).
+deterministic stratified sampling, leakage-safe cluster-consistent
+splitting, sequence packing, and PII redaction — the post-detection
+half of a 100 TB corpus build (the detection half lives in
+queries/text_dedup.py). Every query here is oracle-checked against
+DuckDB, including the iterative connected-components pass (DuckDB
+twin: recursive-CTE transitive closure — fine at driver-check scale,
+impossible at corpus scale, which is exactly why the Spark side uses
+alternating star instead).
 """
 
 from __future__ import annotations
