@@ -161,3 +161,52 @@ def test_point_in_time_join_version_selection(spark):
     plan = inner._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_merge_equals_rebuild_randomized(spark):
+    """Seeded fuzz over adversarial change logs: few keys (dense
+    collisions), few attribute values (long runs AND rapid flips),
+    NULL attributes, same-ts tiebreaker collisions, batch keys that are
+    new/unchanged/churning. Any ordered split point must satisfy
+    merge == rebuild."""
+    import random
+
+    rng = random.Random(20260815)
+    for trial in range(4):
+        n = rng.randint(8, 24)
+        rows = []
+        t = 0
+        for rid in range(n):
+            t += rng.choice([0, 0, 1, 2])  # repeated ts exercise the
+            # rid tiebreaker
+            rows.append(
+                (
+                    rng.randint(1, 4),
+                    rng.choice(["A", "B", None]),
+                    _ts(1 + t),
+                    rid,
+                )
+            )
+        # the merge contract needs the batch strictly later by seq —
+        # split at a ts boundary so no (key-agnostic) ts straddles it
+        rows.sort(key=lambda r: (r[2], r[3]))
+        cut = rng.randint(1, n - 1)
+        while 0 < cut < n and rows[cut][2] == rows[cut - 1][2]:
+            cut += 1
+        early, late = rows[:cut], rows[cut:]
+        if not early or not late:
+            continue
+        hist = _hist(spark, _log(spark, early))
+        merged = scd2_merge(
+            hist, _log(spark, late), ["k"], ["attr"], ["ts", "rid"], "ts"
+        )
+        rebuilt = _hist(spark, _log(spark, early + late))
+        got = sorted(
+            (r.k, r.attr, r.valid_from, r.valid_to, r.version, r.is_current)
+            for r in merged.collect()
+        )
+        want = sorted(
+            (r.k, r.attr, r.valid_from, r.valid_to, r.version, r.is_current)
+            for r in rebuilt.collect()
+        )
+        assert got == want, f"trial {trial} cut {cut}: {got} != {want}"
