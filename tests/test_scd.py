@@ -201,12 +201,22 @@ def test_merge_equals_rebuild_randomized(spark):
             hist, _log(spark, late), ["k"], ["attr"], ["ts", "rid"], "ts"
         )
         rebuilt = _hist(spark, _log(spark, early + late))
+        # None-safe sort key: attr/valid_to can be NULL, and Python
+        # refuses to order str vs None — key by (k, version) which is
+        # unique per history row, then compare the full tuples.
+        key = lambda t: (t[0], t[4])  # noqa: E731
         got = sorted(
-            (r.k, r.attr, r.valid_from, r.valid_to, r.version, r.is_current)
-            for r in merged.collect()
+            (
+                (r.k, r.attr, r.valid_from, r.valid_to, r.version, r.is_current)
+                for r in merged.collect()
+            ),
+            key=key,
         )
         want = sorted(
-            (r.k, r.attr, r.valid_from, r.valid_to, r.version, r.is_current)
-            for r in rebuilt.collect()
+            (
+                (r.k, r.attr, r.valid_from, r.valid_to, r.version, r.is_current)
+                for r in rebuilt.collect()
+            ),
+            key=key,
         )
         assert got == want, f"trial {trial} cut {cut}: {got} != {want}"
