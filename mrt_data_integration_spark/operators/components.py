@@ -227,6 +227,20 @@ def leakage_safe_split(
     One CC pass (alternating star, O(log n) rounds) + a left join +
     map-only hashing. Returns (id, component, split).
     """
+    boundaries = list(boundaries)
+    if not boundaries or boundaries[-1][1] < 100:
+        # Buckets run 0-99; a final upper bound below 100 would leave
+        # rows silently unassigned (NULL split = leaked out of every
+        # split). Fail loudly instead.
+        raise ValueError(
+            "boundaries must be cumulative upper bounds covering the "
+            f"full 0-99 bucket range (last >= 100), got {boundaries!r}"
+        )
+    uppers = [u for _, u in boundaries]
+    if uppers != sorted(uppers) or any(u <= 0 for u in uppers):
+        raise ValueError(
+            f"boundaries must be positive and non-decreasing, got {boundaries!r}"
+        )
     cc = connected_components(pairs, src, dst)
     assigned = items.select(F.col(id_col)).join(
         cc, items[id_col] == cc["node"], "left"

@@ -715,9 +715,16 @@ def extract_audio_features(
         for pdf in batches:
             out = []
             for asset_id, blob in zip(pdf["asset_id"], pdf["content"]):
-                # MEDIA_SCHEMA's content column is nullable — a NULL blob
-                # must not kill the task (same invariant as the image path)
-                b = bytes(blob) if blob is not None else b""
+                # MEDIA_SCHEMA's content column is nullable — NULL blob
+                # → NULL features, matching the image path's
+                # NULL-in/NULL-out contract (never synthesize features
+                # from empty bytes, never kill the task)
+                if blob is None:
+                    out.append(
+                        (int(asset_id), None, None, None, None, None, None)
+                    )
+                    continue
+                b = bytes(blob)
                 ch, rate, frames = decode_fn(b)
                 out.append(
                     (

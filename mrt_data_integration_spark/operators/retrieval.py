@@ -6,7 +6,9 @@ topic-targeted sampling; BM25 (Robertson-Spärck Jones) is the standard
 lexical ranking function. (The reference has no retrieval surface —
 this is part of the LLM-pipeline mandate, like operators/text.py.)
 
-Spark-first shape, one pass over the corpus:
+Spark-first shape — one postings pass over the corpus plus a map-only
+1-row stats scan (N/avgdl must see docs containing NO query term, so
+they cannot ride the vocab-pruned postings):
 
 - postings are built by exploding the SAME whitespace tokenization the
   rest of the text stack uses (operators/text.tokens — oracle twin
@@ -14,13 +16,15 @@ Spark-first shape, one pass over the corpus:
   vocabulary (broadcast — a query set is small by definition), so the
   per-(doc, term) aggregation only shuffles rows for terms somebody
   asked about, not the whole corpus vocabulary;
-- corpus stats (N, avgdl) are a 1-row aggregate crossJoined back
-  (broadcast of one row — the same scale shape as PageRank's dangling
-  mass);
+- corpus stats (N, avgdl) are a 1-row map-only aggregate crossJoined
+  back (broadcast of one row — the same scale shape as PageRank's
+  dangling mass);
 - document frequencies ride the postings (count over the term's
   posting rows = docs containing it, since tf rows are per doc);
 - final scores are one (query, term)×(term → postings) join keyed by
-  term + a (query, doc) partial-agg sum + a bounded top-k window.
+  term + a (query, doc) partial-agg sum + a rank-limit-pushed window
+  (Spark inserts a partial WindowGroupLimit before the shuffle for
+  ``row_number() <= k``, so the final sort only sees k-bounded groups).
 
 Float determinism for the DuckDB oracle: tf/df/N/dl/avgdl are exact
 (integer-derived; avgdl's integer sum is exact in double far past any

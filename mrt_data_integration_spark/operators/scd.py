@@ -193,6 +193,14 @@ def point_in_time_join(
     hints the usual case of a dimension history that fits in memory;
     left at False, AQE still converts when sizes allow.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # Under right/full joins, unmatched HISTORY rows carry NULL
+        # fact-side keys; dropping the history key columns below would
+        # silently lose their key values. Reverse the join (facts on
+        # the right) if that shape is ever needed.
+        raise ValueError(
+            f"point_in_time_join supports how='inner'/'left', got {how!r}"
+        )
     h = history
     if broadcast_history:
         h = F.broadcast(h)

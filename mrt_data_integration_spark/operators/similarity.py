@@ -1704,6 +1704,13 @@ def hard_negative_topk(
     replace the brute scan the same way they do for plain top-k; the
     label filter composes unchanged.
 
+    NULL labels: the mismatch test is null-safe (``~eqNullSafe``), so
+    an unlabeled corpus row IS a candidate negative for every labeled
+    anchor and vice versa, while two unlabeled rows are conservatively
+    treated as same-class (possible false negative) and excluded. A
+    plain ``!=`` would silently drop every NULL-labeled row from both
+    sides.
+
     Returns (anchor_id, rank, negative_id, negative_label, cosine_sim),
     rank 1 = hardest negative, ties by negative id.
     """
@@ -1721,7 +1728,7 @@ def hard_negative_topk(
     )
     scored = (
         c.crossJoin(F.broadcast(a))
-        .filter(F.col("negative_label") != F.col("__alabel__"))
+        .filter(~F.col("negative_label").eqNullSafe(F.col("__alabel__")))
         .select(
             F.col("anchor_id").alias("query_id"),
             F.col("negative_id").alias("corpus_id"),

@@ -134,3 +134,26 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
     # all three splits appear over 80 components (statistically certain
     # for this fixed hash; pinned so a hash-arithmetic change screams)
     assert {r.split for r in out} == {"train", "val", "test"}
+
+
+def test_leakage_safe_split_rejects_partial_boundaries(spark):
+    """Boundaries that don't cover the 0-99 bucket range would leave
+    rows with a NULL split (leaked out of every split) — fail loudly."""
+    import pytest
+
+    from mrt_data_integration_spark.operators.components import (
+        leakage_safe_split,
+    )
+
+    items = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="0-99"):
+        leakage_safe_split(
+            items, pairs, "doc_id",
+            boundaries=[("train", 80), ("val", 90)],
+        )
+    with pytest.raises(ValueError, match="non-decreasing"):
+        leakage_safe_split(
+            items, pairs, "doc_id",
+            boundaries=[("train", 90), ("val", 80), ("test", 100)],
+        )

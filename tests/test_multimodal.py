@@ -674,3 +674,28 @@ def test_image_near_dup_band_cap_bounds_degenerate_corpus(spark):
     )
     got = {(r.id_a, r.id_b): r.hamming for r in capped.collect()}
     assert got == {(100, 101): 1}, got  # hot block dropped, cold pair kept
+
+
+def test_extract_audio_features_null_blob(spark):
+    """NULL content → NULL features (same NULL-in/NULL-out contract as
+    the image path) — never fabricated from empty bytes."""
+    from mrt_data_integration_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio", None, "audio/wav"),
+            (2, "audio", bytearray(_tiny_wav(1, 8000, 4000)), "audio/wav"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.asset_id: r for r in extract_audio_features(media).collect()}
+    assert len(rows) == 2
+    r1 = rows[1]
+    assert (
+        r1.n_channels, r1.sample_rate, r1.n_frames, r1.duration_ms,
+        r1.sha256, r1.byte_len,
+    ) == (None, None, None, None, None, None)
+    assert rows[2].n_frames == 4000

@@ -220,3 +220,20 @@ def test_merge_equals_rebuild_randomized(spark):
             key=key,
         )
         assert got == want, f"trial {trial} cut {cut}: {got} != {want}"
+
+
+def test_point_in_time_join_rejects_right_joins(spark):
+    """Right/full joins would silently lose unmatched history keys
+    (the history key columns are dropped after the join) — rejected."""
+    import pytest
+
+    from mrt_data_integration_spark.operators.scd import point_in_time_join
+
+    facts = spark.createDataFrame([(1, 5)], "k long, ts long")
+    hist = spark.createDataFrame(
+        [(1, "A", 0, None)], "k long, attr string, valid_from long, valid_to long"
+    )
+    with pytest.raises(ValueError, match="inner"):
+        point_in_time_join(facts, hist, ["k"], "ts", how="right")
+    with pytest.raises(ValueError, match="inner"):
+        point_in_time_join(facts, hist, ["k"], "ts", how="full")

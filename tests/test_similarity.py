@@ -654,3 +654,29 @@ def test_hard_negative_min_sim_floor(spark):
     anchors = emb.filter("vec_id = 0")
     out = hard_negative_topk(emb, anchors, k=5, min_sim=0.5).collect()
     assert [(r.negative_id, r.rank) for r in out] == [(1, 1)]
+
+
+def test_hard_negative_null_labels_null_safe(spark):
+    """NULL labels: unlabeled corpus rows ARE candidates for labeled
+    anchors (and vice versa); two unlabeled rows are conservatively
+    same-class. A plain != would drop NULL-labeled rows entirely."""
+    from mrt_data_integration_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, "a", [1.0, 0.0]),
+            (1, None, [0.99, 0.14]),   # unlabeled — valid negative for 0
+            (2, "b", [0.9, 0.44]),
+            (3, None, [0.98, 0.2]),    # unlabeled anchor below
+        ],
+        "vec_id long, label string, embedding array<float>",
+    )
+    out = hard_negative_topk(emb, emb.filter("vec_id = 0"), k=5).collect()
+    assert sorted(r.negative_id for r in out) == [1, 2, 3]
+
+    # unlabeled anchor: labeled rows are negatives, the OTHER unlabeled
+    # row is excluded (NULL eqNullSafe NULL — possible false negative)
+    out3 = hard_negative_topk(emb, emb.filter("vec_id = 3"), k=5).collect()
+    assert sorted(r.negative_id for r in out3) == [0, 2]
