@@ -101,6 +101,12 @@ HEADLINE = [
     "bm25_doc_search",
     "lineitem_priority_regime",
     "leakage_safe_split",
+    # r9 additions: hard-negative mining (label-filtered bounded cosine
+    # top-k — the contrastive-training sampler) and the streaming SCD2
+    # drain (a fourth stateful-streaming shape: versioned dimension
+    # state folded per micro-batch)
+    "hard_negative_mining",
+    "streaming_scd2_history",
 ]
 
 
@@ -134,6 +140,7 @@ def main() -> None:
         "streaming_funnel_conversion",
         "streaming_dedup_ingest",
         "streaming_click_attribution",
+        "streaming_scd2_history",
     }
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}

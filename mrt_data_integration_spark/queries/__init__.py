@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (114 queries as of r8 —
+# ROTATION POLICY (round 4+): the registry (116 queries as of r9 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r7+: 6 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r9: 16 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -67,7 +67,6 @@ _POOL_A: list[str] = [
     "simhash_buckets",
     "gopher_quality_flags",
     "events_hourly_rollup",
-    "sessionization",
     "json_props_extract",
     "user_activity_lag_features",
     "stateful_capped_sessions",
@@ -77,15 +76,26 @@ _POOL_A: list[str] = [
     "lsh_bucket_profile",
     "embedding_similar_pairs_lsh",
     "ivf_topk",
+    # r9 additions (E4+ — hard-negative mining, the r8 verdict's item 2:
+    # the only r8 operator family whose correctness rested on CI alone
+    # while being oracle-able; J6+ — streaming SCD2 maintenance made
+    # driver-visible through the funnel precedent, verdict item 3: the
+    # SAME oracle SQL as `scd2_priority_history`, the history maintained
+    # by the micro-batched merge path instead of the one-shot collapse).
+    # Zero driver history → force-included in this r9 window per rule 2;
+    # slots funded by the paired retirements of `ivfpq_topk` (the
+    # registry's own named consolidation candidate) and `sessionization`
+    # (see _RETIRED).
+    "hard_negative_mining",
+    "streaming_scd2_history",
     # joined in r4 (first two got r4 driver rows; the last two get their
     # first rows in r5 with the rest of pool A)
     "doc_repetition_filter",
     "benchmark_decontamination",
     "training_mix_rebalance",
     "pq_topk",
-    # r5 additions (E4 — IVFADC online + persisted-index variants; zero
-    # driver history until r5, where exception rule 2 force-includes them)
-    "ivfpq_topk",
+    # r5 addition (E4 — IVFADC persisted-index variant; its online twin
+    # `ivfpq_topk` was retired r9 — see _RETIRED)
     "ivfpq_index_topk",
     # r5 additions (E10 — training-pipeline post-processing: dup-cluster
     # resolution, stratified sampling, sequence packing, PII redaction;
@@ -329,6 +339,22 @@ _RETIRED: list[str] = [
     # hash — the identical hex-threshold arithmetic per stratum) and
     # `stratified_fixed_k_sample` (POOL_B, r8 row).
     "deterministic_split",
+    # r9: retired to fund the `hard_negative_mining` slot — the r8-plan
+    # comment's own named consolidation candidate. Twin coverage for
+    # the IVFADC probe shape: `ivfpq_index_topk` (POOL_A, r7 row — the
+    # persisted-index PRODUCTION path, identical ADC arithmetic; the
+    # online==persisted equality is a CI identity test in
+    # tests/test_similarity.py) and `ivf_topk` (POOL_A, r7 hash — the
+    # unquantized cell-probe half of the same plan).
+    "ivfpq_topk",
+    # r9: retired to fund the `streaming_scd2_history` slot. Twin
+    # coverage for the gap-based sessionize shape:
+    # `stateful_capped_sessions` (POOL_A, r7 hash — the same session
+    # semantics under the stateful streaming cap, the production
+    # ingest path) and `user_activity_lag_features` (POOL_A, r7 hash —
+    # the same per-key time-ordered window machinery the batch
+    # sessionizer rides).
+    "sessionization",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,
@@ -454,35 +480,85 @@ _R8_SIT_OUT = (
     "ngram_jaccard_pairs",
     "bpe_ish_token_counts",
 )
-_WINDOW: list[str] = (
-    _POOL_B
-    + [n for n in _CORE if n not in _R8_SIT_OUT]
+# Round 9 window: POOL_A's turn (37 after the r9 add/retire pairs:
+# the five r8 operator-family queries — `scd2_priority_history`,
+# `gap_filled_user_series`, `bm25_doc_search`,
+# `lineitem_priority_regime`, `leakage_safe_split` — plus the two r9
+# additions `hard_negative_mining` and `streaming_scd2_history` all
+# have ZERO driver history and are force-included per rule 2; this is
+# the r8 verdict's promised rotation, items 1-3) + the 13 r8 sit-outs
+# (all CORE, last rows r7, due back) = 37 + 13 = exactly 50. No r8 row
+# was red, so rule 1 forces nothing. The THIRTEEN CORE members holding
+# fresh r8 rows sit out — shapes stay covered in-window:
+# `pricing_summary` (scan + grouped agg) by `events_hourly_rollup`
+#   (POOL_A) + `group_best_highlight` (returning); bench-tracked,
+# `weighted_gram` (grouped gram) by `wls_normal_equations` (returning —
+#   the same normal-equations family) + `cluster_score_meat` (returning),
+# `relative_efficiency` (reference-row normalization) by
+#   `training_mix_rebalance` (POOL_A — same ratio-to-reference shape),
+# `rollup_hierarchy` (grouping sets) by `brand_part_rollup` (returning
+#   — the same GROUPING SETS physical operator),
+# `exact_percentiles` (global sort percentiles) by `topk_per_group`
+#   (returning — same sort/window machinery),
+# `running_total` (cumulative frame) by `user_activity_lag_features`
+#   (POOL_A — same window-frame machinery),
+# `argmax_per_group` by `group_best_highlight` (returning — same
+#   argmax shape),
+# `regr_by_group` by `wcls_cluster_robust` (returning — per-group
+#   regression),
+# `star_join_revenue` (broadcast star join) by `fact_fact_join`
+#   (returning) + `lineitem_priority_regime` (POOL_A — broadcast
+#   history join); bench-tracked,
+# `anti_join_dormant_customers` by `benchmark_decontamination` (POOL_A
+#   — decontamination IS an anti join against the benchmark set),
+# `doc_lang_id` by `lang_classifier_scores` (POOL_A) +
+#   `doc_quality_stats` (returning); bench-tracked,
+# `doc_fingerprint_dedup` (exact hash dedup) by `streaming_dedup_ingest`
+#   (POOL_A — ingest-time exact dedup on the same fingerprints) +
+#   `dedup_clusters` (POOL_A),
+# `tfidf_top_terms` by `bpe_ish_token_counts` (returning) +
+#   `bm25_doc_search` (POOL_A — the same tf/df arithmetic inside the
+#   ranking); bench-tracked.
+_R9_SIT_OUT = (
+    "pricing_summary",
+    "weighted_gram",
+    "relative_efficiency",
+    "rollup_hierarchy",
+    "exact_percentiles",
+    "running_total",
+    "argmax_per_group",
+    "regr_by_group",
+    "star_join_revenue",
+    "anti_join_dormant_customers",
+    "doc_lang_id",
+    "doc_fingerprint_dedup",
+    "tfidf_top_terms",
 )
-# r9 plan (written BEFORE any r8 additions, per the r7 verdict's item
-# 6): POOL_A's turn. POOL_A is 37 and the 13 r8 sit-outs (all CORE,
-# last rows r7) are due back: 37 + 13 = exactly 50 — ZERO slack again.
+_WINDOW: list[str] = (
+    _POOL_A
+    + [n for n in _CORE if n not in _R9_SIT_OUT]
+)
+# r10 plan (written at the r9 window flip, per the standing practice):
+# POOL_B's turn. POOL_B is 37 and the 13 r9 sit-outs (all CORE, last
+# rows r8) are due back: 37 + 13 = exactly 50 — ZERO slack again.
 # Consequences, enforceable now:
-#   - any NEW query registered during r8 (beyond `image_near_dup_pairs`,
-#     which is in the r8 window) must join POOL_A for its forced r9 row
-#     AND be paired with the retirement of a same-shape POOL_A twin
-#     that holds a fresh r7 hash row — the zero-slack rule. EXECUTED
-#     for the three r8 operator families: `scd2_priority_history` /
-#     `gap_filled_user_series` / `bm25_doc_search` joined POOL_A,
-#     funded by retiring `training_data_prep` /
-#     `char_ngram_min_sketch` / `embedding_similar_pairs` (see
-#     _RETIRED);
-#   - no rotation query waits >2 rounds under this plan: POOL_B + the
-#     13 r8-sit-out CORE members get r8 rows, POOL_A + the 13 r9-sit-out
-#     CORE members (the ones with r8 rows) get r9 rows;
-#   - the structural fix the r7 verdict asked to prefer — consolidating
-#     same-shape twins instead of growing the rotation — has r9-ready
-#     candidates if slots are needed: `ivfpq_topk` vs
-#     `ivfpq_index_topk` (both rows-only, same IVFADC probe shape; the
-#     persisted-index variant is the production path, the online one
-#     the CI twin) and `sensitivity_scenarios` vs `mc_simulation_grid`
-#     (both rows-only MC fan-outs over the same harness).
-# Any r8 red row is force-included per rule 1 and displaces a
-# fresh-r8 POOL_B member whose shape must then be delegated in-window.
+#   - any NEW query registered during r9 must join POOL_B for its
+#     forced r10 row AND be paired with the retirement of a same-shape
+#     POOL_B twin that holds a fresh r8 hash row — the zero-slack rule
+#     (the r9 precedent: `hard_negative_mining` /
+#     `streaming_scd2_history` joined POOL_A funded by retiring
+#     `ivfpq_topk` / `sessionization`);
+#   - no rotation query waits >2 rounds under this plan: POOL_A + the
+#     13 r9-sit-out CORE members (the ones with r8 rows) get r9 rows,
+#     POOL_B + the 13 r10-sit-out CORE members (the r9 returners) get
+#     r10 rows;
+#   - r10-ready consolidation candidates if slots are needed:
+#     `sensitivity_scenarios` vs `mc_simulation_grid` (both POOL_B
+#     rows-only MC fan-outs over the same harness) and
+#     `hll_daily_distinct` vs `approx_distinct_quantiles` (both POOL_B
+#     rows-only mergeable-sketch profiles over the same scan).
+# Any r9 red row is force-included per rule 1 and displaces a
+# fresh-r9 POOL_A member whose shape must then be delegated in-window.
 # test_window_policy.py enforces the bookkeeping either way.
 
 

@@ -304,3 +304,120 @@ def lineitem_priority_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
         F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
     )
+
+
+@query(
+    "streaming_scd2_history",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey AS k, o_orderpriority AS p,
+             o_orderdate AS d, o_orderkey AS ok
+      FROM orders WHERE o_custkey % 10 = 0
+    ),
+    s AS (
+      SELECT *, lag(p) OVER (PARTITION BY k ORDER BY d, ok) AS pp FROM c
+    ),
+    r AS (SELECT k, p, d, ok FROM s WHERE pp IS NULL OR pp <> p),
+    h AS (
+      SELECT k, p, d,
+             lead(d) OVER (PARTITION BY k ORDER BY d, ok) AS vt,
+             row_number() OVER (PARTITION BY k ORDER BY d, ok) AS v
+      FROM r
+    )
+    SELECT k AS custkey, p AS priority,
+           strftime(d, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CAST(v AS INTEGER) AS version,
+           (vt IS NULL) AS is_current
+    FROM h
+    """,
+)
+def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6+ (r8, streaming/scd.py): the SAME SCD2 history as
+    `scd2_priority_history`, maintained BY THE STREAMING PATH — the
+    orders changelog drained in three time-ordered micro-batches
+    through `merge_scd2_updates` (batch 0 builds via changelog_to_scd2,
+    batches 1-2 fold via scd2_merge into the versioned state table),
+    then read back with the production `read_scd2_history` reader. The
+    oracle is the IDENTICAL one-shot collapse SQL — a hash match proves
+    stream == batch == SQL end-to-end (the funnel precedent,
+    `streaming_funnel_conversion`).
+
+    Ordering contract: the merge requires each batch strictly later by
+    (o_orderdate, o_orderkey) than the history; the stage splits at
+    fixed DATE boundaries, so it holds by construction, and the staged
+    files carry strictly increasing mtimes (file-stream delivery
+    order). The returned frame is a LAZY read over the drained state
+    (no O(result) driver collect); the state dir is private per
+    invocation and removed at process exit, not at return, because the
+    caller collects after we return.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from mrt_data_integration_spark.queries.timeseries import (
+        _drain_stream,
+        _staged_stream_dir,
+    )
+    from mrt_data_integration_spark.streaming.scd import (
+        merge_scd2_updates,
+        read_scd2_history,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 10 == 0
+    )
+    log = orders.select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    cuts = ["1997-01-01", "1999-01-01"]
+
+    def build(p: str) -> None:
+        lo = None
+        for i, hi in enumerate(cuts + [None]):
+            chunk = log
+            if lo is not None:
+                chunk = chunk.filter(F.col("o_orderdate") >= F.lit(lo))
+            if hi is not None:
+                chunk = chunk.filter(F.col("o_orderdate") < F.lit(hi))
+            chunk.coalesce(1).write.parquet(os.path.join(p, f"part{i}"))
+            lo = hi
+        t0 = 1_600_000_000
+        for i in range(len(cuts) + 1):
+            d = os.path.join(p, f"part{i}")
+            for name in os.listdir(d):
+                os.utime(
+                    os.path.join(d, name), (t0 + 100 * i, t0 + 100 * i)
+                )
+        open(os.path.join(p, "_SUCCESS"), "w").close()
+
+    src = _staged_stream_dir(sf_dir, "sscd2_orders3", build)
+    state_dir = tempfile.mkdtemp(prefix="graft_sscd2_state_")
+    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+    _drain_stream(
+        spark.readStream.schema(log.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "part*")),
+        lambda df, bid: merge_scd2_updates(
+            df,
+            bid,
+            state_dir,
+            key_cols=["o_custkey"],
+            tracked_cols=["o_orderpriority"],
+            seq_cols=["o_orderdate", "o_orderkey"],
+            ts_col="o_orderdate",
+        ),
+        mode="append",
+        state_partitions=8,
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return read_scd2_history(spark, state_dir).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "version",
+        F.col("is_current"),
+    )

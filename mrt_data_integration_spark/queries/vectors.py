@@ -330,3 +330,44 @@ def ivfpq_appended_index_topk_query(spark: SparkSession, sf_dir: str) -> DataFra
     path = build_and_publish(path, "meta.json", _build)
     queries_df = emb.filter(F.col("vec_id") < 5)
     return sim.ivfpq_index_topk(spark, path, queries_df, emb, k=3, n_probe=4)
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, label AS alabel, {_E_DBL} AS av
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT a.anchor_id, e.vec_id AS negative_id,
+             e.label AS negative_label,
+             list_dot_product(av, {_E_DBL})
+               / (sqrt(list_dot_product(av, av))
+                  * sqrt(list_dot_product({_E_DBL}, {_E_DBL}))) AS cs
+      FROM embeddings e, a
+      WHERE e.label IS DISTINCT FROM a.alabel
+    )
+    SELECT anchor_id, rk AS rank, negative_id, negative_label,
+           round(cs, 4) AS cosine_sim
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY anchor_id ORDER BY cs DESC, negative_id
+      ) AS rk
+      FROM scored
+    )
+    WHERE rk <= 4
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ (r8, operators/similarity.hard_negative_topk): the 4 hardest
+    negatives per anchor — most-similar different-label corpus vectors,
+    the rows a contrastive loss learns the most from. Same physical
+    shape as `cosine_topk` (broadcast anchors, one corpus scan, bounded
+    two-stage ranking) plus the map-side null-safe label-mismatch
+    predicate BEFORE the rank; the oracle replays the identical cosine
+    arithmetic (the same fold order `cosine_topk` hash-proofed) with
+    IS DISTINCT FROM as the eqNullSafe twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 100 == 0)
+    return sim.hard_negative_topk(emb, anchors, k=4)
