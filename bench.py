@@ -102,11 +102,15 @@ HEADLINE = [
     "lineitem_priority_regime",
     "leakage_safe_split",
     # r9 additions: hard-negative mining (label-filtered bounded cosine
-    # top-k — the contrastive-training sampler) and the streaming SCD2
+    # top-k — the contrastive-training sampler), the streaming SCD2
     # drain (a fourth stateful-streaming shape: versioned dimension
-    # state folded per micro-batch)
+    # state folded per micro-batch), the PassJoin edit-distance pair
+    # join (segment-indexed equi-join + levenshtein verify), and the
+    # Bloom-gated decontamination (two-phase exact)
     "hard_negative_mining",
     "streaming_scd2_history",
+    "fuzzy_title_pairs",
+    "bloom_decontamination",
 ]
 
 

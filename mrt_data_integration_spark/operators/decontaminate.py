@@ -94,3 +94,147 @@ def decontaminate(
     return flagged.withColumn(
         flag_col, F.coalesce(F.col("__hit__"), F.lit(False))
     ).drop("__hit__")
+
+
+def build_ngram_bloom(
+    benchmark: DataFrame,
+    ngram_n: int = 3,
+    n_bits: int = 1 << 18,
+    n_hashes: int = 3,
+    text_col: str = "text",
+) -> list[int]:
+    """Bloom filter over the benchmark's md5 n-gram hashes, as a
+    ``n_bits/64``-long bitmap the caller broadcasts.
+
+    Built DISTRIBUTEDLY: gram hashes explode to their ``n_hashes`` bit
+    positions (md5 hex slices mod ``n_bits`` — deterministic, no RNG),
+    positions group to 64-bit words with a ``bit_or`` of shifted ones,
+    and only the words (≤ ``n_bits/64`` rows — bounded by CONFIG, not
+    data) are collected. At 100 TB the benchmark never funnels through
+    the driver; the driver holds ``n_bits/8`` bytes regardless of
+    benchmark size — the whole point vs broadcasting the exact hash
+    set (a 1 B-gram benchmark is ~32 GB of md5s; a 2^30-bit bloom is
+    128 MB at ~1% FP for that load).
+    """
+    if n_hashes < 1 or n_hashes > 4:
+        raise ValueError("n_hashes must be 1-4 (md5 yields four 32-bit slices)")
+    if n_bits & (n_bits - 1):
+        raise ValueError(f"n_bits must be a power of two, got {n_bits}")
+    grams = benchmark.select(
+        F.explode(
+            F.array_distinct(
+                F.transform(word_ngrams(text_col, ngram_n), F.md5)
+            )
+        ).alias("__gh__")
+    ).distinct()
+    positions = grams.select(
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.conv(F.substring("__gh__", 1 + 8 * i, 8), 16, 10)
+                        .cast("long")
+                        % n_bits
+                    )
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("__p__")
+    )
+    # the python shiftleft() wrapper demands a literal shift count; the
+    # SQL function takes a column — go through expr
+    words = positions.groupBy(
+        (F.col("__p__") / 64).cast("long").alias("__w__")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(cast(1 as bigint), cast(__p__ % 64 as int))")
+        ).alias("__bits__")
+    )
+    bitmap = [0] * (n_bits // 64)
+    for r in words.collect():  # bounded: <= n_bits/64 rows (config)
+        bitmap[r["__w__"]] = r["__bits__"]
+    return bitmap
+
+
+def _bloom_gate(
+    hash_col: str, bloom_col: str, n_bits: int, n_hashes: int
+):
+    """Boolean column: every one of the hash's bit positions is set in
+    the bitmap array column. All codegen-side; shift counts are
+    data-dependent, so the shifts go through SQL expr (the python
+    shiftright wrapper only takes literal counts). `>> b & 1` is
+    sign-safe: arithmetic shift sign-extends, the mask keeps bit 0."""
+    gate = None
+    for i in range(n_hashes):
+        p = (
+            f"(cast(conv(substring({hash_col}, {1 + 8 * i}, 8), 16, 10) "
+            f"as bigint) % {n_bits})"
+        )
+        bit = F.expr(
+            f"(shiftright(element_at({bloom_col}, "
+            f"cast({p} / 64 as int) + 1), cast({p} % 64 as int)) & 1) = 1"
+        )
+        gate = bit if gate is None else gate & bit
+    return gate
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    ngram_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    flag_col: str = "contaminated",
+    n_bits: int = 1 << 18,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """:func:`decontaminate` for benchmarks too big to broadcast as an
+    exact hash set: a two-phase gate whose OUTPUT IS STILL EXACT.
+
+    Phase 1 (map-only): every corpus gram hash probes a Bloom filter
+    over the benchmark grams — ``n_bits/8`` bytes broadcast as a
+    single-row frame, tested with ``element_at``/``shiftright``/``&``
+    expressions inside codegen. Phase 2: only the Bloom SURVIVORS
+    (true hits + the FP rate's worth of noise) enter the exact
+    semi-join against the benchmark gram hashes, so the corpus-side
+    shuffle shrinks from ALL grams to ~|hits|. False positives are
+    eliminated by the exact verify — the result equals
+    :func:`decontaminate` bit for bit (the identity a test pins), so
+    the same SQL oracle covers both paths.
+    """
+    bitmap = build_ngram_bloom(
+        benchmark, ngram_n, n_bits, n_hashes, text_col
+    )
+    spark = corpus.sparkSession
+    bloom_df = spark.createDataFrame([(bitmap,)], "__bloom__ array<bigint>")
+    c_grams = _spread(corpus).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(word_ngrams(text_col, ngram_n), F.md5)
+            )
+        ).alias("__gh__"),
+    )
+    gate = _bloom_gate("__gh__", "__bloom__", n_bits, n_hashes)
+    survivors = (
+        c_grams.join(F.broadcast(bloom_df))  # 1 row: map-side constant
+        .filter(gate)
+        .select(id_col, "__gh__")
+    )
+    b_grams = benchmark.select(
+        F.explode(
+            F.array_distinct(
+                F.transform(word_ngrams(text_col, ngram_n), F.md5)
+            )
+        ).alias("__gh__")
+    ).distinct()
+    hits = (
+        survivors.join(b_grams, "__gh__", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__hit__", F.lit(True))
+    )
+    flagged = corpus.join(F.broadcast(hits), id_col, "left")
+    return flagged.withColumn(
+        flag_col, F.coalesce(F.col("__hit__"), F.lit(False))
+    ).drop("__hit__")

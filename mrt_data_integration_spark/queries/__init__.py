@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (116 queries as of r9 —
+# ROTATION POLICY (round 4+): the registry (118 queries as of r9 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r9: 16 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r9: 18 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -165,7 +165,6 @@ _POOL_B: list[str] = [
     # r6 window per exception rule 2 (first driver rows in r6).
     "heavy_hitters",
     "hll_daily_distinct",
-    "approx_distinct_quantiles",
     "partitioned_parquet_roundtrip",
     "semantic_dedup_summary",
     "funnel_conversion",
@@ -182,7 +181,6 @@ _POOL_B: list[str] = [
     "multimodal_features",
     "wcls_large_panel",
     "sensitivity_scenarios",
-    "mc_simulation_grid",
     # r7 additions (E5+ — distributed BPE tokenizer training + encode):
     # registered after the r7 window froze, zero driver history; POOL_B's
     # r8 turn force-includes both per exception rule 2. Slots funded by
@@ -210,6 +208,17 @@ _POOL_B: list[str] = [
     # force-included in r8 per rule 2; slot funded by retiring
     # `value_histogram`.
     "image_near_dup_pairs",
+    # r9 additions (E3+ — PassJoin approximate string-match join, the
+    # edit-distance entity-resolution primitive with a brute-force
+    # oracle; E8+ — Bloom-prefiltered decontamination, the
+    # benchmark-too-big-to-broadcast path whose two-phase gate is still
+    # EXACT so it shares benchmark_decontamination's oracle verbatim):
+    # zero driver history → forced into POOL_B's r10 window per rule 2;
+    # slots funded by the paired retirements of `mc_simulation_grid`
+    # and `approx_distinct_quantiles` — the r9-plan comment's own named
+    # consolidation candidates (see _RETIRED).
+    "fuzzy_title_pairs",
+    "bloom_decontamination",
 ]
 _CORE: list[str] = [
     "pricing_summary",
@@ -355,6 +364,22 @@ _RETIRED: list[str] = [
     # the same per-key time-ordered window machinery the batch
     # sessionizer rides).
     "sessionization",
+    # r9 (late): retired to fund the `fuzzy_title_pairs` r10 slot — the
+    # r9-plan comment's named candidate. Twin coverage for the
+    # mapInPandas MC fan-out + summary-stack shape:
+    # `sensitivity_scenarios` (POOL_B, r8 rows-only — the SAME
+    # run_grid/mc_summary machinery over three regimes) and the golden
+    # anchor tests/test_mc_statistical_parity.py (the grid's estimates
+    # pinned against the reference's published example_estimates).
+    "mc_simulation_grid",
+    # r9 (late): retired to fund the `bloom_decontamination` r10 slot —
+    # the r9-plan comment's named candidate. Twin coverage for the
+    # mergeable-sketch profile shape: `hll_daily_distinct` (POOL_B, r8
+    # rows-only — the same HLL machinery) plus the error-bound and
+    # partitioning-invariance pins in tests/test_sketches.py
+    # (test_approx_profile_bounds,
+    # test_sketch_results_stable_across_partitionings).
+    "approx_distinct_quantiles",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,
@@ -552,11 +577,15 @@ _WINDOW: list[str] = (
 #     13 r9-sit-out CORE members (the ones with r8 rows) get r9 rows,
 #     POOL_B + the 13 r10-sit-out CORE members (the r9 returners) get
 #     r10 rows;
-#   - r10-ready consolidation candidates if slots are needed:
-#     `sensitivity_scenarios` vs `mc_simulation_grid` (both POOL_B
-#     rows-only MC fan-outs over the same harness) and
-#     `hll_daily_distinct` vs `approx_distinct_quantiles` (both POOL_B
-#     rows-only mergeable-sketch profiles over the same scan).
+#   - r10-ready consolidation candidates: BOTH named pairs were used
+#     during r9 itself (`mc_simulation_grid` and
+#     `approx_distinct_quantiles` retired to fund `fuzzy_title_pairs`
+#     and `bloom_decontamination`); the next candidates if r10 needs
+#     slots are `ivf_topk` vs `pq_topk` (POOL_A — same cell-probe
+#     ranking shape; NOT available for POOL_B-funded r10 additions) and
+#     within POOL_B `document_chunking` vs `corpus_snapshot_diff` is
+#     NOT a pair (different shapes) — r10 additions may instead need a
+#     CORE consolidation, which requires the stronger twin argument.
 # Any r9 red row is force-included per rule 1 and displaces a
 # fresh-r9 POOL_A member whose shape must then be delegated in-window.
 # test_window_policy.py enforces the bookkeeping either way.

@@ -1167,3 +1167,92 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BM25_QUERIES, "query_id string, terms array<string>"
     )
     return bm25_topk(docs, queries_df, k=5)
+
+
+@query(
+    "fuzzy_title_pairs",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, substring(text, 1, 24) AS s
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+    FROM p a JOIN p b ON a.doc_id < b.doc_id
+    WHERE abs(length(a.s) - length(b.s)) <= 2
+      AND levenshtein(a.s, b.s) <= 2
+    """,
+)
+def fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ (r9, operators/fuzzy.py): approximate string-match join —
+    all document-prefix pairs within Levenshtein distance 2, the
+    entity-resolution primitive the set-similarity dedup family can't
+    express (edit distance respects order and position). Candidates
+    come from the lossless Ed-Join prefix filter (each string's k·q+1
+    globally-rarest positional q-gram elements), so the output is
+    EXACTLY the brute-force pair set — which is what the oracle runs
+    (levenshtein is integer-exact in both engines; no float proofing
+    needed)."""
+    from mrt_data_integration_spark.operators.fuzzy import (
+        edit_distance_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 24).alias("s")
+    )
+    return edit_distance_pairs(docs, max_dist=2, id_col="doc_id", str_col="s")
+
+
+@query(
+    "bloom_decontamination",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, string_split_regex(text, '\\s+') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+      FROM t WHERE len(toks) >= 3
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    cont AS (
+      SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+      WHERE g.doc_id % 97 <> 0
+    )
+    SELECT lang,
+           count(*) AS n_corpus_docs,
+           CAST(count(*) FILTER (doc_id IN (SELECT doc_id FROM cont))
+                AS BIGINT) AS n_contaminated,
+           round(CAST(count(*) FILTER (doc_id IN (SELECT doc_id FROM cont))
+                 AS DOUBLE) / count(*), 4) AS contaminated_frac
+    FROM t WHERE doc_id % 97 <> 0
+    GROUP BY lang
+    """,
+)
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8+ (r9, operators/decontaminate.decontaminate_bloom): the
+    benchmark-too-big-to-broadcast decontamination path — a Bloom
+    filter over the benchmark gram hashes (built distributedly, only
+    n_bits/64 words reach the driver) gates corpus grams map-side, and
+    only the survivors enter the exact semi-join verify. The output is
+    EXACT (false positives die in the verify), so the oracle is the
+    IDENTICAL SQL as `benchmark_decontamination` — a hash match proves
+    bloom-gated == exact == SQL."""
+    from mrt_data_integration_spark.operators.decontaminate import (
+        decontaminate_bloom,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    flagged = decontaminate_bloom(corpus, bench, ngram_n=3)
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_corpus_docs"),
+        F.count(F.when(F.col("contaminated"), 1)).alias("n_contaminated"),
+        F.round(
+            F.count(F.when(F.col("contaminated"), 1)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("contaminated_frac"),
+    )

@@ -170,6 +170,10 @@ OP_INPUTS = {
     "pit_join": {"orders"},
     "gap_fill_linear": {"events"},
     "bm25_search": {"docs"},
+    "fuzzy_pairs": {"docs"},
+    "bloom_decon": {"docs"},
+    "hard_negative": {"emb"},
+    "streaming_scd2_drain": {"orders", "sscd2_src"},
 }
 
 
@@ -223,6 +227,16 @@ def main() -> None:
 
     def emb(k):
         return spark.read.parquet(datasets[k][2])
+
+    # Fixed hard-negative anchor batch: replica-0 vectors exist
+    # identically at every scale, so the probe workload is constant and
+    # the measured slope is the corpus scan's.
+    hn_anchors = None
+    if "hard_negative" in wanted_ops:
+        hn_anchors = emb(1).filter(F.col("vec_id") < 20).collect()
+        hn_anchors = spark.createDataFrame(
+            hn_anchors, emb(1).schema
+        )
 
     # Persisted IVFADC index per scale, built once outside the timed
     # region — the r5 verdict asks for the QUERY path's slope; the
@@ -363,6 +377,35 @@ def main() -> None:
                 out.repartition(8).write.parquet(spath)
                 sides[side] = (spath, out.schema)
             sjoin_srcs[k] = sides
+    sscd2_srcs = {}
+    if "sscd2_src" in needed:
+        # 3 time-ordered files per scale (the merge contract needs each
+        # batch strictly later by (o_orderdate, o_orderkey))
+        for k in SCALES:
+            od = spark.read.parquet(orders_paths[k]).select(
+                "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+            )
+            spath = os.path.join(work, f"sscd2_{k}x")
+            cuts = ["1997-01-01", "1999-01-01"]
+            lo = None
+            for i, hi in enumerate(cuts + [None]):
+                chunk = od
+                if lo is not None:
+                    chunk = chunk.filter(F.col("o_orderdate") >= F.lit(lo))
+                if hi is not None:
+                    chunk = chunk.filter(F.col("o_orderdate") < F.lit(hi))
+                chunk.coalesce(1).write.parquet(
+                    os.path.join(spath, f"part{i}")
+                )
+                lo = hi
+            t0 = 1_600_000_000
+            for i in range(3):
+                d = os.path.join(spath, f"part{i}")
+                for name in os.listdir(d):
+                    os.utime(
+                        os.path.join(d, name), (t0 + 100 * i, t0 + 100 * i)
+                    )
+            sscd2_srcs[k] = (spath, od.schema)
 
     # Dedicated append-target indexes (separate from the query-path ones
     # so appends never mutate what ivfpq_index_query measures); the
@@ -591,8 +634,96 @@ def main() -> None:
         # alongside the scan). Expected linear: tokenize scan dominates;
         # postings are pruned to the query vocabulary pre-shuffle.
         "bm25_search": lambda k: _bm25(k),
+        # r9: PassJoin edit-distance pairs — corpus growth with per-
+        # replica vocabulary rewrite (prefixes differ across replicas,
+        # so candidate pairs stay within-replica and scale ~k×, not
+        # k²). Expected linear: index/probe explodes are map-side; one
+        # keyed shuffle on (segment, slot, partner_len).
+        "fuzzy_pairs": lambda k: _fuzzy(k),
+        # r9: Bloom-gated decontamination — corpus AND benchmark grow
+        # k× (disjoint vocab per replica → within-replica hits only).
+        # Expected linear: bloom build is one gram scan + word agg;
+        # the gate is map-only; the exact verify sees survivors only.
+        "bloom_decon": lambda k: _bloom(k),
+        # r9: hard-negative mining — FIXED anchor batch (replica-0
+        # vectors, identical at every scale) against a k×-growing
+        # corpus: the claim under test is the one corpus scan, not
+        # output growth. Expected linear in corpus size.
+        "hard_negative": lambda k: sim.hard_negative_topk(
+            emb(k), hn_anchors, k=4
+        ).count(),
+        # r9: streaming SCD2 drain — the versioned-state maintenance
+        # path. Expected slope HONESTLY ABOVE the batch collapse's:
+        # each micro-batch's publish COPIES untouched closed rows
+        # (O(history) per batch — the caveat streaming/scd.py documents,
+        # with bucket-partitioned state as the named evolution), so at
+        # fixed batch count the drain grows with history size on top of
+        # the merge's O(affected keys) term.
+        "streaming_scd2_drain": lambda k: _drain_scd2(k),
         "corpus_ingest_pipeline": lambda k: _ingest_pipeline(k),
     }
+
+    def _drain_scd2(k):
+        import shutil as _sh
+
+        from mrt_data_integration_spark.queries.timeseries import (
+            _drain_stream,
+        )
+        from mrt_data_integration_spark.streaming.scd import (
+            merge_scd2_updates,
+            read_scd2_history,
+        )
+
+        spath, schema = sscd2_srcs[k]
+        state = tempfile.mkdtemp(prefix="graft_sc_sscd2_")
+        try:
+            _drain_stream(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(spath, "part*")),
+                lambda df, bid: merge_scd2_updates(
+                    df,
+                    bid,
+                    state,
+                    key_cols=["o_custkey"],
+                    tracked_cols=["o_orderpriority"],
+                    seq_cols=["o_orderdate", "o_orderkey"],
+                    ts_col="o_orderdate",
+                ),
+                mode="append",
+                state_partitions=8,
+            )
+            return read_scd2_history(spark, state).count()
+        finally:
+            _sh.rmtree(state, ignore_errors=True)
+
+    def _fuzzy(k):
+        from mrt_data_integration_spark.operators.fuzzy import (
+            edit_distance_pairs,
+        )
+
+        d = docs(k).select(
+            "doc_id", F.substring("text", 1, 24).alias("s")
+        )
+        return edit_distance_pairs(
+            d, max_dist=2, id_col="doc_id", str_col="s"
+        ).count()
+
+    def _bloom(k):
+        from mrt_data_integration_spark.operators.decontaminate import (
+            decontaminate_bloom,
+        )
+
+        d = docs(k)
+        return (
+            decontaminate_bloom(
+                d.filter(F.col("doc_id") % 97 != 0),
+                d.filter(F.col("doc_id") % 97 == 0),
+                ngram_n=3,
+            )
+            .filter("contaminated")
+            .count()
+        )
 
     def _ingest_pipeline(k):
         from mrt_data_integration_spark.queries.pipeline import (

@@ -113,3 +113,73 @@ def test_decontaminate_matches_python_reference_randomized(spark):
         assert got == expected, f"trial {trial}: mismatches " + str(
             {k: (got[k], expected[k]) for k in got if got[k] != expected[k]}
         )
+
+
+def test_bloom_decontamination_equals_exact(spark, sf_smoke):
+    """The two-phase Bloom gate must reproduce the exact path bit for
+    bit — false positives die in the exact verify. Checked at a sane
+    filter size AND at an absurdly small one (high FP pressure)."""
+    from mrt_data_integration_spark.operators.decontaminate import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+    from mrt_data_integration_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    want = sorted(
+        (r.doc_id, r.contaminated)
+        for r in decontaminate(corpus, bench, ngram_n=3).collect()
+    )
+    for n_bits in (1 << 18, 1 << 8):
+        got = sorted(
+            (r.doc_id, r.contaminated)
+            for r in decontaminate_bloom(
+                corpus, bench, ngram_n=3, n_bits=n_bits
+            ).collect()
+        )
+        assert got == want, f"n_bits={n_bits}"
+
+
+def test_bloom_gate_actually_prunes(spark, sf_smoke):
+    """The point of the gate: at a sane size, Bloom survivors are a
+    small fraction of the corpus gram stream (the exact-verify shuffle
+    shrinks accordingly). Uses DISJOINT vocabularies so the true-hit
+    floor is zero and the measured pass rate IS the FP rate."""
+    from mrt_data_integration_spark.operators.decontaminate import (
+        build_ngram_bloom,
+        word_ngrams,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}w{j}" for j in range(12))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(i, " ".join(f"b{i}w{j}" for j in range(12))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    n_bits, n_hashes = 1 << 18, 3
+    bitmap = build_ngram_bloom(bench, 3, n_bits, n_hashes)
+    set_bits = sum(bin(w & ((1 << 64) - 1)).count("1") for w in bitmap)
+    # 50 docs * 10 grams * 3 hashes = 1500 positions max
+    assert 0 < set_bits <= 1500
+    # with 2^18 bits and ~500 grams, FP rate ~ (1500/2^18)^3 — measure
+    # the gate on the corpus grams via the same expressions the
+    # operator uses (exercised end-to-end in the identity test above;
+    # here we pin the REDUCTION, the gate's reason to exist)
+    bloom_df = spark.createDataFrame([(bitmap,)], "__bloom__ array<bigint>")
+    from mrt_data_integration_spark.operators.decontaminate import (
+        _bloom_gate,
+    )
+
+    grams = corpus.select(
+        F.explode(
+            F.array_distinct(F.transform(word_ngrams("text", 3), F.md5))
+        ).alias("__gh__")
+    )
+    gate = _bloom_gate("__gh__", "__bloom__", n_bits, n_hashes)
+    total = grams.count()
+    passed = grams.join(F.broadcast(bloom_df)).filter(gate).count()
+    assert passed < total * 0.01, (passed, total)

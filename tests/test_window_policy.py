@@ -100,6 +100,15 @@ _NO_ORACLE_RETIREES = {
     # online IVFADC probe == persisted-index probe:
     # tests/test_similarity.py::test_ivfpq_persisted_index_matches_online
     "ivfpq_topk",
+    # same run_grid/mc_summary machinery as in-rotation
+    # sensitivity_scenarios; estimates golden-pinned against the
+    # reference: tests/test_mc_statistical_parity.py
+    "mc_simulation_grid",
+    # same sketch machinery as in-rotation hll_daily_distinct;
+    # error-bound + partitioning-invariance pins:
+    # tests/test_sketches.py::test_approx_profile_bounds,
+    # ::test_sketch_results_stable_across_partitionings
+    "approx_distinct_quantiles",
 }
 
 
