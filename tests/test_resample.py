@@ -93,3 +93,85 @@ def test_single_shuffle_for_fill_windows(spark):
     out = resample_series(df, ["k"], "ts", "v", how="linear")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") <= 2  # one spec per frame direction
+
+
+def test_randomized_python_twin(spark):
+    """Seeded fuzz vs a pure-python twin: random sparse per-key hourly
+    series (duplicate observations, runs of holes, single-point keys),
+    both fill modes. The twin recomputes bucket-agg → grid → fill from
+    first principles, including the _round_half_up arithmetic."""
+    import datetime as dt
+    import math
+    import random
+
+    from mrt_data_integration_spark.operators.resample import (
+        resample_series,
+    )
+
+    rng = random.Random(20260815)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for key in range(8):
+        n = rng.randint(1, 12)
+        hours = sorted(rng.sample(range(40), n))
+        for h in hours:
+            for _ in range(rng.randint(1, 2)):  # duplicate observations
+                rows.append(
+                    (
+                        key,
+                        base + dt.timedelta(hours=h, minutes=rng.randint(0, 59)),
+                        round(rng.uniform(-5, 5), 3),
+                    )
+                )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+    def rhu(x, d):
+        return math.floor(x * 10**d + 0.5) / 10**d
+
+    def twin(how):
+        from collections import defaultdict
+
+        obs = defaultdict(dict)
+        sums = defaultdict(lambda: defaultdict(list))
+        for k, ts, v in rows:
+            b = ts.replace(minute=0, second=0, microsecond=0)
+            sums[k][b].append(v)
+        for k, per in sums.items():
+            for b, vs in per.items():
+                obs[k][b] = rhu(sum(vs) / len(vs), 6)
+        out = {}
+        for k, per in obs.items():
+            bs = sorted(per)
+            lo, hi = bs[0], bs[-1]
+            b = lo
+            while b <= hi:
+                if b in per:
+                    val = per[b]
+                elif how == "locf":
+                    val = per[max(x for x in bs if x < b)]
+                else:
+                    prev = max(x for x in bs if x < b)
+                    nxt = min(x for x in bs if x > b)
+                    fracn = (b - prev).total_seconds() / (
+                        nxt - prev
+                    ).total_seconds()
+                    pv, nv = per[prev], per[nxt]
+                    val = pv + (nv - pv) * fracn
+                out[(k, b)] = (rhu(val, 4), b in per)
+                b += dt.timedelta(hours=1)
+        return out
+
+    for how in ("locf", "linear"):
+        got = {
+            (r.user_id, r.bucket): (r.value_filled, r.is_observed)
+            for r in resample_series(
+                df, ["user_id"], "ts", "value", unit="hour", how=how
+            ).collect()
+        }
+        want = twin(how)
+        assert got == want, (
+            how,
+            {k: (got.get(k), want.get(k)) for k in set(got) ^ set(want) or set(
+                k for k in got if got[k] != want[k]
+            )},
+        )

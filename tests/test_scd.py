@@ -237,3 +237,61 @@ def test_point_in_time_join_rejects_right_joins(spark):
         point_in_time_join(facts, hist, ["k"], "ts", how="right")
     with pytest.raises(ValueError, match="inner"):
         point_in_time_join(facts, hist, ["k"], "ts", how="full")
+
+
+def test_point_in_time_join_randomized(spark):
+    """Seeded fuzz vs a python twin: random change logs collapsed to
+    histories, random fact timestamps (before/at/between/after version
+    boundaries, same-ts collisions) — each fact must land in exactly
+    the version whose half-open interval contains it, or survive with
+    NULL dims only under how='left'."""
+    import random
+
+    from mrt_data_integration_spark.operators.scd import (
+        changelog_to_scd2,
+        point_in_time_join,
+    )
+
+    rng = random.Random(20260815)
+    for trial in range(3):
+        log = []
+        rid = 0
+        for key in range(1, 5):
+            t = 0
+            for _ in range(rng.randint(1, 6)):
+                t += rng.randint(1, 3)
+                log.append((key, rng.choice(["A", "B", "C"]), _ts(t), rid))
+                rid += 1
+        hist = changelog_to_scd2(
+            _log(spark, log), ["k"], ["attr"], ["ts", "rid"], "ts"
+        )
+        # python twin of the collapse: first row per run of equal attr
+        versions = {}  # key -> [(vf, vt, attr)]
+        by_key = {}
+        for k_, a, ts, r in sorted(log, key=lambda x: (x[0], x[2], x[3])):
+            by_key.setdefault(k_, []).append((ts, a))
+        for k_, seq in by_key.items():
+            vs = []
+            for ts, a in seq:
+                if not vs or vs[-1][2] != a:
+                    vs.append([ts, None, a])
+            for i in range(len(vs) - 1):
+                vs[i][1] = vs[i + 1][0]
+            versions[k_] = vs
+        facts = [
+            (fid, rng.randint(1, 6), _ts(rng.randint(1, 20)))
+            for fid in range(40)
+        ]
+        fdf = spark.createDataFrame(facts, "fact_id long, k long, ts timestamp")
+        out = point_in_time_join(
+            fdf, hist, ["k"], "ts", how="left"
+        ).collect()
+        got = {r.fact_id: r.attr for r in out}
+        assert len(out) == len(facts), "left join must keep every fact"
+        for fid, k_, ts in facts:
+            want = None
+            for vf, vt, a in versions.get(k_, []):
+                if ts >= vf and (vt is None or ts < vt):
+                    want = a
+                    break
+            assert got[fid] == want, (trial, fid, k_, ts, got[fid], want)
