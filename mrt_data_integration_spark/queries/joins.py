@@ -393,7 +393,7 @@ def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
         open(os.path.join(p, "_SUCCESS"), "w").close()
 
-    src = _staged_stream_dir(sf_dir, "sscd2_orders3", build)
+    src = _staged_stream_dir(sf_dir, "sscd2_orders3", build, src_table="orders")
     state_dir = tempfile.mkdtemp(prefix="graft_sscd2_state_")
     atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
     _drain_stream(

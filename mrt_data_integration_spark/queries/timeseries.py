@@ -150,9 +150,11 @@ def _sum_batch_counts(spark, agg_out: str, group_col: str):
     )
 
 
-def _staged_stream_dir(sf_dir: str, tag: str, build) -> str:
+def _staged_stream_dir(sf_dir: str, tag: str, build, src_table: str = "events") -> str:
     """Shared streamable-staging protocol for every stream-twin query:
-    the content stamp (source table mtime) lives in the DIRECTORY NAME
+    the content stamp (SOURCE table mtime — pass ``src_table`` when the
+    stage derives from something other than events, or a source-table
+    rewrite would serve a stale stage) lives in the DIRECTORY NAME
     and publication is sources.sinks.publish_build's
     build-private-then-rename. Consequences: (a) a named build is
     immutable once its _SUCCESS exists, so a rebuild can never touch a
@@ -166,7 +168,7 @@ def _staged_stream_dir(sf_dir: str, tag: str, build) -> str:
 
     from mrt_data_integration_spark.sources.sinks import build_and_publish
 
-    ev_src = os.path.join(sf_dir, "events.parquet")
+    ev_src = os.path.join(sf_dir, f"{src_table}.parquet")
     mtime = int(os.path.getmtime(ev_src)) if os.path.exists(ev_src) else 0
     src = os.path.join(
         tempfile.gettempdir(), f"graft_{tag}_{_stable_key(sf_dir)}_{mtime}"
