@@ -128,3 +128,74 @@ def test_decomposed_matches_fold_on_events_table(spark, sf_smoke):
         ev, steps, "12 hours", bounded_history=False
     ).collect()
     assert list(map(tuple, conv_fold)) == list(map(tuple, conv_dec))
+
+
+def test_funnel_randomized_python_twin(spark):
+    """Seeded fuzz vs a greedy-walk twin: random event soups (repeated
+    steps, out-of-order arrival, window-boundary gaps, users missing
+    middle steps) — both physical variants (sorted fold AND decomposed
+    min-joins) must produce the twin's stage times exactly."""
+    import datetime as dt
+    import random
+
+    from mrt_data_integration_spark.operators.funnel import (
+        funnel_stage_times,
+    )
+
+    rng = random.Random(20260815)
+    steps = ["view", "click", "purchase"]
+    base = dt.datetime(2024, 5, 1)
+    window = dt.timedelta(hours=12)
+    rows = []
+    for user in range(25):
+        for _ in range(rng.randint(0, 12)):
+            rows.append(
+                (
+                    user,
+                    base + dt.timedelta(
+                        hours=rng.randint(0, 72), minutes=rng.randint(0, 59)
+                    ),
+                    rng.choice(steps),
+                )
+            )
+    rng.shuffle(rows)  # arrival order is not time order
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+    # greedy twin: t1 = min(view); t_i = min ts of step i in (t_{i-1},
+    # t_{i-1} + window]
+    want = {}
+    by_user = {}
+    for u, ts, tp in rows:
+        by_user.setdefault(u, []).append((ts, tp))
+    for u, evs in by_user.items():
+        t = [None, None, None]
+        cand = [ts for ts, tp in evs if tp == "view"]
+        if cand:
+            t[0] = min(cand)
+            for i in (1, 2):
+                if t[i - 1] is None:
+                    break
+                cand = [
+                    ts
+                    for ts, tp in evs
+                    if tp == steps[i]
+                    and t[i - 1] < ts <= t[i - 1] + window
+                ]
+                if cand:
+                    t[i] = min(cand)
+        want[u] = tuple(t)
+
+    for bounded in (True, False):
+        got = {
+            r.user_id: (r.t1, r.t2, r.t3)
+            for r in funnel_stage_times(
+                df, steps, "12 hours", bounded_history=bounded
+            ).collect()
+        }
+        for u, w in want.items():
+            g = got.get(u, (None, None, None))
+            if w == (None, None, None):
+                # users with no view never emit a row in either variant
+                assert g == (None, None, None), (bounded, u, g, w)
+            else:
+                assert g == w, (bounded, u, g, w)
