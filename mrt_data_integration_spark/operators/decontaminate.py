@@ -96,12 +96,28 @@ def decontaminate(
     ).drop("__hit__")
 
 
+def _distinct_gram_hashes(
+    df: DataFrame, ngram_n: int, text_col: str
+) -> DataFrame:
+    """One column ``__gh__``: the distinct md5 n-gram hashes of a
+    corpus — the frame both the bloom build and the exact verify
+    consume (compute once, persist across the two)."""
+    return df.select(
+        F.explode(
+            F.array_distinct(
+                F.transform(word_ngrams(text_col, ngram_n), F.md5)
+            )
+        ).alias("__gh__")
+    ).distinct()
+
+
 def build_ngram_bloom(
     benchmark: DataFrame,
     ngram_n: int = 3,
     n_bits: int = 1 << 18,
     n_hashes: int = 3,
     text_col: str = "text",
+    grams: DataFrame | None = None,
 ) -> list[int]:
     """Bloom filter over the benchmark's md5 n-gram hashes, as a
     ``n_bits/64``-long bitmap the caller broadcasts.
@@ -115,18 +131,20 @@ def build_ngram_bloom(
     benchmark size — the whole point vs broadcasting the exact hash
     set (a 1 B-gram benchmark is ~32 GB of md5s; a 2^30-bit bloom is
     128 MB at ~1% FP for that load).
+
+    ``grams``: optionally a precomputed distinct gram-hash frame
+    (column ``__gh__``) — :func:`decontaminate_bloom` passes its
+    persisted verify-side frame so the benchmark is scanned once.
     """
     if n_hashes < 1 or n_hashes > 4:
         raise ValueError("n_hashes must be 1-4 (md5 yields four 32-bit slices)")
-    if n_bits & (n_bits - 1):
-        raise ValueError(f"n_bits must be a power of two, got {n_bits}")
-    grams = benchmark.select(
-        F.explode(
-            F.array_distinct(
-                F.transform(word_ngrams(text_col, ngram_n), F.md5)
-            )
-        ).alias("__gh__")
-    ).distinct()
+    if n_bits < 64 or n_bits & (n_bits - 1):
+        raise ValueError(
+            f"n_bits must be a power of two >= 64 (whole 64-bit words), "
+            f"got {n_bits}"
+        )
+    if grams is None:
+        grams = _distinct_gram_hashes(benchmark, ngram_n, text_col)
     positions = grams.select(
         F.explode(
             F.array(
@@ -201,9 +219,21 @@ def decontaminate_bloom(
     eliminated by the exact verify — the result equals
     :func:`decontaminate` bit for bit (the identity a test pins), so
     the same SQL oracle covers both paths.
+
+    The benchmark's distinct gram-hash frame feeds TWO consumers (the
+    bitmap build's collect and the verify join) — persisted so the
+    benchmark is tokenized/exploded/distinct'd once, not twice; the
+    returned frame carries the cache handle (release_cache frees it,
+    same discipline as the dedup family).
     """
+    from mrt_data_integration_spark.cache_registry import track_cache
+    from mrt_data_integration_spark.operators.dedup import _attach_cache
+
+    b_grams = track_cache(
+        _distinct_gram_hashes(benchmark, ngram_n, text_col).persist()
+    )
     bitmap = build_ngram_bloom(
-        benchmark, ngram_n, n_bits, n_hashes, text_col
+        benchmark, ngram_n, n_bits, n_hashes, text_col, grams=b_grams
     )
     spark = corpus.sparkSession
     bloom_df = spark.createDataFrame([(bitmap,)], "__bloom__ array<bigint>")
@@ -221,13 +251,6 @@ def decontaminate_bloom(
         .filter(gate)
         .select(id_col, "__gh__")
     )
-    b_grams = benchmark.select(
-        F.explode(
-            F.array_distinct(
-                F.transform(word_ngrams(text_col, ngram_n), F.md5)
-            )
-        ).alias("__gh__")
-    ).distinct()
     hits = (
         survivors.join(b_grams, "__gh__", "left_semi")
         .select(id_col)
@@ -235,6 +258,7 @@ def decontaminate_bloom(
         .withColumn("__hit__", F.lit(True))
     )
     flagged = corpus.join(F.broadcast(hits), id_col, "left")
-    return flagged.withColumn(
+    out = flagged.withColumn(
         flag_col, F.coalesce(F.col("__hit__"), F.lit(False))
     ).drop("__hit__")
+    return _attach_cache(out, [b_grams])

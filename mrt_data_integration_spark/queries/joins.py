@@ -366,6 +366,10 @@ def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_scd2_history,
     )
 
+    from mrt_data_integration_spark.streaming.scd import (
+        stage_ordered_changelog,
+    )
+
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_custkey") % 10 == 0
     )
@@ -375,22 +379,7 @@ def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts = ["1997-01-01", "1999-01-01"]
 
     def build(p: str) -> None:
-        lo = None
-        for i, hi in enumerate(cuts + [None]):
-            chunk = log
-            if lo is not None:
-                chunk = chunk.filter(F.col("o_orderdate") >= F.lit(lo))
-            if hi is not None:
-                chunk = chunk.filter(F.col("o_orderdate") < F.lit(hi))
-            chunk.coalesce(1).write.parquet(os.path.join(p, f"part{i}"))
-            lo = hi
-        t0 = 1_600_000_000
-        for i in range(len(cuts) + 1):
-            d = os.path.join(p, f"part{i}")
-            for name in os.listdir(d):
-                os.utime(
-                    os.path.join(d, name), (t0 + 100 * i, t0 + 100 * i)
-                )
+        stage_ordered_changelog(log, p, "o_orderdate", cuts)
         open(os.path.join(p, "_SUCCESS"), "w").close()
 
     src = _staged_stream_dir(sf_dir, "sscd2_orders3", build, src_table="orders")

@@ -1188,11 +1188,11 @@ def fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all document-prefix pairs within Levenshtein distance 2, the
     entity-resolution primitive the set-similarity dedup family can't
     express (edit distance respects order and position). Candidates
-    come from the lossless Ed-Join prefix filter (each string's k·q+1
-    globally-rarest positional q-gram elements), so the output is
-    EXACTLY the brute-force pair set — which is what the oracle runs
-    (levenshtein is integer-exact in both engines; no float proofing
-    needed)."""
+    come from the lossless PassJoin segment index (k+1 even segments
+    per string; a partner within distance k must contain one segment
+    EXACTLY, ±k-shifted — pigeonhole), so the output is EXACTLY the
+    brute-force pair set — which is what the oracle runs (levenshtein
+    is integer-exact in both engines; no float proofing needed)."""
     from mrt_data_integration_spark.operators.fuzzy import (
         edit_distance_pairs,
     )

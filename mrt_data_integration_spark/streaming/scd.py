@@ -86,3 +86,38 @@ def read_scd2_history(spark, state_dir: str) -> DataFrame:
     if v < 0:
         raise FileNotFoundError(f"no complete SCD2 history in {state_dir}")
     return spark.read.parquet(os.path.join(state_dir, f"state_v{v}"))
+
+
+def stage_ordered_changelog(
+    df: DataFrame, path: str, ts_col: str, cuts: list[str]
+) -> None:
+    """Write ``df`` as ``len(cuts)+1`` time-ordered parquet parts under
+    ``path`` (part0..partN, split at the ``cuts`` boundary values of
+    ``ts_col``), stamping strictly increasing file mtimes so a
+    ``maxFilesPerTrigger=1`` file stream delivers them oldest-first.
+
+    This is the staging half of the merge ordering contract (module
+    doc): every part is strictly later by ``ts_col`` than the one
+    before, so each micro-batch satisfies ``scd2_merge``'s
+    strictly-later requirement by construction. Shared by the driver
+    query (queries/joins.py streaming_scd2_history) and the scaling
+    harness so the contract lives in ONE place.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    lo = None
+    for i, hi in enumerate(list(cuts) + [None]):
+        chunk = df
+        if lo is not None:
+            chunk = chunk.filter(F.col(ts_col) >= F.lit(lo))
+        if hi is not None:
+            chunk = chunk.filter(F.col(ts_col) < F.lit(hi))
+        chunk.coalesce(1).write.parquet(os.path.join(path, f"part{i}"))
+        lo = hi
+    t0 = 1_600_000_000
+    for i in range(len(cuts) + 1):
+        d = os.path.join(path, f"part{i}")
+        for name in os.listdir(d):
+            os.utime(os.path.join(d, name), (t0 + 100 * i, t0 + 100 * i))

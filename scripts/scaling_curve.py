@@ -380,31 +380,20 @@ def main() -> None:
     sscd2_srcs = {}
     if "sscd2_src" in needed:
         # 3 time-ordered files per scale (the merge contract needs each
-        # batch strictly later by (o_orderdate, o_orderkey))
+        # batch strictly later by (o_orderdate, o_orderkey)) — the
+        # shared staging helper owns the ordering protocol
+        from mrt_data_integration_spark.streaming.scd import (
+            stage_ordered_changelog,
+        )
+
         for k in SCALES:
             od = spark.read.parquet(orders_paths[k]).select(
                 "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
             )
             spath = os.path.join(work, f"sscd2_{k}x")
-            cuts = ["1997-01-01", "1999-01-01"]
-            lo = None
-            for i, hi in enumerate(cuts + [None]):
-                chunk = od
-                if lo is not None:
-                    chunk = chunk.filter(F.col("o_orderdate") >= F.lit(lo))
-                if hi is not None:
-                    chunk = chunk.filter(F.col("o_orderdate") < F.lit(hi))
-                chunk.coalesce(1).write.parquet(
-                    os.path.join(spath, f"part{i}")
-                )
-                lo = hi
-            t0 = 1_600_000_000
-            for i in range(3):
-                d = os.path.join(spath, f"part{i}")
-                for name in os.listdir(d):
-                    os.utime(
-                        os.path.join(d, name), (t0 + 100 * i, t0 + 100 * i)
-                    )
+            stage_ordered_changelog(
+                od, spath, "o_orderdate", ["1997-01-01", "1999-01-01"]
+            )
             sscd2_srcs[k] = (spath, od.schema)
 
     # Dedicated append-target indexes (separate from the query-path ones

@@ -183,3 +183,19 @@ def test_bloom_gate_actually_prunes(spark, sf_smoke):
     total = grams.count()
     passed = grams.join(F.broadcast(bloom_df)).filter(gate).count()
     assert passed < total * 0.01, (passed, total)
+
+
+def test_bloom_rejects_sub_word_bitmaps(spark):
+    """n_bits below one 64-bit word (or non-power-of-two) must fail at
+    entry with a clear error, not crash after the distributed build."""
+    import pytest
+
+    from mrt_data_integration_spark.operators.decontaminate import (
+        build_ngram_bloom,
+    )
+
+    bench = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match=">= 64"):
+        build_ngram_bloom(bench, 3, n_bits=32)
+    with pytest.raises(ValueError, match="power of two"):
+        build_ngram_bloom(bench, 3, n_bits=100)
