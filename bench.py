@@ -111,6 +111,9 @@ HEADLINE = [
     "streaming_scd2_history",
     "fuzzy_title_pairs",
     "bloom_decontamination",
+    # late-r9: span-level duplicate removal — the corpus-rewrite shape
+    # (chunk-hash first-occurrence window + doc-keyed reassembly)
+    "dedup_spans_rewrite",
 ]
 
 

@@ -16,7 +16,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mrt_data_integration_spark.cache_registry import track_cache, untrack
@@ -769,10 +769,17 @@ def substring_chunk_pairs(
     ``chunk`` emit nothing (the exact-dedup path owns those).
     """
     text = F.col(text_col)
+    chars = F.col("__chars__")
+    codes = F.col("__codes__")
 
     def _anchored(o: Column) -> Column:
+        # probe the per-doc codepoint ARRAY: element_at is O(1), where
+        # substr(text, o, 1) is O(o) on UTF8 strings (byte-walk to the
+        # char boundary) — with ~len/anchor_mod anchored offsets that
+        # made both the anchor scan and the window extraction O(len²)
+        # per doc, ruinous at real web-document lengths
         def code(k: int) -> Column:
-            return F.ascii(F.substr(text, o + F.lit(k), F.lit(1)))
+            return F.element_at(codes, o + F.lit(k))
 
         poly = ((code(0) * 31 + code(1)) * 31 + code(2)) * 31 + code(3)
         return poly % anchor_mod == 0
@@ -780,15 +787,29 @@ def substring_chunk_pairs(
     offsets = F.filter(
         F.sequence(F.lit(1), F.length(text) - (chunk - 1)), _anchored
     )
+    # window hashes are built from O(chunk) array slices BEFORE the
+    # explode (exploding (id, offset, chars) rows would copy the chars
+    # array into every offset row); array_distinct IS the per-doc
+    # distinct the downstream expects
+    window_hashes = F.array_distinct(
+        F.transform(
+            offsets,
+            lambda o: F.md5(F.array_join(F.slice(chars, o, chunk), "")),
+        )
+    )
     chunks = (
         _spread(df.select(id_col, text_col))
         .filter(F.length(text) >= chunk)
-        .select(F.col(id_col), F.explode(offsets).alias("__o__"), text_col)
         .select(
-            id_col,
-            F.md5(F.expr(f"substring({text_col}, __o__, {chunk})")).alias("__h__"),
+            F.col(id_col), text, F.split(text, "").alias("__chars__")
         )
-        .distinct()
+        .select(
+            F.col(id_col),
+            text,
+            chars,
+            F.transform(chars, F.ascii).alias("__codes__"),
+        )
+        .select(F.col(id_col), F.explode(window_hashes).alias("__h__"))
     )
     if max_chunk_df is not None:
         hot = (
@@ -815,3 +836,197 @@ def substring_chunk_pairs(
         .filter(F.col("n_shared_chunks") >= min_shared)
     )
     return _attach_cache(pairs, [chunks])
+
+
+def split_content_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    anchor_mod: int = 8,
+    min_tokens: int = 4,
+) -> DataFrame:
+    """Disjoint content-defined segmentation at TOKEN granularity: cut
+    each document before every anchor token (md5 bucket of the token ≡
+    0 mod ``anchor_mod`` — content-defined, so a verbatim passage cuts
+    at the SAME relative positions in every doc containing it) into
+    consecutive non-overlapping chunks of whole tokens.
+
+    Token anchoring over char anchoring is a deliberate cost call: the
+    anchor decision runs once per TOKEN (~len/6 interpreted
+    higher-order-function evaluations per doc) instead of once per
+    CHARACTER — a measured ~5× wall-clock difference at equal
+    semantics, because Spark's HOF lambdas evaluate interpreted, never
+    codegen'd. Tokens are split on the literal single space, so empty
+    tokens survive round-trip (``split → join`` is byte-exact for any
+    whitespace layout) and duplicated natural-text passages — which
+    are token-aligned — still cut identically.
+
+    ``min_tokens`` is the CDC minimum-chunk-size rule: an anchor is
+    kept only if it sits ≥ min_tokens past the PREVIOUS anchor
+    (previous of the first = the text start) — a local,
+    offset-shift-invariant test, so shared passages still cut
+    identically while pathological tiny chunks (single hot tokens
+    would collide across every doc and let span-dedup mangle unrelated
+    text) cannot occur. Only the FINAL chunk of a doc can carry fewer
+    than min_tokens tokens.
+
+    Returns (id, ord, chunk, n_toks): ``ord`` the 1-based chunk
+    position, ``chunk`` the space-joined token run, ``n_toks`` its
+    token count; joining chunks with a single space in ord order
+    reproduces the text exactly. Docs with no anchors emit one
+    whole-document chunk. All JVM-side and O(len) per doc.
+    """
+    text = F.col(text_col)
+    toks = F.col("__toks__")
+    n = F.size(toks)
+
+    def _anchor_bucket(i: Column) -> Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.element_at(toks, i)), 1, 4), 16, 10
+            ).cast("int")
+            % anchor_mod
+            == 0
+        )
+
+    # candidate boundaries BEFORE tokens 2..n; sequence(2, 1) DESCENDS,
+    # so single-token docs must yield an empty array explicitly
+    anchors = F.when(
+        n >= 2, F.filter(F.sequence(F.lit(2), n), _anchor_bucket)
+    ).otherwise(F.array().cast("array<int>"))
+    idx = F.when(
+        F.size(anchors) > 0, F.sequence(F.lit(1), F.size(anchors))
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(anchors, i).alias("o"),
+                # index guarded: element_at(_, 0) throws under ANSI even
+                # inside the untaken when-branch
+                F.when(i == 1, F.lit(1))
+                .otherwise(
+                    F.element_at(anchors, F.greatest(i - 1, F.lit(1)))
+                )
+                .alias("prev"),
+            ),
+        ),
+        lambda st: st["o"] - st["prev"] >= min_tokens,
+    )
+    bounds = F.concat(
+        F.array(F.lit(1)),
+        F.transform(kept, lambda st: st["o"]),
+        F.array(n + 1),
+    )
+    pairs = F.arrays_zip(
+        F.slice(bounds, 1, F.size(bounds) - 1).alias("s"),
+        F.slice(bounds, 2, F.size(bounds) - 1).alias("e"),
+    )
+    chunks = F.transform(
+        pairs,
+        lambda p: F.struct(
+            F.array_join(F.slice(toks, p["s"], p["e"] - p["s"]), " ").alias(
+                "c"
+            ),
+            (p["e"] - p["s"]).alias("nt"),
+        ),
+    )
+    # two-step projection: __toks__ is referenced n× by the anchor
+    # filter and chunk slices — its own projection keeps it
+    # materialized once per row (the same CollapseProject discipline
+    # as _banded_signatures' __sh__)
+    with_toks = (
+        _spread(df.select(id_col, text_col))
+        .filter(text.isNotNull() & (F.length(text) > 0))
+        .select(F.col(id_col), F.split(text, " ", -1).alias("__toks__"))
+    )
+    return with_toks.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("__z__", "__u__"),
+    ).select(
+        id_col,
+        (F.col("__z__") + 1).alias("ord"),
+        F.col("__u__.c").alias("chunk"),
+        F.col("__u__.nt").alias("n_toks"),
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    anchor_mod: int = 8,
+    min_tokens: int = 4,
+) -> DataFrame:
+    """Rewrite each document with its DUPLICATED SPANS REMOVED — the
+    removal half of substring dedup (the detection half is
+    :func:`substring_chunk_pairs`): Lee et al. (ACL'22) remove the
+    repeated passage, not the whole document, because the rest of the
+    doc is usually unique and worth training on.
+
+    Mechanism: :func:`split_content_chunks` partitions every doc at
+    content-defined boundaries (identical passages cut identically
+    regardless of offset), each chunk keeps iff ITS (doc, position) is
+    the globally-first occurrence of the chunk's md5 — ordered by
+    (id, ord), so the earliest doc keeps its text and later verbatim
+    repeats (within a doc or across docs) drop — and survivors
+    reassemble in position order, space-joined (chunks are whole-token
+    runs). Joining every chunk of an all-unique doc reproduces it
+    byte-identically.
+
+    Scale shape: one shuffle keyed on the chunk hash (the
+    first-occurrence window; chunk text rides along because the
+    survivor must be reassembled) and one keyed on the doc id (the
+    ordered re-concat) — rewriting the corpus inherently moves the
+    text twice, there is no lighter exact shape. Chunks are >=
+    min_tokens tokens by the CDC minimum-size rule
+    (split_content_chunks) with no upper bound — a pathological
+    anchor-free doc is one chunk, which a task must hold anyway to
+    rewrite it.
+
+    Chunks with FEWER than ``min_tokens`` tokens (only a doc's final
+    chunk can be) are always kept: a sub-min_tokens tail is too little
+    text to call a duplicated span (Lee et al. remove long verbatim
+    overlap, not two-word suffixes), and deduping it would mangle
+    unrelated docs that merely end alike.
+
+    Returns one row per input doc (empty/NULL docs excluded):
+    (id, clean_text, n_chunks, n_kept) — ``clean_text`` is '' when
+    every span was seen earlier (a verbatim duplicate of an
+    earlier doc).
+    """
+    chunks = split_content_chunks(
+        df, id_col, text_col, anchor_mod, min_tokens
+    )
+    w = Window.partitionBy(F.md5("chunk")).orderBy(id_col, "ord")
+    kept = chunks.withColumn("__rk__", F.row_number().over(w))
+    docs = chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    rebuilt = (
+        kept.filter(
+            (F.col("__rk__") == 1) | (F.col("n_toks") < min_tokens)
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ord", "chunk"))
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    return (
+        docs.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )

@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (118 queries as of r9 —
+# ROTATION POLICY (round 4+): the registry (119 queries as of r9 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r9: 18 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r9: 19 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -75,7 +75,6 @@ _POOL_A: list[str] = [
     "label_centroids",
     "lsh_bucket_profile",
     "embedding_similar_pairs_lsh",
-    "ivf_topk",
     # r9 additions (E4+ — hard-negative mining, the r8 verdict's item 2:
     # the only r8 operator family whose correctness rested on CI alone
     # while being oracle-able; J6+ — streaming SCD2 maintenance made
@@ -88,6 +87,12 @@ _POOL_A: list[str] = [
     # (see _RETIRED).
     "hard_negative_mining",
     "streaming_scd2_history",
+    # late-r9 addition (E3+++ — span-level duplicate REMOVAL, the
+    # rewrite half of substring dedup; the oracle replays the whole
+    # pipeline and hash-compares every rewritten document's md5). Zero
+    # driver history → force-included in this r9 window per rule 2;
+    # slot funded by retiring `ivf_topk` (see _RETIRED).
+    "dedup_spans_rewrite",
     # joined in r4 (first two got r4 driver rows; the last two get their
     # first rows in r5 with the rest of pool A)
     "doc_repetition_filter",
@@ -364,6 +369,14 @@ _RETIRED: list[str] = [
     # the same per-key time-ordered window machinery the batch
     # sessionizer rides).
     "sessionization",
+    # r9 (late): retired to fund the `dedup_spans_rewrite` r9 slot.
+    # Twin coverage for the IVF cell-probe ranking shape:
+    # `ivfpq_index_topk` (POOL_A, r9 slot — the persisted production
+    # path whose probe contains the same coarse-cell selection) and
+    # `pq_topk` (POOL_A, r9 slot — the ADC ranking half); recall and
+    # probe-sweep tests in tests/test_similarity.py stay green every
+    # CI run.
+    "ivf_topk",
     # r9 (late): retired to fund the `fuzzy_title_pairs` r10 slot — the
     # r9-plan comment's named candidate. Twin coverage for the
     # mapInPandas MC fan-out + summary-stack shape:

@@ -1256,3 +1256,90 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("contaminated_frac"),
     )
+
+
+@query(
+    "dedup_spans_rewrite",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    seg AS (
+      SELECT doc_id, t,
+             list_filter(
+               range(2, len(t) + 1),
+               i -> CAST(('0x' || substr(md5(t[i]), 1, 4)) AS INTEGER)
+                    % 8 = 0
+             ) AS anchors
+      FROM d
+    ),
+    kept_anchors AS (
+      SELECT doc_id, t,
+             list_filter(
+               anchors,
+               (x, i) -> x - (CASE WHEN i = 1 THEN 1
+                                   ELSE anchors[i - 1] END) >= 4
+             ) AS ka
+      FROM seg
+    ),
+    bounds AS (
+      SELECT doc_id, t,
+             list_concat(list_concat([1], ka), [len(t) + 1]) AS b
+      FROM kept_anchors
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(b)),
+               i -> {'ord': i,
+                     'c': array_to_string(t[b[i]:b[i + 1] - 1], ' '),
+                     'nt': b[i + 1] - b[i]}
+             )) AS u
+      FROM bounds
+    ),
+    ranked AS (
+      SELECT doc_id, u.ord AS ord, u.c AS c, u.nt AS nt,
+             row_number() OVER (
+               PARTITION BY md5(u.c) ORDER BY doc_id, u.ord
+             ) AS rk
+      FROM chunks
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           count(*) FILTER (rk = 1 OR nt < 4) AS n_kept,
+           CAST(length(coalesce(
+             string_agg(c, ' ' ORDER BY ord)
+               FILTER (rk = 1 OR nt < 4), ''
+           )) AS BIGINT) AS clean_len,
+           md5(coalesce(
+             string_agg(c, ' ' ORDER BY ord)
+               FILTER (rk = 1 OR nt < 4), ''
+           )) AS clean_md5
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+++ (r9, operators/dedup.remove_duplicate_spans): the REMOVAL
+    half of substring dedup — every document rewritten with its
+    duplicated spans dropped (token-anchored content-defined chunks,
+    global first-occurrence keep, position-ordered space-joined
+    reassembly; sub-min_tokens tails always kept). The oracle replays
+    the whole computation — token split, md5-bucket anchors, CDC
+    min-gap rule, boundary partition, ranked first-occurrence, ordered
+    re-concat — and compares the rewritten text by md5, so a hash
+    match pins every byte of every rewritten document."""
+    from mrt_data_integration_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(docs)
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        "n_kept",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5("clean_text").alias("clean_md5"),
+    )

@@ -172,6 +172,7 @@ OP_INPUTS = {
     "bm25_search": {"docs"},
     "fuzzy_pairs": {"docs"},
     "bloom_decon": {"docs"},
+    "dedup_spans": {"docs"},
     "hard_negative": {"emb"},
     "streaming_scd2_drain": {"orders", "sscd2_src"},
 }
@@ -629,6 +630,13 @@ def main() -> None:
         # k²). Expected linear: index/probe explodes are map-side; one
         # keyed shuffle on (segment, slot, partner_len).
         "fuzzy_pairs": lambda k: _fuzzy(k),
+        # r9: span-level duplicate removal — corpus growth with
+        # disjoint per-replica vocabularies (duplicate spans stay
+        # within-replica). Expected linear: O(len) per-doc chunking,
+        # one chunk-hash window shuffle, one doc-keyed reassembly.
+        "dedup_spans": lambda k: dd.remove_duplicate_spans(
+            docs(k)
+        ).agg(F.sum("n_kept")).collect()[0][0],
         # r9: Bloom-gated decontamination — corpus AND benchmark grow
         # k× (disjoint vocab per replica → within-replica hits only).
         # Expected linear: bloom build is one gram scan + word agg;

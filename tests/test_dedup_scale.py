@@ -259,3 +259,102 @@ def test_lsh_store_matches_cross_candidates(spark, sf_smoke, tmp_path):
         spark, path2, new
     ).collect()))
     assert got2 == want
+
+
+def test_split_chunks_reassemble_identity(spark):
+    """Space-joining a doc's chunks in ord order must reproduce the
+    text byte-identically — token boundaries partition, never
+    overlap/drop (empty tokens from repeated spaces included)."""
+    from pyspark.sql import functions as F
+
+    from mrt_data_integration_spark.operators.dedup import (
+        split_content_chunks,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 4),
+        (2, "short"),
+        (3, "x"),
+        (4, ""),        # excluded (no content)
+        (5, None),      # excluded
+        (6, "double  space and  trailing "),  # empty tokens round-trip
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.t
+        for r in split_content_chunks(df)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ord", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("t")
+        )
+        .collect()
+    }
+    assert got == {
+        1: rows[0][1], 2: "short", 3: "x", 6: rows[5][1]
+    }
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    """Planted verbatim passage shared by two docs: the earlier doc
+    keeps it, the later doc loses exactly that span; an identical
+    later doc empties entirely; unique docs pass through unchanged."""
+    from mrt_data_integration_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    passage = "copied boilerplate text that is long enough to anchor " * 3
+    rows = [
+        (1, "totally unique document alpha with its own words " * 2),
+        (2, passage + " unique tail of document two"),
+        (3, "unique head of document three " + passage),
+        (4, rows_4 := "totally unique document alpha with its own words " * 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in remove_duplicate_spans(df).collect()}
+    # doc 1 first: keeps everything
+    assert got[1].clean_text == rows[0][1]
+    assert got[1].n_kept == got[1].n_chunks
+    # doc 3 shares the passage with doc 2 (earlier) — its copy drops
+    assert passage not in got[3].clean_text
+    assert "unique head of document three" in got[3].clean_text
+    assert got[3].n_kept < got[3].n_chunks
+    # doc 2 (earlier id) keeps the passage
+    assert passage in got[2].clean_text
+    # doc 4 is byte-identical to doc 1 → every span already seen
+    assert got[4].clean_text == ""
+    assert got[4].n_kept == 0
+
+
+def test_remove_duplicate_spans_unique_corpus_is_identity(spark):
+    """With no cross- or within-doc repetition, the rewrite is the
+    identity — randomized corpus, every doc reproduced byte-exactly."""
+    import random
+
+    from mrt_data_integration_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    rng = random.Random(20260815)
+    # distinct random alphanumeric docs — chunk-level collisions across
+    # 30 docs of entropy this high have probability ~0
+    rows = [
+        (
+            i,
+            "".join(
+                rng.choice("abcdefghijklmnopqrstuvwxyz0123456789 ")
+                for _ in range(rng.randint(1, 300))
+            ),
+        )
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in remove_duplicate_spans(df).collect()}
+    for i, t in rows:
+        assert got[i].clean_text == t, i
+        assert got[i].n_kept == got[i].n_chunks

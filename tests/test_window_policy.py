@@ -19,6 +19,7 @@ _R9_FORCED = (
     "leakage_safe_split",
     "hard_negative_mining",
     "streaming_scd2_history",
+    "dedup_spans_rewrite",
 )
 
 # The thirteen r8 sit-outs (last driver rows: r7). All must return in
@@ -100,6 +101,12 @@ _NO_ORACLE_RETIREES = {
     # online IVFADC probe == persisted-index probe:
     # tests/test_similarity.py::test_ivfpq_persisted_index_matches_online
     "ivfpq_topk",
+    # full-probe == exact identity + recall floor vs brute force +
+    # hand-pinned exact case: tests/test_similarity.py::
+    # test_ivf_full_probe_is_exact, ::test_ivf_recall_vs_brute_force,
+    # ::test_ivf_topk_exact_pinned; the cell-probe shape stays
+    # driver-visible through ivfpq_index_topk
+    "ivf_topk",
     # same run_grid/mc_summary machinery as in-rotation
     # sensitivity_scenarios; estimates golden-pinned against the
     # reference: tests/test_mc_statistical_parity.py
