@@ -358,3 +358,93 @@ def test_remove_duplicate_spans_unique_corpus_is_identity(spark):
     for i, t in rows:
         assert got[i].clean_text == t, i
         assert got[i].n_kept == got[i].n_chunks
+
+
+def test_remove_duplicate_spans_randomized_python_twin(spark):
+    """Seeded fuzz vs a from-first-principles twin of the WHOLE
+    pipeline (token split, md5-bucket anchors, min-gap rule, global
+    first-occurrence keep with the short-tail exemption, space-joined
+    reassembly) on corpora with planted cross-doc passages, repeated
+    spaces, and tiny docs."""
+    import hashlib
+    import random
+
+    from mrt_data_integration_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    rng = random.Random(20260815)
+    vocab = [f"w{i}" for i in range(40)]
+    passages = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 15)))
+        for _ in range(4)
+    ]
+    rows = []
+    for i in range(25):
+        parts = []
+        for _ in range(rng.randint(1, 4)):
+            if rng.random() < 0.4:
+                parts.append(rng.choice(passages))  # planted duplicate
+            else:
+                parts.append(
+                    " ".join(
+                        rng.choice(vocab)
+                        for _ in range(rng.randint(0, 10))
+                    )
+                )
+        rows.append((i, " ".join(parts)))
+
+    def twin(anchor_mod=8, min_tokens=4):
+        per_doc = {}
+        for did, text in rows:
+            if not text:
+                continue
+            toks = text.split(" ")
+            anchors = [
+                i
+                for i in range(2, len(toks) + 1)
+                if int(hashlib.md5(toks[i - 1].encode()).hexdigest()[:4], 16)
+                % anchor_mod
+                == 0
+            ]
+            ka, prev = [], 1
+            for j, a in enumerate(anchors):
+                p = 1 if j == 0 else anchors[j - 1]
+                if a - p >= min_tokens:
+                    ka.append(a)
+            bounds = [1] + ka + [len(toks) + 1]
+            per_doc[did] = [
+                (
+                    " ".join(toks[bounds[i] - 1: bounds[i + 1] - 1]),
+                    bounds[i + 1] - bounds[i],
+                )
+                for i in range(len(bounds) - 1)
+            ]
+        seen = set()
+        out = {}
+        for did in sorted(per_doc):
+            kept = []
+            for c, nt in per_doc[did]:
+                h = hashlib.md5(c.encode()).hexdigest()
+                first = h not in seen
+                seen.add(h)
+                if first or nt < min_tokens:
+                    kept.append(c)
+            out[did] = (
+                " ".join(kept),
+                len(per_doc[did]),
+                len(kept),
+            )
+        return out
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_chunks, r.n_kept)
+        for r in remove_duplicate_spans(df).collect()
+    }
+    want = twin()
+    assert got == want, {
+        k: (got.get(k), want.get(k))
+        for k in set(got) | set(want)
+        if got.get(k) != want.get(k)
+    }
