@@ -999,34 +999,28 @@ def remove_duplicate_spans(
         df, id_col, text_col, anchor_mod, min_tokens
     )
     w = Window.partitionBy(F.md5("chunk")).orderBy(id_col, "ord")
-    kept = chunks.withColumn("__rk__", F.row_number().over(w))
-    docs = chunks.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_chunks")
+    kept = chunks.withColumn(
+        "__keep__",
+        (F.row_number().over(w) == 1) | (F.col("n_toks") < min_tokens),
     )
-    rebuilt = (
-        kept.filter(
-            (F.col("__rk__") == 1) | (F.col("n_toks") < min_tokens)
-        )
-        .groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("ord", "chunk"))
-                    ),
-                    lambda s: s["chunk"],
+    # ONE conditional aggregation over all chunk rows (kept flag decides
+    # what enters the re-concat; collect_list drops the NULLs the
+    # un-kept rows produce) — a separate per-doc count frame would
+    # re-execute the chunking lineage and pay a join
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep__"), F.struct("ord", "chunk")
+                        )
+                    )
                 ),
-                " ",
-            ).alias("clean_text"),
-            F.count(F.lit(1)).alias("n_kept"),
-        )
-    )
-    return (
-        docs.join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            "n_chunks",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        )
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count(F.when(F.col("__keep__"), 1)).alias("n_kept"),
     )
