@@ -115,13 +115,21 @@ def partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     documents hive-partitioned by lang (sources.sinks
     .write_partitioned_dataset: salted single shuffle → bounded file
     counts per directory, doc_id-sorted rows within each file), reads
-    the dataset back with a lang IN (...) filter — planning-time
+    COMPACTS it (r9: sources.sinks.compact_dataset — the skew-aware
+    small-file maintenance pass, previously CI-only, now on the driver
+    path the way the streaming maintenance ops are: compaction is
+    content-preserving, so the oracle is unchanged and a hash match
+    proves write → compact → pruned-read loses nothing), reads the
+    compacted dataset back with a lang IN (...) filter — planning-time
     directory pruning, pinned by tests/test_sinks.py — and aggregates.
-    The oracle aggregates the original table: the sink/source pair must
-    be value-preserving including the partition-column round-trip
-    (lang values become directory names and must come back as the same
-    strings)."""
-    from mrt_data_integration_spark.sources.sinks import ephemeral_dir
+    The oracle aggregates the original table: the sink/source/compactor
+    chain must be value-preserving including the partition-column
+    round-trip (lang values become directory names and must come back
+    as the same strings)."""
+    from mrt_data_integration_spark.sources.sinks import (
+        compact_dataset,
+        ephemeral_dir,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     out_dir = ephemeral_dir("mrt_part_roundtrip_")
@@ -132,7 +140,15 @@ def partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         sort_cols=["doc_id"],
         files_per_partition=2,
     )
-    back = read_partitioned_dataset(spark, out_dir)
+    compacted_dir = ephemeral_dir("mrt_part_compacted_")
+    compact_dataset(
+        spark,
+        out_dir,
+        compacted_dir,
+        partition_cols=["lang"],
+        target_file_bytes=4 << 20,
+    )
+    back = read_partitioned_dataset(spark, compacted_dir)
     return (
         back.filter(F.col("lang").isin("en", "zh"))
         .groupBy("lang")
