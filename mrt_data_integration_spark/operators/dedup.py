@@ -768,6 +768,11 @@ def substring_chunk_pairs(
     at cap²); None = exact, for oracle checks. Docs shorter than
     ``chunk`` emit nothing (the exact-dedup path owns those).
     """
+    if chunk < 4:
+        # the anchor polynomial reads the window's first 4 chars from
+        # the codes array; a smaller window would probe past the last
+        # offset's window end (ANSI element_at throws)
+        raise ValueError(f"chunk must be >= 4 (anchor lookahead), got {chunk}")
     text = F.col(text_col)
     chars = F.col("__chars__")
     codes = F.col("__codes__")
@@ -894,28 +899,21 @@ def split_content_chunks(
     anchors = F.when(
         n >= 2, F.filter(F.sequence(F.lit(2), n), _anchor_bucket)
     ).otherwise(F.array().cast("array<int>"))
-    idx = F.when(
-        F.size(anchors) > 0, F.sequence(F.lit(1), F.size(anchors))
-    ).otherwise(F.array().cast("array<int>"))
+    # two-argument filter lambda: (element, 0-based index). prev of
+    # the first anchor is the text start; the index is guarded because
+    # element_at(_, 0) throws under ANSI even inside the untaken
+    # when-branch
     kept = F.filter(
-        F.transform(
-            idx,
-            lambda i: F.struct(
-                F.element_at(anchors, i).alias("o"),
-                # index guarded: element_at(_, 0) throws under ANSI even
-                # inside the untaken when-branch
-                F.when(i == 1, F.lit(1))
-                .otherwise(
-                    F.element_at(anchors, F.greatest(i - 1, F.lit(1)))
-                )
-                .alias("prev"),
-            ),
-        ),
-        lambda st: st["o"] - st["prev"] >= min_tokens,
+        anchors,
+        lambda x, i: x
+        - F.when(i == 0, F.lit(1)).otherwise(
+            F.element_at(anchors, F.greatest(i, F.lit(1)))
+        )
+        >= min_tokens,
     )
     bounds = F.concat(
         F.array(F.lit(1)),
-        F.transform(kept, lambda st: st["o"]),
+        kept,
         F.array(n + 1),
     )
     pairs = F.arrays_zip(

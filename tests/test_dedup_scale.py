@@ -448,3 +448,17 @@ def test_remove_duplicate_spans_randomized_python_twin(spark):
         for k in set(got) | set(want)
         if got.get(k) != want.get(k)
     }
+
+
+def test_substring_chunk_pairs_rejects_tiny_windows(spark):
+    """chunk < 4 can't carry the 4-char anchor lookahead — fail at
+    entry instead of an ANSI array-bounds crash mid-job."""
+    import pytest
+
+    from mrt_data_integration_spark.operators.dedup import (
+        substring_chunk_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "abcdef")], "doc_id long, text string")
+    with pytest.raises(ValueError, match=">= 4"):
+        substring_chunk_pairs(df, chunk=3)
