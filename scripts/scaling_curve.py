@@ -175,6 +175,7 @@ OP_INPUTS = {
     "dedup_spans": {"docs"},
     "hard_negative": {"emb"},
     "streaming_scd2_drain": {"orders", "sscd2_src"},
+    "wcls_fit": {"panel"},
 }
 
 
@@ -218,6 +219,27 @@ def main() -> None:
             ).repartition(32).write.parquet(opath)
             orders_paths[k] = opath
         datasets[k] = (dpath, epath, vpath)
+
+    panel_paths = {}
+    if "panel" in needed:
+        # The reference's headline computation at scale: panels of
+        # 400k / 1.2M / 4M rows (20k/60k/200k users × 20 decision
+        # points), generated ONCE outside the timed region — the fit,
+        # not the generator, is the operator under test.
+        from mrt_data_integration_spark.sources.generator import (
+            generate_panel,
+        )
+
+        for k in SCALES:
+            ppath = os.path.join(work, f"panel_{k}x")
+            generate_panel(
+                spark,
+                seed=20260815,
+                n_internal=10_000 * k,
+                n_external=10_000 * k,
+                users_per_chunk=625 * k,
+            ).write.parquet(ppath)
+            panel_paths[k] = ppath
 
     def docs(k):
         return spark.read.parquet(datasets[k][0])
@@ -657,8 +679,33 @@ def main() -> None:
         # fixed batch count the drain grows with history size on top of
         # the merge's O(affected keys) term.
         "streaming_scd2_drain": lambda k: _drain_scd2(k),
+        # r9: the distributed WCLS fit — the reference's headline
+        # estimator on the one-big-fit physical path (sufficient-stats
+        # aggregation passes + the two-level cluster meat). Expected
+        # linear: every pass is one scan + a d×d reduction; the d×d
+        # solve is driver-side O(1).
+        "wcls_fit": lambda k: _wcls_fit(k),
         "corpus_ingest_pipeline": lambda k: _ingest_pipeline(k),
     }
+
+    def _wcls_fit(k):
+        from mrt_data_integration_spark.estimators import wcls
+
+        panel = spark.read.parquet(panel_paths[k])
+        fit = wcls(
+            panel,
+            x_h=[
+                ("intercept", F.lit(1.0)),
+                ("x1", F.col("x1")),
+                ("x2", F.col("x2")),
+                ("x3", F.col("x3")),
+            ],
+            moderators=[("one", F.lit(1.0)), ("x1", F.col("x1"))],
+            p_target=None,
+            cluster_col="user_id",
+            beta_r_true=None,
+        )
+        return len(fit.beta_r)
 
     def _drain_scd2(k):
         import shutil as _sh
