@@ -220,6 +220,15 @@ def decontaminate_bloom(
     :func:`decontaminate` bit for bit (the identity a test pins), so
     the same SQL oracle covers both paths.
 
+    When to use which (measured — results/LATE_R9_NOTES.md): the gate
+    pays a bitmap-build scan plus 3 hex-slice probes per corpus gram,
+    so with a SMALL benchmark (exact gram set in the low millions of
+    rows) plain :func:`decontaminate` wins — broadcast or shuffle.
+    This path earns its keep when the exact hash set is too big to
+    broadcast (corpus-vs-corpus decontamination, GB-scale gram sets)
+    while the bitmap still fits in n_bits/8 bytes at ANY benchmark
+    size.
+
     The benchmark's distinct gram-hash frame feeds TWO consumers (the
     bitmap build's collect and the verify join) — persisted so the
     benchmark is tokenized/exploded/distinct'd once, not twice; the
