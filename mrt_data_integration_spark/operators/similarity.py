@@ -247,6 +247,7 @@ def ivf_topk(
     seed: int = 0,
     max_iter: int = 20,
     index_cache_key: str | None = None,
+    label_col: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the KMeans alternative to
     hyperplane LSH named in the module docstring.
@@ -261,15 +262,25 @@ def ivf_topk(
     recall rises with ``n_probe`` (``n_probe == n_centroids`` is exact
     modulo ties). Same candidate-prune-then-verify shape as the LSH
     path, but data-adaptive cells instead of data-oblivious ones.
+
+    ``label_col``: when set, candidates must carry a DIFFERENT label
+    than the query (null-safe mismatch, hard_negative_topk's exact
+    predicate) — the hard-negative-mining composition the brute
+    operator's docstring names, applied map-side INSIDE the probed
+    cells before ranking; the output gains a ``corpus_label`` column.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    label_cols_c = (
+        [F.col(label_col).alias("__clabel__")] if label_col else []
+    )
     feats = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("__cvec__"),
         norm(vec_col).alias("__cn__"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("__feat__"),
+        *label_cols_c,
     )
     def _fit():
         return KMeans(
@@ -288,7 +299,11 @@ def ivf_topk(
     )
     model = _cached_training(cache_key, _fit)
     assigned = model.transform(feats).select(
-        "corpus_id", "__cvec__", "__cn__", "__cell__"
+        "corpus_id",
+        "__cvec__",
+        "__cn__",
+        "__cell__",
+        *(["__clabel__"] if label_col else []),
     )
 
     centers = [list(map(float, c)) for c in model.clusterCenters()]
@@ -314,14 +329,22 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec__"),
         norm(vec_col).alias("__qn__"),
+        *([F.col(label_col).alias("__qlabel__")] if label_col else []),
         F.explode(probe_cells(vec_col)).alias("__cell__"),
     )
+    pair_ok = F.col("query_id") != F.col("corpus_id")
+    if label_col:
+        # hard-negative predicate: candidates must mismatch the query's
+        # label, null-safely (hard_negative_topk semantics) — evaluated
+        # map-side inside the probed cells, BEFORE the ranking shuffle
+        pair_ok = ~F.col("__clabel__").eqNullSafe(F.col("__qlabel__"))
     scored = (
         assigned.join(F.broadcast(probes), "__cell__")
-        .filter(F.col("query_id") != F.col("corpus_id"))
+        .filter(pair_ok)
         .select(
             "query_id",
             "corpus_id",
+            *([F.col("__clabel__").alias("corpus_label")] if label_col else []),
             (dot("__qvec__", "__cvec__") / (F.col("__qn__") * F.col("__cn__"))).alias(
                 "cosine_sim"
             ),
@@ -330,7 +353,11 @@ def ivf_topk(
     # Candidates are cell-bounded, but a hot cell can still be large —
     # the two-stage ranking keeps every reducer group partition-sized.
     return bounded_topk(scored, k, "cosine_sim").select(
-        "query_id", "corpus_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rk"
+        "query_id",
+        "corpus_id",
+        *(["corpus_label"] if label_col else []),
+        F.round("cosine_sim", 4).alias("cosine_sim"),
+        "rk",
     )
 
 
@@ -1700,9 +1727,10 @@ def hard_negative_topk(
     ranking — plus a map-side label-mismatch predicate BEFORE the rank
     (cheaper than ranking then discarding) and an optional ``min_sim``
     floor that drops trivially-easy negatives from the shuffle
-    entirely. At corpus scale the IVF/LSH variants in this module
-    replace the brute scan the same way they do for plain top-k; the
-    label filter composes unchanged.
+    entirely. At corpus scale :func:`hard_negative_ivf_topk` replaces
+    the brute scan with the IVF cell probe — the label filter composes
+    unchanged (full probe reproduces this operator exactly; pinned by
+    test).
 
     NULL labels: the mismatch test is null-safe (``~eqNullSafe``), so
     an unlabeled corpus row IS a candidate negative for every labeled
@@ -1747,4 +1775,50 @@ def hard_negative_topk(
         F.col("corpus_id").alias("negative_id"),
         "negative_label",
         F.round("cosine_sim", 4).alias("cosine_sim"),
+    )
+
+
+def hard_negative_ivf_topk(
+    emb: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    seed: int = 0,
+    index_cache_key: str | None = None,
+) -> DataFrame:
+    """:func:`hard_negative_topk` through the IVF cell-probe path — the
+    corpus-scale composition the brute operator's docstring names, now
+    code: the null-safe label-mismatch predicate runs map-side inside
+    the probed cells (``ivf_topk(label_col=...)``), so the scan is
+    bounded to ~n_probe/n_centroids of the corpus per anchor batch and
+    the ranking shuffle only carries different-label candidates.
+
+    Approximate like every IVF probe: a hardest negative in an
+    unprobed cell is missed; recall rises with ``n_probe`` and
+    ``n_probe == n_centroids`` reproduces :func:`hard_negative_topk`
+    exactly (modulo ties — both rank on (cosine DESC, id), pinned by
+    the full-probe identity test). Same output contract:
+    (anchor_id, rank, negative_id, negative_label, cosine_sim)."""
+    out = ivf_topk(
+        emb,
+        anchors,
+        k=k,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        index_cache_key=index_cache_key,
+        label_col=label_col,
+    )
+    return out.select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("rk").alias("rank"),
+        F.col("corpus_id").alias("negative_id"),
+        F.col("corpus_label").alias("negative_label"),
+        "cosine_sim",
     )

@@ -680,3 +680,53 @@ def test_hard_negative_null_labels_null_safe(spark):
     # row is excluded (NULL eqNullSafe NULL — possible false negative)
     out3 = hard_negative_topk(emb, emb.filter("vec_id = 3"), k=5).collect()
     assert sorted(r.negative_id for r in out3) == [0, 2]
+
+
+def test_hard_negative_ivf_full_probe_equals_brute(spark):
+    """The IVF-composed hard-negative path with n_probe == n_centroids
+    must reproduce the brute operator exactly (both rank on
+    (cosine DESC, id); full probe sees every cell), and at partial
+    probe it stays a subset-quality approximation (recall floor)."""
+    import numpy as np
+
+    from mrt_data_integration_spark.operators.similarity import (
+        hard_negative_ivf_topk,
+        hard_negative_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 8)).astype("float32")
+    emb = spark.createDataFrame(
+        [
+            (i, f"l{i % 3}" if i % 7 else None, [float(x) for x in vecs[i]])
+            for i in range(60)
+        ],
+        "vec_id long, label string, embedding array<float>",
+    )
+    anchors = emb.filter("vec_id < 4")
+    want = {
+        (r.anchor_id, r.rank, r.negative_id, r.negative_label, r.cosine_sim)
+        for r in hard_negative_topk(emb, anchors, k=5).collect()
+    }
+    got = {
+        (r.anchor_id, r.rank, r.negative_id, r.negative_label, r.cosine_sim)
+        for r in hard_negative_ivf_topk(
+            emb, anchors, k=5, n_centroids=4, n_probe=4
+        ).collect()
+    }
+    assert got == want
+
+    # partial probe: a valid ranked subset — every returned negative is
+    # a genuine different-label vector, ranks contiguous from 1
+    part = hard_negative_ivf_topk(
+        emb, anchors, k=5, n_centroids=4, n_probe=2
+    ).collect()
+    lbl = {r.vec_id: r.label for r in emb.collect()}
+    by_anchor = {}
+    for r in part:
+        assert lbl[r.negative_id] != lbl[r.anchor_id] or (
+            (lbl[r.negative_id] is None) != (lbl[r.anchor_id] is None)
+        )
+        by_anchor.setdefault(r.anchor_id, []).append(r.rank)
+    for a, ranks in by_anchor.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), a
