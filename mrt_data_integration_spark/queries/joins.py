@@ -336,9 +336,11 @@ def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6+ (r8, streaming/scd.py): the SAME SCD2 history as
     `scd2_priority_history`, maintained BY THE STREAMING PATH — the
     orders changelog drained in three time-ordered micro-batches
-    through `merge_scd2_updates` (batch 0 builds via changelog_to_scd2,
-    batches 1-2 fold via scd2_merge into the versioned state table),
-    then read back with the production `read_scd2_history` reader. The
+    through `merge_scd2_updates_bucketed` (batch 0 builds via
+    changelog_to_scd2, batches 1-2 fold via scd2_merge into the
+    BUCKET-PARTITIONED versioned state table — the r9 evolution that
+    rewrites only touched buckets), then read back with the production
+    `read_scd2_history_bucketed` reader. The
     oracle is the IDENTICAL one-shot collapse SQL — a hash match proves
     stream == batch == SQL end-to-end (the funnel precedent,
     `streaming_funnel_conversion`).
@@ -362,8 +364,8 @@ def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         _staged_stream_dir,
     )
     from mrt_data_integration_spark.streaming.scd import (
-        merge_scd2_updates,
-        read_scd2_history,
+        merge_scd2_updates_bucketed,
+        read_scd2_history_bucketed,
     )
 
     from mrt_data_integration_spark.streaming.scd import (
@@ -389,7 +391,7 @@ def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(log.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(os.path.join(src, "part*")),
-        lambda df, bid: merge_scd2_updates(
+        lambda df, bid: merge_scd2_updates_bucketed(
             df,
             bid,
             state_dir,
@@ -397,12 +399,13 @@ def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             tracked_cols=["o_orderpriority"],
             seq_cols=["o_orderdate", "o_orderkey"],
             ts_col="o_orderdate",
+            n_buckets=16,
         ),
         mode="append",
         state_partitions=8,
     )
     fmt = "yyyy-MM-dd HH:mm:ss"
-    return read_scd2_history(spark, state_dir).select(
+    return read_scd2_history_bucketed(spark, state_dir).select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderpriority").alias("priority"),
         F.date_format("valid_from", fmt).alias("valid_from"),

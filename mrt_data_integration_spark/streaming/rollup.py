@@ -259,3 +259,186 @@ def run_rollup_stream(
     v = _latest_version(state_dir)
     final = spark.read.parquet(os.path.join(state_dir, f"state_v{v}"))
     return sk.finalize_rollup(final)
+
+
+# --- Bucket-partitioned versioned state (r9) -------------------------------
+#
+# The flat protocol above PUBLISHES THE WHOLE STATE per micro-batch:
+# merge_fn returns the full new state and every untouched row is
+# rewritten into the new version — O(history) per batch, the one scale
+# caveat the streaming SCD2 module documented, with bucketing as the
+# named evolution. This is that evolution:
+#
+# - State rows hash-partition into n_buckets by their dimension key
+#   (pmod(hash(keys), n) — deterministic, engine-side).
+# - A version directory holds ONLY the buckets the batch touched, plus
+#   a manifest mapping EVERY bucket to the version directory that last
+#   wrote it. Untouched buckets are REFERENCED, never copied — a batch
+#   touching k keys costs O(state of the buckets holding those keys),
+#   not O(history).
+# - Completeness, atomic publish, replay reuse, chain identity: the
+#   SAME rules as the flat protocol (the manifest rides inside the
+#   atomically-published version dir; _SUCCESS is the marker the
+#   parquet commit already writes).
+# - Pruning: a version below the merge predecessor is reclaimed bucket
+#   dir by bucket dir — only dirs referenced by NEITHER the
+#   predecessor's manifest nor the new manifest are deleted, and the
+#   version dir itself only once no referenced bucket remains. Storage
+#   is O(one state + the touched buckets of one older version).
+
+
+def _bucket_col(key_cols: list[str], n_buckets: int):
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.hash(*key_cols), F.lit(n_buckets))
+
+
+def _read_manifest(state_dir: str, version_dir: str) -> dict:
+    import json
+
+    with open(os.path.join(state_dir, version_dir, "manifest.json")) as fh:
+        return json.load(fh)
+
+
+def read_bucketed_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Latest complete bucketed state: resolve the manifest, union the
+    referenced bucket directories. Same lazy-reader contract as the
+    flat protocol (a lingering reader that sees ENOENT after pruning
+    re-calls)."""
+    v = _latest_version(state_dir)
+    if v < 0:
+        raise FileNotFoundError(f"no complete bucketed state in {state_dir}")
+    manifest = _read_manifest(state_dir, f"state_v{v}")
+    paths = [
+        os.path.join(state_dir, owner, f"bucket={b}")
+        for b, owner in manifest["buckets"].items()
+    ]
+    if not paths:
+        raise FileNotFoundError(f"bucketed state in {state_dir} is empty")
+    return spark.read.parquet(*paths)
+
+
+def merge_into_bucketed_state(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    merge_fn,
+    key_cols: list[str],
+    n_buckets: int = 16,
+    chain: str | None = None,
+) -> None:
+    """One micro-batch step of the BUCKETED versioned-state protocol
+    (block comment above): ``merge_fn(batch_df, prev_affected_state)``
+    receives only the state of the buckets the batch touches and
+    returns the full new state FOR THAT KEYSPACE; everything else is
+    carried by manifest reference."""
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mrt_data_integration_spark.sources.sinks import build_and_publish
+
+    bid = int(batch_id)
+    if chain is not None:
+        os.makedirs(state_dir, exist_ok=True)
+        marker = os.path.join(state_dir, _CHAIN_MARKER)
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                recorded = fh.read()
+            if recorded != chain:
+                raise ValueError(
+                    f"state_dir {state_dir} belongs to chain {recorded!r} "
+                    f"but this stream is {chain!r}: a fresh-checkpoint "
+                    "restart must use a fresh state_dir"
+                )
+        else:
+            with open(marker, "w") as fh:
+                fh.write(chain)
+    path = os.path.join(state_dir, f"state_v{bid}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return  # replayed batch: the published version IS the rebuild
+    latest = _latest_version(state_dir)
+    if latest > bid:
+        raise ValueError(
+            f"state chain in {state_dir} is at v{latest} but this stream "
+            f"is writing batch {bid}: use a fresh state_dir"
+        )
+    spark = batch_df.sparkSession
+    affected = sorted(
+        r[0]
+        for r in batch_df.select(
+            _bucket_col(key_cols, n_buckets).alias("__b__")
+        )
+        .distinct()
+        .collect()  # bounded by n_buckets
+    )
+    prev_v = _latest_version(state_dir, below=bid)
+    prev_manifest: dict[str, str] = {}
+    prev = None
+    if prev_v >= 0:
+        prev_manifest = _read_manifest(state_dir, f"state_v{prev_v}")[
+            "buckets"
+        ]
+        prev_paths = [
+            os.path.join(state_dir, owner, f"bucket={b}")
+            for b, owner in prev_manifest.items()
+            if int(b) in affected
+        ]
+        if prev_paths:
+            prev = spark.read.parquet(*prev_paths)
+    merged = merge_fn(batch_df, prev)
+
+    def build(tmp: str) -> None:
+        (
+            merged.withColumn("bucket", _bucket_col(key_cols, n_buckets))
+            .repartition(1)
+            .write.partitionBy("bucket")
+            .parquet(tmp, mode="overwrite")
+        )
+        written = {
+            d.split("=", 1)[1]
+            for d in os.listdir(tmp)
+            if d.startswith("bucket=")
+        }
+        buckets = {
+            b: owner
+            for b, owner in prev_manifest.items()
+            if b not in written
+        }
+        buckets.update({b: f"state_v{bid}" for b in written})
+        with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+            json.dump({"batch_id": bid, "buckets": buckets}, fh)
+
+    published = build_and_publish(path, "_SUCCESS", build)
+    if published != path:
+        raise RuntimeError(
+            f"publishing {path} was contended (got {published}); two "
+            "writers share this state_dir"
+        )
+    # prune: reclaim bucket dirs (and then version dirs) referenced by
+    # NEITHER the predecessor's manifest nor the one just published
+    live: set[tuple[str, str]] = set()
+    for mf_dir in (f"state_v{bid}",) + (
+        (f"state_v{prev_v}",) if prev_v >= 0 else ()
+    ):
+        for b, owner in _read_manifest(state_dir, mf_dir)["buckets"].items():
+            live.add((owner, b))
+    for v, d, _complete in _version_dirs(state_dir):
+        if v >= prev_v and "." not in d:
+            continue  # current chain (or keep prev intact)
+        vpath = os.path.join(state_dir, d)
+        if "." in d:  # crash debris: never referenced
+            shutil.rmtree(vpath, ignore_errors=True)
+            continue
+        for entry in os.listdir(vpath):
+            if entry.startswith("bucket="):
+                b = entry.split("=", 1)[1]
+                if (d, b) not in live:
+                    shutil.rmtree(
+                        os.path.join(vpath, entry), ignore_errors=True
+                    )
+        if not any(
+            e.startswith("bucket=") for e in os.listdir(vpath)
+        ):
+            shutil.rmtree(vpath, ignore_errors=True)

@@ -107,3 +107,118 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
 def test_reader_requires_a_complete_version(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_scd2_history(spark, str(tmp_path / "nope"))
+
+
+def test_bucketed_stream_merge_equals_full_rebuild(spark, tmp_path):
+    """The bucketed protocol must produce EXACTLY the flat path's
+    history (== the one-shot rebuild) while only rewriting the buckets
+    each batch touches."""
+    rows = _rows()
+    state_dir = str(tmp_path / "bstate")
+    from mrt_data_integration_spark.streaming.scd import (
+        merge_scd2_updates_bucketed,
+        read_scd2_history_bucketed,
+    )
+
+    for bid in range(4):
+        b = spark.createDataFrame(rows[2 * bid: 2 * bid + 2], _SCHEMA)
+        merge_scd2_updates_bucketed(
+            b, bid, state_dir, n_buckets=8, **_ARGS
+        )
+    got = _hist_tuples(read_scd2_history_bucketed(spark, state_dir))
+    want = _hist_tuples(
+        changelog_to_scd2(spark.createDataFrame(rows, _SCHEMA), **_ARGS)
+    )
+    assert got == want
+    assert len(got) == 6
+
+
+def test_bucketed_replay_is_idempotent(spark, tmp_path):
+    from mrt_data_integration_spark.streaming.scd import (
+        merge_scd2_updates_bucketed,
+        read_scd2_history_bucketed,
+    )
+
+    state_dir = str(tmp_path / "bstate")
+    b0 = spark.createDataFrame(_rows()[:4], _SCHEMA)
+    b1 = spark.createDataFrame(_rows()[4:], _SCHEMA)
+    merge_scd2_updates_bucketed(b0, 0, state_dir, n_buckets=8, **_ARGS)
+    merge_scd2_updates_bucketed(b1, 1, state_dir, n_buckets=8, **_ARGS)
+    once = _hist_tuples(read_scd2_history_bucketed(spark, state_dir))
+    merge_scd2_updates_bucketed(b1, 1, state_dir, n_buckets=8, **_ARGS)
+    assert _hist_tuples(read_scd2_history_bucketed(spark, state_dir)) == once
+
+
+def test_bucketed_untouched_buckets_are_referenced_not_rewritten(
+    spark, tmp_path
+):
+    """The protocol's point: a batch touching ONE key rewrites only
+    that key's bucket — the other buckets' parquet dirs stay under the
+    version that wrote them (manifest reference), byte-untouched."""
+    import json
+    import os
+
+    from mrt_data_integration_spark.streaming.scd import (
+        merge_scd2_updates_bucketed,
+        read_scd2_history_bucketed,
+    )
+
+    state_dir = str(tmp_path / "bstate")
+    # batch 0: 40 keys spread over 8 buckets
+    b0 = spark.createDataFrame(
+        [(k, "A", _ts(1), k) for k in range(1, 41)], _SCHEMA
+    )
+    merge_scd2_updates_bucketed(b0, 0, state_dir, n_buckets=8, **_ARGS)
+    v0_buckets = {
+        d for d in os.listdir(f"{state_dir}/state_v0") if d.startswith("bucket=")
+    }
+    assert len(v0_buckets) > 1  # keys actually spread
+    # batch 1: ONE key changes
+    b1 = spark.createDataFrame([(1, "B", _ts(5), 99)], _SCHEMA)
+    merge_scd2_updates_bucketed(b1, 1, state_dir, n_buckets=8, **_ARGS)
+    with open(f"{state_dir}/state_v1/manifest.json") as fh:
+        manifest = json.load(fh)["buckets"]
+    owners = set(manifest.values())
+    assert "state_v0" in owners and "state_v1" in owners
+    v1_buckets = {
+        d for d in os.listdir(f"{state_dir}/state_v1") if d.startswith("bucket=")
+    }
+    assert len(v1_buckets) == 1  # only key 1's bucket rewritten
+    # v0's referenced buckets still on disk, and the read is correct
+    for b, owner in manifest.items():
+        assert os.path.isdir(f"{state_dir}/{owner}/bucket={b}")
+    hist = _hist_tuples(read_scd2_history_bucketed(spark, state_dir))
+    assert (1, "B", _ts(5), None, 2, True) in hist
+    assert (1, "A", _ts(1), _ts(5), 1, False) in hist
+    assert (40, "A", _ts(1), None, 1, True) in hist
+    assert len(hist) == 41
+
+
+def test_bucketed_pruning_reclaims_unreferenced_buckets(spark, tmp_path):
+    """After enough batches, a superseded version keeps ONLY the bucket
+    dirs newer manifests still reference; fully-superseded versions
+    disappear. The reader stays correct throughout."""
+    import os
+
+    from mrt_data_integration_spark.streaming.scd import (
+        merge_scd2_updates_bucketed,
+        read_scd2_history_bucketed,
+    )
+
+    state_dir = str(tmp_path / "bstate")
+    b0 = spark.createDataFrame(
+        [(k, "A", _ts(1), k) for k in range(1, 17)], _SCHEMA
+    )
+    merge_scd2_updates_bucketed(b0, 0, state_dir, n_buckets=4, **_ARGS)
+    # touch every bucket twice more so version 0's dirs lose all refs
+    for bid, day in ((1, 5), (2, 9)):
+        b = spark.createDataFrame(
+            [(k, f"X{bid}", _ts(day), 100 * bid + k) for k in range(1, 17)],
+            _SCHEMA,
+        )
+        merge_scd2_updates_bucketed(b, bid, state_dir, n_buckets=4, **_ARGS)
+    assert not os.path.isdir(f"{state_dir}/state_v0"), (
+        "fully superseded version must be reclaimed"
+    )
+    hist = _hist_tuples(read_scd2_history_bucketed(spark, state_dir))
+    assert len(hist) == 48  # 16 keys x 3 versions
