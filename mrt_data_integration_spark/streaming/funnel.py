@@ -326,3 +326,73 @@ def latest_stage_times(updates: DataFrame, n_steps: int) -> DataFrame:
             for i in range(n_steps)
         ]
     )
+
+
+def merge_funnel_updates_bucketed(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    n_buckets: int = 16,
+    chain: str | None = None,
+) -> None:
+    """:func:`merge_funnel_updates` through the BUCKET-PARTITIONED
+    versioned-state protocol (streaming/rollup.py — the "user-bucketed
+    partitioned write" the flat docstring names): a micro-batch
+    rewrites only the buckets holding its users' rows; per-batch cost
+    is flat in the retained population (measured for the SCD2 twin in
+    results/LATE_R9_NOTES.md — parity below ~1M state rows, the flat
+    copy doubles by 4M).
+
+    TTL is NOT a merge-side parameter here: the flat path's eviction
+    cutoff is a GLOBAL max(last_ts), which a merge that sees only the
+    affected buckets cannot compute — and rewriting every bucket to
+    evict would reintroduce the O(history) copy. Evict at READ time
+    instead (:func:`read_funnel_state_bucketed`'s ``ttl_seconds``):
+    the final serving set is IDENTICAL (cutoff horizons are monotone
+    in event time, so any row an earlier merge-side horizon dropped is
+    also outside the final read-side horizon); the difference is
+    disk-residency of expired rows in untouched buckets, bounded by
+    touch frequency."""
+    from mrt_data_integration_spark.streaming.rollup import (
+        merge_into_bucketed_state,
+    )
+
+    rec = F.struct(F.col("last_ts"), F.col("n_seen"))
+
+    def merge(b: DataFrame, prev: DataFrame | None) -> DataFrame:
+        cols = b.columns
+        merged_in = b if prev is None else b.unionByName(prev.select(cols))
+        return (
+            merged_in.groupBy("user_id")
+            .agg(F.max_by(F.struct(*cols), rec).alias("r"))
+            .select("r.*")
+        )
+
+    merge_into_bucketed_state(
+        batch_df, batch_id, state_dir, merge, ["user_id"], n_buckets, chain
+    )
+
+
+def read_funnel_state_bucketed(
+    spark, state_dir: str, ttl_seconds: float | None = None
+) -> DataFrame:
+    """Latest complete bucketed funnel state, with optional READ-side
+    TTL eviction (see :func:`merge_funnel_updates_bucketed` for why
+    eviction moves to the read in the bucketed layout)."""
+    from pyspark.sql import Window as W
+
+    from mrt_data_integration_spark.streaming.rollup import (
+        read_bucketed_state,
+    )
+
+    state = read_bucketed_state(spark, state_dir)
+    if ttl_seconds:
+        cutoff = F.max("last_ts").over(
+            W.partitionBy()
+        ) - F.make_interval(secs=F.lit(float(ttl_seconds)))
+        state = (
+            state.withColumn("__cutoff__", cutoff)
+            .where(F.col("last_ts") >= F.col("__cutoff__"))
+            .drop("__cutoff__")
+        )
+    return state

@@ -1077,3 +1077,54 @@ def test_version_pruning_reclaims_crash_debris(spark, tmp_path):
         d for d in os.listdir(state) if d.startswith("state_v")
     )
     assert left == ["state_v1", "state_v2"], left
+
+
+def test_bucketed_funnel_state_equals_flat_incl_read_side_ttl(
+    spark, tmp_path
+):
+    """The bucketed funnel serving state must equal the flat path's —
+    including TTL, which the bucketed layout applies at READ time (a
+    bucket-local merge cannot compute the global cutoff): horizons are
+    monotone in event time, so read-side eviction lands on exactly the
+    flat merge-side result."""
+    import datetime as dt
+
+    from mrt_data_integration_spark.streaming.funnel import (
+        merge_funnel_updates,
+        merge_funnel_updates_bucketed,
+        read_funnel_state,
+        read_funnel_state_bucketed,
+    )
+
+    schema = (
+        "user_id long, n_seen long, last_ts timestamp, "
+        "t1 timestamp, t2 timestamp, t3 timestamp"
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+    batches = [
+        [(u, 1, t0, t0, None, None) for u in range(1, 9)],
+        [(3, 2, t0 + day, t0, t0 + day, None), (9, 1, t0 + day, t0 + day, None, None)],
+        [(4, 2, t0 + 10 * day, t0, t0 + 10 * day, None)],
+    ]
+    ttl = 5 * 24 * 3600.0
+    flat, bucketed = str(tmp_path / "flat"), str(tmp_path / "bkt")
+    for bid, rows in enumerate(batches):
+        b = spark.createDataFrame(rows, schema)
+        merge_funnel_updates(b, bid, flat, ttl_seconds=ttl)
+        merge_funnel_updates_bucketed(b, bid, bucketed, n_buckets=4)
+    want = sorted(
+        map(tuple, read_funnel_state(spark, flat).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            read_funnel_state_bucketed(
+                spark, bucketed, ttl_seconds=ttl
+            ).collect(),
+        )
+    )
+    assert got == want
+    # and without TTL both hold every user's compacted row
+    got_all = read_funnel_state_bucketed(spark, bucketed).count()
+    assert got_all == 9
