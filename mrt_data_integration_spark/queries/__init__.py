@@ -572,35 +572,89 @@ _R9_SIT_OUT = (
     "doc_fingerprint_dedup",
     "tfidf_top_terms",
 )
-_WINDOW: list[str] = (
-    _POOL_A
-    + [n for n in _CORE if n not in _R9_SIT_OUT]
+# Round 10 window: POOL_B's turn (37 after the r9 add/retire pairs:
+# `fuzzy_title_pairs` and `bloom_decontamination` have ZERO driver
+# history and are force-included per rule 2 — the r9 verdict's promised
+# rotation, item 1; `partitioned_parquet_roundtrip` is a regular POOL_B
+# member whose r10 row is its first THROUGH the compaction routing,
+# 34d620b) + the 13 r9 sit-outs (all CORE, last rows r8, due back) =
+# 37 + 13 = exactly 50. No r9 row was red, so rule 1 forces nothing.
+# The THIRTEEN CORE members holding fresh r9 hash rows sit out — shapes
+# stay covered in-window:
+# `cluster_score_meat` (grouped gram/crossprod) by `weighted_gram`
+#   (returning — the same sufficient-stats reduction),
+# `group_best_highlight` (argmax + flag) by `argmax_per_group`
+#   (returning — the same struct-max shape),
+# `unpivot_long` (reshape) by `estimator_report_pivot` (POOL_B — the
+#   inverse reshape over the same long format),
+# `topk_per_group` (window rank) by `window_rank_features` (POOL_B)
+#   + `exact_percentiles` (returning — same sort/window machinery),
+# `wls_normal_equations` (d×d gram collapse) by `weighted_gram`
+#   (returning — the same normal-equations family),
+# `wcls_cluster_robust` (per-group regression) by `regr_by_group`
+#   (returning) + `wcls_large_panel` (POOL_B — the distributed fit),
+# `fact_fact_join` (SMJ) by `star_join_revenue` (returning — broadcast
+#   star join) + `campaign_event_attribution` (POOL_B — range join),
+# `brand_part_rollup` (grouping sets) by `rollup_hierarchy` (returning
+#   — the same GROUPING SETS physical operator),
+# `doc_quality_stats` (text scan aggregates) by `doc_lang_id`
+#   (returning) + `char_trigram_lm_filter` (POOL_B),
+# `minhash_signatures` (grouped hash-agg signatures) by
+#   `doc_fingerprint_dedup` (returning — hash dedup on the same scan)
+#   + `semantic_dedup_summary` (POOL_B),
+# `lsh_candidate_pairs` (band-keyed self-join) by
+#   `image_near_dup_pairs` (POOL_B — the SAME band→equi-join→verify
+#   physical shape on image hashes),
+# `ngram_jaccard_pairs` (pair join + set overlap verify) by
+#   `image_near_dup_pairs` (POOL_B) + `fuzzy_title_pairs` (POOL_B r10
+#   — pair join + edit-distance verify, the same canonical-pair shape),
+# `bpe_ish_token_counts` (tokenize-explode-count) by `bpe_token_counts`
+#   (POOL_B — the REAL BPE encode over the same explode/count shape)
+#   + `tfidf_top_terms` (returning).
+_R10_SIT_OUT = (
+    "cluster_score_meat",
+    "group_best_highlight",
+    "unpivot_long",
+    "topk_per_group",
+    "wls_normal_equations",
+    "wcls_cluster_robust",
+    "fact_fact_join",
+    "brand_part_rollup",
+    "doc_quality_stats",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "bpe_ish_token_counts",
 )
-# r10 plan (written at the r9 window flip, per the standing practice):
-# POOL_B's turn. POOL_B is 37 and the 13 r9 sit-outs (all CORE, last
-# rows r8) are due back: 37 + 13 = exactly 50 — ZERO slack again.
-# Consequences, enforceable now:
-#   - any NEW query registered during r9 must join POOL_B for its
-#     forced r10 row AND be paired with the retirement of a same-shape
-#     POOL_B twin that holds a fresh r8 hash row — the zero-slack rule
-#     (the r9 precedent: `hard_negative_mining` /
-#     `streaming_scd2_history` joined POOL_A funded by retiring
-#     `ivfpq_topk` / `sessionization`);
-#   - no rotation query waits >2 rounds under this plan: POOL_A + the
-#     13 r9-sit-out CORE members (the ones with r8 rows) get r9 rows,
-#     POOL_B + the 13 r10-sit-out CORE members (the r9 returners) get
-#     r10 rows;
-#   - r10-ready consolidation candidates: BOTH named pairs were used
-#     during r9 itself (`mc_simulation_grid` and
-#     `approx_distinct_quantiles` retired to fund `fuzzy_title_pairs`
-#     and `bloom_decontamination`); the next candidates if r10 needs
-#     slots are `ivf_topk` vs `pq_topk` (POOL_A — same cell-probe
-#     ranking shape; NOT available for POOL_B-funded r10 additions) and
-#     within POOL_B `document_chunking` vs `corpus_snapshot_diff` is
-#     NOT a pair (different shapes) — r10 additions may instead need a
-#     CORE consolidation, which requires the stronger twin argument.
-# Any r9 red row is force-included per rule 1 and displaces a
-# fresh-r9 POOL_A member whose shape must then be delegated in-window.
+_WINDOW: list[str] = (
+    _POOL_B
+    + [n for n in _CORE if n not in _R10_SIT_OUT]
+)
+# r11 plan (written at the r10 window flip, per the standing practice):
+# POOL_A's turn. POOL_A is 37 and the 13 r10 sit-outs (all CORE, last
+# rows r9) are due back: 37 + 13 = exactly 50 — ZERO slack for the
+# fifth consecutive round. Consequences, enforceable now:
+#   - any NEW query registered during r10 must join POOL_A for its
+#     forced r11 row AND be paired with the retirement of a same-shape
+#     POOL_A twin holding a fresh r9 hash row — the zero-slack rule.
+#     Candidates with fresh r9 rows whose shapes have strong in-window
+#     twins, ranked (the r9 verdict's item 6 asks for this argument to
+#     be written BEFORE building, so it is): (1) `pq_topk` vs
+#     `ivfpq_index_topk` — the ADC ranking half of the SAME plan, the
+#     persisted-index query contains the online PQ probe verbatim and
+#     the online==persisted identity is pinned by
+#     tests/test_similarity.py::test_ivfpq_persisted_index_matches_online;
+#     (2) `simhash_buckets` vs `minhash_signatures` (CORE, due back
+#     r11) + `image_near_dup_pairs` — the same token-hash bit-fold
+#     scan shape, with the hamming-band join half covered by the image
+#     query; (3) `stateful_capped_sessions` (rows-only) vs
+#     `streaming_scd2_history` — the same applyInPandasWithState
+#     machinery with a STRONGER oracle on the SCD2 side.
+#   - no rotation query waits >2 rounds under this plan: POOL_B + the
+#     13 r10-sit-out CORE members get r10 rows, POOL_A + the 13
+#     r11-sit-out CORE members (the r10 returners) get r11 rows.
+# Any r10 red row is force-included per rule 1 and displaces a
+# fresh-r10 POOL_B member whose shape must then be delegated in-window.
 # test_window_policy.py enforces the bookkeeping either way.
 
 
