@@ -203,7 +203,7 @@ def decontaminate_bloom(
     id_col: str = "doc_id",
     text_col: str = "text",
     flag_col: str = "contaminated",
-    n_bits: int = 1 << 18,
+    n_bits: int | None = None,
     n_hashes: int = 3,
 ) -> DataFrame:
     """:func:`decontaminate` for benchmarks too big to broadcast as an
@@ -234,6 +234,13 @@ def decontaminate_bloom(
     benchmark is tokenized/exploded/distinct'd once, not twice; the
     returned frame carries the cache handle (release_cache frees it,
     same discipline as the dedup family).
+
+    ``n_bits=None`` (default) auto-sizes the filter from the
+    benchmark's measured distinct gram count at ~10 bits/gram
+    (≈1.7% FP with 3 hashes), clamped to [2^18, 2^30] — a fixed small
+    bitmap saturates (FP→1) at exactly the GB-scale gram sets this
+    operator exists for. Pass an explicit power of two to pin it
+    (tests exercising FP pressure do).
     """
     from mrt_data_integration_spark.cache_registry import track_cache
     from mrt_data_integration_spark.operators.dedup import _attach_cache
@@ -241,6 +248,21 @@ def decontaminate_bloom(
     b_grams = track_cache(
         _distinct_gram_hashes(benchmark, ngram_n, text_col).persist()
     )
+    if n_bits is None:
+        # Auto-size from the benchmark's ACTUAL distinct gram count
+        # (the frame is persisted and feeds the bitmap build and the
+        # exact verify anyway, so the count is one cheap action over
+        # it): ~10 bits per gram ≈ 1.7% FP at 3 hashes. A fixed small
+        # default saturates at the operator's motivating scale — FP→1,
+        # the gate passes everything, and the path is strictly slower
+        # than plain decontaminate while output stays exact (ADVICE
+        # r9). Floor 2^18 (32 KB) keeps tiny benchmarks cheap; cap
+        # 2^30 (128 MB broadcast — the docstring's own motivating
+        # size) bounds the driver and broadcast: past ~100M grams the
+        # FP rate degrades gracefully and the exact verify still makes
+        # the OUTPUT exact, only the prune ratio suffers.
+        n_grams = b_grams.count()
+        n_bits = 1 << max(18, min(30, (10 * max(n_grams, 1) - 1).bit_length()))
     bitmap = build_ngram_bloom(
         benchmark, ngram_n, n_bits, n_hashes, text_col, grams=b_grams
     )

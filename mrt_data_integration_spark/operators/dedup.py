@@ -972,12 +972,24 @@ def remove_duplicate_spans(
     runs). Joining every chunk of an all-unique doc reproduces it
     byte-identically.
 
-    Scale shape: one shuffle keyed on the chunk hash (the
-    first-occurrence window; chunk text rides along because the
-    survivor must be reassembled) and one keyed on the doc id (the
-    ordered re-concat) — rewriting the corpus inherently moves the
-    text twice, there is no lighter exact shape. Chunks are >=
-    min_tokens tokens by the CDC minimum-size rule
+    Scale shape: the first-occurrence winner per chunk hash is a HASH
+    AGGREGATE (min of the (id, ord) struct), not a row_number window —
+    a window partition on md5(chunk) funnels EVERY occurrence of a hot
+    chunk (boilerplate repeats 1e7-1e8x on real web corpora) through
+    one sorted reducer, while the aggregate collapses the hot key
+    map-side (each task contributes one partial row regardless of
+    occurrence count) and the winner set joins back on the hash, where
+    AQE can skew-split a hot build partition. Text therefore moves
+    twice — once keyed on the chunk hash (the winner join; chunk text
+    rides along because the survivor must be reassembled) and once on
+    the doc id (the ordered re-concat) — rewriting the corpus
+    inherently moves the text twice, there is no lighter exact shape.
+    The chunking scan feeds both consumers through ONE persisted
+    materialization (the interpreted-HOF chunking is the dominant CPU
+    term — re-executing it for the winner branch measured ~2× on the
+    whole operator), and the winner aggregate shuffles only
+    (hash, id, ord) partials.
+    Chunks are >= min_tokens tokens by the CDC minimum-size rule
     (split_content_chunks) with no upper bound — a pathological
     anchor-free doc is one chunk, which a task must hold anyway to
     rewrite it.
@@ -993,19 +1005,33 @@ def remove_duplicate_spans(
     every span was seen earlier (a verbatim duplicate of an
     earlier doc).
     """
-    chunks = split_content_chunks(
-        df, id_col, text_col, anchor_mod, min_tokens
+    # Persisted once: the chunking scan (interpreted HOF anchors — the
+    # operator's dominant CPU term, measured 13× across the r9 design
+    # iterations) feeds TWO consumers below (the winner aggregate and
+    # the join probe side); without the persist it would execute
+    # twice. Same cache discipline as substring_chunk_pairs.
+    chunks = track_cache(
+        split_content_chunks(
+            df, id_col, text_col, anchor_mod, min_tokens
+        )
+        .withColumn("__h__", F.md5("chunk"))
+        .persist()
     )
-    w = Window.partitionBy(F.md5("chunk")).orderBy(id_col, "ord")
-    kept = chunks.withColumn(
+    pos = F.struct(F.col(id_col).alias("i"), F.col("ord").alias("o"))
+    # min of the (id, ord) struct == lexicographically-first
+    # occurrence, exactly the ordering the former row_number window
+    # used; partial aggregation absorbs any hot chunk hash before the
+    # exchange
+    winners = chunks.groupBy("__h__").agg(F.min(pos).alias("__w__"))
+    kept = chunks.join(winners, "__h__").withColumn(
         "__keep__",
-        (F.row_number().over(w) == 1) | (F.col("n_toks") < min_tokens),
+        (pos == F.col("__w__")) | (F.col("n_toks") < min_tokens),
     )
     # ONE conditional aggregation over all chunk rows (kept flag decides
     # what enters the re-concat; collect_list drops the NULLs the
     # un-kept rows produce) — a separate per-doc count frame would
     # re-execute the chunking lineage and pay a join
-    return kept.groupBy(id_col).agg(
+    out = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.array_sort(
@@ -1022,3 +1048,4 @@ def remove_duplicate_spans(
         F.count(F.lit(1)).alias("n_chunks"),
         F.count(F.when(F.col("__keep__"), 1)).alias("n_kept"),
     )
+    return _attach_cache(out, [chunks])

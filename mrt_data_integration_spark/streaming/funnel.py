@@ -379,19 +379,28 @@ def read_funnel_state_bucketed(
     """Latest complete bucketed funnel state, with optional READ-side
     TTL eviction (see :func:`merge_funnel_updates_bucketed` for why
     eviction moves to the read in the bucketed layout)."""
-    from pyspark.sql import Window as W
-
     from mrt_data_integration_spark.streaming.rollup import (
         read_bucketed_state,
     )
 
     state = read_bucketed_state(spark, state_dir)
-    if ttl_seconds:
-        cutoff = F.max("last_ts").over(
-            W.partitionBy()
-        ) - F.make_interval(secs=F.lit(float(ttl_seconds)))
+    # `is not None`, not truthiness: ttl_seconds=0 means "evict
+    # everything older than the max timestamp", not TTL-disabled
+    # (ADVICE r9). The global max(last_ts) is a partial-aggregated
+    # 1-row frame crossJoined back (plans as BroadcastNestedLoopJoin
+    # over one row — the engine's sanctioned stats-broadcast pattern),
+    # NOT an unpartitioned window: W.partitionBy() funnels the ENTIRE
+    # state through one reducer at serve time, defeating the bucketed
+    # layout's reason to exist (ADVICE r9).
+    if ttl_seconds is not None:
+        cutoff = state.agg(
+            (
+                F.max("last_ts")
+                - F.make_interval(secs=F.lit(float(ttl_seconds)))
+            ).alias("__cutoff__")
+        )
         state = (
-            state.withColumn("__cutoff__", cutoff)
+            state.crossJoin(F.broadcast(cutoff))
             .where(F.col("last_ts") >= F.col("__cutoff__"))
             .drop("__cutoff__")
         )

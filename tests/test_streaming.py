@@ -1128,3 +1128,19 @@ def test_bucketed_funnel_state_equals_flat_incl_read_side_ttl(
     # and without TTL both hold every user's compacted row
     got_all = read_funnel_state_bucketed(spark, bucketed).count()
     assert got_all == 9
+    # ttl_seconds=0 means "evict everything strictly older than the
+    # max last_ts", NOT TTL-disabled (the r9 ADVICE truthiness bug):
+    # only user 4 (the sole batch-2 row) carries the max timestamp
+    zero_ttl = read_funnel_state_bucketed(
+        spark, bucketed, ttl_seconds=0
+    ).collect()
+    assert [r.user_id for r in zero_ttl] == [4]
+    # the serve-time eviction must not plan an unpartitioned window
+    # (one-reducer serve): the cutoff is a 1-row aggregate broadcast
+    plan = (
+        read_funnel_state_bucketed(spark, bucketed, ttl_seconds=ttl)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan
