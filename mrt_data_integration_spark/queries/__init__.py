@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (119 queries as of r9 —
+# ROTATION POLICY (round 4+): the registry (121 queries as of r10 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r9: 19 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r10: 21 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -64,7 +64,6 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # tests/test_oracle_parity.py; rotated-out no_oracle fits keep their golden
 # tests.
 _POOL_A: list[str] = [
-    "simhash_buckets",
     "gopher_quality_flags",
     "events_hourly_rollup",
     "json_props_extract",
@@ -98,9 +97,8 @@ _POOL_A: list[str] = [
     "doc_repetition_filter",
     "benchmark_decontamination",
     "training_mix_rebalance",
-    "pq_topk",
     # r5 addition (E4 — IVFADC persisted-index variant; its online twin
-    # `ivfpq_topk` was retired r9 — see _RETIRED)
+    # `ivfpq_topk` was retired r9, `pq_topk` retired r10 — see _RETIRED)
     "ivfpq_index_topk",
     # r5 additions (E10 — training-pipeline post-processing: dup-cluster
     # resolution, stratified sampling, sequence packing, PII redaction;
@@ -149,6 +147,16 @@ _POOL_A: list[str] = [
     # (operators/components.py); funded by retiring
     # `deterministic_split`, which it generalizes.
     "leakage_safe_split",
+    # r10 additions (E4++ — deterministic distributed Lloyd's k-means
+    # with an ALL-iterations unrolled-CTE oracle, plus the
+    # cluster-diversity quota sample it feeds — operators/cluster.py):
+    # zero driver history → forced into POOL_A's r11 window per rule 2;
+    # slots funded by the paired retirements of `pq_topk` and
+    # `simhash_buckets` — the r10-plan comment's own ranked candidates
+    # #1 and #2 (argument written BEFORE building, per the r9 verdict's
+    # item 6; see _RETIRED).
+    "embedding_kmeans_cells",
+    "kmeans_diversity_sample",
 ]
 _POOL_B: list[str] = [
     "filter_project",
@@ -393,6 +401,27 @@ _RETIRED: list[str] = [
     # (test_approx_profile_bounds,
     # test_sketch_results_stable_across_partitionings).
     "approx_distinct_quantiles",
+    # r10: retired to fund the `embedding_kmeans_cells` r11 slot — the
+    # r10-plan comment's ranked candidate #1. Twin coverage for the ADC
+    # ranking shape: `ivfpq_index_topk` (POOL_A, r9 rows-only — the
+    # persisted-index PRODUCTION path whose probe contains the online
+    # PQ ranking verbatim; the online==persisted identity is
+    # tests/test_similarity.py::test_ivfpq_persisted_index_matches_online)
+    # plus the PQ recall/determinism/exactness pins that stay in CI
+    # (test_pq_topk_recall_and_determinism,
+    # test_pq_topk_exact_on_clustered_corpus,
+    # test_pq_encode_blas_matches_expr).
+    "pq_topk",
+    # r10: retired to fund the `kmeans_diversity_sample` r11 slot — the
+    # r10-plan comment's ranked candidate #2. Twin coverage for the
+    # token-hash bit-fold scan shape: `minhash_signatures` (CORE, due
+    # back r11 — the same per-doc token-hash aggregation over the same
+    # scan) and `image_near_dup_pairs` (POOL_B, r10 window — the
+    # hamming-band join half on image bit signatures); the simhash
+    # hamming/bucket semantics keep their dedicated CI tests
+    # (tests/test_dedup_scale.py) and DuckDB oracle
+    # (tests/test_oracle_parity.py, every CI run).
+    "simhash_buckets",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,

@@ -371,3 +371,116 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     anchors = emb.filter(F.col("vec_id") % 100 == 0)
     return sim.hard_negative_topk(emb, anchors, k=4)
+
+
+def _kmeans_ctes(k: int, n_iter: int) -> str:
+    """Unrolled-CTE replay of the deterministic Lloyd's loop
+    (operators/cluster.kmeans_lloyd) — the PageRank precedent
+    (graph.py:81: every iteration a CTE, so the oracle proves the
+    LOOP, not just the last step). ``cN`` = centers entering iteration
+    N (c0 = the k lowest-vec_id vectors, in id order); ``aN`` = the
+    argmin assignment under cN (list_distance ranks identically to the
+    engine's squared-distance fold — sqrt is monotone, same
+    dimension-order summation); ``cNf`` = re-estimated centers with
+    empty cells keeping their previous centroid (LEFT JOIN +
+    coalesce, the engine's documented empty-cell rule)."""
+    parts = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1"
+        f" AS BIGINT) AS cell, v AS c"
+        f" FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {k}))",
+    ]
+    prev = "c0"
+    for i in range(n_iter):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, v, cell FROM ("
+            f" SELECT e.vec_id, e.v, c.cell,"
+            f" row_number() OVER (PARTITION BY e.vec_id"
+            f" ORDER BY list_distance(e.v, c.c), c.cell) AS rn"
+            f" FROM emb e CROSS JOIN {prev} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{i} AS (SELECT cell, list(m ORDER BY p) AS c FROM ("
+            f" SELECT cell, p, avg(x) AS m FROM ("
+            f" SELECT cell, unnest(v) AS x,"
+            f" generate_subscripts(v, 1) AS p FROM a{i})"
+            f" GROUP BY cell, p) GROUP BY cell)"
+        )
+        parts.append(
+            f"c{i + 1} AS (SELECT {prev}.cell,"
+            f" coalesce(m{i}.c, {prev}.c) AS c"
+            f" FROM {prev} LEFT JOIN m{i} USING (cell))"
+        )
+        prev = f"c{i + 1}"
+    parts.append(
+        f"final AS (SELECT vec_id, cell, d FROM ("
+        f" SELECT e.vec_id, c.cell, list_distance(e.v, c.c) AS d,"
+        f" row_number() OVER (PARTITION BY e.vec_id"
+        f" ORDER BY list_distance(e.v, c.c), c.cell) AS rn"
+        f" FROM emb e CROSS JOIN {prev} c) WHERE rn = 1)"
+    )
+    return "WITH " + ",\n    ".join(parts)
+
+
+_KMEANS_K, _KMEANS_ITER = 8, 3
+
+
+@query(
+    "embedding_kmeans_cells",
+    oracle=f"""
+    {_kmeans_ctes(_KMEANS_K, _KMEANS_ITER)}
+    SELECT cell, count(*) AS n_vecs, round(avg(d), 4) AS avg_dist
+    FROM final
+    GROUP BY cell
+    """,
+)
+def embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4++ (r10, operators/cluster.kmeans_lloyd): deterministic
+    fixed-iteration Lloyd's k-means — cell populations and mean
+    member-to-centroid distance under the final centers. Every
+    iteration is one map-only literal-centroid argmin scan plus a
+    k×(d+1)-partial re-estimation shuffle; the oracle replays ALL
+    iterations as unrolled CTEs (assignment, per-dimension means,
+    empty-cell carry), so the hash match proves the whole loop, not
+    the last assignment."""
+    from mrt_data_integration_spark.operators.cluster import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assignments, _ = kmeans_lloyd(emb, k=_KMEANS_K, n_iter=_KMEANS_ITER)
+    return assignments.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("dist"), 4).alias("avg_dist"),
+    )
+
+
+@query(
+    "kmeans_diversity_sample",
+    oracle=f"""
+    {_kmeans_ctes(_KMEANS_K, _KMEANS_ITER)}
+    SELECT cell, vec_id FROM (
+      SELECT cell, vec_id, row_number() OVER (
+        PARTITION BY cell
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      ) AS rn
+      FROM final
+    ) WHERE rn <= 3
+    """,
+)
+def kmeans_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4++/E10 (r10, operators/cluster.diversity_sample): per-cluster
+    quota sample — the 3 members of every k-means cell with the
+    smallest md5(vec_id), the DataComp-style diversity selection
+    (sample ACROSS clusters instead of wherever volume is). The md5
+    rank makes the sample deterministic across engines and
+    partitionings — same hex-rank discipline as the stratified
+    samplers; rank <= 3 with no OR keeps the window rank-limit
+    pushdown-eligible."""
+    from mrt_data_integration_spark.operators.cluster import (
+        diversity_sample,
+        kmeans_lloyd,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assignments, _ = kmeans_lloyd(emb, k=_KMEANS_K, n_iter=_KMEANS_ITER)
+    return diversity_sample(assignments, per_cell=3)
