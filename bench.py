@@ -112,8 +112,13 @@ HEADLINE = [
     "fuzzy_title_pairs",
     "bloom_decontamination",
     # late-r9: span-level duplicate removal — the corpus-rewrite shape
-    # (chunk-hash first-occurrence window + doc-keyed reassembly)
+    # (r10: chunk-hash winner aggregate + join-back, persisted chunking)
     "dedup_spans_rewrite",
+    # r10: deterministic Lloyd's k-means — the iterative
+    # assign/re-estimate driver loop over the Arrow-batched numpy
+    # kernel (a new physical shape: per-iteration barrier with k×(d+1)
+    # partial shuffles)
+    "embedding_kmeans_cells",
 ]
 
 

@@ -175,6 +175,7 @@ OP_INPUTS = {
     "dedup_spans": {"docs"},
     "dedup_spans_hotchunk": {"docs"},
     "leakage_split": {"docs"},
+    "kmeans_fit": {"emb"},
     "hard_negative": {"emb"},
     "streaming_scd2_drain": {"orders", "sscd2_src"},
     "wcls_fit": {"panel"},
@@ -270,6 +271,19 @@ def main() -> None:
             "doc_id",
             F.concat(F.lit(_HOT + " "), F.col("text")).alias("text"),
         )
+
+    def _kmeans_fit(k):
+        from mrt_data_integration_spark.operators.cluster import (
+            kmeans_lloyd,
+        )
+        from mrt_data_integration_spark.operators.dedup import (
+            release_cache,
+        )
+
+        assignments, _ = kmeans_lloyd(emb(k), k=8, n_iter=3)
+        n = assignments.groupBy("cell").count().count()
+        release_cache(assignments)
+        return n
 
     def _spans(d):
         # release the persisted chunks between shots: Spark's cache
@@ -721,6 +735,12 @@ def main() -> None:
         # Expected linear: bloom build is one gram scan + word agg;
         # the gate is map-only; the exact verify sees survivors only.
         "bloom_decon": lambda k: _bloom(k),
+        # r10: deterministic Lloyd's k-means — corpus growth at fixed
+        # k=8, n_iter=3 (60k/180k/600k vectors via EMB_BASE). Expected
+        # linear: each iteration is one persisted-frame scan through
+        # the Arrow assignment kernel + a k×(d+1)-partial shuffle; the
+        # per-iteration collect is k×d doubles (config-bounded).
+        "kmeans_fit": lambda k: _kmeans_fit(k),
         # r9: hard-negative mining — FIXED anchor batch (replica-0
         # vectors, identical at every scale) against a k×-growing
         # corpus: the claim under test is the one corpus scan, not
