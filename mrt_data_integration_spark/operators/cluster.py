@@ -135,11 +135,16 @@ def kmeans_lloyd(
         raise ValueError(f"k must be >= 1, got {k}")
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    # NULL vectors are excluded up front (a row with no position in
+    # the space cannot be assigned; leaving it in would crash the
+    # Arrow kernel's np.stack mid-task with an opaque worker error).
     feats = track_cache(
-        df.select(
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias(vec_col),
-        ).persist()
+        )
+        .persist()
     )
     seeds = feats.orderBy(id_col).limit(k).collect()  # bounded: k rows
     if len(seeds) < k:

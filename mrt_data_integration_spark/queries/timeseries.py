@@ -352,16 +352,64 @@ def user_activity_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stateful_capped_sessions")  # custom stateful streaming → rows-only
+@query(
+    "stateful_capped_sessions",
+    # The cap rule is sequential per user (each session's cut depends
+    # on the running session START, which the cut itself resets), so
+    # plain SQL windows cannot express it — but a RECURSIVE CTE can:
+    # one step per event ordinal carries (ordinal, session_start)
+    # exactly like the operator's per-key state, and the per-user
+    # event counts bound the recursion depth (<= 99 at every test SF).
+    # This upgraded the query from rows-only to a full hash oracle
+    # (r10): the leakage_safe_split precedent for recursive closures.
+    # Thresholds are the stream's defaults: gap 1800 s, cap 4 h, in
+    # epoch MICROseconds with strict '>' — the operator's exact
+    # comparisons (streaming/stateful.py _capped_session_fn).
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, epoch_us(ts) AS tus, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ),
+    walk AS (
+      SELECT user_id, rn, tus, value,
+             CAST(1 AS BIGINT) AS ordinal, tus AS start_us
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn, e.tus, e.value,
+             CASE WHEN (e.tus - w.tus) > CAST(1800 AS BIGINT) * 1000000
+                    OR (e.tus - w.start_us) > CAST(14400 AS BIGINT) * 1000000
+                  THEN w.ordinal + 1 ELSE w.ordinal END,
+             CASE WHEN (e.tus - w.tus) > CAST(1800 AS BIGINT) * 1000000
+                    OR (e.tus - w.start_us) > CAST(14400 AS BIGINT) * 1000000
+                  THEN e.tus ELSE w.start_us END
+      FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+    ),
+    sess AS (
+      SELECT user_id, ordinal, count(*) AS n_events,
+             round(sum(value), 4) AS session_value
+      FROM walk GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(n_events) AS BIGINT) AS total_events,
+           CAST(max(n_events) AS BIGINT) AS max_session_events,
+           round(sum(session_value), 2) AS total_value
+    FROM sess
+    """,
+)
 def stateful_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6: drives the applyInPandasWithState gap+cap sessionizer
     (streaming/stateful.py) end-to-end — events re-materialized as a
-    streamable directory, drained with availableNow into a memory sink,
-    final per-session aggregates summarized. No SQL oracle: the cap
-    rule is sequential per user (each session's cut depends on the
-    previous one), which plain SQL windows cannot express; determinism
-    comes from the within-batch (ts, event_id) sort, and agreement with
-    a local sequential reference is pinned in tests/test_streaming.py.
+    streamable directory, drained with availableNow, final per-session
+    aggregates summarized. The oracle replays the sequential cap rule
+    as a RECURSIVE CTE (one step per event ordinal, carrying the same
+    (ordinal, session_start) state the operator keeps per key), so the
+    hash match proves the stateful streaming pass == the sequential
+    definition — on top of the local-reference pin in
+    tests/test_streaming.py.
     """
     import shutil
     import tempfile
