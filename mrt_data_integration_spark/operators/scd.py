@@ -223,3 +223,72 @@ def point_in_time_join(
     for c in key_cols:
         joined = joined.drop(history[c])
     return joined
+
+
+def apply_cdc_changes(
+    snapshot: DataFrame | None,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str | None = None,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Fold a CDC change batch into a CURRENT-ROW snapshot — SCD
+    type 1, the other half of the warehouse merge story (this module's
+    SCD2 operators keep HISTORY; many integration targets only keep
+    the latest row per key, with upserts and DELETES applied in
+    order).
+
+    ``changes`` carries one row per change event: the snapshot's
+    columns plus optionally ``op_col`` (``delete_op`` ⇒ the key is
+    removed; anything else upserts). Multiple events per key collapse
+    to the LATEST by ``seq_cols`` (a total order within a key — null-
+    safe ``max_by`` on the seq struct) before applying, so a batch is
+    applied atomically at its final state. Keys absent from the batch
+    pass through untouched.
+
+    Batch contract (the same as :func:`scd2_merge`): batches apply in
+    non-decreasing ``seq_cols`` order per key — an upsert in batch N
+    REPLACES the key's row even if a misordered earlier batch carried
+    a later seq. Under that contract the sequential fold equals the
+    one-shot collapse of the concatenated change log (latest non-delete
+    event per key), the identity the differential tests and the
+    driver query's oracle pin.
+
+    At 100 TB the snapshot side is the big one: the batch's distinct
+    keys prune it with a broadcast anti-join (micro-batch sized), so
+    untouched rows never shuffle; the batch-side latest-wins collapse
+    is a hash aggregate on the key (partial map-side). ``snapshot``
+    may be None (bootstrap from an empty state).
+    """
+    out_cols = (
+        snapshot.columns
+        if snapshot is not None
+        else [c for c in changes.columns if c != op_col]
+    )
+    missing = [c for c in out_cols if c not in changes.columns]
+    if missing:
+        raise ValueError(
+            f"changes is missing snapshot columns {missing}: a CDC event "
+            "must carry the full row it upserts"
+        )
+    seq = F.struct(*[F.col(c) for c in seq_cols])
+    payload = F.struct(
+        *[F.col(c) for c in out_cols],
+        *([F.col(op_col)] if op_col else []),
+    )
+    latest = (
+        changes.groupBy(*[F.col(c) for c in key_cols])
+        .agg(F.max_by(payload, seq).alias("__r__"))
+        .select("__r__.*")
+    )
+    if op_col:
+        upserts = latest.filter(F.col(op_col) != delete_op).drop(op_col)
+    else:
+        upserts = latest
+    upserts = upserts.select(*out_cols)
+    if snapshot is None:
+        return upserts
+    affected = latest.select(*key_cols)
+    untouched = snapshot.join(F.broadcast(affected), key_cols, "left_anti")
+    return untouched.unionByName(upserts)

@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (121 queries as of r10 —
+# ROTATION POLICY (round 4+): the registry (122 queries as of r10 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r10: 21 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r10: 22 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -129,12 +129,12 @@ _POOL_A: list[str] = [
     # turn per rule 2; each slot funded by the paired retirement of a
     # same-shape POOL_A twin to keep the r9 window at exactly 50):
     # SCD2 changelog→history (operators/scd.py; funded by retiring
-    # `training_data_prep`), gap-fill/linear-interpolation resample
+    # `training_data_prep`; retired r10 — its streaming twin carries
+    # the SAME oracle), gap-fill/linear-interpolation resample
     # (operators/resample.py; funded by retiring
     # `char_ngram_min_sketch`), BM25 ranked retrieval
     # (operators/retrieval.py; funded by retiring
     # `embedding_similar_pairs`).
-    "scd2_priority_history",
     "gap_filled_user_series",
     "bm25_doc_search",
     # r8 addition: point-in-time (temporal) join — facts probed against
@@ -157,6 +157,13 @@ _POOL_A: list[str] = [
     # item 6; see _RETIRED).
     "embedding_kmeans_cells",
     "kmeans_diversity_sample",
+    # r10 addition (J6-type-1 — CDC current-snapshot merge with
+    # upserts + deletes, operators/scd.apply_cdc_changes; the
+    # sequential-fold == one-shot-collapse oracle pattern of
+    # `streaming_scd2_history`, type-1 edition): zero driver history →
+    # forced into POOL_A's r11 window per rule 2; slot funded by
+    # retiring `scd2_priority_history` (see _RETIRED).
+    "cdc_current_snapshot",
 ]
 _POOL_B: list[str] = [
     "filter_project",
@@ -422,6 +429,14 @@ _RETIRED: list[str] = [
     # (tests/test_dedup_scale.py) and DuckDB oracle
     # (tests/test_oracle_parity.py, every CI run).
     "simhash_buckets",
+    # r10: retired to fund the `cdc_current_snapshot` r11 slot. The
+    # STRONGEST twin in the registry: `streaming_scd2_history` (POOL_A,
+    # r9 hash) carries the IDENTICAL oracle SQL — the streaming drain's
+    # hash row proves the same batch collapse this query ran one-shot
+    # (stream == batch == SQL), and the batch operator itself stays
+    # pinned by the merge==rebuild and randomized-fuzz identities in
+    # tests/test_scd.py plus its CI oracle every run.
+    "scd2_priority_history",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,

@@ -413,3 +413,72 @@ def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version",
         F.col("is_current"),
     )
+
+
+@query(
+    "cdc_current_snapshot",
+    # One-shot collapse of the full change log: the latest event per
+    # key (by o_orderdate, o_orderkey) determines the final state —
+    # present iff it is not a delete. The engine folds the SAME log in
+    # three sequential date-split batches through apply_cdc_changes,
+    # so the hash match proves sequential fold == one-shot collapse ==
+    # SQL (the streaming-SCD2 oracle pattern, type-1 edition).
+    oracle="""
+    WITH ev AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate,
+             CASE WHEN o_orderstatus = 'F' AND o_orderkey % 7 = 0
+                  THEN 'D' ELSE 'U' END AS op,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC
+             ) AS rn
+      FROM orders
+    )
+    SELECT o_custkey AS custkey, o_orderpriority AS priority,
+           strftime(o_orderdate, '%Y-%m-%d') AS last_change
+    FROM ev WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_current_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type 1 (r10, operators/scd.apply_cdc_changes): the orders
+    stream read as a CDC log of each customer's current priority —
+    upserts plus deterministic deletes (finalized orders with key ≡ 0
+    mod 7) — applied in three sequential date-split batches onto a
+    current-row snapshot. Untouched keys never shuffle (broadcast
+    anti prune); each batch collapses to its per-key latest event
+    map-side before applying. The oracle is the one-shot latest-event
+    collapse of the concatenated log."""
+    from mrt_data_integration_spark.operators.scd import apply_cdc_changes
+
+    orders = load_table(spark, sf_dir, "orders")
+    log = orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderdate",
+        "o_orderkey",
+        F.when(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 7 == 0),
+            F.lit("D"),
+        )
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    snap = None
+    bounds = ("1900-01-01", "1997-01-01", "1999-01-01", "2100-01-01")
+    for lo, hi in zip(bounds, bounds[1:]):
+        batch = log.filter(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+        )
+        snap = apply_cdc_changes(
+            snap,
+            batch,
+            key_cols=["o_custkey"],
+            seq_cols=["o_orderdate", "o_orderkey"],
+            op_col="op",
+        )
+    return snap.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_change"),
+    )

@@ -295,3 +295,108 @@ def test_point_in_time_join_randomized(spark):
                     want = a
                     break
             assert got[fid] == want, (trial, fid, k_, ts, got[fid], want)
+
+
+def _snap_tuples(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_cdc_apply_basics(spark):
+    """Upsert + delete + latest-wins within one batch, bootstrap from
+    None, and untouched-key passthrough — hand-computed walk."""
+    from mrt_data_integration_spark.operators.scd import apply_cdc_changes
+
+    schema = "k long, attr string, seq long, op string"
+    b0 = spark.createDataFrame(
+        [(1, "A", 1, "U"), (2, "X", 2, "U"), (3, "Q", 3, "U")], schema
+    )
+    snap = apply_cdc_changes(
+        None, b0, key_cols=["k"], seq_cols=["seq"], op_col="op"
+    )
+    assert _snap_tuples(snap) == [(1, "A", 1), (2, "X", 2), (3, "Q", 3)]
+    # batch 1: k=1 updated twice (latest wins), k=2 deleted, k=3 absent
+    b1 = spark.createDataFrame(
+        [(1, "B", 4, "U"), (1, "C", 5, "U"), (2, "X", 6, "D")], schema
+    )
+    snap = apply_cdc_changes(
+        snap, b1, key_cols=["k"], seq_cols=["seq"], op_col="op"
+    )
+    assert _snap_tuples(snap) == [(1, "C", 5), (3, "Q", 3)]
+    # delete-then-revive INSIDE one batch: the latest event wins
+    b2 = spark.createDataFrame(
+        [(3, "Q", 7, "D"), (3, "R", 8, "U"), (1, "C", 9, "D")], schema
+    )
+    snap = apply_cdc_changes(
+        snap, b2, key_cols=["k"], seq_cols=["seq"], op_col="op"
+    )
+    assert _snap_tuples(snap) == [(3, "R", 8)]
+
+
+def test_cdc_fold_equals_one_shot_collapse_randomized(spark):
+    """The sequential fold over ordered batches must equal the one-shot
+    latest-event collapse of the concatenated log — the identity the
+    driver oracle rides."""
+    import random
+
+    from mrt_data_integration_spark.operators.scd import apply_cdc_changes
+
+    rng = random.Random(20260815)
+    schema = "k long, attr string, seq long, op string"
+    for trial in range(5):
+        events = [
+            (
+                rng.randint(1, 12),
+                rng.choice("ABCDE"),
+                seq,
+                "D" if rng.random() < 0.25 else "U",
+            )
+            for seq in range(60)
+        ]
+        # one-shot: latest event per key, kept iff not a delete
+        latest = {}
+        for k, a, s, op in events:
+            latest[k] = (a, s, op)
+        want = sorted(
+            (k, a, s) for k, (a, s, op) in latest.items() if op != "D"
+        )
+        # fold in 4 seq-ordered batches
+        snap = None
+        for lo in range(0, 60, 15):
+            b = spark.createDataFrame(
+                [e for e in events if lo <= e[2] < lo + 15], schema
+            )
+            snap = apply_cdc_changes(
+                snap, b, key_cols=["k"], seq_cols=["seq"], op_col="op"
+            )
+        assert _snap_tuples(snap) == want, trial
+
+
+def test_cdc_without_op_col_is_pure_upsert(spark):
+    from mrt_data_integration_spark.operators.scd import apply_cdc_changes
+
+    schema = "k long, attr string, seq long"
+    snap = spark.createDataFrame([(1, "A", 1), (2, "X", 2)], schema)
+    b = spark.createDataFrame([(2, "Y", 3), (3, "Q", 4)], schema)
+    out = apply_cdc_changes(snap, b, key_cols=["k"], seq_cols=["seq"])
+    assert _snap_tuples(out) == [(1, "A", 1), (2, "Y", 3), (3, "Q", 4)]
+
+
+def test_cdc_requires_full_rows_and_prunes_with_broadcast(spark):
+    import pytest as _pytest
+
+    from mrt_data_integration_spark.operators.scd import apply_cdc_changes
+
+    snap = spark.createDataFrame(
+        [(1, "A", 1)], "k long, attr string, seq long"
+    )
+    partial = spark.createDataFrame([(1, 2)], "k long, seq long")
+    with _pytest.raises(ValueError, match="missing snapshot columns"):
+        apply_cdc_changes(snap, partial, key_cols=["k"], seq_cols=["seq"])
+    # untouched-key prune is a broadcast anti join (snapshot never
+    # shuffles on the merge path)
+    b = spark.createDataFrame(
+        [(2, "X", 5)], "k long, attr string, seq long"
+    )
+    out = apply_cdc_changes(snap, b, key_cols=["k"], seq_cols=["seq"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
