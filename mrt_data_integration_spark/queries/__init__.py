@@ -674,26 +674,30 @@ _WINDOW: list[str] = (
     _POOL_B
     + [n for n in _CORE if n not in _R10_SIT_OUT]
 )
-# r11 plan (written at the r10 window flip, per the standing practice):
-# POOL_A's turn. POOL_A is 37 and the 13 r10 sit-outs (all CORE, last
-# rows r9) are due back: 37 + 13 = exactly 50 — ZERO slack for the
-# fifth consecutive round. Consequences, enforceable now:
-#   - any NEW query registered during r10 must join POOL_A for its
-#     forced r11 row AND be paired with the retirement of a same-shape
-#     POOL_A twin holding a fresh r9 hash row — the zero-slack rule.
-#     Candidates with fresh r9 rows whose shapes have strong in-window
-#     twins, ranked (the r9 verdict's item 6 asks for this argument to
-#     be written BEFORE building, so it is): (1) `pq_topk` vs
-#     `ivfpq_index_topk` — the ADC ranking half of the SAME plan, the
-#     persisted-index query contains the online PQ probe verbatim and
-#     the online==persisted identity is pinned by
-#     tests/test_similarity.py::test_ivfpq_persisted_index_matches_online;
-#     (2) `simhash_buckets` vs `minhash_signatures` (CORE, due back
-#     r11) + `image_near_dup_pairs` — the same token-hash bit-fold
-#     scan shape, with the hamming-band join half covered by the image
-#     query; (3) `stateful_capped_sessions` (rows-only) vs
-#     `streaming_scd2_history` — the same applyInPandasWithState
-#     machinery with a STRONGER oracle on the SCD2 side.
+# r11 plan (written at the r10 window flip, per the standing practice;
+# AMENDED late r10 after the round's three add/retire pairs executed):
+# POOL_A's turn. POOL_A is 37 (after r10's pairs: + embedding_kmeans_
+# cells, kmeans_diversity_sample, cdc_current_snapshot; − pq_topk,
+# simhash_buckets, scd2_priority_history — see _RETIRED for each twin
+# argument) and the 13 r10 sit-outs (all CORE, last rows r9) are due
+# back: 37 + 13 = exactly 50 — ZERO slack for the fifth consecutive
+# round. Consequences, enforceable now:
+#   - the three r10 additions have zero driver history and are forced
+#     into the r11 window per rule 2 (they are POOL_A members, so this
+#     is automatic);
+#   - any NEW query registered during r11 must join POOL_B for its
+#     forced r12 row AND be paired with a POOL_B retirement. The
+#     pre-ranked candidate list for the NEXT consolidation (write the
+#     argument before building): (1) `funnel_conversion` (POOL_B) vs
+#     `streaming_funnel_conversion` (POOL_A) — the streaming query's
+#     oracle IS the batch funnel's 3-level min-join twin, the
+#     scd2_priority_history precedent exactly; (2) `estimator_report_
+#     pivot` vs `unpivot_long` (CORE) — inverse reshapes over the same
+#     long format, the pivot_method_by_coef precedent. The former
+#     candidate (3), `stateful_capped_sessions`, is WITHDRAWN: it
+#     gained a recursive-CTE hash oracle in r10 and now carries unique
+#     verification weight (the only applyInPandasWithState query with
+#     a full hash oracle).
 #   - no rotation query waits >2 rounds under this plan: POOL_B + the
 #     13 r10-sit-out CORE members get r10 rows, POOL_A + the 13
 #     r11-sit-out CORE members (the r10 returners) get r11 rows.
