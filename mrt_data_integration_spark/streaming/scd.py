@@ -181,3 +181,56 @@ def read_scd2_history_bucketed(spark, state_dir: str) -> DataFrame:
     )
 
     return read_bucketed_state(spark, state_dir)
+
+
+def merge_cdc_updates_bucketed(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str | None = None,
+    delete_op: str = "D",
+    n_buckets: int = 16,
+    chain: str | None = None,
+) -> None:
+    """SCD TYPE 1 through the bucket-partitioned state: fold each CDC
+    micro-batch (upserts + deletes) into a current-row snapshot whose
+    per-batch cost is O(touched buckets), not O(snapshot).
+
+    This is the consumer the bucketed protocol's merge-side DELETION
+    contract exists for (streaming/rollup.py, r10): a delete-heavy
+    batch can empty a bucket's keyspace, and the manifest drops that
+    bucket instead of resurrecting its stale prior rows — a semantics
+    the SCD2 and funnel merge_fns (append-only keyspaces) never
+    exercise. ``apply_cdc_changes`` is the merge_fn verbatim; its
+    broadcast anti prune runs WITHIN the affected buckets' state.
+
+    Ordering contract: batches apply in non-decreasing ``seq_cols``
+    order per key (the module-doc CDC-log assumption); under it the
+    drained snapshot equals the one-shot latest-event collapse —
+    pinned by the stream==collapse identity test.
+    """
+    from mrt_data_integration_spark.operators.scd import apply_cdc_changes
+    from mrt_data_integration_spark.streaming.rollup import (
+        merge_into_bucketed_state,
+    )
+
+    def merge(b: DataFrame, prev: DataFrame | None) -> DataFrame:
+        return apply_cdc_changes(
+            prev, b, key_cols, seq_cols, op_col, delete_op
+        )
+
+    merge_into_bucketed_state(
+        batch_df, batch_id, state_dir, merge, key_cols, n_buckets, chain
+    )
+
+
+def read_cdc_snapshot_bucketed(spark, state_dir: str) -> DataFrame:
+    """Latest complete bucketed type-1 snapshot (reader contract =
+    rollup.read_bucketed_state)."""
+    from mrt_data_integration_spark.streaming.rollup import (
+        read_bucketed_state,
+    )
+
+    return read_bucketed_state(spark, state_dir)

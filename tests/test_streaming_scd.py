@@ -326,3 +326,70 @@ def test_bucketed_merge_rejects_rows_outside_touched_buckets(spark, tmp_path):
             ["k"],
             n_buckets=4,
         )
+
+
+def test_bucketed_cdc_snapshot_equals_one_shot_collapse(spark, tmp_path):
+    """SCD type 1 through the bucketed state: draining a CDC log
+    (upserts + deletes, including deletes that empty an entire
+    bucket's keyspace — the merge-side eviction contract's consumer)
+    must leave EXACTLY the one-shot latest-event collapse of the full
+    log."""
+    from mrt_data_integration_spark.operators.scd import apply_cdc_changes
+    from mrt_data_integration_spark.streaming.rollup import _bucket_col
+    from mrt_data_integration_spark.streaming.scd import (
+        merge_cdc_updates_bucketed,
+        read_cdc_snapshot_bucketed,
+    )
+
+    schema = "k long, attr string, seq long, op string"
+    keys = list(range(24))
+    kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+    kmap = {
+        r.k: r.b
+        for r in kdf.select("k", _bucket_col(["k"], 4).alias("b")).collect()
+    }
+    bucket0 = [k for k in keys if kmap[k] == 0]
+    assert bucket0, "need at least one key in bucket 0"
+    # batch 0: insert every key; batch 1: update half; batch 2: delete
+    # ALL of bucket 0's keys (empties that bucket) + revive one key
+    events = (
+        [(k, "A", k, "U") for k in keys]
+        + [(k, "B", 100 + k, "U") for k in keys if k % 2 == 0]
+        + [(k, "B", 200 + k, "D") for k in bucket0]
+        + [(bucket0[0], "Z", 300, "U")]
+    )
+    batches = [
+        [e for e in events if e[2] < 100],
+        [e for e in events if 100 <= e[2] < 200],
+        [e for e in events if e[2] >= 200],
+    ]
+    state = str(tmp_path / "cdc_state")
+    for bid, rows in enumerate(batches):
+        merge_cdc_updates_bucketed(
+            spark.createDataFrame(rows, schema),
+            bid,
+            state,
+            key_cols=["k"],
+            seq_cols=["seq"],
+            op_col="op",
+            n_buckets=4,
+        )
+    got = sorted(
+        map(tuple, read_cdc_snapshot_bucketed(spark, state).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            apply_cdc_changes(
+                None,
+                spark.createDataFrame(events, schema),
+                key_cols=["k"],
+                seq_cols=["seq"],
+                op_col="op",
+            ).collect(),
+        )
+    )
+    assert got == want
+    # the deleted-but-not-revived bucket-0 keys are really gone
+    surviving = {t[0] for t in got}
+    assert surviving & set(bucket0) == {bucket0[0]}
