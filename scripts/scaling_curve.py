@@ -167,6 +167,7 @@ OP_INPUTS = {
     "pagerank": {"docs", "pr_edges"},
     "stream_interval_join_drain": {"events", "sjoin_src"},
     "scd2_history": {"orders"},
+    "cdc_fold": {"orders"},
     "pit_join": {"orders"},
     "gap_fill_linear": {"events"},
     "bm25_search": {"docs"},
@@ -686,6 +687,16 @@ def main() -> None:
         # orders mint fresh customers). Expected linear: one window
         # shuffle keyed by the dimension key.
         "scd2_history": lambda k: _scd2(k),
+        # r10: CDC current-snapshot fold (SCD type 1) — the driver
+        # query's shape: the replicated orders log (key-space growth)
+        # as upserts + deterministic deletes, folded in 3 sequential
+        # date-split batches. Expected linear: each batch is one
+        # map-side latest-event hash aggregate + a broadcast anti
+        # prune of the accumulated snapshot; the steady-state axis
+        # (fixed batch into a GROWING materialized snapshot) is the
+        # bucketed-state merge-cost table's — merge_cdc_updates_
+        # bucketed rides that protocol verbatim.
+        "cdc_fold": lambda k: _cdc_fold(k),
         # r8: point-in-time join — the SCD2 probe side: every replicated
         # order probed against its customer's priority history (facts
         # AND history key space scale k× together). Expected linear:
@@ -989,6 +1000,40 @@ def main() -> None:
             seq_cols=["o_orderdate", "o_orderkey"],
             ts_col="o_orderdate",
         ).count()
+
+    def _cdc_fold(k):
+        from mrt_data_integration_spark.operators.scd import (
+            apply_cdc_changes,
+        )
+
+        log = spark.read.parquet(orders_paths[k]).select(
+            "o_custkey",
+            "o_orderpriority",
+            "o_orderdate",
+            "o_orderkey",
+            F.when(
+                (F.col("o_orderstatus") == "F")
+                & (F.col("o_orderkey") % 7 == 0),
+                F.lit("D"),
+            )
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        snap = None
+        bounds = ("1900-01-01", "1997-01-01", "1999-01-01", "2100-01-01")
+        for lo, hi in zip(bounds, bounds[1:]):
+            batch = log.filter(
+                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+            )
+            snap = apply_cdc_changes(
+                snap,
+                batch,
+                key_cols=["o_custkey"],
+                seq_cols=["o_orderdate", "o_orderkey"],
+                op_col="op",
+            )
+        return snap.count()
 
     def _pit(k):
         from mrt_data_integration_spark.operators.scd import (
