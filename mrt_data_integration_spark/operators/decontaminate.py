@@ -293,3 +293,90 @@ def decontaminate_bloom(
         flag_col, F.coalesce(F.col("__hit__"), F.lit(False))
     ).drop("__hit__")
     return _attach_cache(out, [b_grams])
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    ngram_n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    flag_col: str = "contaminated",
+    min_overlap: float = 0.0,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """GRADED decontamination: per-doc contamination fraction, not just
+    a binary hit — |distinct doc grams ∩ benchmark grams| / |distinct
+    doc grams| — with the flag raised when the fraction exceeds
+    ``min_overlap``.
+
+    The binary rule (:func:`decontaminate`, GPT-3 appendix C) drops a
+    10k-token document over one unlucky 8-gram; production pipelines
+    (The Pile, Llama reports) instead threshold the OVERLAP FRACTION so
+    incidental collisions survive while real test-set copies (high
+    fraction) drop. ``min_overlap=0.0`` reproduces the binary rule
+    exactly (any hit ⇒ fraction > 0), the identity a test pins.
+
+    Scale shape = :func:`decontaminate`'s with one extra map-side
+    column: the per-doc distinct-gram count rides the exploded gram
+    rows (computed once per doc before the explode), the semi-join
+    against the (broadcast) benchmark grams counts hits per doc, and
+    the tiny hit-count frame broadcasts back onto the corpus — bodies
+    never shuffle. Docs shorter than ``ngram_n`` tokens have no gram
+    universe: ``overlap_frac`` is NULL and the flag false (the
+    ``ngram_repetition`` NULL convention).
+
+    Returns corpus + ``overlap_frac`` (double) + ``flag_col``.
+    """
+    doc_grams = (
+        _spread(corpus.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform(word_ngrams(text_col, ngram_n), F.md5)
+            ).alias("__gs__"),
+        )
+        .withColumn("__n__", F.size("__gs__"))
+    )
+    c_grams = doc_grams.select(
+        id_col, "__n__", F.explode("__gs__").alias("__gh__")
+    )
+    b_grams = benchmark.select(
+        F.explode(
+            F.array_distinct(
+                F.transform(word_ngrams(text_col, ngram_n), F.md5)
+            )
+        ).alias("__gh__")
+    ).distinct()
+    if broadcast_benchmark:
+        b_grams = F.broadcast(b_grams)
+    hits = (
+        c_grams.join(b_grams, "__gh__", "left_semi")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__hits__"),
+            F.first("__n__").alias("__n__"),
+        )
+        .select(
+            id_col,
+            (F.col("__hits__") / F.col("__n__")).alias("__frac__"),
+        )
+    )
+    flagged = corpus.join(F.broadcast(hits), id_col, "left")
+    # distinguish "no hits" (fraction 0) from "no gram universe" (NULL):
+    # the doc-length gate is recomputed map-side on the corpus row
+    has_grams = F.size(tokens(text_col)) >= ngram_n
+    frac = F.when(
+        has_grams, F.coalesce(F.col("__frac__"), F.lit(0.0))
+    ).otherwise(F.lit(None).cast("double"))
+    return (
+        flagged.withColumn("overlap_frac", frac)
+        .withColumn(
+            flag_col,
+            F.coalesce(
+                F.col("overlap_frac") > F.lit(float(min_overlap)),
+                F.lit(False),
+            ),
+        )
+        .drop("__frac__")
+    )

@@ -199,3 +199,98 @@ def test_bloom_rejects_sub_word_bitmaps(spark):
         build_ngram_bloom(bench, 3, n_bits=32)
     with pytest.raises(ValueError, match="power of two"):
         build_ngram_bloom(bench, 3, n_bits=100)
+
+
+def test_contamination_overlap_fractions_and_threshold(spark):
+    """Hand-computed overlap fractions; min_overlap gates the flag;
+    sub-ngram docs get NULL fraction and a false flag."""
+    from mrt_data_integration_spark.operators.decontaminate import (
+        contamination_overlap,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # grams(2): {alpha beta, beta gamma, gamma delta} — all 3 hit
+            (1, "alpha beta gamma delta"),
+            # grams: {zz alpha, alpha beta, beta yy} — 1 of 3 hits
+            (2, "zz alpha beta yy"),
+            # no shared grams
+            (3, "one two three four"),
+            # shorter than ngram_n → NULL fraction
+            (4, "alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.overlap_frac, r.contaminated)
+        for r in contamination_overlap(
+            corpus, bench, ngram_n=2, min_overlap=0.5
+        ).collect()
+    }
+    assert out[1] == (1.0, True)
+    assert out[2][1] is False and abs(out[2][0] - 1 / 3) < 1e-12
+    assert out[3] == (0.0, False)
+    assert out[4] == (None, False)
+
+
+def test_contamination_overlap_zero_threshold_equals_binary(spark, sf_smoke):
+    """min_overlap=0.0 must reproduce the binary decontaminate flag
+    exactly (any hit => fraction > 0) — the GPT-3 rule as the graded
+    rule's degenerate case."""
+    from mrt_data_integration_spark.operators.decontaminate import (
+        contamination_overlap,
+        decontaminate,
+    )
+    from mrt_data_integration_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    want = sorted(
+        (r.doc_id, r.contaminated)
+        for r in decontaminate(corpus, bench, ngram_n=3).collect()
+    )
+    got = sorted(
+        (r.doc_id, r.contaminated)
+        for r in contamination_overlap(
+            corpus, bench, ngram_n=3, min_overlap=0.0
+        ).collect()
+    )
+    assert got == want
+
+
+def test_contamination_overlap_python_twin(spark, sf_smoke):
+    """Fractions match a local recomputation over the same whitespace
+    tokenization and distinct-gram sets."""
+    from mrt_data_integration_spark.operators.decontaminate import (
+        contamination_overlap,
+    )
+    from mrt_data_integration_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).limit(40)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+
+    def grams(t, n=3):
+        toks = t.split()
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    bset = set()
+    for r in bench.collect():
+        bset |= grams(r.text)
+    got = {
+        r.doc_id: r.overlap_frac
+        for r in contamination_overlap(corpus, bench, ngram_n=3).collect()
+    }
+    for r in corpus.collect():
+        g = grams(r.text)
+        want = (len(g & bset) / len(g)) if g else None
+        if want is None:
+            assert got[r.doc_id] is None, r.doc_id
+        else:
+            assert abs(got[r.doc_id] - want) < 1e-12, r.doc_id
