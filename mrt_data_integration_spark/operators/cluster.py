@@ -85,7 +85,21 @@ def _with_assignment(
                 {"d": "float64", "cell": "int64"}
             )
         X = np.stack(v.to_numpy()).astype(np.float64, copy=False)
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        n, d = X.shape
+        # Chunk the centroid axis so the (batch × chunk × d) broadcast
+        # temporary stays ~128 MB regardless of k: at k=1024, d=64 the
+        # unchunked 3-D temp is ~5 GB per 10k-row Arrow batch — an
+        # executor OOM at exactly the k the closure-size budget calls
+        # safe. Element-wise arithmetic (and therefore every distance
+        # and the argmin) is bit-identical to the unchunked form; only
+        # the allocation is bounded.
+        step = max(1, (1 << 24) // max(n * d, 1))
+        d2 = np.empty((n, C.shape[0]), dtype=np.float64)
+        for s in range(0, C.shape[0], step):
+            block = C[s : s + step]
+            d2[:, s : s + len(block)] = (
+                (X[:, None, :] - block[None, :, :]) ** 2
+            ).sum(-1)
         cell = d2.argmin(1)
         return pd.DataFrame(
             {
@@ -166,13 +180,14 @@ def kmeans_lloyd(
             else centers[i]  # empty cell: keep previous centroid
             for i in range(k)
         ]
+    from mrt_data_integration_spark.operators.dedup import _attach_cache
+
     assignments = (
         _with_assignment(feats, centers, vec_col)
         .withColumn("dist", F.sqrt(F.col("__d__")))
         .drop("__d__")
     )
-    assignments.__graft_cached__ = [feats]
-    return assignments, centers
+    return _attach_cache(assignments, [feats]), centers
 
 
 def diversity_sample(

@@ -283,7 +283,13 @@ def apply_cdc_changes(
         .select("__r__.*")
     )
     if op_col:
-        upserts = latest.filter(F.col(op_col) != delete_op).drop(op_col)
+        # null-safe: a NULL op is NOT a delete (CDC feeds that leave op
+        # unset for plain inserts must upsert, not silently drop the
+        # key — `!=` would evaluate NULL and filter the row out while
+        # its key still anti-joins the snapshot)
+        upserts = latest.filter(
+            ~F.col(op_col).eqNullSafe(delete_op)
+        ).drop(op_col)
     else:
         upserts = latest
     upserts = upserts.select(*out_cols)

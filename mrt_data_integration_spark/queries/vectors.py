@@ -385,8 +385,10 @@ def _kmeans_ctes(k: int, n_iter: int) -> str:
     empty cells keeping their previous centroid (LEFT JOIN +
     coalesce, the engine's documented empty-cell rule)."""
     parts = [
+        # the IS NOT NULL mirrors the engine's documented
+        # NULL-embedding exclusion (cluster.py kmeans_lloyd)
         "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
-        " FROM embeddings)",
+        " FROM embeddings WHERE embedding IS NOT NULL)",
         f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1"
         f" AS BIGINT) AS cell, v AS c"
         f" FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {k}))",

@@ -264,7 +264,11 @@ def merge_funnel_updates(
             .agg(F.max_by(F.struct(*cols), rec).alias("r"))
             .select("r.*")
         )
-        if ttl_seconds:
+        # `is not None`, not truthiness: ttl_seconds=0 means "evict
+        # everything older than the max timestamp", matching the
+        # bucketed reader (r10 — the two paths must serve the same set
+        # at every parameter value, including 0).
+        if ttl_seconds is not None:
             # single pass: a global window computes the cutoff without
             # re-executing the union+compaction lineage (an agg +
             # cross-join would run it twice). The empty partitionBy

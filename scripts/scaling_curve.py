@@ -297,15 +297,21 @@ def main() -> None:
         return n
 
     def _leakage_split(k):
+        from mrt_data_integration_spark.cache_registry import sweep_caches
         from mrt_data_integration_spark.operators.components import (
             leakage_safe_split as lss,
         )
 
         d = docs(k)
         pairs = dd.lsh_candidate_pairs(d, n_hashes=4, band_size=2)
-        return (
-            lss(d, pairs, "doc_id").groupBy("split").count().count()
-        )
+        n = lss(d, pairs, "doc_id").groupBy("split").count().count()
+        # the CC pass registers eager localCheckpoints (direct operator
+        # use → session-global tier, freed only by an explicit sweep);
+        # without this every shot's checkpoint blocks stay pinned on
+        # executors for the rest of the run and skew later medians —
+        # the same lingering-cache distortion _spans guards against
+        sweep_caches()
+        return n
 
     # Fixed hard-negative anchor batch: replica-0 vectors exist
     # identically at every scale, so the probe workload is constant and

@@ -134,3 +134,40 @@ def test_diversity_sample_quota_and_determinism(spark, sf_smoke):
         )[:4]
     )
     assert rows == want
+
+
+def test_assignment_kernel_chunked_path_matches_twin(spark):
+    """Force the centroid-chunked kernel path (step < k requires
+    n·d·k past the ~2^24-element budget: 10k rows × d=64 → step=26,
+    k=30 → two blocks) and pin it against the unchunked numpy twin —
+    chunking must change allocation only, never a distance or an
+    argmin."""
+    from mrt_data_integration_spark.operators.cluster import (
+        _with_assignment,
+    )
+
+    n, d, k = 10_000, 64, 30
+    rows = [
+        (i, [float((i * 31 + j * 7) % 97) / 97.0 for j in range(d)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1)  # one partition → one Arrow batch ≥ the chunk budget
+    centers = [
+        [float((c * 13 + j * 3) % 89) / 89.0 for j in range(d)]
+        for c in range(k)
+    ]
+    got = {
+        r["vec_id"]: (r["cell"], r["__d__"])
+        for r in _with_assignment(df, centers, "embedding")
+        .select("vec_id", "cell", "__d__")
+        .collect()
+    }
+    X = np.array([r[1] for r in rows])
+    C = np.array(centers)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    cells = d2.argmin(1)
+    for i in range(n):
+        assert got[i][0] == cells[i]
+        assert got[i][1] == d2[i, cells[i]]  # bit-identical, not approx

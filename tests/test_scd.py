@@ -400,3 +400,19 @@ def test_cdc_requires_full_rows_and_prunes_with_broadcast(spark):
     out = apply_cdc_changes(snap, b, key_cols=["k"], seq_cols=["seq"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_cdc_null_op_is_an_upsert_not_a_delete(spark):
+    """A NULL op must upsert (CDC feeds that leave op unset for plain
+    inserts): a bare `!=` would evaluate NULL, drop the row from the
+    upsert set, and silently DELETE the key — the self-review finding
+    this pins."""
+    from mrt_data_integration_spark.operators.scd import apply_cdc_changes
+
+    schema = "k long, attr string, seq long, op string"
+    snap = spark.createDataFrame([(5, "A", 1, "U")], schema).drop("op")
+    b = spark.createDataFrame([(5, "X", 9, None), (6, "Y", 10, None)], schema)
+    out = apply_cdc_changes(
+        snap, b, key_cols=["k"], seq_cols=["seq"], op_col="op"
+    )
+    assert _snap_tuples(out) == [(5, "X", 9), (6, "Y", 10)]

@@ -1144,3 +1144,32 @@ def test_bucketed_funnel_state_equals_flat_incl_read_side_ttl(
         .toString()
     )
     assert "Window" not in plan, plan
+
+
+def test_flat_funnel_merge_ttl_zero_means_evict_to_max(spark, tmp_path):
+    """ttl_seconds=0 on the FLAT merge path must evict everything
+    strictly older than the max last_ts — matching the bucketed
+    reader's r10 semantics, not silently disabling TTL."""
+    import datetime as dt
+
+    from mrt_data_integration_spark.streaming.funnel import (
+        merge_funnel_updates,
+        read_funnel_state,
+    )
+
+    schema = (
+        "user_id long, n_seen long, last_ts timestamp, "
+        "t1 timestamp, t2 timestamp, t3 timestamp"
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+    state = str(tmp_path / "flat0")
+    rows = [
+        (1, 1, t0, t0, None, None),
+        (2, 1, t0 + day, t0 + day, None, None),
+    ]
+    merge_funnel_updates(
+        spark.createDataFrame(rows, schema), 0, state, ttl_seconds=0
+    )
+    got = [r.user_id for r in read_funnel_state(spark, state).collect()]
+    assert got == [2], got
