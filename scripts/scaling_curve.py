@@ -177,6 +177,7 @@ OP_INPUTS = {
     "dedup_spans_hotchunk": {"docs"},
     "leakage_split": {"docs"},
     "kmeans_fit": {"emb"},
+    "pca_fit": {"emb"},
     "hard_negative": {"emb"},
     "streaming_scd2_drain": {"orders", "sscd2_src"},
     "wcls_fit": {"panel"},
@@ -271,6 +272,20 @@ def main() -> None:
         return docs(k).select(
             "doc_id",
             F.concat(F.lit(_HOT + " "), F.col("text")).alias("text"),
+        )
+
+    def _pca_fit(k):
+        from mrt_data_integration_spark.operators.pca import (
+            fit_pca,
+            pca_project,
+        )
+
+        e = emb(k)
+        model = fit_pca(e, k=8)
+        return (
+            pca_project(e, model, whiten=True)
+            .selectExpr("sum(pca[0]) AS s")
+            .collect()[0][0]
         )
 
     def _kmeans_fit(k):
@@ -758,6 +773,12 @@ def main() -> None:
         # the Arrow assignment kernel + a k×(d+1)-partial shuffle; the
         # per-iteration collect is k×d doubles (config-bounded).
         "kmeans_fit": lambda k: _kmeans_fit(k),
+        # r10: distributed PCA fit + projection — one scan of per-batch
+        # partial moments (count, Σx, Σxxᵀ), a #partition-bounded
+        # collect, a driver d×d eigh, then a map-side batch×d @ d×k
+        # projection scan. Expected linear in corpus size with a small
+        # constant (two scans, no shuffle at all).
+        "pca_fit": lambda k: _pca_fit(k),
         # r9: hard-negative mining — FIXED anchor batch (replica-0
         # vectors, identical at every scale) against a k×-growing
         # corpus: the claim under test is the one corpus scan, not
