@@ -48,9 +48,10 @@ def fit_pca(
     eigenvalue, signs canonicalized. NULL vectors are excluded (no
     position in the space — the cluster.py convention).
 
-    One corpus scan: per Arrow batch a (1 + d + d·d)-wide partial
-    moment row; the collect is bounded by the partition count, never
-    the data (the engine's d×d-probe collect class).
+    One corpus scan: each partition accumulates its Arrow batches into
+    a single (1 + d + d·d)-wide partial moment row; the collect is
+    bounded by the partition count, never the data (the engine's
+    d×d-probe collect class).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -59,21 +60,27 @@ def fit_pca(
     )
 
     def partials(it):
+        # accumulate across ALL of the partition's Arrow batches and
+        # emit ONE row per partition — yielding per batch would send
+        # n/batch_size rows of d² doubles to the driver (3+ GB at 1B
+        # vectors), unbounded by anything but the data
+        n, s, g = 0, None, None
         for pdf in it:
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+            n += len(X)
+            bs, bg = X.sum(0), X.T @ X
+            s = bs if s is None else s + bs
+            g = bg if g is None else g + bg
+        if n:
             yield pd.DataFrame(
-                {
-                    "n": [len(X)],
-                    "s": [X.sum(0).tolist()],
-                    "g": [(X.T @ X).ravel().tolist()],
-                }
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
             )
 
     rows = feats.mapInPandas(
         partials, "n long, s array<double>, g array<double>"
-    ).collect()  # bounded: one row per non-empty Arrow batch
+    ).collect()  # bounded: one row per non-empty PARTITION
     if not rows:
         raise ValueError("fit_pca needs at least one non-NULL vector")
     n = sum(r["n"] for r in rows)
