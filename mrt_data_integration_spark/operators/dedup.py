@@ -978,12 +978,16 @@ def remove_duplicate_spans(
     chunk (boilerplate repeats 1e7-1e8x on real web corpora) through
     one sorted reducer, while the aggregate collapses the hot key
     map-side (each task contributes one partial row regardless of
-    occurrence count) and the winner set joins back on the hash, where
-    AQE can skew-split a hot build partition. Text therefore moves
-    twice — once keyed on the chunk hash (the winner join; chunk text
-    rides along because the survivor must be reassembled) and once on
-    the doc id (the ordered re-concat) — rewriting the corpus
-    inherently moves the text twice, there is no lighter exact shape.
+    occurrence count). The winner set — one (id, ord) position per
+    distinct chunk — then re-keys to per-doc winner-ordinal sets and
+    joins back ON THE DOC ID, a key that cannot be hot (docs are
+    bounded) and that the final re-concat groupBy shares, so chunk
+    text shuffles on doc-grain keys only; the chunk hash never keys a
+    row-preserving shuffle at all. (The first de-skew draft joined the
+    winners back on the hash itself, which re-concentrated every hot
+    occurrence into one join partition — 57 s vs 35 s at 30x on the
+    degenerate corpus; the full design table is in
+    results/SCALING_CURVE.md.)
     The chunking scan feeds both consumers through ONE persisted
     materialization (the interpreted-HOF chunking is the dominant CPU
     term — re-executing it for the winner branch measured ~2× on the
@@ -1021,11 +1025,26 @@ def remove_duplicate_spans(
     # min of the (id, ord) struct == lexicographically-first
     # occurrence, exactly the ordering the former row_number window
     # used; partial aggregation absorbs any hot chunk hash before the
-    # exchange
-    winners = chunks.groupBy("__h__").agg(F.min(pos).alias("__w__"))
-    kept = chunks.join(winners, "__h__").withColumn(
+    # exchange. The winner set then re-keys to the DOC GRAIN (each
+    # winner is one (id, ord) position; positions are unique, so the
+    # per-doc winner-ordinal sets are exact) and joins back on the doc
+    # id — a join the chunk-hash side CANNOT make hot (docs are
+    # bounded), and whose partitioning the final re-concat groupBy
+    # reuses. Joining on the hash instead re-shuffles every occurrence
+    # of a hot chunk into one partition — measured 57 s vs 35 s at 30×
+    # on the degenerate corpus (results/SCALING_CURVE.md).
+    winners = (
+        chunks.groupBy("__h__")
+        .agg(F.min(pos).alias("__w__"))
+        .groupBy(F.col("__w__.i").alias(id_col))
+        .agg(F.collect_set("__w__.o").alias("__wins__"))
+    )
+    kept = chunks.join(winners, id_col, "left").withColumn(
         "__keep__",
-        (pos == F.col("__w__")) | (F.col("n_toks") < min_tokens),
+        F.coalesce(
+            F.array_contains("__wins__", F.col("ord")), F.lit(False)
+        )
+        | (F.col("n_toks") < min_tokens),
     )
     # ONE conditional aggregation over all chunk rows (kept flag decides
     # what enters the re-concat; collect_list drops the NULLs the
