@@ -128,6 +128,27 @@ def untrack(df: DataFrame) -> None:
                     continue
 
 
+def attach_cache(result: DataFrame, deps: list[DataFrame]) -> DataFrame:
+    """Bind persisted input frames to a lazy result's lifetime
+    (``__graft_cached__``): the operator can't unpersist inputs that
+    must outlive the frame it returns, so the handle rides the result
+    and the caller releases after the consuming action
+    (:func:`release_cache`). Canonical home for the handle discipline —
+    every operator module (dedup, decontaminate, retrieval, multimodal,
+    cluster) attaches through here."""
+    result.__graft_cached__ = deps
+    return result
+
+
+def release_cache(df: DataFrame) -> None:
+    """Unpersist every cached frame an operator attached to its result
+    via :func:`attach_cache` (the same handle discipline the estimator
+    paths use with their lvl1/work frames)."""
+    for dep in getattr(df, "__graft_cached__", ()):
+        dep.unpersist()
+        untrack(dep)
+
+
 def begin_generation() -> dict:
     """Open a build scope: subsequent track_cache/checkpoint_tracked
     calls bind to it. Re-entrant (a registered query invoking another

@@ -47,7 +47,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mrt_data_integration_spark.cache_registry import track_cache
+from mrt_data_integration_spark.cache_registry import attach_cache, track_cache
 
 
 def _with_assignment(
@@ -97,9 +97,12 @@ def _with_assignment(
         d2 = np.empty((n, C.shape[0]), dtype=np.float64)
         for s in range(0, C.shape[0], step):
             block = C[s : s + step]
-            d2[:, s : s + len(block)] = (
-                (X[:, None, :] - block[None, :, :]) ** 2
-            ).sum(-1)
+            # square IN PLACE: `(diff ** 2)` would hold the diff tensor
+            # AND the squared tensor live at once — 2× the budgeted
+            # temporary (same elementwise ops, so still bit-identical)
+            t = X[:, None, :] - block[None, :, :]
+            np.square(t, out=t)
+            d2[:, s : s + len(block)] = t.sum(-1)
         cell = d2.argmin(1)
         return pd.DataFrame(
             {
@@ -180,14 +183,12 @@ def kmeans_lloyd(
             else centers[i]  # empty cell: keep previous centroid
             for i in range(k)
         ]
-    from mrt_data_integration_spark.operators.dedup import _attach_cache
-
     assignments = (
         _with_assignment(feats, centers, vec_col)
         .withColumn("dist", F.sqrt(F.col("__d__")))
         .drop("__d__")
     )
-    return _attach_cache(assignments, [feats]), centers
+    return attach_cache(assignments, [feats]), centers
 
 
 def diversity_sample(

@@ -242,8 +242,10 @@ def decontaminate_bloom(
     operator exists for. Pass an explicit power of two to pin it
     (tests exercising FP pressure do).
     """
-    from mrt_data_integration_spark.cache_registry import track_cache
-    from mrt_data_integration_spark.operators.dedup import _attach_cache
+    from mrt_data_integration_spark.cache_registry import (
+        attach_cache,
+        track_cache,
+    )
 
     b_grams = track_cache(
         _distinct_gram_hashes(benchmark, ngram_n, text_col).persist()
@@ -292,7 +294,7 @@ def decontaminate_bloom(
     out = flagged.withColumn(
         flag_col, F.coalesce(F.col("__hit__"), F.lit(False))
     ).drop("__hit__")
-    return _attach_cache(out, [b_grams])
+    return attach_cache(out, [b_grams])
 
 
 def contamination_overlap(

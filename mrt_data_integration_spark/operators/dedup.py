@@ -19,7 +19,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from mrt_data_integration_spark.cache_registry import track_cache, untrack
+# attach_cache/release_cache live in cache_registry (r10 — the handle
+# discipline is shared by five operator modules, not dedup-specific);
+# re-exported here (noqa: F401) because tests, scripts, and the other
+# operator modules historically import them from this module.
+from mrt_data_integration_spark.cache_registry import (  # noqa: F401
+    attach_cache as _attach_cache,
+    release_cache,
+    track_cache,
+    untrack,
+)
 from mrt_data_integration_spark.operators.text import fingerprint, tokens
 
 
@@ -37,21 +46,6 @@ def _spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
-def release_cache(df: DataFrame) -> None:
-    """Unpersist every cached frame a dedup operator attached to its
-    result (``__graft_cached__``). Persisted inputs must outlive the
-    returned lazy DataFrame, so the operators can't unpersist them
-    themselves; callers release after the consuming action (the same
-    handle discipline the estimator paths use with their lvl1/work
-    frames)."""
-    for dep in getattr(df, "__graft_cached__", ()):
-        dep.unpersist()
-        untrack(dep)
-
-
-def _attach_cache(result: DataFrame, deps: list[DataFrame]) -> DataFrame:
-    result.__graft_cached__ = deps
-    return result
 
 
 def exact_dedup(
@@ -1003,6 +997,10 @@ def remove_duplicate_spans(
     text to call a duplicated span (Lee et al. remove long verbatim
     overlap, not two-word suffixes), and deduping it would mangle
     unrelated docs that merely end alike.
+
+    ``id_col`` must be UNIQUE per document (the operator's grain: the
+    re-concat groups by it, and the winner sets key by it) — duplicate
+    ids would interleave two documents' chunks into one rewritten row.
 
     Returns one row per input doc (empty/NULL docs excluded):
     (id, clean_text, n_chunks, n_kept) — ``clean_text`` is '' when

@@ -580,7 +580,7 @@ def image_near_dup_pairs(
     # extract_image_dhash that means decoding every image TWICE. Same
     # handle discipline as the text LSH path (dedup.release_cache).
     from mrt_data_integration_spark.cache_registry import track_cache
-    from mrt_data_integration_spark.operators.dedup import _attach_cache
+    from mrt_data_integration_spark.cache_registry import attach_cache
 
     bands = track_cache(bands.persist())
     if max_band_df is not None:
@@ -612,7 +612,7 @@ def image_near_dup_pairs(
         # a pair within distance k can collide in several bands — one row
         .dropDuplicates(["id_a", "id_b"])
     )
-    return _attach_cache(pairs, [bands])
+    return attach_cache(pairs, [bands])
 
 
 def resize_plan(features: DataFrame, max_side: int = 256) -> DataFrame:

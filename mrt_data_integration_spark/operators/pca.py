@@ -58,6 +58,15 @@ def fit_pca(
     feats = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(vec_col).cast("array<double>").alias("v")
     )
+    # fail fast on k > d with a 1-row probe — validating after the
+    # moment scan would pay a full corpus pass before raising
+    probe = feats.select(F.size("v").alias("d")).first()
+    if probe is None:
+        raise ValueError("fit_pca needs at least one non-NULL vector")
+    if k > probe["d"]:
+        raise ValueError(
+            f"k={k} exceeds the vector dimension {probe['d']}"
+        )
 
     def partials(it):
         # accumulate across ALL of the partition's Arrow batches and
@@ -87,8 +96,6 @@ def fit_pca(
     s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
     d = s.shape[0]
     g = np.sum([np.asarray(r["g"]).reshape(d, d) for r in rows], axis=0)
-    if k > d:
-        raise ValueError(f"k={k} exceeds the vector dimension {d}")
     mean = s / n
     cov = g / n - (np.outer(mean, mean) if center else 0.0)
     # eigh returns ASCENDING eigenvalues of the symmetric matrix

@@ -88,7 +88,7 @@ def bm25_topk(
     # two full scans. Same handle discipline as the dedup family
     # (release_cache on the returned frame frees it).
     from mrt_data_integration_spark.cache_registry import track_cache
-    from mrt_data_integration_spark.operators.dedup import _attach_cache
+    from mrt_data_integration_spark.cache_registry import attach_cache
 
     tf = track_cache(tf.persist())
     stats = docs.agg(
@@ -127,4 +127,4 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "score")
     )
-    return _attach_cache(out, [tf])
+    return attach_cache(out, [tf])
