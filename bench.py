@@ -119,6 +119,10 @@ HEADLINE = [
     # kernel (a new physical shape: per-iteration barrier with k×(d+1)
     # partial shuffles)
     "embedding_kmeans_cells",
+    # late-r10: DSIR importance-resampling selection — hashed-feature
+    # explode + two bucket-model aggregates + broadcast-ratio join +
+    # global TakeOrdered (the data-selection shape)
+    "dsir_selected_sample",
 ]
 
 

@@ -1,0 +1,161 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al.,
+NeurIPS 2023): select raw-corpus documents that RESEMBLE a small
+high-quality target set, by importance weights between hashed
+bag-of-ngram language models.
+
+The modern curation stack's selection step (alongside this engine's
+quality gates, SemDeDup, and cluster-diversity sampling): quality
+classifiers pick what a MODEL scores well; DSIR picks what
+DISTRIBUTIONALLY matches a trusted target (Wikipedia, textbooks, a
+vetted subcorpus) — log w(x) = log p_target(x) − log p_raw(x) under
+unigram+bigram models over hashed feature buckets, then Gumbel-top-k
+resampling (the Gumbel-max trick: adding independent Gumbel noise to
+the log-weights and taking the top k IS a softmax-weighted sample
+without replacement).
+
+Everything is JVM-side expressions — md5 bucket hashing, integer
+counts, one log per BUCKET (not per row) — so a DuckDB oracle replays
+the whole computation; determinism follows the engine's established
+conventions (md5-derived uniforms exactly representable as
+(h + 0.5)/2^32; logs rounded to 12 decimals before the weighted sum;
+final keys rounded with doc-id tie-breaks — the weighted_doc_sample /
+BM25 float-proofing discipline).
+
+Scale shape: feature extraction is map-side (tokenize → gram →
+md5 bucket) followed by one (id, bucket) hash aggregate; the bucket
+distributions are ≤ ``n_buckets`` rows each (config-bounded →
+broadcast); the per-doc weight is one broadcast join + a partial-agg
+sum, and selection is a global TakeOrdered(k). Document bodies never
+shuffle anywhere.
+
+Reference basis: the reference repo has no selection surface; this
+extends SURVEY.md §2 E10 alongside the stratified/A-ES samplers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mrt_data_integration_spark.operators.decontaminate import word_ngrams
+
+
+def _bucket(gram: Column, n_buckets: int) -> Column:
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def hashed_ngram_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    ns: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """(id, bucket, cnt): hashed bag-of-ngrams features — duplicates
+    COUNTED (bag semantics, unlike the dedup family's distinct'd
+    shingles), hashed into ``n_buckets`` md5 buckets (the hashing
+    trick: fixed-width features at any vocabulary size)."""
+    grams = F.concat(*[word_ngrams(text_col, n) for n in ns])
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("__g__"))
+        .groupBy(
+            id_col, _bucket(F.col("__g__"), n_buckets).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    ns: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """(id, log_w) for every raw doc: log p_target(x) − log p_raw(x)
+    under Laplace-smoothed hashed bag-of-ngram models.
+
+    Per bucket b: ratio_b = ln((ct_b+1)/(T_t+B)) − ln((cr_b+1)/(T_r+B))
+    with ct/cr the target/raw bucket totals, T the gram totals, B the
+    bucket count — rounded to 12 decimals (the engine's cross-engine
+    log discipline), so the per-doc weight Σ cnt_b·ratio_b is a sum of
+    identically-computed terms on any engine; the final weight rounds
+    to 4. The ratio frame is ≤ B rows (config-bounded → broadcast);
+    totals are 1-row broadcasts. Doc bodies never shuffle.
+    """
+    raw_counts = hashed_ngram_counts(raw, id_col, text_col, n_buckets, ns)
+    tgt_b = (
+        hashed_ngram_counts(target, id_col, text_col, n_buckets, ns)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("ct"))
+    )
+    raw_b = raw_counts.groupBy("bucket").agg(F.sum("cnt").alias("cr"))
+    tot_t = tgt_b.agg(F.sum("ct").alias("tt"))
+    tot_r = raw_b.agg(F.sum("cr").alias("tr"))
+    b = float(n_buckets)
+    ratios = (
+        raw_b.join(tgt_b, "bucket", "left")
+        .crossJoin(F.broadcast(tot_t))  # 1 row: map-side constant
+        .crossJoin(F.broadcast(tot_r))  # 1 row: map-side constant
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("tt") + F.lit(b))
+                )
+                - F.log((F.col("cr") + 1.0) / (F.col("tr") + F.lit(b))),
+                12,
+            ).alias("ratio"),
+        )
+    )
+    return (
+        raw_counts.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(F.col("cnt") * F.col("ratio")), 4).alias("log_w")
+        )
+    )
+
+
+def gumbel_topk(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    logw_col: str = "log_w",
+    salt: str = "dsir",
+) -> DataFrame:
+    """Deterministic Gumbel-top-k: the k rows maximizing
+    ``log_w + Gumbel(0,1)`` are EXACTLY a softmax(log_w)-weighted
+    sample without replacement (the Gumbel-max trick — DSIR's
+    resampling step). The uniform comes from md5(salt:id) as
+    (h + 0.5)/2^32 — in (0,1), exactly representable, reproducible on
+    any engine and any partitioning (the A-ES sampler's convention);
+    keys round to 6 with doc-id tie-breaks. Selection is a global
+    TakeOrdered(k) — no full sort materializes."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}:"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    key = F.round(F.col(logw_col) - F.log(-F.log(u)), 6)
+    return (
+        weights.withColumn("__key__", key)
+        .orderBy(F.col("__key__").desc(), F.col(id_col))
+        .limit(k)
+    )

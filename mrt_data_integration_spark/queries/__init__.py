@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (122 queries as of r10 —
+# ROTATION POLICY (round 4+): the registry (123 queries as of r10 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r10: 22 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r10: 23 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -187,7 +187,6 @@ _POOL_B: list[str] = [
     "hll_daily_distinct",
     "partitioned_parquet_roundtrip",
     "semantic_dedup_summary",
-    "funnel_conversion",
     "campaign_event_attribution",
     "incremental_rollup_merge",
     "stratified_fixed_k_sample",
@@ -239,6 +238,15 @@ _POOL_B: list[str] = [
     # consolidation candidates (see _RETIRED).
     "fuzzy_title_pairs",
     "bloom_decontamination",
+    # late-r10 addition (E10++ — DSIR importance-resampling data
+    # selection, Xie et al. NeurIPS 2023: hashed bag-of-ngram
+    # importance weights + deterministic Gumbel-top-k, with a full
+    # pipeline-replay oracle): zero driver history → forced into THIS
+    # r10 window per rule 2 (the dedup_spans_rewrite late-r9
+    # precedent); slot funded by retiring `funnel_conversion` — the
+    # r11-plan comment's own pre-ranked r12 candidate #1, used early
+    # (see _RETIRED).
+    "dsir_selected_sample",
 ]
 _CORE: list[str] = [
     "pricing_summary",
@@ -437,6 +445,17 @@ _RETIRED: list[str] = [
     # pinned by the merge==rebuild and randomized-fuzz identities in
     # tests/test_scd.py plus its CI oracle every run.
     "scd2_priority_history",
+    # r10 (late): retired to fund the `dsir_selected_sample` slot in
+    # the r10 window itself — the r11-plan comment's pre-ranked r12
+    # candidate #1, used one round early. Twin coverage for the
+    # greedy-anchor funnel shape: `streaming_funnel_conversion`
+    # (POOL_A, r9 hash — its oracle IS the batch funnel's 3-level
+    # min-join twin, so the driver keeps hash-verifying the exact
+    # batch semantics through the streaming drain), plus the batch
+    # operator's stream==batch stage-times identity and windowing/
+    # anchoring tests (tests/test_funnel.py, every CI run) and its CI
+    # oracle (tests/test_oracle_parity.py).
+    "funnel_conversion",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,

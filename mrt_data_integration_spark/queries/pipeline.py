@@ -891,3 +891,99 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(span))
     )
+
+
+@query(
+    "dsir_selected_sample",
+    # Full replay of the DSIR pipeline: hashed unigram+bigram bag
+    # features (md5 buckets), Laplace-smoothed target/raw bucket
+    # models, per-doc importance log-weights (bucket log-ratios rounded
+    # to 12 before the weighted sum — the BM25 idf discipline), and the
+    # deterministic Gumbel-top-k resample (md5-uniforms as
+    # (h + 0.5)/2^32, keys rounded to 6, doc-id tie-breaks — the
+    # weighted_doc_sample conventions).
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, string_split_regex(text, '\\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang, unnest(toks) AS gram FROM t
+      UNION ALL
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> array_to_string(toks[i:i+1], ' '))) AS gram
+      FROM t WHERE len(toks) >= 2
+    ),
+    dc AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)
+               % 10000 AS bucket,
+             count(*) AS cnt
+      FROM g GROUP BY 1, 2, 3
+    ),
+    tgt AS (
+      SELECT bucket, sum(cnt) AS ct FROM dc WHERE lang = 'en' GROUP BY 1
+    ),
+    rawb AS (
+      SELECT bucket, sum(cnt) AS cr FROM dc WHERE lang <> 'en' GROUP BY 1
+    ),
+    tots AS (
+      SELECT (SELECT sum(ct) FROM tgt) AS tt,
+             (SELECT sum(cr) FROM rawb) AS tr
+    ),
+    ratios AS (
+      SELECT r.bucket,
+             round(ln((coalesce(t2.ct, 0) + 1.0) / (tots.tt + 10000.0))
+                 - ln((r.cr + 1.0) / (tots.tr + 10000.0)), 12) AS ratio
+      FROM rawb r LEFT JOIN tgt t2 USING (bucket), tots
+    ),
+    w AS (
+      SELECT dc.doc_id, dc.lang,
+             round(sum(dc.cnt * ratios.ratio), 4) AS log_w
+      FROM dc JOIN ratios USING (bucket)
+      WHERE dc.lang <> 'en'
+      GROUP BY 1, 2
+    ),
+    keyed AS (
+      SELECT doc_id, lang, log_w,
+             round(log_w - ln(-ln(
+               (CAST(concat('0x', substr(md5('dsir:' || doc_id), 1, 8))
+                     AS BIGINT) + 0.5) / 4294967296.0)), 6) AS k
+      FROM w
+    )
+    SELECT doc_id, lang, log_w, rk AS rank
+    FROM (
+      SELECT doc_id, lang, log_w,
+             row_number() OVER (ORDER BY k DESC, doc_id) AS rk
+      FROM keyed
+    )
+    WHERE rk <= 25
+    """,
+)
+def dsir_selected_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10++ (r10, operators/dsir.py): DSIR data selection (Xie et al.
+    2023) — the 25 non-English docs whose hashed unigram+bigram bag
+    distribution most resembles the English subcorpus (standing in for
+    a trusted target set), selected by importance log-weights +
+    deterministic Gumbel-top-k (a softmax-weighted sample without
+    replacement). Bucket models are config-bounded broadcasts; doc
+    bodies never shuffle; selection is a global TakeOrdered(25). The
+    oracle replays features → smoothed models → weights → Gumbel keys
+    end-to-end."""
+    from mrt_data_integration_spark.operators.dsir import (
+        dsir_log_weights,
+        gumbel_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    raw = docs.filter(F.col("lang") != "en")
+    weights = dsir_log_weights(raw, target)
+    picked = gumbel_topk(weights, k=25)
+    w = Window.orderBy(F.col("__key__").desc(), F.col("doc_id"))
+    return (
+        picked.withColumn("rank", F.row_number().over(w))
+        .join(raw.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "log_w", "rank")
+    )

@@ -178,6 +178,7 @@ OP_INPUTS = {
     "leakage_split": {"docs"},
     "kmeans_fit": {"emb"},
     "pca_fit": {"emb"},
+    "dsir_select": {"docs"},
     "hard_negative": {"emb"},
     "streaming_scd2_drain": {"orders", "sscd2_src"},
     "wcls_fit": {"panel"},
@@ -273,6 +274,17 @@ def main() -> None:
             "doc_id",
             F.concat(F.lit(_HOT + " "), F.col("text")).alias("text"),
         )
+
+    def _dsir_select(k):
+        from mrt_data_integration_spark.operators.dsir import (
+            dsir_log_weights,
+            gumbel_topk,
+        )
+
+        d = docs(k)
+        target = d.filter(F.col("lang") == "en")
+        raw = d.filter(F.col("lang") != "en")
+        return gumbel_topk(dsir_log_weights(raw, target), k=25).count()
 
     def _pca_fit(k):
         from mrt_data_integration_spark.operators.pca import (
@@ -779,6 +791,13 @@ def main() -> None:
         # projection scan. Expected linear in corpus size with a small
         # constant (two scans, no shuffle at all).
         "pca_fit": lambda k: _pca_fit(k),
+        # late-r10: DSIR selection — target AND raw grow k× (the
+        # per-replica vocab rewrite keeps both models per-replica;
+        # bucket distributions stay ≤ n_buckets rows by construction).
+        # Expected linear: the gram explode + (id, bucket) aggregate
+        # dominates; the ratio join is broadcast; selection is a
+        # TakeOrdered(k).
+        "dsir_select": lambda k: _dsir_select(k),
         # r9: hard-negative mining — FIXED anchor batch (replica-0
         # vectors, identical at every scale) against a k×-growing
         # corpus: the claim under test is the one corpus scan, not

@@ -1,0 +1,124 @@
+"""DSIR data selection (operators/dsir.py): python-twin parity of the
+importance weights, directional sanity (target-like docs score
+higher), Gumbel-top-k determinism and softmax-sampling semantics."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from mrt_data_integration_spark.operators.dsir import (
+    dsir_log_weights,
+    gumbel_topk,
+    hashed_ngram_counts,
+)
+
+
+def _grams(text, ns=(1, 2)):
+    toks = text.split()  # engine splits on \s+; tests use single spaces
+    out = []
+    for n in ns:
+        if len(toks) >= n:
+            out += [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    return out
+
+
+def _bucket(gram, b=10_000):
+    return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % b
+
+
+def _twin_weights(raw_rows, tgt_rows, b=10_000):
+    tgt = Counter()
+    for _, t in tgt_rows:
+        for g in _grams(t):
+            tgt[_bucket(g, b)] += 1
+    raw = Counter()
+    docs = {}
+    for i, t in raw_rows:
+        c = Counter(_bucket(g, b) for g in _grams(t))
+        docs[i] = c
+        raw.update(c)
+    tt, tr = sum(tgt.values()), sum(raw.values())
+    out = {}
+    for i, c in docs.items():
+        w = 0.0
+        for bk, n in c.items():
+            ratio = round(
+                math.log((tgt.get(bk, 0) + 1.0) / (tt + b))
+                - math.log((raw[bk] + 1.0) / (tr + b)),
+                12,
+            )
+            w += n * ratio
+        out[i] = round(w, 4)
+    return out
+
+
+def test_log_weights_match_python_twin(spark, sf_smoke):
+    from mrt_data_integration_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    tgt_rows = [
+        (r.doc_id, r.text)
+        for r in docs.filter(F.col("lang") == "en").collect()
+    ]
+    raw_rows = [
+        (r.doc_id, r.text)
+        for r in docs.filter(F.col("lang") != "en").collect()
+    ]
+    got = {
+        r.doc_id: r.log_w
+        for r in dsir_log_weights(
+            docs.filter(F.col("lang") != "en"),
+            docs.filter(F.col("lang") == "en"),
+        ).collect()
+    }
+    want = _twin_weights(raw_rows, tgt_rows)
+    assert set(got) == set(want)
+    for i in got:
+        assert abs(got[i] - want[i]) < 2e-4, (i, got[i], want[i])
+
+
+def test_target_like_docs_score_higher(spark):
+    """Docs sharing the target's vocabulary must out-weight docs with a
+    disjoint vocabulary — the selection signal DSIR exists for."""
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta epsilon zeta") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),  # target-like
+            (2, "alpha beta unrelated words"),  # half-like
+            (3, "totally different tokens here"),  # unlike
+        ],
+        "doc_id long, text string",
+    )
+    w = {r.doc_id: r.log_w for r in dsir_log_weights(raw, target).collect()}
+    assert w[1] > w[2] > w[3]
+
+
+def test_gumbel_topk_is_deterministic_and_weight_monotone(spark):
+    rows = [(i, float(i % 7) - 3.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, log_w double")
+    a = [r.doc_id for r in gumbel_topk(df, 20).collect()]
+    b = [r.doc_id for r in gumbel_topk(df.repartition(9), 20).collect()]
+    assert a == b  # md5-derived noise → layout-independent
+    # softmax-weighted: the high-weight stratum must dominate the draw
+    picked_w = dict(rows)
+    high = sum(1 for i in a if picked_w[i] >= 2.0)
+    low = sum(1 for i in a if picked_w[i] <= -2.0)
+    assert high > low
+    # salt changes the draw but not determinism
+    c = [r.doc_id for r in gumbel_topk(df, 20, salt="other").collect()]
+    assert c != a
+
+
+def test_hashed_counts_are_bag_not_set(spark):
+    df = spark.createDataFrame(
+        [(1, "w w w")], "doc_id long, text string"
+    )
+    counts = hashed_ngram_counts(df, ns=(1,)).collect()
+    assert len(counts) == 1 and counts[0].cnt == 3

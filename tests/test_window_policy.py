@@ -17,6 +17,10 @@ _R10_FORCED = (
     "fuzzy_title_pairs",
     "bloom_decontamination",
     "partitioned_parquet_roundtrip",
+    # late-r10 addition, forced into the r10 window per rule 2 (the
+    # dedup_spans_rewrite late-r9 precedent); funded by retiring
+    # funnel_conversion
+    "dsir_selected_sample",
 )
 
 # The thirteen r9 sit-outs (last driver rows: r8). All must return in
