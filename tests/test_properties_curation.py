@@ -1,0 +1,125 @@
+"""Randomized-twin properties for the r10 curation operators: k-means
+and DSIR weights against local replicas on random synthetic inputs
+(the repo's seed-parametrized discipline — deterministic, no flaky
+statistical assertions)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+from collections import Counter
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F  # noqa: F401 (parity with peers)
+
+from mrt_data_integration_spark.operators.cluster import kmeans_lloyd
+from mrt_data_integration_spark.operators.dedup import release_cache
+from mrt_data_integration_spark.operators.dsir import dsir_log_weights
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_kmeans_numpy_twin_random_corpora(spark, seed):
+    """Assignments exactly equal the local Lloyd's replica on random
+    gaussian-mixture data at random (k, n_iter, d) — the sf-data twin
+    generalized to arbitrary shapes, including likely empty cells
+    (k exceeds the true mixture count)."""
+    rng = random.Random(seed)
+    n, d = rng.randint(40, 120), rng.choice([2, 5, 16])
+    k, n_iter = rng.randint(2, 9), rng.randint(0, 4)
+    nprng = np.random.default_rng(seed)
+    centers_true = nprng.normal(size=(3, d)) * 5
+    X = np.vstack(
+        [nprng.normal(size=(n // 3 + 1, d)) + c for c in centers_true]
+    )[:n]
+    ids = list(range(n))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    assignments, centers = kmeans_lloyd(df, k=k, n_iter=n_iter)
+    got = {r.vec_id: r.cell for r in assignments.collect()}
+    release_cache(assignments)
+
+    C = X[np.argsort(ids)[:k]].astype(np.float64).copy()
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        cells = d2.argmin(1)
+        for i in range(k):
+            m = cells == i
+            if m.any():
+                C[i] = X[m].mean(0)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    want = {i: int(c) for i, c in enumerate(d2.argmin(1))}
+    assert got == want, (seed, k, n_iter, d)
+    np.testing.assert_allclose(np.array(centers), C, atol=1e-9)
+
+
+def _twin_dsir(raw_rows, tgt_rows, b):
+    def grams(t):
+        toks = t.split()
+        out = list(toks)
+        out += [
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        ]
+        return out
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % b
+
+    tgt = Counter()
+    for _, t in tgt_rows:
+        for g in grams(t):
+            tgt[bucket(g)] += 1
+    raw = Counter()
+    docs = {}
+    for i, t in raw_rows:
+        c = Counter(bucket(g) for g in grams(t))
+        docs[i] = c
+        raw.update(c)
+    tt, tr = sum(tgt.values()), sum(raw.values())
+    return {
+        i: round(
+            sum(
+                n
+                * round(
+                    math.log((tgt.get(bk, 0) + 1.0) / (tt + b))
+                    - math.log((raw[bk] + 1.0) / (tr + b)),
+                    12,
+                )
+                for bk, n in c.items()
+            ),
+            4,
+        )
+        for i, c in docs.items()
+    }
+
+
+@pytest.mark.parametrize("seed", [3, 11, 42])
+def test_dsir_weights_twin_random_corpora(spark, seed):
+    """Weights match the local replica on random word soups with a
+    SMALL bucket count (forced collisions — the hashing-trick regime
+    the sf-data twin barely exercises)."""
+    rng = random.Random(seed)
+    vocab_t = [f"t{j}" for j in range(20)]
+    vocab_r = [f"r{j}" for j in range(20)]
+
+    def doc(vs, lo, hi):
+        return " ".join(rng.choice(vs) for _ in range(rng.randint(lo, hi)))
+
+    tgt_rows = [(100 + i, doc(vocab_t, 3, 15)) for i in range(8)]
+    raw_rows = [
+        (i, doc(vocab_t + vocab_r, 1, 20)) for i in range(25)
+    ]
+    b = 64  # tiny → heavy collisions
+    tgt_df = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    raw_df = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.log_w
+        for r in dsir_log_weights(raw_df, tgt_df, n_buckets=b).collect()
+    }
+    want = _twin_dsir(raw_rows, tgt_rows, b)
+    assert set(got) == set(want), seed
+    for i in got:
+        assert abs(got[i] - want[i]) < 2e-4, (seed, i, got[i], want[i])
