@@ -76,8 +76,12 @@ def dsir_log_weights(
     n_buckets: int = 10_000,
     ns: tuple[int, ...] = (1, 2),
 ) -> DataFrame:
-    """(id, log_w) for every raw doc: log p_target(x) − log p_raw(x)
-    under Laplace-smoothed hashed bag-of-ngram models.
+    """(id, log_w) for every raw doc WITH AT LEAST ONE GRAM:
+    log p_target(x) − log p_raw(x) under Laplace-smoothed hashed
+    bag-of-ngram models. Raw docs with no features (NULL text) have
+    nothing to weigh and are excluded — the engine's NULL-in/NULL-out
+    convention; a caller needing full coverage left-joins the weights
+    back onto the corpus.
 
     Per bucket b: ratio_b = ln((ct_b+1)/(T_t+B)) − ln((cr_b+1)/(T_r+B))
     with ct/cr the target/raw bucket totals, T the gram totals, B the
@@ -87,6 +91,17 @@ def dsir_log_weights(
     to 4. The ratio frame is ≤ B rows (config-bounded → broadcast);
     totals are 1-row broadcasts. Doc bodies never shuffle.
     """
+    # fail fast on a target with no usable text: a NULL/empty target
+    # would make tot_t NULL → every ratio NULL → every log_w NULL →
+    # gumbel_topk would silently "select" the k lowest doc ids
+    if (
+        target.filter(F.col(text_col).isNotNull()).limit(1).first()
+        is None
+    ):
+        raise ValueError(
+            "dsir_log_weights needs a target with at least one non-NULL "
+            f"{text_col!r} document"
+        )
     raw_counts = hashed_ngram_counts(raw, id_col, text_col, n_buckets, ns)
     tgt_b = (
         hashed_ngram_counts(target, id_col, text_col, n_buckets, ns)

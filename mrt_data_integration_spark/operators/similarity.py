@@ -18,7 +18,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from mrt_data_integration_spark.cache_registry import track_cache
+from mrt_data_integration_spark.cache_registry import (
+    attach_cache,
+    track_cache,
+)
 
 # Per-task cap on the semantic-dedup pair-score matrix (bytes of float64
 # scores held at once). The blocked matmul in _cell_eps_pairs sizes its
@@ -1703,8 +1706,7 @@ def semantic_dedup(
         F.col("__cell__").alias("cell"),
         F.coalesce(~F.col("__drop__"), F.lit(True)).alias("keep"),
     )
-    out.__graft_cached__ = [assigned]  # released by the registry sweep
-    return out
+    return attach_cache(out, [assigned])  # released by the registry sweep
 
 
 def hard_negative_topk(

@@ -122,3 +122,23 @@ def test_hashed_counts_are_bag_not_set(spark):
     )
     counts = hashed_ngram_counts(df, ns=(1,)).collect()
     assert len(counts) == 1 and counts[0].cnt == 3
+
+
+def test_empty_target_fails_fast_and_null_raw_docs_excluded(spark):
+    import pytest as _pytest
+
+    from mrt_data_integration_spark.operators.dsir import dsir_log_weights
+
+    raw = spark.createDataFrame(
+        [(1, "some words here"), (2, None)], "doc_id long, text string"
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="non-NULL"):
+        dsir_log_weights(raw, empty)
+    nulls = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="non-NULL"):
+        dsir_log_weights(raw, nulls)
+    # NULL-text raw docs have no features → excluded (NULL-in/NULL-out)
+    tgt = spark.createDataFrame([(9, "some words")], "doc_id long, text string")
+    got = {r.doc_id for r in dsir_log_weights(raw, tgt).collect()}
+    assert got == {1}
