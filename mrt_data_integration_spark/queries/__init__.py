@@ -689,39 +689,92 @@ _R10_SIT_OUT = (
     "ngram_jaccard_pairs",
     "bpe_ish_token_counts",
 )
-_WINDOW: list[str] = (
-    _POOL_B
-    + [n for n in _CORE if n not in _R10_SIT_OUT]
+# Round 11 window: POOL_A's turn (37 after the r10 add/retire pairs:
+# `embedding_kmeans_cells`, `kmeans_diversity_sample`, and
+# `cdc_current_snapshot` have ZERO driver history and are
+# force-included per rule 2 — the r10 verdict's promised rotation,
+# item 1; slots funded by the r10 retirements of `pq_topk`,
+# `simhash_buckets`, and `scd2_priority_history`, twin arguments in
+# _RETIRED) + the 13 r10 sit-outs (all CORE, last rows r9, due back)
+# = 37 + 13 = exactly 50. No r10 row was red (50/50 green:
+# CORRECTNESS_r10.json), so rule 1 forces nothing. The THIRTEEN CORE
+# members holding fresh r10 hash rows sit out — shapes stay covered
+# in-window:
+# `pricing_summary` (scan + grouped agg) by `events_hourly_rollup`
+#   (POOL_A) + `group_best_highlight` (returning); bench-tracked,
+# `weighted_gram` (grouped gram) by `wls_normal_equations` (returning —
+#   the same normal-equations family) + `cluster_score_meat`
+#   (returning),
+# `relative_efficiency` (reference-row normalization) by
+#   `training_mix_rebalance` (POOL_A — same ratio-to-reference shape),
+# `rollup_hierarchy` (grouping sets) by `brand_part_rollup` (returning
+#   — the same GROUPING SETS physical operator),
+# `exact_percentiles` (global sort percentiles) by `topk_per_group`
+#   (returning — same sort/window machinery),
+# `running_total` (cumulative frame) by `user_activity_lag_features`
+#   (POOL_A — same window-frame machinery),
+# `argmax_per_group` by `group_best_highlight` (returning — same
+#   argmax shape),
+# `regr_by_group` by `wcls_cluster_robust` (returning — per-group
+#   regression),
+# `star_join_revenue` (broadcast star join) by `fact_fact_join`
+#   (returning) + `lineitem_priority_regime` (POOL_A — broadcast
+#   history join); bench-tracked,
+# `anti_join_dormant_customers` by `benchmark_decontamination` (POOL_A
+#   — decontamination IS an anti join against the benchmark set),
+# `doc_lang_id` by `lang_classifier_scores` (POOL_A) +
+#   `doc_quality_stats` (returning); bench-tracked,
+# `doc_fingerprint_dedup` (exact hash dedup) by `streaming_dedup_ingest`
+#   (POOL_A — ingest-time exact dedup on the same fingerprints) +
+#   `dedup_clusters` (POOL_A),
+# `tfidf_top_terms` by `bpe_ish_token_counts` (returning) +
+#   `bm25_doc_search` (POOL_A — the same tf/df arithmetic inside the
+#   ranking); bench-tracked.
+_R11_SIT_OUT = (
+    "pricing_summary",
+    "weighted_gram",
+    "relative_efficiency",
+    "rollup_hierarchy",
+    "exact_percentiles",
+    "running_total",
+    "argmax_per_group",
+    "regr_by_group",
+    "star_join_revenue",
+    "anti_join_dormant_customers",
+    "doc_lang_id",
+    "doc_fingerprint_dedup",
+    "tfidf_top_terms",
 )
-# r11 plan (written at the r10 window flip, per the standing practice;
-# AMENDED late r10 after the round's three add/retire pairs executed):
-# POOL_A's turn. POOL_A is 37 (after r10's pairs: + embedding_kmeans_
-# cells, kmeans_diversity_sample, cdc_current_snapshot; − pq_topk,
-# simhash_buckets, scd2_priority_history — see _RETIRED for each twin
-# argument) and the 13 r10 sit-outs (all CORE, last rows r9) are due
-# back: 37 + 13 = exactly 50 — ZERO slack for the fifth consecutive
-# round. Consequences, enforceable now:
-#   - the three r10 additions have zero driver history and are forced
-#     into the r11 window per rule 2 (they are POOL_A members, so this
-#     is automatic);
-#   - any NEW query registered during r11 must join POOL_B for its
-#     forced r12 row AND be paired with a POOL_B retirement. The
-#     pre-ranked candidate list for the NEXT consolidation (write the
-#     argument before building): (1) `funnel_conversion` (POOL_B) vs
-#     `streaming_funnel_conversion` (POOL_A) — the streaming query's
-#     oracle IS the batch funnel's 3-level min-join twin, the
-#     scd2_priority_history precedent exactly; (2) `estimator_report_
-#     pivot` vs `unpivot_long` (CORE) — inverse reshapes over the same
-#     long format, the pivot_method_by_coef precedent. The former
-#     candidate (3), `stateful_capped_sessions`, is WITHDRAWN: it
-#     gained a recursive-CTE hash oracle in r10 and now carries unique
-#     verification weight (the only applyInPandasWithState query with
-#     a full hash oracle).
-#   - no rotation query waits >2 rounds under this plan: POOL_B + the
-#     13 r10-sit-out CORE members get r10 rows, POOL_A + the 13
-#     r11-sit-out CORE members (the r10 returners) get r11 rows.
-# Any r10 red row is force-included per rule 1 and displaces a
-# fresh-r10 POOL_B member whose shape must then be delegated in-window.
+_WINDOW: list[str] = (
+    _POOL_A
+    + [n for n in _CORE if n not in _R11_SIT_OUT]
+)
+# (The r11 plan written at the r10 flip EXECUTED above verbatim:
+# POOL_A's 37 + the 13 r10 sit-outs, zero slack, no red r10 rows.)
+#
+# r12 plan (written at this r11 window flip, per the standing
+# practice): POOL_B's turn. POOL_B is 37 and the 13 r11 sit-outs (all
+# CORE, last rows r10) are due back: 37 + 13 = exactly 50 — ZERO slack
+# for the sixth consecutive round. Consequences, enforceable now:
+#   - any NEW query registered during r11 joins POOL_B for its forced
+#     r12 row AND must be paired with a POOL_B retirement. The
+#     pre-ranked consolidation candidates (argument written BEFORE
+#     building, r9-verdict item 6 discipline): (1) `estimator_report_
+#     pivot` (POOL_B) vs `unpivot_long` (CORE) — inverse reshapes over
+#     the same long format, the pivot_method_by_coef precedent; (2)
+#     `bpe_token_counts` (POOL_B) vs `bpe_train_merges` (POOL_B) — the
+#     encode query replays the trained merge table, so the training
+#     query's hash row pins the shared merge state while encode keeps
+#     its own CI oracle; weaker than (1) because the explode/count
+#     encode plan is physically distinct from training's argmax loop.
+#     (`funnel_conversion` was already spent late-r10 on DSIR;
+#     `stateful_capped_sessions` stays WITHDRAWN — it carries the only
+#     applyInPandasWithState hash oracle.)
+#   - no rotation query waits >2 rounds under this plan: POOL_A + the
+#     13 r11-sit-out CORE members (the r10 returners) get r11 rows,
+#     POOL_B + the 13 r12-sit-out CORE members get r12 rows.
+# Any r11 red row is force-included per rule 1 and displaces a
+# fresh-r11 POOL_A member whose shape must then be delegated in-window.
 # test_window_policy.py enforces the bookkeeping either way.
 
 

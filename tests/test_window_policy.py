@@ -8,37 +8,32 @@ from __future__ import annotations
 from mrt_data_integration_spark import queries as q
 from mrt_data_integration_spark.queries import ORACLES
 
-# The r9 registrations with zero driver-row history before r10 — the
-# r9 verdict's promised rotation (item 1). All must hold r10 window
-# slots per exception rule 2. (`partitioned_parquet_roundtrip` is not
-# rule-2 forced — it has r6 history — but its r10 row is the first
-# through the compaction routing, so pin it in the window too.)
-_R10_FORCED = (
-    "fuzzy_title_pairs",
-    "bloom_decontamination",
-    "partitioned_parquet_roundtrip",
-    # late-r10 addition, forced into the r10 window per rule 2 (the
-    # dedup_spans_rewrite late-r9 precedent); funded by retiring
-    # funnel_conversion
-    "dsir_selected_sample",
+# The r10 registrations with zero driver-row history before r11 — the
+# r10 verdict's promised rotation (item 1). All must hold r11 window
+# slots per exception rule 2 (all three are POOL_A members, so POOL_A's
+# turn includes them automatically; this pins the promise anyway).
+_R11_FORCED = (
+    "embedding_kmeans_cells",
+    "kmeans_diversity_sample",
+    "cdc_current_snapshot",
 )
 
-# The thirteen r9 sit-outs (last driver rows: r8). All must return in
-# the r10 window (none was retired this round).
-_R9_SAT_OUT = (
-    "pricing_summary",
-    "weighted_gram",
-    "relative_efficiency",
-    "rollup_hierarchy",
-    "exact_percentiles",
-    "running_total",
-    "argmax_per_group",
-    "regr_by_group",
-    "star_join_revenue",
-    "anti_join_dormant_customers",
-    "doc_lang_id",
-    "doc_fingerprint_dedup",
-    "tfidf_top_terms",
+# The thirteen r10 sit-outs (last driver rows: r9). All must return in
+# the r11 window (none was retired this round).
+_R10_SAT_OUT = (
+    "cluster_score_meat",
+    "group_best_highlight",
+    "unpivot_long",
+    "topk_per_group",
+    "wls_normal_equations",
+    "wcls_cluster_robust",
+    "fact_fact_join",
+    "brand_part_rollup",
+    "doc_quality_stats",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "bpe_ish_token_counts",
 )
 
 
@@ -61,34 +56,34 @@ def test_window_is_drawn_from_registry_front():
     assert names[:50] == q._WINDOW, "registration order must realize the window"
 
 
-def test_zero_history_rule_r10():
-    """Every query with zero driver-row history at the r10 freeze must
-    sit inside the driver-recorded first 50 (exception rule 2 — the r9
+def test_zero_history_rule_r11():
+    """Every query with zero driver-row history at the r11 freeze must
+    sit inside the driver-recorded first 50 (exception rule 2 — the r10
     verdict's promised rotation, item 1)."""
     window = set(q._WINDOW)
-    for name in _R10_FORCED:
-        assert name in window, f"{name} promised a first driver row in r10"
+    for name in _R11_FORCED:
+        assert name in window, f"{name} promised a first driver row in r11"
 
 
 def test_no_query_waits_more_than_two_rounds():
-    """The thirteen r9 sit-outs' last driver rows are r8; every one
-    still in the rotation must return in r10 (a second consecutive
+    """The thirteen r10 sit-outs' last driver rows are r9; every one
+    still in the rotation must return in r11 (a second consecutive
     sit-out breaks the invariant). Retirees would be exempt — they
     leave the rotation, not the verification surface (next test)."""
     window, retired = set(q._WINDOW), set(q._RETIRED)
-    missing = [n for n in _R9_SAT_OUT if n not in window and n not in retired]
-    assert not missing, f"r9 sit-outs neither returned nor retired: {missing}"
+    missing = [n for n in _R10_SAT_OUT if n not in window and n not in retired]
+    assert not missing, f"r10 sit-outs neither returned nor retired: {missing}"
 
 
-def test_r10_sit_outs_hold_fresh_r9_rows():
-    """Only CORE members that actually got an r9 driver row may sit out
-    the r10 window — sitting out two consecutive rounds is the invariant
-    the rotation exists to prevent. An r9-row member is exactly one
-    that was IN the r9 window, i.e. not in the r9 sit-out list."""
-    for name in q._R10_SIT_OUT:
-        assert name in q._CORE, f"r10 sit-out {name} must be a CORE member"
-        assert name not in q._R9_SIT_OUT, (
-            f"{name} sat out r9 too — two consecutive sit-outs break the "
+def test_r11_sit_outs_hold_fresh_r10_rows():
+    """Only CORE members that actually got an r10 driver row may sit out
+    the r11 window — sitting out two consecutive rounds is the invariant
+    the rotation exists to prevent. An r10-row member is exactly one
+    that was IN the r10 window, i.e. not in the r10 sit-out list."""
+    for name in q._R11_SIT_OUT:
+        assert name in q._CORE, f"r11 sit-out {name} must be a CORE member"
+        assert name not in q._R10_SIT_OUT, (
+            f"{name} sat out r10 too — two consecutive sit-outs break the "
             "two-round invariant"
         )
 
@@ -141,16 +136,16 @@ def test_retired_queries_stay_ci_verified():
         assert name not in window, f"retired query {name} must free its slot"
 
 
-def test_r11_window_feasibility():
-    """The r11 window is POOL_A's turn plus the r10 sit-outs (all CORE,
-    due back — their last rows are r9). That sum must be EXACTLY 50:
-    any query registered after the r10 freeze, or any POOL_A growth,
+def test_r12_window_feasibility():
+    """The r12 window is POOL_B's turn plus the r11 sit-outs (all CORE,
+    due back — their last rows are r10). That sum must be EXACTLY 50:
+    any query registered after the r11 freeze, or any POOL_B growth,
     must be paired with a retirement of a same-shape twin (candidates
-    pre-ranked in the r11 plan comment in queries/__init__.py), or the
-    r11 rotation becomes infeasible and a due query silently loses its
+    pre-ranked in the r12 plan comment in queries/__init__.py), or the
+    r12 rotation becomes infeasible and a due query silently loses its
     slot."""
-    assert len(q._POOL_A) + len(q._R10_SIT_OUT) == 50, (
-        "r11 window over/under-subscribed — pair registry growth with a "
+    assert len(q._POOL_B) + len(q._R11_SIT_OUT) == 50, (
+        "r12 window over/under-subscribed — pair registry growth with a "
         "retirement (see _RETIRED in queries/__init__.py)"
     )
 
