@@ -306,6 +306,7 @@ def contamination_overlap(
     flag_col: str = "contaminated",
     min_overlap: float = 0.0,
     broadcast_benchmark: bool = True,
+    broadcast_hits: bool = True,
 ) -> DataFrame:
     """GRADED decontamination: per-doc contamination fraction, not just
     a binary hit — |distinct doc grams ∩ benchmark grams| / |distinct
@@ -327,6 +328,15 @@ def contamination_overlap(
     never shuffle. Docs shorter than ``ngram_n`` tokens have no gram
     universe: ``overlap_frac`` is NULL and the flag false (the
     ``ngram_repetition`` NULL convention).
+
+    Unlike the binary path — where the hit frame holds only
+    CONTAMINATED ids — the graded hit frame carries a row for EVERY
+    doc with at least one incidental gram collision, which on a
+    heavily-overlapping corpus approaches corpus size. ``broadcast_
+    hits=True`` (the default, right for benchmark-sized collision
+    sets) force-broadcasts that frame for the join-back; set it False
+    on large/overlapping corpora to take a plain (id)-keyed shuffle
+    join instead of an OOM-risking driver broadcast.
 
     Returns corpus + ``overlap_frac`` (double) + ``flag_col``.
     """
@@ -364,7 +374,9 @@ def contamination_overlap(
             (F.col("__hits__") / F.col("__n__")).alias("__frac__"),
         )
     )
-    flagged = corpus.join(F.broadcast(hits), id_col, "left")
+    flagged = corpus.join(
+        F.broadcast(hits) if broadcast_hits else hits, id_col, "left"
+    )
     # distinguish "no hits" (fraction 0) from "no gram universe" (NULL):
     # the doc-length gate is recomputed map-side on the corpus row
     has_grams = F.size(tokens(text_col)) >= ngram_n

@@ -67,6 +67,7 @@ def fit_pca(
         raise ValueError(
             f"k={k} exceeds the vector dimension {probe['d']}"
         )
+    dim = int(probe["d"])
 
     def partials(it):
         # accumulate across ALL of the partition's Arrow batches and
@@ -77,6 +78,16 @@ def fit_pca(
         for pdf in it:
             if len(pdf) == 0:
                 continue
+            # a ragged corpus (mixed dims) passes the 1-row driver
+            # probe; without this check np.stack dies mid-task with an
+            # opaque shape error on an executor — name the contract
+            lens = pdf["v"].map(len)
+            if (lens != dim).any():
+                bad = sorted(set(lens[lens != dim].tolist()))[:5]
+                raise ValueError(
+                    f"fit_pca requires fixed-dimension vectors: probed "
+                    f"d={dim} but the corpus also has dims {bad}"
+                )
             X = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
             n += len(X)
             bs, bg = X.sum(0), X.T @ X

@@ -266,6 +266,15 @@ def apply_cdc_changes(
         if snapshot is not None
         else [c for c in changes.columns if c != op_col]
     )
+    if op_col and op_col in out_cols:
+        # the payload struct below would carry op_col TWICE (once as a
+        # snapshot column, once as the op marker) — duplicate struct
+        # field names make select('__r__.*') / drop(op_col) fail with
+        # an opaque ambiguity error deep in the plan; fail fast instead
+        raise ValueError(
+            f"op_col {op_col!r} collides with a snapshot column — rename "
+            "the CDC op marker (it is metadata, not part of the row)"
+        )
     missing = [c for c in out_cols if c not in changes.columns]
     if missing:
         raise ValueError(

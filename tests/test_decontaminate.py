@@ -294,3 +294,30 @@ def test_contamination_overlap_python_twin(spark, sf_smoke):
             assert got[r.doc_id] is None, r.doc_id
         else:
             assert abs(got[r.doc_id] - want) < 1e-12, r.doc_id
+
+
+def test_contamination_overlap_hits_broadcast_is_gated(spark):
+    """broadcast_hits=False must route the join-back through a plain
+    shuffle join (the graded hit frame can approach corpus size on a
+    heavily-overlapping corpus — force-broadcasting it there OOMs the
+    driver), with identical results either way."""
+    from mrt_data_integration_spark.operators.decontaminate import (
+        contamination_overlap,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "zz alpha beta yy")],
+        "doc_id long, text string",
+    )
+    kw = dict(ngram_n=2, min_overlap=0.5)
+    bcast = contamination_overlap(corpus, bench, **kw)
+    plain = contamination_overlap(
+        corpus, bench, broadcast_hits=False, **kw
+    )
+    key = lambda df: sorted(
+        (r.doc_id, r.overlap_frac, r.contaminated) for r in df.collect()
+    )
+    assert key(bcast) == key(plain)

@@ -104,3 +104,15 @@ def test_validates_inputs(spark):
     empty = df.filter(F.col("vec_id") < 0)
     with pytest.raises(ValueError, match="at least one"):
         fit_pca(empty, k=1)
+
+
+def test_ragged_corpus_fails_with_named_contract(spark):
+    """Mixed vector dims pass the 1-row driver probe; the per-batch
+    check must raise the NAMED contract instead of an opaque numpy
+    shape error mid-task."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="fixed-dimension vectors"):
+        fit_pca(df, k=1)

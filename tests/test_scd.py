@@ -416,3 +416,23 @@ def test_cdc_null_op_is_an_upsert_not_a_delete(spark):
         snap, b, key_cols=["k"], seq_cols=["seq"], op_col="op"
     )
     assert _snap_tuples(out) == [(5, "X", 9), (6, "Y", 10)]
+
+
+def test_cdc_op_col_colliding_with_snapshot_column_fails_fast(spark):
+    """If the snapshot already carries a column named op_col, the
+    payload struct would get duplicate field names and die later with
+    an opaque ambiguity error — the contract check raises up front."""
+    import pytest as _pytest
+
+    from mrt_data_integration_spark.operators.scd import apply_cdc_changes
+
+    snap = spark.createDataFrame(
+        [(1, "A", 1)], "k long, op string, seq long"
+    )
+    b = spark.createDataFrame(
+        [(1, "B", 2, "U")], "k long, op string, seq long, __op__ string"
+    )
+    with _pytest.raises(ValueError, match="collides with a snapshot column"):
+        apply_cdc_changes(
+            snap, b, key_cols=["k"], seq_cols=["seq"], op_col="op"
+        )
