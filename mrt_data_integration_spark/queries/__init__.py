@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (123 queries as of r10 —
+# ROTATION POLICY (round 4+): the registry (124 queries as of r11 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r10: 23 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r11: 24 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -195,7 +195,6 @@ _POOL_B: list[str] = [
     "char_trigram_lm_filter",
     "streaming_rollup_merge",
     "window_rank_features",
-    "estimator_report_pivot",
     "synthetic_panel_stats",
     "multimodal_features",
     "wcls_large_panel",
@@ -247,6 +246,16 @@ _POOL_B: list[str] = [
     # r11-plan comment's own pre-ranked r12 candidate #1, used early
     # (see _RETIRED).
     "dsir_selected_sample",
+    # r11 addition (E5 — PMI collocation extraction, Church & Hanks
+    # 1990: the term-TERM corpus statistic alongside the doc-term
+    # TF-IDF/BM25 surface; map-side windowed pair expression →
+    # partial-agg counts → Zipf min_count floor BEFORE the unigram
+    # joins → global TakeOrdered, with a full pipeline-replay oracle):
+    # zero driver history → forced into POOL_B's r12 window per rule
+    # 2; slot funded by retiring `estimator_report_pivot` — the r12
+    # plan comment's pre-ranked candidate #1, argument written before
+    # building (see _RETIRED).
+    "pmi_collocations",
 ]
 _CORE: list[str] = [
     "pricing_summary",
@@ -456,6 +465,17 @@ _RETIRED: list[str] = [
     # anchoring tests (tests/test_funnel.py, every CI run) and its CI
     # oracle (tests/test_oracle_parity.py).
     "funnel_conversion",
+    # r11: retired to fund the `pmi_collocations` r12 slot — the r12
+    # plan comment's pre-ranked candidate #1 (the pivot_method_by_coef
+    # precedent). Twin coverage for the wide-reshape shape:
+    # `unpivot_long` (CORE, r11 window — the inverse reshape over the
+    # same long format, hash oracle) and the dedicated CI identity
+    # test tests/test_window_policy.py cites in _NO_ORACLE_RETIREES
+    # (the pivot round-trips back to its long input exactly:
+    # tests/test_report.py::test_estimator_report_pivot_roundtrip);
+    # the underlying fits stay golden-pinned against the reference's
+    # published example_estimates.csv every CI run.
+    "estimator_report_pivot",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,
@@ -761,7 +781,8 @@ _WINDOW: list[str] = (
 #     pre-ranked consolidation candidates (argument written BEFORE
 #     building, r9-verdict item 6 discipline): (1) `estimator_report_
 #     pivot` (POOL_B) vs `unpivot_long` (CORE) — inverse reshapes over
-#     the same long format, the pivot_method_by_coef precedent; (2)
+#     the same long format, the pivot_method_by_coef precedent
+#     [SPENT mid-r11 funding `pmi_collocations` — see _RETIRED]; (2)
 #     `bpe_token_counts` (POOL_B) vs `bpe_train_merges` (POOL_B) — the
 #     encode query replays the trained merge table, so the training
 #     query's hash row pins the shared merge state while encode keeps

@@ -1343,3 +1343,59 @@ def dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("clean_text").cast("long").alias("clean_len"),
         F.md5("clean_text").alias("clean_md5"),
     )
+
+
+@query(
+    "pmi_collocations",
+    oracle=f"""
+    WITH base AS (
+      SELECT {_TOKENS} AS ts FROM documents WHERE text IS NOT NULL
+    ),
+    js AS (SELECT unnest(generate_series(1, 2)) AS j),
+    pairs AS (
+      SELECT unnest([{{'w1': ts[i], 'w2': ts[i+j]}}
+                     for i in generate_series(1, len(ts)-j)]) AS p
+      FROM base, js
+    ),
+    pc AS (
+      SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
+      FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    uc AS (
+      SELECT w, count(*) AS n_w
+      FROM (SELECT unnest(ts) AS w FROM base) GROUP BY 1
+    ),
+    np AS (
+      SELECT sum(greatest(len(ts) - 1, 0))
+           + sum(greatest(len(ts) - 2, 0)) AS np FROM base
+    ),
+    nw AS (SELECT sum(n_w) AS nw FROM uc)
+    SELECT w1, w2, n_pair,
+           u1.n_w AS n_w1, u2.n_w AS n_w2,
+           round((round(ln(n_pair), 12) - round(ln(np), 12))
+               - (round(ln(u1.n_w), 12) - round(ln(nw), 12))
+               - (round(ln(u2.n_w), 12) - round(ln(nw), 12)), 6) AS pmi
+    FROM pc
+    JOIN uc u1 ON pc.w1 = u1.w
+    JOIN uc u2 ON pc.w2 = u2.w, np, nw
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 (r11, operators/collocations.py): PMI collocation extraction
+    (Church & Hanks 1990) — the top 20 ordered word pairs co-occurring
+    within 2 tokens, ranked by pointwise mutual information with a
+    min_count=5 Zipf floor. The engine's term-TERM corpus statistic
+    (TF-IDF/BM25 are doc-term): phrase detection, tokenizer-merge
+    candidates. Pair generation is a map-side array expression (no
+    self-join); counts are partial-agg; the floor prunes the pair tail
+    BEFORE the unigram joins; ranking is a global TakeOrdered(20).
+    The oracle replays pairs → counts → floor → logs end-to-end."""
+    from mrt_data_integration_spark.operators.collocations import (
+        pmi_collocations as pmi_op,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = pmi_op(docs, window=2, min_count=5)
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(20)

@@ -276,6 +276,7 @@ def main() -> None:
         )
 
     def _dsir_select(k):
+        from mrt_data_integration_spark.cache_registry import sweep_caches
         from mrt_data_integration_spark.operators.dsir import (
             dsir_log_weights,
             gumbel_topk,
@@ -284,7 +285,14 @@ def main() -> None:
         d = docs(k)
         target = d.filter(F.col("lang") == "en")
         raw = d.filter(F.col("lang") != "en")
-        return gumbel_topk(dsir_log_weights(raw, target), k=25).count()
+        n = gumbel_topk(dsir_log_weights(raw, target), k=25).count()
+        # r11: dsir_log_weights now persists its feature frames (the
+        # r10 judge's double-evaluation fix); direct operator use puts
+        # them in the session-global tier, so sweep between shots or
+        # shots 2-3 become warm-cache reads of shot 1's feature scan
+        # (the _spans/_leakage_split lingering-cache distortion)
+        sweep_caches()
+        return n
 
     def _pca_fit(k):
         from mrt_data_integration_spark.operators.pca import (

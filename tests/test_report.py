@@ -195,3 +195,50 @@ def test_write_figure_is_byte_stable(tmp_path):
     p2 = write_figure(spec, str(tmp_path / "f2.vl.json"))
     b1, b2 = open(p1, "rb").read(), open(p2, "rb").read()
     assert b1 == b2 and b1.startswith(b"{")
+
+
+def test_estimator_report_pivot_roundtrip(spark, sf_smoke):
+    """The retired `estimator_report_pivot` driver query (see
+    _NO_ORACLE_RETIREES in tests/test_window_policy.py): the pivot
+    must round-trip back to the exact long (method, coef, label) set
+    computed from the fits themselves — pinning the reshape machinery
+    the driver row used to cover (its inverse, `unpivot_long`, keeps a
+    CORE hash-oracle slot)."""
+    from pyspark.sql import functions as F
+
+    from mrt_data_integration_spark.estimators.pwcls import pwcls
+    from mrt_data_integration_spark.estimators.wcls import wcls
+    from mrt_data_integration_spark.queries import QUERIES
+    from mrt_data_integration_spark.queries.estimators import (
+        _mrt_panel,
+        _std_designs,
+    )
+
+    piv = QUERIES["estimator_report_pivot"](spark, sf_smoke)
+    methods = [c for c in piv.columns if c != "coef"]
+    assert methods == ["pwcls_pooled", "wcls_pooled"]
+    # unpivot the pivot back to long
+    back = {
+        (r.method, r.coef, r.label)
+        for r in piv.select(
+            "coef",
+            F.expr(
+                "stack(2, 'pwcls_pooled', pwcls_pooled, "
+                "'wcls_pooled', wcls_pooled) AS (method, label)"
+            ),
+        ).collect()
+    }
+    # the long set straight from the fits
+    x_h, mods, s_mods, _ = _std_designs()
+    panel = _mrt_panel(spark, sf_smoke)
+    expected = set()
+    for method, fit in (
+        ("wcls_pooled", wcls(panel, x_h=x_h, moderators=mods, p_target=None)),
+        (
+            "pwcls_pooled",
+            pwcls(panel, x_h=x_h, s_moderators=s_mods, r_moderators=mods),
+        ),
+    ):
+        for name, b, s in zip(fit.r_names, fit.beta_r, fit.se_beta_r):
+            expected.add((method, name, "%.3f (%.3f)" % (b, s)))
+    assert back == expected

@@ -117,6 +117,12 @@ _NO_ORACLE_RETIREES = {
     # ::test_pq_encode_blas_matches_expr — the PQ shape stays
     # driver-visible through ivfpq_index_topk
     "pq_topk",
+    # r11: the pivot round-trips back to its long input exactly
+    # (tests/test_report.py::test_estimator_report_pivot_roundtrip);
+    # the reshape machinery's inverse stays driver-visible through
+    # unpivot_long (CORE, hash oracle) and the underlying fits stay
+    # golden-pinned vs the reference's example_estimates.csv
+    "estimator_report_pivot",
 }
 
 
