@@ -123,6 +123,10 @@ HEADLINE = [
     # explode + two bucket-model aggregates + broadcast-ratio join +
     # global TakeOrdered (the data-selection shape)
     "dsir_selected_sample",
+    # r11: PMI collocation extraction — the term-term co-occurrence
+    # shape (map-side windowed pair expression → pair/unigram hash
+    # aggregates → Zipf-floor prune → two vocab joins)
+    "pmi_collocations",
 ]
 
 

@@ -179,6 +179,7 @@ OP_INPUTS = {
     "kmeans_fit": {"emb"},
     "pca_fit": {"emb"},
     "dsir_select": {"docs"},
+    "pmi_colloc": {"docs"},
     "hard_negative": {"emb"},
     "streaming_scd2_drain": {"orders", "sscd2_src"},
     "wcls_fit": {"panel"},
@@ -274,6 +275,23 @@ def main() -> None:
             "doc_id",
             F.concat(F.lit(_HOT + " "), F.col("text")).alias("text"),
         )
+
+    def _pmi_colloc(k):
+        from mrt_data_integration_spark.cache_registry import sweep_caches
+        from mrt_data_integration_spark.operators.collocations import (
+            pmi_collocations as pmi_op,
+        )
+
+        n = (
+            pmi_op(docs(k), window=2, min_count=5)
+            .orderBy(F.col("pmi").desc(), "w1", "w2")
+            .limit(20)
+            .count()
+        )
+        # the operator persists its unigram counts (three consumers);
+        # direct use → session-global tier, sweep between shots
+        sweep_caches()
+        return n
 
     def _dsir_select(k):
         from mrt_data_integration_spark.cache_registry import sweep_caches
@@ -806,6 +824,12 @@ def main() -> None:
         # dominates; the ratio join is broadcast; selection is a
         # TakeOrdered(k).
         "dsir_select": lambda k: _dsir_select(k),
+        # r11: PMI collocations — the disjoint-vocab corpus is the
+        # CONSERVATIVE axis for this op: pair mass, distinct pair keys,
+        # and the vocab join sides all grow k× (a real web corpus grows
+        # vocabulary sub-linearly, so the aggregate key space here is an
+        # upper bound). Expected linear in the pair explode.
+        "pmi_colloc": lambda k: _pmi_colloc(k),
         # r9: hard-negative mining — FIXED anchor batch (replica-0
         # vectors, identical at every scale) against a k×-growing
         # corpus: the claim under test is the one corpus scan, not
