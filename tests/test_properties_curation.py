@@ -123,3 +123,53 @@ def test_dsir_weights_twin_random_corpora(spark, seed):
     assert set(got) == set(want), seed
     for i in got:
         assert abs(got[i] - want[i]) < 2e-4, (seed, i, got[i], want[i])
+
+
+@pytest.mark.parametrize("seed", [3, 11, 42])
+def test_pmi_collocations_twin_random_corpora(spark, seed):
+    """PMI scores exactly equal the local replica on random Zipf-ish
+    corpora at random (window, min_count) — including repeated words
+    inside a doc (pair mass counts EVERY co-occurrence, bag not set)
+    and docs shorter than the window."""
+    from mrt_data_integration_spark.operators.collocations import (
+        pmi_collocations,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(rng.randint(5, 12))]
+    n_docs = rng.randint(8, 25)
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+        for _ in range(n_docs)
+    ]
+    window, min_count = rng.randint(1, 3), rng.randint(1, 4)
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.w1, r.w2): (r.n_pair, r.n_w1, r.n_w2, r.pmi)
+        for r in pmi_collocations(
+            df, window=window, min_count=min_count
+        ).collect()
+    }
+
+    pair_c, uni_c, n_pairs = Counter(), Counter(), 0
+    for t in texts:
+        toks = t.split()
+        uni_c.update(toks)
+        for j in range(1, window + 1):
+            for i in range(len(toks) - j):
+                pair_c[(toks[i], toks[i + j])] += 1
+                n_pairs += 1
+    nw = sum(uni_c.values())
+    want = {}
+    for (w1, w2), c in pair_c.items():
+        if c < min_count:
+            continue
+        pmi = (
+            (round(math.log(c), 12) - round(math.log(n_pairs), 12))
+            - (round(math.log(uni_c[w1]), 12) - round(math.log(nw), 12))
+            - (round(math.log(uni_c[w2]), 12) - round(math.log(nw), 12))
+        )
+        want[(w1, w2)] = (c, uni_c[w1], uni_c[w2], round(pmi, 6))
+    assert got == want, (seed, window, min_count)
