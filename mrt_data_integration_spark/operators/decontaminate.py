@@ -25,10 +25,28 @@ def _c(col: Column | str) -> Column:
 def word_ngrams(text: Column | str, n: int) -> Column:
     """Array of ALL n-word grams (space-joined, duplicates kept —
     unlike ``dedup.word_shingles`` which is distinct'd for set
-    semantics). Empty array when the doc has fewer than n tokens."""
+    semantics). Empty array when the doc has fewer than n tokens.
+
+    Built as ``arrays_zip`` of the n shifted ``slice``\\s of the token
+    array, with the lambda touching only its own struct argument. The
+    original form — ``transform(sequence(1, m), i -> concat_ws(' ',
+    slice(toks, i, n)))`` — captures ``toks`` INSIDE the lambda, and
+    interpreted HOF lambdas re-evaluate captured sub-expressions per
+    element, re-running the regex tokenizer O(n_tokens) times per doc
+    (measured 5-6× end-to-end on a single-split scan — the same
+    expression-form hazard word_pairs documents)."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    if n == 1:
+        return F.when(F.size(toks) >= 1, toks).otherwise(
+            F.array().cast("array<string>")
+        )
+    m = F.size(toks) - (n - 1)
+    z = F.arrays_zip(
+        *[F.slice(toks, F.lit(i + 1), m).alias(f"w{i}") for i in range(n)]
+    )
+    grams = F.transform(
+        z, lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(n)])
+    )
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )

@@ -60,15 +60,31 @@ def exact_dedup(
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Array of distinct n-word shingles (space-joined).
 
-    Pure array expressions: sequence → transform → slice → concat_ws.
-    """
+    Pure array expressions: ``arrays_zip`` of the n shifted slices of
+    the token array, concat'd per element — the lambda touches only
+    its struct argument. (The original ``transform(sequence(1, m),
+    i -> concat_ws(' ', slice(toks, i, n)))`` captured ``toks`` inside
+    the lambda; interpreted HOF lambdas re-evaluate captured
+    sub-expressions per element, re-running the regex tokenizer once
+    per shingle — the decontaminate.word_ngrams finding, r11.)
+
+    Exact original semantics preserved: docs with fewer than n tokens
+    emit ONE whole-doc shingle (``m = greatest(size−(n−1), 1)``; the
+    shorter shifted slices zip-pad with NULLs, which ``concat_ws``
+    skips — identical to the short ``slice``); NULL text yields
+    ``[""]`` (concat_ws of an all-NULL row), pinned explicitly here
+    because the zip of NULL arrays would otherwise be NULL."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-
-    def make_shingle(i: Column) -> Column:
-        return F.concat_ws(" ", F.slice(toks, i, n))
-
-    return F.array_distinct(F.transform(idx, make_shingle))
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    z = F.arrays_zip(
+        *[F.slice(toks, F.lit(i + 1), m).alias(f"w{i}") for i in range(n)]
+    )
+    sh = F.transform(
+        z, lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(n)])
+    )
+    return F.array_distinct(
+        F.when(toks.isNotNull(), sh).otherwise(F.array(F.lit("")))
+    )
 
 
 def _seeded_minhash(shingles: Column, seed: int) -> Column:
