@@ -34,6 +34,32 @@ def test_queries_run_on_smoke(spark, sf_smoke):
     #   - no BatchEvalPython — a row-at-a-time Python UDF in any plan
     #     contradicts the engine's Arrow-only Python contract
     #     (mapInPandas/ArrowEval nodes are the sanctioned path).
+    #   - no tokenizer call captured INSIDE a HOF lambda body — an
+    #     interpreted lambda re-evaluates captured sub-expressions per
+    #     ELEMENT, so `transform(..., i -> ...split(text, ...)...)`
+    #     re-runs the regex tokenizer O(n_elements) times per row (the
+    #     r11 word_pairs/word_ngrams/word_shingles finding: a silent
+    #     5-6× that the CartesianProduct/BatchEvalPython lints cannot
+    #     see — it looks like WholeStageCodegen from outside). Zip the
+    #     shifted slices instead, or materialize the array as a column
+    #     and capture the attribute.
+    import re as _re
+
+    def _hof_captured_tokenizer(plan: str) -> bool:
+        pos = 0
+        while True:
+            start = plan.find("lambdafunction(", pos)
+            if start < 0:
+                return False
+            i, depth = start + len("lambdafunction("), 1
+            while i < len(plan) and depth:
+                depth += {"(": 1, ")": -1}.get(plan[i], 0)
+                i += 1
+            body = plan[start:i]
+            if _re.search(r"\bsplit\(|\bregexp_(replace|extract)\(", body):
+                return True
+            pos = i
+
     lint_hits = []
     for name, fn in sorted(QUERIES.items()):
         df = fn(spark, sf_smoke)
@@ -42,6 +68,8 @@ def test_queries_run_on_smoke(spark, sf_smoke):
         for marker in ("CartesianProduct", "BatchEvalPython"):
             if marker in plan:
                 lint_hits.append((name, marker))
+        if _hof_captured_tokenizer(plan):
+            lint_hits.append((name, "HOF-captured-tokenizer"))
         df.limit(5).collect()
     assert not lint_hits, f"plan lint violations: {lint_hits}"
 
