@@ -127,6 +127,10 @@ HEADLINE = [
     # shape (map-side windowed pair expression → pair/unigram hash
     # aggregates → Zipf-floor prune → two vocab joins)
     "pmi_collocations",
+    # late-r11: weighted MinHash — tf-idf order-sampling signatures
+    # (n_hashes map-side keys per (doc, term) → one max_by aggregate
+    # per (doc, seed))
+    "weighted_minhash_signatures",
 ]
 
 

@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (124 queries as of r11 —
+# ROTATION POLICY (round 4+): the registry (125 queries as of r11 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r11: 24 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r11: 25 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -205,7 +205,9 @@ _POOL_B: list[str] = [
     # the paired retirements of `ngram_jaccard_pairs_prefix` and
     # `distinct_exact` (see _RETIRED).
     "bpe_train_merges",
-    "bpe_token_counts",
+    # (`bpe_token_counts`, the r7 sibling, was retired late-r11 to fund
+    # `weighted_minhash_signatures` — see _RETIRED for the twin
+    # argument.)
     # late-r7 addition (S1+S2 — JSONL sink/source, the LLM-corpus
     # interchange format): zero driver history, force-included in r8 per
     # rule 2; slot funded by retiring `pivot_method_by_coef`.
@@ -256,6 +258,16 @@ _POOL_B: list[str] = [
     # plan comment's pre-ranked candidate #1, argument written before
     # building (see _RETIRED).
     "pmi_collocations",
+    # late-r11 addition (E3 — weighted MinHash: tf-idf order-sampling
+    # signatures with term-keyed shared uniforms, agreement probability
+    # = the Moulton-Jiang probability-Jaccard; the importance-weighted
+    # member of the signature family, with banded pair generation in
+    # operators/wminhash.py and a full tf→idf→keys→winners replay
+    # oracle): zero driver history → forced into POOL_B's r12 window
+    # per rule 2; slot funded by retiring `bpe_token_counts` — the r12
+    # plan comment's pre-ranked candidate #2, argument written before
+    # building (see _RETIRED).
+    "weighted_minhash_signatures",
 ]
 _CORE: list[str] = [
     "pricing_summary",
@@ -476,6 +488,18 @@ _RETIRED: list[str] = [
     # the underlying fits stay golden-pinned against the reference's
     # published example_estimates.csv every CI run.
     "estimator_report_pivot",
+    # late-r11: retired to fund the `weighted_minhash_signatures` r12
+    # slot — the r12 plan comment's pre-ranked candidate #2. Twin
+    # coverage for the learned-tokenizer-encode shape:
+    # `bpe_train_merges` (POOL_B — the SAME trained merge state, whose
+    # chained-CTE oracle replays all 8 merge rounds; the encode query's
+    # oracle reads the trainer's final word-state CTE, so the training
+    # row pins the shared state) and `tfidf_top_terms` (CORE — the
+    # same tokenize-explode-count physical shape); encoder == trainer
+    # final state stays pinned by the python-twin state test
+    # (tests/test_tokenizer.py) and this query's own DuckDB oracle
+    # every CI run (tests/test_oracle_parity.py).
+    "bpe_token_counts",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,
@@ -787,7 +811,10 @@ _WINDOW: list[str] = (
 #     encode query replays the trained merge table, so the training
 #     query's hash row pins the shared merge state while encode keeps
 #     its own CI oracle; weaker than (1) because the explode/count
-#     encode plan is physically distinct from training's argmax loop.
+#     encode plan is physically distinct from training's argmax loop
+#     [SPENT late-r11 funding `weighted_minhash_signatures` — see
+#     _RETIRED; the NEXT consolidation must pre-rank fresh candidates
+#     at the r12 flip before any r12 registration].
 #     (`funnel_conversion` was already spent late-r10 on DSIR;
 #     `stateful_capped_sessions` stays WITHDRAWN — it carries the only
 #     applyInPandasWithState hash oracle.)

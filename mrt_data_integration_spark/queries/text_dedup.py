@@ -1399,3 +1399,74 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     scored = pmi_op(docs, window=2, min_count=5)
     return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(20)
+
+
+@query(
+    "weighted_minhash_signatures",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    df_ AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * (round(ln((1.0 + n.n_docs) / (1.0 + df_.df)), 12)
+                            + 1.0), 6) AS w
+      FROM tf JOIN df_ ON tf.term = df_.term CROSS JOIN n
+    ),
+    keyed AS (
+      SELECT doc_id, term, seed,
+             round(pow(CAST(concat('0x', substr(
+                         md5('wmh' || seed || ':' || term), 1, 8))
+                       AS BIGINT) / 4294967296.0, 1.0 / w), 12) AS k
+      FROM w, (SELECT unnest(generate_series(0, 7)) AS seed)
+      WHERE w > 0
+    )
+    SELECT doc_id, seed, winner
+    FROM (
+      SELECT doc_id, seed, term AS winner,
+             row_number() OVER (
+               PARTITION BY doc_id, seed ORDER BY k DESC, term
+             ) AS rn
+      FROM keyed
+    )
+    WHERE rn = 1
+    """,
+)
+def weighted_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 (r11, operators/wminhash.py): weighted MinHash — tf-idf
+    ORDER-SAMPLING signatures (Efraimidis-Spirakis keys with term-keyed
+    shared uniforms; agreement probability = the Moulton-Jiang 2018
+    probability-Jaccard), the importance-weighted member of the
+    signature family (plain MinHash/SimHash treat docs as unweighted
+    sets). Weight = tf · (smoothed idf + 1), rounded to 6 so 1/w is
+    cross-engine identical; keys are round(pow(u, 1/w), 12) with term
+    tie-breaks — the A-ES float-proofing verbatim. One max_by
+    aggregate per (doc, seed); the oracle replays tf → df → idf →
+    weights → keys → winners end-to-end."""
+    from mrt_data_integration_spark.operators.wminhash import (
+        weighted_minhash_signatures as wmh_op,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.round(
+        F.log((1.0 + float(n_docs)) / (1.0 + F.col("df"))), 12
+    ) + F.lit(1.0)
+    w = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * idf, 6).alias("w"),
+    )
+    return wmh_op(w, n_hashes=8)

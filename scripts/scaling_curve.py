@@ -180,6 +180,7 @@ OP_INPUTS = {
     "pca_fit": {"emb"},
     "dsir_select": {"docs"},
     "pmi_colloc": {"docs"},
+    "wminhash_sigs": {"docs"},
     "hard_negative": {"emb"},
     "streaming_scd2_drain": {"orders", "sscd2_src"},
     "wcls_fit": {"panel"},
@@ -275,6 +276,26 @@ def main() -> None:
             "doc_id",
             F.concat(F.lit(_HOT + " "), F.col("text")).alias("text"),
         )
+
+    def _wminhash_sigs(k):
+        from mrt_data_integration_spark.operators.wminhash import (
+            weighted_minhash_signatures as wmh,
+        )
+
+        d = docs(k)
+        n_docs = d.count()
+        tok = d.select(
+            "doc_id", F.explode(F.split("text", r"\s+")).alias("term")
+        )
+        tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        idf = F.round(
+            F.log((1.0 + float(n_docs)) / (1.0 + F.col("df"))), 12
+        ) + F.lit(1.0)
+        w = tf.join(F.broadcast(df_), "term").select(
+            "doc_id", "term", F.round(F.col("tf") * idf, 6).alias("w")
+        )
+        return wmh(w, n_hashes=8).count()
 
     def _pmi_colloc(k):
         from mrt_data_integration_spark.cache_registry import sweep_caches
@@ -830,6 +851,11 @@ def main() -> None:
         # vocabulary sub-linearly, so the aggregate key space here is an
         # upper bound). Expected linear in the pair explode.
         "pmi_colloc": lambda k: _pmi_colloc(k),
+        # late-r11: weighted MinHash signatures — disjoint-vocab corpus
+        # growth (tf/df/weights and the per-(doc, seed) max_by all see
+        # k× rows AND k× keys, the conservative axis). Expected linear
+        # in the n_hashes-exploded weight frame.
+        "wminhash_sigs": lambda k: _wminhash_sigs(k),
         # r9: hard-negative mining — FIXED anchor batch (replica-0
         # vectors, identical at every scale) against a k×-growing
         # corpus: the claim under test is the one corpus scan, not
