@@ -813,8 +813,25 @@ _WINDOW: list[str] = (
 #     its own CI oracle; weaker than (1) because the explode/count
 #     encode plan is physically distinct from training's argmax loop
 #     [SPENT late-r11 funding `weighted_minhash_signatures` — see
-#     _RETIRED; the NEXT consolidation must pre-rank fresh candidates
-#     at the r12 flip before any r12 registration].
+#     _RETIRED]. Fresh candidates pre-ranked late-r11 (argument
+#     written BEFORE building anything they would fund — the same
+#     discipline): (3) `hll_daily_distinct` (POOL_B, rows-only) vs
+#     `incremental_rollup_merge` (POOL_B, rows-only — carries the
+#     SAME binary HLL user-sketch state through the strictly richer
+#     state→merge→finalize path, merged==direct pinned in
+#     tests/test_sketches.py) + `streaming_rollup_merge` (POOL_B —
+#     the streaming drain of the same mergeable state); retiring the
+#     one-shot rollup swaps a rows-only seat for a hash seat, RAISING
+#     the window's hash share. (4) `synthetic_panel_stats` (POOL_B,
+#     rows-only) vs `wcls_large_panel` (POOL_B, rows-only — calls the
+#     SAME generate_panel mapInPandas source directly at 20× the size
+#     before fitting, so the distributed generation path stays
+#     driver-visible) + `sensitivity_scenarios` (POOL_B — the same
+#     generator parameters through the fan-out harness across three
+#     regimes); the generator's R-parity/determinism/partitioning
+#     -invariance contracts are CI (tests/test_simulation.py), which
+#     rows-only driver rows never checked anyway — same seat-quality
+#     argument as (3).
 #     (`funnel_conversion` was already spent late-r10 on DSIR;
 #     `stateful_capped_sessions` stays WITHDRAWN — it carries the only
 #     applyInPandasWithState hash oracle.)
