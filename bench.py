@@ -131,6 +131,10 @@ HEADLINE = [
     # (n_hashes map-side keys per (doc, term) → one max_by aggregate
     # per (doc, seed))
     "weighted_minhash_signatures",
+    # late-r11: boilerplate removal — the corpus-frequency rewrite
+    # shape (persisted chunking → two-phase distinct aggregate →
+    # broadcast frequency join → doc-keyed reassembly)
+    "boilerplate_span_removal",
 ]
 
 

@@ -1082,3 +1082,103 @@ def remove_duplicate_spans(
         F.count(F.when(F.col("__keep__"), 1)).alias("n_kept"),
     )
     return _attach_cache(out, [chunks])
+
+
+def remove_boilerplate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    anchor_mod: int = 8,
+    min_tokens: int = 4,
+    min_docs: int = 2,
+    broadcast_frequent: bool = True,
+) -> DataFrame:
+    """Rewrite each document with its CORPUS-FREQUENT SPANS removed —
+    the boilerplate filter of the C4/RefinedWeb recipe (Raffel et al.
+    JMLR 2020 drop repeated three-sentence spans; Penedo et al. 2023
+    and MassiveText strip lines recurring across documents: cookie
+    banners, navigation chrome, license footers). The criterion is the
+    complement of :func:`remove_duplicate_spans`: dedup keeps the
+    FIRST occurrence of a repeated span, boilerplate removal drops
+    EVERY occurrence of a span found in >= ``min_docs`` DISTINCT
+    documents — recurring chrome is noise in all of its hosts, there
+    is no "original" worth keeping. Intra-doc repetition alone never
+    triggers it (that is doc_repetition_filter's job): the frequency
+    is counted over distinct doc ids.
+
+    Segmentation is the SAME content-defined chunking as the dedup
+    half (:func:`split_content_chunks` — identical passages cut
+    identically regardless of offset), so one primitive serves both
+    criteria and the two rewrites compose. Sub-``min_tokens`` tails
+    are always kept and never counted (too little text to call
+    boilerplate — the dedup half's rule, same rationale).
+
+    Scale shape: the frequent-span set is a HASH AGGREGATE
+    (count(DISTINCT id) per chunk md5 — Spark's two-phase distinct
+    spreads a hot span's occurrences over (hash, id) first, so no
+    single reducer sees them all), threshold-pruned to the boilerplate
+    tail, and then — under ``broadcast_frequent`` — broadcast into a
+    map-side join against the NARROW (hash, id, ord) projection; the
+    removal ordinals aggregate to per-doc sets and join back ON THE
+    DOC ID. Chunk text therefore shuffles on doc-grain keys only, and
+    the chunk hash never keys a row-preserving shuffle — the exact
+    discipline remove_duplicate_spans settled on after the r10
+    de-skew measurements. Set ``broadcast_frequent=False`` when the
+    post-threshold span set could exceed driver memory (a
+    template-farm crawl); the plain keyed join it falls back to
+    carries only the narrow triple frame, with AQE handling any
+    residual skew — the graded-decontamination gate precedent.
+
+    ``id_col`` must be UNIQUE per document (same grain contract as
+    the dedup half). Returns one row per non-empty input doc:
+    (id, clean_text, n_chunks, n_kept) — ``clean_text`` is '' when
+    the whole document was corpus-frequent chrome.
+    """
+    # One persisted chunking scan feeds both consumers (frequency
+    # aggregate + rewrite) — the dedup half's cache discipline; the
+    # interpreted-HOF chunking is the dominant CPU term.
+    chunks = track_cache(
+        split_content_chunks(df, id_col, text_col, anchor_mod, min_tokens)
+        .withColumn("__h__", F.md5("chunk"))
+        .persist()
+    )
+    frequent = (
+        chunks.filter(F.col("n_toks") >= min_tokens)
+        .groupBy("__h__")
+        .agg(F.countDistinct(id_col).alias("__nd__"))
+        .filter(F.col("__nd__") >= min_docs)
+        .select("__h__")
+    )
+    if broadcast_frequent:
+        frequent = F.broadcast(frequent)
+    removals = (
+        chunks.select(id_col, "ord", "__h__")
+        .join(frequent, "__h__")
+        .groupBy(id_col)
+        .agg(F.collect_set("ord").alias("__rm__"))
+    )
+    kept = chunks.join(removals, id_col, "left").withColumn(
+        "__keep__",
+        (F.col("n_toks") < min_tokens)
+        | ~F.coalesce(
+            F.array_contains("__rm__", F.col("ord")), F.lit(False)
+        ),
+    )
+    out = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep__"), F.struct("ord", "chunk")
+                        )
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count(F.when(F.col("__keep__"), 1)).alias("n_kept"),
+    )
+    return _attach_cache(out, [chunks])

@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (125 queries as of r11 —
+# ROTATION POLICY (round 4+): the registry (126 queries as of r11 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r11: 25 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r11: 26 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -184,7 +184,9 @@ _POOL_B: list[str] = [
     # POOL_B with zero driver history and MUST be force-included in the
     # r6 window per exception rule 2 (first driver rows in r6).
     "heavy_hitters",
-    "hll_daily_distinct",
+    # (`hll_daily_distinct`, the one-shot HLL rollup, was retired
+    # late-r11 to fund `boilerplate_span_removal` — see _RETIRED for
+    # the twin argument.)
     "partitioned_parquet_roundtrip",
     "semantic_dedup_summary",
     "campaign_event_attribution",
@@ -268,6 +270,17 @@ _POOL_B: list[str] = [
     # plan comment's pre-ranked candidate #2, argument written before
     # building (see _RETIRED).
     "weighted_minhash_signatures",
+    # late-r11 addition (E10+ — C4/RefinedWeb boilerplate removal:
+    # content-defined spans found in >= min_docs DISTINCT documents
+    # drop from EVERY host, the complement of dedup_spans_rewrite's
+    # keep-first rule; frequent set = threshold-pruned hash aggregate,
+    # broadcast into a narrow map-side join, join-back on the doc
+    # grain — the chunk hash never keys a row-preserving shuffle; full
+    # chunk-replay md5 oracle): zero driver history → forced into
+    # POOL_B's r12 window per rule 2; slot funded by retiring
+    # `hll_daily_distinct` — the r12 plan comment's pre-ranked
+    # candidate #3, argument written before building (see _RETIRED).
+    "boilerplate_span_removal",
 ]
 _CORE: list[str] = [
     "pricing_summary",
@@ -500,6 +513,23 @@ _RETIRED: list[str] = [
     # (tests/test_tokenizer.py) and this query's own DuckDB oracle
     # every CI run (tests/test_oracle_parity.py).
     "bpe_token_counts",
+    # late-r11: retired to fund the `boilerplate_span_removal` r12
+    # slot — the r12 plan comment's pre-ranked candidate #3. Twin
+    # coverage for the mergeable-HLL sketch shape:
+    # `incremental_rollup_merge` (POOL_B — carries the SAME binary HLL
+    # user-sketch state through the strictly RICHER
+    # state→merge→finalize path; merged==direct including a parquet
+    # round-trip of the binary state is
+    # tests/test_sketches.py::test_rollup_state_merge_equals_direct_
+    # with_parquet_roundtrip) and `streaming_rollup_merge` (POOL_B —
+    # the streaming drain of the same mergeable state); the one-shot
+    # rollup keeps its own CI pins every run
+    # (tests/test_sketches.py::test_hll_merged_equals_direct,
+    # ::test_hll_error_bound,
+    # ::test_sketch_results_stable_across_partitionings). Retiring a
+    # rows-only seat for a hash-oracle query RAISES the window's hash
+    # share — the seat-quality argument in the r12 plan comment.
+    "hll_daily_distinct",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,

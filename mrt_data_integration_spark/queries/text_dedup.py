@@ -1346,6 +1346,96 @@ def dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "boilerplate_span_removal",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    seg AS (
+      SELECT doc_id, t,
+             list_filter(
+               range(2, len(t) + 1),
+               i -> CAST(('0x' || substr(md5(t[i]), 1, 4)) AS INTEGER)
+                    % 8 = 0
+             ) AS anchors
+      FROM d
+    ),
+    kept_anchors AS (
+      SELECT doc_id, t,
+             list_filter(
+               anchors,
+               (x, i) -> x - (CASE WHEN i = 1 THEN 1
+                                   ELSE anchors[i - 1] END) >= 4
+             ) AS ka
+      FROM seg
+    ),
+    bounds AS (
+      SELECT doc_id, t,
+             list_concat(list_concat([1], ka), [len(t) + 1]) AS b
+      FROM kept_anchors
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(b)),
+               i -> {'ord': i,
+                     'c': array_to_string(t[b[i]:b[i + 1] - 1], ' '),
+                     'nt': b[i + 1] - b[i]}
+             )) AS u
+      FROM bounds
+    ),
+    freq AS (
+      SELECT md5(u.c) AS h
+      FROM chunks
+      WHERE u.nt >= 4
+      GROUP BY 1
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    flagged AS (
+      SELECT c.doc_id, c.u.ord AS ord, c.u.c AS c,
+             (c.u.nt < 4 OR f.h IS NULL) AS keep
+      FROM chunks c LEFT JOIN freq f ON md5(c.u.c) = f.h
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           count(*) FILTER (keep) AS n_kept,
+           CAST(length(coalesce(
+             string_agg(c, ' ' ORDER BY ord) FILTER (keep), ''
+           )) AS BIGINT) AS clean_len,
+           md5(coalesce(
+             string_agg(c, ' ' ORDER BY ord) FILTER (keep), ''
+           )) AS clean_md5
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10+ (r11, operators/dedup.remove_boilerplate_spans): the
+    C4/RefinedWeb boilerplate filter — every document rewritten with
+    its CORPUS-FREQUENT spans removed (content-defined chunks found in
+    >= 2 distinct documents drop from EVERY host, the complement of
+    dedup_spans_rewrite's keep-first rule; sub-min_tokens tails always
+    kept). Same segmentation primitive as the dedup half, so the
+    oracle reuses its chunk-replay CTEs verbatim and swaps the ranked
+    first-occurrence criterion for a distinct-doc frequency HAVING;
+    the md5 comparison pins every byte of every rewritten document."""
+    from mrt_data_integration_spark.operators.dedup import (
+        remove_boilerplate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = remove_boilerplate_spans(docs, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        "n_kept",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+@query(
     "pmi_collocations",
     oracle=f"""
     WITH base AS (

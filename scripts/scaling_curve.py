@@ -370,6 +370,14 @@ def main() -> None:
         dd.release_cache(out)
         return n
 
+    def _boiler(d):
+        # same lingering-cache guard as _spans: the operator persists
+        # its chunking scan for two consumers
+        out = dd.remove_boilerplate_spans(d)
+        n = out.agg(F.sum("n_kept")).collect()[0][0]
+        dd.release_cache(out)
+        return n
+
     def _leakage_split(k):
         from mrt_data_integration_spark.cache_registry import sweep_caches
         from mrt_data_integration_spark.operators.components import (
@@ -814,6 +822,21 @@ def main() -> None:
         # collapses them map-side. Expected ~linear, close to the
         # dedup_spans slope.
         "dedup_spans_hotchunk": lambda k: _spans(hot_docs(k)),
+        # late-r11: boilerplate removal — disjoint-vocab corpus growth
+        # (per-replica vocabularies keep each replica's frequent set
+        # private, so frequent-set size AND chunk volume grow k× — the
+        # conservative axis). Expected linear: same persisted chunking
+        # scan as dedup_spans, one two-phase distinct aggregate, a
+        # broadcast map-side frequency join, doc-keyed join-back.
+        "boilerplate_spans": lambda k: _boiler(docs(k)),
+        # late-r11: the DEGENERATE axis — every doc opens with the SAME
+        # cross-replica boilerplate passage, so its ~7 interior chunks
+        # are corpus-frequent with n_docs = corpus size (500k at 10×).
+        # The frequent SET stays tiny (the broadcast carries hashes,
+        # never occurrences) and the distinct aggregate collapses the
+        # hot keys map-side; removal volume is k×. Expected ~linear,
+        # close to the boilerplate_spans slope — THE design claim.
+        "boilerplate_spans_hot": lambda k: _boiler(hot_docs(k)),
         # r10 (r8 verdict item 8, twice carried): leakage-safe split —
         # LSH pair edges → alternating-star CC → cluster-keyed md5
         # split. The per-replica vocab rewrite keeps near-dup edges

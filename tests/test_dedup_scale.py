@@ -462,3 +462,204 @@ def test_substring_chunk_pairs_rejects_tiny_windows(spark):
     df = spark.createDataFrame([(1, "abcdef")], "doc_id long, text string")
     with pytest.raises(ValueError, match=">= 4"):
         substring_chunk_pairs(df, chunk=3)
+
+
+def test_remove_boilerplate_spans_semantics(spark):
+    """Planted passage shared by THREE docs: it drops from EVERY host
+    (the complement of remove_duplicate_spans' keep-first rule — no
+    'original' survives); unique docs pass through unchanged; a doc
+    that is nothing but the shared passage empties entirely."""
+    from mrt_data_integration_spark.operators.dedup import (
+        remove_boilerplate_spans,
+    )
+
+    # "that" is a CDC anchor token (md5 % 8 == 0), so boundaries cut
+    # inside every repetition and the shared chunks align across hosts
+    # regardless of offset — the same passage the dedup-half test uses
+    passage = "copied boilerplate text that is long enough to anchor " * 3
+    rows = [
+        (1, "totally unique document alpha with its own words " * 2),
+        (2, passage + " unique tail of document two"),
+        (3, "unique head of document three " + passage),
+        (4, passage.strip()),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in remove_boilerplate_spans(df).collect()}
+    assert got[1].clean_text == rows[0][1]
+    assert got[1].n_kept == got[1].n_chunks
+    # the passage drops from BOTH docs 2 and 3 — dedup would have kept
+    # doc 2's copy (earliest id); boilerplate removal keeps neither
+    assert passage not in got[2].clean_text
+    assert "unique tail of document two" in got[2].clean_text
+    assert passage not in got[3].clean_text
+    assert "unique head of document three" in got[3].clean_text
+    # doc 4 is all chrome → rewrites to '' (trailing-space chunking of
+    # the stripped passage may retain a sub-min_tokens tail; allow only
+    # the always-kept short-tail exemption)
+    assert got[4].n_kept <= 1
+
+
+def test_remove_boilerplate_intra_doc_repetition_kept(spark):
+    """The criterion is DISTINCT-DOC frequency: a passage repeated
+    three times inside ONE document is repetition (doc_repetition_
+    filter's jurisdiction), not boilerplate — it must survive."""
+    from mrt_data_integration_spark.operators.dedup import (
+        remove_boilerplate_spans,
+    )
+
+    passage = "verbatim block repeated within a single host document "
+    rows = [
+        (1, (passage * 3).strip()),
+        (2, "some other unrelated document body entirely " * 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in remove_boilerplate_spans(df).collect()}
+    assert got[1].clean_text == rows[0][1]
+    assert got[1].n_kept == got[1].n_chunks
+
+
+def test_remove_boilerplate_min_docs_threshold(spark):
+    """min_docs=3 must NOT remove a two-host passage that min_docs=2
+    removes — the threshold is the operator's only knob and the two
+    settings must be strictly ordered."""
+    from mrt_data_integration_spark.operators.dedup import (
+        remove_boilerplate_spans,
+    )
+
+    # "reserved" anchors (md5 % 8 == 0) — see the semantics test
+    passage = "all rights reserved shared footer text for every host " * 3
+    rows = [
+        (1, passage + " body of the first hosting document"),
+        (2, "body of the second hosting document " + passage),
+        (3, "an unrelated third document with its own content " * 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    loose = {
+        r.doc_id: r for r in remove_boilerplate_spans(df, min_docs=2).collect()
+    }
+    strict = {
+        r.doc_id: r for r in remove_boilerplate_spans(df, min_docs=3).collect()
+    }
+    assert passage not in loose[1].clean_text
+    assert passage not in loose[2].clean_text
+    for did, text in rows:
+        assert strict[did].clean_text == text, did
+        assert strict[did].n_kept == strict[did].n_chunks
+
+
+def test_remove_boilerplate_broadcast_flag_identical(spark):
+    """broadcast_frequent=False (the template-farm escape hatch) must
+    change the plan, never the rows."""
+    from mrt_data_integration_spark.operators.dedup import (
+        remove_boilerplate_spans,
+    )
+
+    passage = "chrome navigation menu footer links about contact " * 2
+    rows = [
+        (i, f"doc {i} specific words here " + (passage if i % 2 else ""))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        (r.doc_id, r.clean_text, r.n_chunks, r.n_kept)
+        for r in remove_boilerplate_spans(df).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.clean_text, r.n_chunks, r.n_kept)
+        for r in remove_boilerplate_spans(
+            df, broadcast_frequent=False
+        ).collect()
+    )
+    assert a == b
+
+
+def test_remove_boilerplate_randomized_python_twin(spark):
+    """Seeded fuzz vs a from-first-principles twin of the WHOLE
+    pipeline (token split, md5-bucket anchors, min-gap rule,
+    distinct-doc frequency threshold with the short-tail exemption,
+    space-joined reassembly) on corpora with planted cross-doc
+    passages and tiny docs."""
+    import hashlib
+    import random
+
+    from mrt_data_integration_spark.operators.dedup import (
+        remove_boilerplate_spans,
+    )
+
+    rng = random.Random(20260816)
+    vocab = [f"w{i}" for i in range(40)]
+    passages = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 15)))
+        for _ in range(4)
+    ]
+    rows = []
+    for i in range(25):
+        parts = []
+        for _ in range(rng.randint(1, 4)):
+            if rng.random() < 0.4:
+                parts.append(rng.choice(passages))
+            else:
+                parts.append(
+                    " ".join(
+                        rng.choice(vocab)
+                        for _ in range(rng.randint(0, 10))
+                    )
+                )
+        rows.append((i, " ".join(parts)))
+
+    def twin(anchor_mod=8, min_tokens=4, min_docs=2):
+        per_doc = {}
+        for did, text in rows:
+            if not text:
+                continue
+            toks = text.split(" ")
+            anchors = [
+                i
+                for i in range(2, len(toks) + 1)
+                if int(hashlib.md5(toks[i - 1].encode()).hexdigest()[:4], 16)
+                % anchor_mod
+                == 0
+            ]
+            ka = []
+            for j, a in enumerate(anchors):
+                p = 1 if j == 0 else anchors[j - 1]
+                if a - p >= min_tokens:
+                    ka.append(a)
+            bounds = [1] + ka + [len(toks) + 1]
+            per_doc[did] = [
+                (
+                    " ".join(toks[bounds[i] - 1: bounds[i + 1] - 1]),
+                    bounds[i + 1] - bounds[i],
+                )
+                for i in range(len(bounds) - 1)
+            ]
+        hosts: dict[str, set] = {}
+        for did, chs in per_doc.items():
+            for c, nt in chs:
+                if nt >= min_tokens:
+                    hosts.setdefault(
+                        hashlib.md5(c.encode()).hexdigest(), set()
+                    ).add(did)
+        frequent = {h for h, ds in hosts.items() if len(ds) >= min_docs}
+        out = {}
+        for did, chs in per_doc.items():
+            kept = [
+                c
+                for c, nt in chs
+                if nt < min_tokens
+                or hashlib.md5(c.encode()).hexdigest() not in frequent
+            ]
+            out[did] = (" ".join(kept), len(chs), len(kept))
+        return out
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_chunks, r.n_kept)
+        for r in remove_boilerplate_spans(df).collect()
+    }
+    want = twin()
+    assert got == want, {
+        k: (got.get(k), want.get(k))
+        for k in set(got) | set(want)
+        if got.get(k) != want.get(k)
+    }

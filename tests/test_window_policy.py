@@ -123,6 +123,15 @@ _NO_ORACLE_RETIREES = {
     # unpivot_long (CORE, hash oracle) and the underlying fits stay
     # golden-pinned vs the reference's example_estimates.csv
     "estimator_report_pivot",
+    # r11: the SAME binary HLL user-sketch state stays driver-visible
+    # through incremental_rollup_merge / streaming_rollup_merge
+    # (strictly richer state→merge→finalize path); merged==direct
+    # including a parquet round-trip of the binary state:
+    # tests/test_sketches.py::
+    # test_rollup_state_merge_equals_direct_with_parquet_roundtrip;
+    # the one-shot rollup keeps ::test_hll_merged_equals_direct,
+    # ::test_hll_error_bound and the partitioning-invariance pin
+    "hll_daily_distinct",
 }
 
 
