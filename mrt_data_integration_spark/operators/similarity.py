@@ -310,6 +310,25 @@ def ivf_topk(
     )
 
     centers = [list(map(float, c)) for c in model.clusterCenters()]
+    return _ivf_probe(
+        assigned, queries, centers, k, n_probe, id_col, vec_col, label_col
+    )
+
+
+def _ivf_probe(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centers: list[list[float]],
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str | None,
+) -> DataFrame:
+    """Probe half shared by :func:`ivf_topk` (ml.KMeans index) and
+    :func:`ivf_probe_topk` (any precomputed index). ``assigned``
+    carries the internal columns (corpus_id, __cvec__, __cn__,
+    __cell__[, __clabel__])."""
 
     def probe_cells(vec: Column | str) -> Column:
         """Array of the n_probe nearest cell ids (squared-L2 to each
@@ -361,6 +380,51 @@ def ivf_topk(
         *(["corpus_label"] if label_col else []),
         F.round("cosine_sim", 4).alias("cosine_sim"),
         "rk",
+    )
+
+
+def ivf_probe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centers: list[list[float]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    label_col: str | None = None,
+) -> DataFrame:
+    """:func:`ivf_topk`'s probe against a PRECOMPUTED index — the
+    train-once / probe-many decoupling the persisted-IVFADC path has,
+    for the plain in-session IVF: ``corpus`` already carries its cell
+    id in ``cell_col`` and ``centers`` is the trained k×d list. Any
+    trainer that yields (assignments, centers) plugs in — pyspark.ml
+    KMeans (what :func:`ivf_topk` fits), a loaded persisted index, or
+    :func:`~mrt_data_integration_spark.operators.cluster.kmeans_lloyd`,
+    whose fixed-iteration deterministic loop is SQL-replayable: with
+    Lloyd's centers the WHOLE approximate probe (cell ranking →
+    cell-bounded candidates → label predicate → cosine top-k) is
+    hash-verifiable against an unrolled-CTE oracle, which no
+    RNG-seeded ml.KMeans index can be.
+
+    Same plan shape as :func:`ivf_topk`'s probe half: queries score
+    the k centroids with literal-array expressions (no shuffle, no
+    UDF), keep their ``n_probe`` nearest cells, broadcast onto the
+    corpus's cell-keyed rows, and rank through the two-stage bounded
+    top-k. ``label_col`` applies the null-safe hard-negative mismatch
+    predicate map-side inside the probed cells (the output gains
+    ``corpus_label``)."""
+    if not centers:
+        raise ValueError("centers must be a non-empty k x d list")
+    assigned = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("__cvec__"),
+        norm(vec_col).alias("__cn__"),
+        F.col(cell_col).alias("__cell__"),
+        *([F.col(label_col).alias("__clabel__")] if label_col else []),
+    )
+    return _ivf_probe(
+        assigned, queries, centers, k, n_probe, id_col, vec_col, label_col
     )
 
 

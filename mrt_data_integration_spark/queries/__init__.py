@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (126 queries as of r11 —
+# ROTATION POLICY (round 4+): the registry (127 queries as of r11 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r11: 26 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r11: 27 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -197,7 +197,8 @@ _POOL_B: list[str] = [
     "char_trigram_lm_filter",
     "streaming_rollup_merge",
     "window_rank_features",
-    "synthetic_panel_stats",
+    # (`synthetic_panel_stats` was retired late-r11 to fund
+    # `hard_negative_ivf_probe` — see _RETIRED for the twin argument.)
     "multimodal_features",
     "wcls_large_panel",
     "sensitivity_scenarios",
@@ -281,6 +282,17 @@ _POOL_B: list[str] = [
     # `hll_daily_distinct` — the r12 plan comment's pre-ranked
     # candidate #3, argument written before building (see _RETIRED).
     "boilerplate_span_removal",
+    # late-r11 addition (E4+ — hard-negative mining through the IVF
+    # probe with the index trained by the DETERMINISTIC kmeans_lloyd:
+    # the r10 verdict's carried visibility item for this family,
+    # upgraded past what it asked for — from CI-identity to a FULL
+    # hash oracle that replays the Lloyd's loop (unrolled CTEs), the
+    # cell index, the probe ranking, the null-safe label predicate
+    # and the cosine top-k end-to-end): zero driver history → forced
+    # into POOL_B's r12 window per rule 2; slot funded by retiring
+    # `synthetic_panel_stats` — the r12 plan comment's pre-ranked
+    # candidate #4, argument written before building (see _RETIRED).
+    "hard_negative_ivf_probe",
 ]
 _CORE: list[str] = [
     "pricing_summary",
@@ -530,6 +542,21 @@ _RETIRED: list[str] = [
     # rows-only seat for a hash-oracle query RAISES the window's hash
     # share — the seat-quality argument in the r12 plan comment.
     "hll_daily_distinct",
+    # late-r11: retired to fund the `hard_negative_ivf_probe` r12
+    # slot — the r12 plan comment's pre-ranked candidate #4. Twin
+    # coverage for the distributed-generation shape:
+    # `wcls_large_panel` (POOL_B, rows-only — calls the SAME
+    # generate_panel mapInPandas source directly at 20× the size
+    # before the distributed fit, so the generation path stays
+    # driver-visible) and `sensitivity_scenarios` (POOL_B — the same
+    # generator parameters through the fan-out harness across three
+    # regimes); the generator's determinism / chunking-invariance /
+    # distributed==local contracts are CI every run
+    # (tests/test_simulation.py::test_generator_deterministic_and_
+    # chunk_free, ::test_distributed_generator_matches_local) — checks
+    # a rows-only driver row never made. Second rows-only seat swapped
+    # for a hash seat this round (see `hll_daily_distinct` above).
+    "synthetic_panel_stats",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,

@@ -730,3 +730,68 @@ def test_hard_negative_ivf_full_probe_equals_brute(spark):
         by_anchor.setdefault(r.anchor_id, []).append(r.rank)
     for a, ranks in by_anchor.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), a
+
+
+def test_ivf_probe_topk_full_probe_equals_brute(spark):
+    """ivf_probe_topk with a kmeans_lloyd index and n_probe == k cells
+    must reproduce the brute hard-negative operator exactly (full
+    probe sees every cell; both rank on (cosine DESC, id)) — the
+    train/probe decoupling changes the index source, never the
+    semantics."""
+    import numpy as np
+
+    from mrt_data_integration_spark.operators.cluster import kmeans_lloyd
+    from mrt_data_integration_spark.operators.dedup import release_cache
+    from mrt_data_integration_spark.operators.similarity import (
+        hard_negative_topk,
+        ivf_probe_topk,
+    )
+
+    rng = np.random.default_rng(12)
+    vecs = rng.normal(size=(60, 8)).astype("float32")
+    emb = spark.createDataFrame(
+        [
+            (i, f"l{i % 3}" if i % 7 else None, [float(x) for x in vecs[i]])
+            for i in range(60)
+        ],
+        "vec_id long, label string, embedding array<float>",
+    )
+    anchors = emb.filter("vec_id < 4")
+    assignments, centers = kmeans_lloyd(emb, k=4, n_iter=2)
+    corpus = assignments.join(emb.select("vec_id", "label"), "vec_id")
+    want = {
+        (r.anchor_id, r.rank, r.negative_id, r.negative_label, r.cosine_sim)
+        for r in hard_negative_topk(emb, anchors, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.rk, r.corpus_id, r.corpus_label, r.cosine_sim)
+        for r in ivf_probe_topk(
+            corpus, anchors, centers, k=5, n_probe=4, label_col="label"
+        ).collect()
+    }
+    release_cache(assignments)
+    assert got == want
+
+
+def test_ivf_probe_topk_contracts(spark):
+    """Empty centers fail fast; without label_col the probe excludes
+    self-matches (the plain-IVF pair rule) and needs no label column
+    in the corpus frame."""
+    import pytest
+
+    from mrt_data_integration_spark.operators.similarity import (
+        ivf_probe_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 2) for i in range(8)],
+        "vec_id long, embedding array<double>, cell int",
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        ivf_probe_topk(emb, emb, [], k=2)
+    centers = [[0.0, 1.0], [8.0, 1.0]]
+    out = ivf_probe_topk(
+        emb, emb.filter("vec_id = 0"), centers, k=3, n_probe=2
+    ).collect()
+    assert all(r.corpus_id != 0 for r in out)
+    assert [r.rk for r in out] == [1, 2, 3]

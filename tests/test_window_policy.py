@@ -132,6 +132,14 @@ _NO_ORACLE_RETIREES = {
     # the one-shot rollup keeps ::test_hll_merged_equals_direct,
     # ::test_hll_error_bound and the partitioning-invariance pin
     "hll_daily_distinct",
+    # r11: the SAME generate_panel mapInPandas source stays
+    # driver-visible through wcls_large_panel (direct call at 20× the
+    # size) and sensitivity_scenarios (the fan-out harness); the
+    # generator's determinism / chunking-invariance /
+    # distributed==local contracts:
+    # tests/test_simulation.py::test_generator_deterministic_and_chunk_free,
+    # ::test_distributed_generator_matches_local
+    "synthetic_panel_stats",
 }
 
 
