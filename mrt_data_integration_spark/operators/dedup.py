@@ -1117,17 +1117,23 @@ def remove_boilerplate_spans(
     (count(DISTINCT id) per chunk md5 — Spark's two-phase distinct
     spreads a hot span's occurrences over (hash, id) first, so no
     single reducer sees them all), threshold-pruned to the boilerplate
-    tail, and then — under ``broadcast_frequent`` — broadcast into a
-    map-side join against the NARROW (hash, id, ord) projection; the
-    removal ordinals aggregate to per-doc sets and join back ON THE
-    DOC ID. Chunk text therefore shuffles on doc-grain keys only, and
-    the chunk hash never keys a row-preserving shuffle — the exact
-    discipline remove_duplicate_spans settled on after the r10
-    de-skew measurements. Set ``broadcast_frequent=False`` when the
+    tail. Under ``broadcast_frequent`` (default) the keep flag is then
+    a map-side broadcast LEFT join straight on the chunk frame — zero
+    additional shuffles between the chunking scan and the final
+    doc-grain reassembly (measured: the first draft routed even the
+    broadcast path through per-doc removal-ordinal sets and a doc-
+    keyed join-back, paying a removals aggregate plus an SMJ whose
+    sort carries the chunk TEXT — 17.7 s vs 15.3 s at 10× on the
+    every-doc-hot corpus, where the doc-grain reassembly of every
+    rewritten doc dominates both forms; the saved join matters more
+    the smaller the affected-doc fraction). Set ``broadcast_frequent=False`` when the
     post-threshold span set could exceed driver memory (a
-    template-farm crawl); the plain keyed join it falls back to
-    carries only the narrow triple frame, with AQE handling any
-    residual skew — the graded-decontamination gate precedent.
+    template-farm crawl): that path probes the frequent set with only
+    the NARROW (hash, id, ord) projection, aggregates removal
+    ordinals per doc, and joins back ON THE DOC ID — the chunk hash
+    still never keys a row-preserving shuffle (the r10 de-skew
+    discipline), at the price of the extra doc-grain join the
+    broadcast path avoids.
 
     ``id_col`` must be UNIQUE per document (same grain contract as
     the dedup half). Returns one row per non-empty input doc:
@@ -1147,22 +1153,38 @@ def remove_boilerplate_spans(
         .groupBy("__h__")
         .agg(F.countDistinct(id_col).alias("__nd__"))
         .filter(F.col("__nd__") >= min_docs)
-        .select("__h__")
+        .select("__h__", F.lit(True).alias("__f__"))
     )
     if broadcast_frequent:
-        frequent = F.broadcast(frequent)
-    removals = (
-        chunks.select(id_col, "ord", "__h__")
-        .join(frequent, "__h__")
-        .groupBy(id_col)
-        .agg(F.collect_set("ord").alias("__rm__"))
-    )
-    kept = chunks.join(removals, id_col, "left").withColumn(
+        # map-side flag attach: the threshold-pruned set rides a
+        # broadcast, so chunk rows take no shuffle at all before the
+        # final doc-grain reassembly
+        kept = chunks.join(F.broadcast(frequent), "__h__", "left")
+    else:
+        # no-broadcast path: probe with the narrow (hash, id, ord)
+        # projection only, aggregate removal ordinals per doc, join
+        # back on the doc id — the chunk hash never keys a
+        # row-preserving shuffle even when the frequent set is too
+        # big to broadcast
+        removals = (
+            chunks.select(id_col, "ord", "__h__")
+            .join(frequent, "__h__")
+            .groupBy(id_col)
+            .agg(F.collect_set("ord").alias("__rm__"))
+        )
+        kept = chunks.join(removals, id_col, "left").withColumn(
+            "__f__",
+            F.when(
+                F.coalesce(
+                    F.array_contains("__rm__", F.col("ord")),
+                    F.lit(False),
+                ),
+                F.lit(True),
+            ),
+        )
+    kept = kept.withColumn(
         "__keep__",
-        (F.col("n_toks") < min_tokens)
-        | ~F.coalesce(
-            F.array_contains("__rm__", F.col("ord")), F.lit(False)
-        ),
+        (F.col("n_toks") < min_tokens) | F.col("__f__").isNull(),
     )
     out = kept.groupBy(id_col).agg(
         F.array_join(

@@ -175,6 +175,8 @@ OP_INPUTS = {
     "bloom_decon": {"docs"},
     "dedup_spans": {"docs"},
     "dedup_spans_hotchunk": {"docs"},
+    "boilerplate_spans": {"docs"},
+    "boilerplate_spans_hot": {"docs"},
     "leakage_split": {"docs"},
     "kmeans_fit": {"emb"},
     "pca_fit": {"emb"},
