@@ -1130,16 +1130,25 @@ def remove_boilerplate_spans(
     post-threshold span set could exceed driver memory (a
     template-farm crawl): that path probes the frequent set with only
     the NARROW (hash, id, ord) projection, aggregates removal
-    ordinals per doc, and joins back ON THE DOC ID — the chunk hash
-    still never keys a row-preserving shuffle (the r10 de-skew
-    discipline), at the price of the extra doc-grain join the
-    broadcast path avoids.
+    ordinals per doc, and joins back ON THE DOC ID — chunk TEXT never
+    shuffles by the chunk hash in either form (the r10 de-skew
+    discipline); the one hash-keyed exchange that remains is the
+    narrow triple probe, where a hot span's occurrences do land in
+    one partition as 3-column rows — AQE's skew split parallelizes
+    an oversized probe partition, and the triple width bounds the
+    damage a text-carrying join would amplify.
 
     ``id_col`` must be UNIQUE per document (same grain contract as
     the dedup half). Returns one row per non-empty input doc:
     (id, clean_text, n_chunks, n_kept) — ``clean_text`` is '' when
     the whole document was corpus-frequent chrome.
     """
+    if min_docs < 2:
+        # min_docs=1 marks EVERY >= min_tokens span frequent — the
+        # whole corpus rewrites to its sub-min_tokens tails, which is
+        # never the intent (that degenerate "remove everything seen
+        # once" is not a boilerplate criterion)
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     # One persisted chunking scan feeds both consumers (frequency
     # aggregate + rewrite) — the dedup half's cache discipline; the
     # interpreted-HOF chunking is the dominant CPU term.

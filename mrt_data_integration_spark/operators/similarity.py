@@ -416,6 +416,14 @@ def ivf_probe_topk(
     ``corpus_label``)."""
     if not centers:
         raise ValueError("centers must be a non-empty k x d list")
+    dims = {len(c) for c in centers}
+    if len(dims) != 1:
+        # a ragged centers list would zip_with-pad against the vectors
+        # and rank cells on NULL distances SILENTLY (the PCA
+        # ragged-dimension advisory class) — fail at entry instead
+        raise ValueError(
+            f"centers must share one dimension, got lengths {sorted(dims)}"
+        )
     assigned = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("__cvec__"),

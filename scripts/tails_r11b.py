@@ -17,9 +17,9 @@ import sys
 import tempfile
 import time
 
-sys.path.insert(
-    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)  # tails_r11 (the shared corpus builder)
 
 from pyspark.sql import functions as F  # noqa: E402
 

@@ -663,3 +663,17 @@ def test_remove_boilerplate_randomized_python_twin(spark):
         for k in set(got) | set(want)
         if got.get(k) != want.get(k)
     }
+
+
+def test_remove_boilerplate_min_docs_guard(spark):
+    """min_docs=1 would rewrite the whole corpus to its short tails —
+    fail at entry."""
+    import pytest
+
+    from mrt_data_integration_spark.operators.dedup import (
+        remove_boilerplate_spans,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match=">= 2"):
+        remove_boilerplate_spans(df, min_docs=1)

@@ -795,3 +795,19 @@ def test_ivf_probe_topk_contracts(spark):
     ).collect()
     assert all(r.corpus_id != 0 for r in out)
     assert [r.rk for r in out] == [1, 2, 3]
+
+
+def test_ivf_probe_topk_ragged_centers_rejected(spark):
+    """A ragged centers list would zip_with-pad and rank cells on NULL
+    distances silently — entry-time ValueError instead."""
+    import pytest
+
+    from mrt_data_integration_spark.operators.similarity import (
+        ivf_probe_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0)], "vec_id long, embedding array<double>, cell int"
+    )
+    with pytest.raises(ValueError, match="one dimension"):
+        ivf_probe_topk(emb, emb, [[0.0, 1.0], [1.0]], k=1)
