@@ -888,7 +888,25 @@ _WINDOW: list[str] = (
 #     regimes); the generator's R-parity/determinism/partitioning
 #     -invariance contracts are CI (tests/test_simulation.py), which
 #     rows-only driver rows never checked anyway — same seat-quality
-#     argument as (3).
+#     argument as (3). [(3) SPENT late-r11 funding
+#     `boilerplate_span_removal`; (4) SPENT late-r11 funding
+#     `hard_negative_ivf_probe` — see _RETIRED.] Candidates #5/#6,
+#     pre-ranked late-r11 for the r12 flip (nothing they would fund
+#     exists yet): (5) `campaign_event_attribution` (POOL_B, r10
+#     hash) vs `streaming_click_attribution` (POOL_B, r10 hash —
+#     its oracle IS the batch time-interval join, so its driver row
+#     hash-pins the identical interval-pair semantics through the
+#     harder stateful path); the bucketed batch range-join OPERATOR
+#     keeps its own CI oracle + tests (tests/test_rangejoin.py) every
+#     run — weaker than (3)/(4) because the bucketed-join PHYSICAL
+#     plan is distinct from the stream's state probe, which is why it
+#     ranks behind them. (6) `jsonl_roundtrip` (POOL_B, r10 hash) vs
+#     `partitioned_parquet_roundtrip` (POOL_B, r10 hash — the same
+#     write-then-read roundtrip IDENTITY shape, routed through the
+#     richer compaction maintenance path); the JSONL text codec's
+#     escaping semantics keep their CI oracle + golden tests — ranks
+#     last because the codec is the one thing the parquet twin cannot
+#     pin.
 #     (`funnel_conversion` was already spent late-r10 on DSIR;
 #     `stateful_capped_sessions` stays WITHDRAWN — it carries the only
 #     applyInPandasWithState hash oracle.)
