@@ -135,6 +135,9 @@ HEADLINE = [
     # shape (persisted chunking → two-phase distinct aggregate →
     # broadcast frequency join → doc-keyed reassembly)
     "boilerplate_span_removal",
+    # late-r11: T5 span-corruption pairs — the pure map-side
+    # training-pair shape (one scan, no shuffle, no UDF)
+    "span_corruption_pairs",
 ]
 
 

@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (127 queries as of r11 —
+# ROTATION POLICY (round 4+): the registry (128 queries as of r11 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r11: 27 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r11: 28 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -189,7 +189,8 @@ _POOL_B: list[str] = [
     # the twin argument.)
     "partitioned_parquet_roundtrip",
     "semantic_dedup_summary",
-    "campaign_event_attribution",
+    # (`campaign_event_attribution`, the bucketed batch range join, was
+    # retired late-r11 to fund `span_corruption_pairs` — see _RETIRED.)
     "incremental_rollup_merge",
     "stratified_fixed_k_sample",
     "document_chunking",
@@ -293,6 +294,18 @@ _POOL_B: list[str] = [
     # `synthetic_panel_stats` — the r12 plan comment's pre-ranked
     # candidate #4, argument written before building (see _RETIRED).
     "hard_negative_ivf_probe",
+    # late-r11 addition (E10+ — T5 span-corruption training pairs,
+    # Raffel et al. JMLR 2020 §3.1.4 / the UL2 denoiser family:
+    # deterministic hashed-offset spans, one per complete 20-token
+    # block, numbered sentinels, terminator convention; a pure
+    # map-side array expression — one scan, no shuffle, no UDF — with
+    # a full block/offset/sentinel/tail replay oracle and the
+    # de-corruption identity pinned in CI): zero driver history →
+    # forced into POOL_B's r12 window per rule 2; slot funded by
+    # retiring `campaign_event_attribution` — the r12 plan comment's
+    # pre-ranked candidate #5, argument written before building
+    # (see _RETIRED).
+    "span_corruption_pairs",
 ]
 _CORE: list[str] = [
     "pricing_summary",
@@ -557,6 +570,19 @@ _RETIRED: list[str] = [
     # a rows-only driver row never made. Second rows-only seat swapped
     # for a hash seat this round (see `hll_daily_distinct` above).
     "synthetic_panel_stats",
+    # late-r11: retired to fund the `span_corruption_pairs` r12 slot —
+    # the r12 plan comment's pre-ranked candidate #5. Twin coverage
+    # for the time-interval join-pair shape:
+    # `streaming_click_attribution` (POOL_B, r10 hash — its oracle IS
+    # the batch time-interval join, so its driver row hash-pins the
+    # identical interval-pair semantics through the HARDER stateful
+    # path: stream == batch == SQL) and `lineitem_priority_regime`
+    # (POOL_A, r11 window — the point-in-time interval probe, the
+    # same bounds-as-join-condition discipline); the bucketed batch
+    # range-join OPERATOR keeps its own DuckDB oracle every CI run
+    # (tests/test_oracle_parity.py — retirees stay registered) plus
+    # its dedicated bucketing/boundary tests (tests/test_rangejoin.py).
+    "campaign_event_attribution",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,
@@ -900,7 +926,8 @@ _WINDOW: list[str] = (
 #     keeps its own CI oracle + tests (tests/test_rangejoin.py) every
 #     run — weaker than (3)/(4) because the bucketed-join PHYSICAL
 #     plan is distinct from the stream's state probe, which is why it
-#     ranks behind them. (6) `jsonl_roundtrip` (POOL_B, r10 hash) vs
+#     ranks behind them [SPENT late-r11 funding `span_corruption_pairs`
+#     — see _RETIRED]. (6) `jsonl_roundtrip` (POOL_B, r10 hash) vs
 #     `partitioned_parquet_roundtrip` (POOL_B, r10 hash — the same
 #     write-then-read roundtrip IDENTITY shape, routed through the
 #     richer compaction maintenance path); the JSONL text codec's

@@ -987,3 +987,80 @@ def dsir_selected_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(raw.select("doc_id", "lang"), "doc_id")
         .select("doc_id", "lang", "log_w", "rank")
     )
+
+
+# T5 span-corruption constants shared by the query and its oracle
+# (window=20, span=3 -> 15% masked, T5's rate at its mean span)
+_SC_W, _SC_S = 20, 3
+
+
+@query(
+    "span_corruption_pairs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    w AS (SELECT doc_id, t, len(t) // {_SC_W} AS n_win FROM d),
+    wins AS (
+      SELECT doc_id, t, unnest(range(0, n_win)) AS i FROM w
+    ),
+    parts AS (
+      SELECT doc_id, t, i,
+             CAST(('0x' || substr(md5('t5:' || doc_id || ':' || i), 1, 4))
+                  AS INTEGER) % {_SC_W - _SC_S + 1} AS off
+      FROM wins
+    ),
+    blocks AS (
+      SELECT doc_id, i,
+             list_concat(list_concat(
+               t[i*{_SC_W}+1 : i*{_SC_W}+off],
+               ['<extra_id_' || i || '>']),
+               t[i*{_SC_W}+off+{_SC_S + 1} : (i+1)*{_SC_W}]) AS itoks,
+             list_concat(
+               ['<extra_id_' || i || '>'],
+               t[i*{_SC_W}+off+1 : i*{_SC_W}+off+{_SC_S}]) AS ttoks
+      FROM parts
+    ),
+    agg AS (
+      SELECT doc_id,
+             flatten(list(itoks ORDER BY i)) AS iwin,
+             flatten(list(ttoks ORDER BY i)) AS twin
+      FROM blocks GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           md5(array_to_string(
+             list_concat(coalesce(a.iwin, []),
+                         t[n_win*{_SC_W}+1 : len(t)]), ' ')) AS input_md5,
+           array_to_string(
+             list_concat(coalesce(a.twin, []),
+                         ['<extra_id_' || n_win || '>']), ' ') AS target_text,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(n_win * {_SC_S} AS BIGINT) AS n_masked
+    FROM w LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10+ (late r11, operators/denoise.span_corruption_pairs): T5
+    span-corruption training pairs — every document rewritten into a
+    deterministic (input, target) denoising pair (hashed-offset spans,
+    one per complete 20-token block, 15% masked; numbered sentinels;
+    T5's terminator convention). Pure map-side array expressions: one
+    scan, no shuffle, no UDF. The oracle replays block derivation,
+    hashed offsets, sentinel assembly and the unmasked tail end-to-end
+    and compares every input byte by md5 and every target byte
+    directly — and the de-corruption identity (input + target spans
+    == original document) is pinned in CI."""
+    from mrt_data_integration_spark.operators.denoise import (
+        span_corruption_pairs as sc_op,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sc_op(docs, window=_SC_W, span=_SC_S)
+    return out.select(
+        "doc_id",
+        F.md5("input_text").alias("input_md5"),
+        "target_text",
+        "n_tokens",
+        "n_masked",
+    )

@@ -176,6 +176,7 @@ OP_INPUTS = {
     "dedup_spans": {"docs"},
     "dedup_spans_hotchunk": {"docs"},
     "boilerplate_spans": {"docs"},
+    "span_corruption": {"docs"},
     "boilerplate_spans_hot": {"docs"},
     "leakage_split": {"docs"},
     "kmeans_fit": {"emb"},
@@ -371,6 +372,17 @@ def main() -> None:
         n = out.agg(F.sum("n_kept")).collect()[0][0]
         dd.release_cache(out)
         return n
+
+    def _span_corruption(k):
+        from mrt_data_integration_spark.operators.denoise import (
+            span_corruption_pairs as sc_op,
+        )
+
+        return (
+            sc_op(docs(k))
+            .agg(F.sum("n_masked"))
+            .collect()[0][0]
+        )
 
     def _boiler(d):
         # same lingering-cache guard as _spans: the operator persists
@@ -831,6 +843,10 @@ def main() -> None:
         # scan as dedup_spans, one two-phase distinct aggregate, a
         # broadcast map-side frequency join, doc-keyed join-back.
         "boilerplate_spans": lambda k: _boiler(docs(k)),
+        # late-r11: T5 span-corruption pairs — pure map (tokenize +
+        # O(n_windows) md5 per doc, no shuffle). Expected flat-to-
+        # linear with a small constant; the scan IS the operator.
+        "span_corruption": lambda k: _span_corruption(k),
         # late-r11: the DEGENERATE axis — every doc opens with the SAME
         # cross-replica boilerplate passage, so its ~7 interior chunks
         # are corpus-frequent with n_docs = corpus size (500k at 10×).

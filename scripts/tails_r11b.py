@@ -75,6 +75,17 @@ def main() -> None:
         )
         return wmh(w, n_hashes=8).count()
 
+    def span_corruption() -> int:
+        from mrt_data_integration_spark.operators.denoise import (
+            span_corruption_pairs as sc_op,
+        )
+
+        return (
+            sc_op(spark.read.parquet(path))
+            .agg(F.sum("n_masked"))
+            .collect()[0][0]
+        )
+
     def boiler() -> int:
         out = dd.remove_boilerplate_spans(spark.read.parquet(path))
         n = out.agg(F.sum("n_kept")).collect()[0][0]
@@ -85,6 +96,7 @@ def main() -> None:
         ("pmi_colloc", pmi),
         ("wminhash_sigs", wminhash),
         ("boilerplate_spans", boiler),
+        ("span_corruption", span_corruption),
     ):
         shots = []
         for _ in range(2):
