@@ -51,8 +51,12 @@ def span_corruption_pairs(
     reproduces the document byte-exactly.
 
     ``id_col`` must be unique per document (it seeds the span
-    offsets). Returns one row per non-empty input doc:
-    (id, input_text, target_text, n_tokens, n_masked).
+    offsets). Sentinels are literal ``<extra_id_k>`` tokens (real T5
+    reserves vocabulary IDs for them); a document whose own tokens
+    collide with that surface form would make the pair ambiguous to
+    decode — acceptable for corpus text, reserve-and-escape upstream
+    if your corpus can contain them. Returns one row per non-empty
+    input doc: (id, input_text, target_text, n_tokens, n_masked).
     """
     if span < 1:
         raise ValueError(f"span must be >= 1, got {span}")
