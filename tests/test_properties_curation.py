@@ -173,3 +173,101 @@ def test_pmi_collocations_twin_random_corpora(spark, seed):
         )
         want[(w1, w2)] = (c, uni_c[w1], uni_c[w2], round(pmi, 6))
     assert got == want, (seed, window, min_count)
+
+
+@pytest.mark.parametrize("seed", [3, 11, 29])
+def test_boilerplate_invariant_properties_random_corpora(spark, seed):
+    """Structural invariants on random corpora with planted shared
+    passages: (a) one output row per non-empty input doc; (b) every
+    clean_text is an in-order token SUBSEQUENCE of its original (the
+    rewrite only deletes, never reorders or invents); (c) removals
+    under min_docs=3 are a subset of removals under min_docs=2 (the
+    threshold is monotone); (d) n_kept == n_chunks implies
+    byte-identity."""
+    from mrt_data_integration_spark.operators.dedup import (
+        remove_boilerplate_spans,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"v{i}" for i in range(25)]
+    passages = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 12)))
+        for _ in range(3)
+    ]
+    rows = []
+    for i in range(30):
+        parts = []
+        for _ in range(rng.randint(1, 5)):
+            if rng.random() < 0.5:
+                parts.append(rng.choice(passages))
+            else:
+                parts.append(
+                    " ".join(
+                        rng.choice(vocab)
+                        for _ in range(rng.randint(0, 8))
+                    )
+                )
+        rows.append((i, " ".join(parts)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    loose = {
+        r.doc_id: r for r in remove_boilerplate_spans(df, min_docs=2).collect()
+    }
+    strict = {
+        r.doc_id: r for r in remove_boilerplate_spans(df, min_docs=3).collect()
+    }
+    originals = dict(rows)
+    non_empty = {i for i, t in rows if t}
+    assert set(loose) == non_empty and set(strict) == non_empty
+
+    def is_subsequence(sub: list[str], full: list[str]) -> bool:
+        it = iter(full)
+        return all(tok in it for tok in sub)
+
+    for did in non_empty:
+        orig_toks = originals[did].split(" ")
+        for out in (loose[did], strict[did]):
+            kept = out.clean_text.split(" ") if out.clean_text else []
+            assert is_subsequence(kept, orig_toks), (seed, did)
+            assert out.n_kept <= out.n_chunks
+            if out.n_kept == out.n_chunks:
+                assert out.clean_text == originals[did]
+        # monotone: whatever strict removed, loose removed too
+        assert strict[did].n_kept >= loose[did].n_kept, (seed, did)
+
+
+@pytest.mark.parametrize("seed", [5, 13, 31])
+def test_span_corruption_token_accounting_random_corpora(spark, seed):
+    """Exact token accounting on random corpora: input tokens ==
+    n − n_masked + n_windows (each span swaps for one sentinel),
+    target tokens == n_masked + n_windows + 1 (sentinel per span +
+    terminator), and every non-sentinel input/target token appears in
+    the original document's bag."""
+    from mrt_data_integration_spark.operators.denoise import (
+        span_corruption_pairs,
+    )
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            i,
+            " ".join(
+                f"u{rng.randint(0, 40)}" for _ in range(rng.randint(1, 75))
+            ),
+        )
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in span_corruption_pairs(df).collect()}
+    for did, text in rows:
+        r = out[did]
+        n = len(text.split(" "))
+        n_win = n // 20
+        assert r.n_tokens == n and r.n_masked == n_win * 3
+        itoks = r.input_text.split(" ")
+        ttoks = r.target_text.split(" ")
+        assert len(itoks) == n - r.n_masked + n_win, (seed, did)
+        assert len(ttoks) == r.n_masked + n_win + 1, (seed, did)
+        bag = Counter(text.split(" "))
+        for tok in itoks + ttoks:
+            if not tok.startswith("<extra_id_"):
+                assert bag[tok] > 0, (seed, did, tok)
