@@ -62,6 +62,14 @@ def bm25_topk(
         score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
         idf(t)      = ln(1 + (N − df + 0.5)/(df + 0.5))
     """
+    from mrt_data_integration_spark.operators.dedup import _spread
+
+    # Fan a small corpus scan across the cluster before the two
+    # tokenize passes below (toks + avgdl) — a 1-2 split local table
+    # otherwise runs the regex tokenizer on ONE core twice (the r11
+    # one-split lesson; measured 2.8 → 1.9 s cold at sf0.1). No-op at
+    # corpus scale, where input splits provide the parallelism.
+    docs = _spread(docs)
     qterms = queries.select(
         query_id_col, F.explode(F.array_distinct(F.col(terms_col))).alias("term")
     )
