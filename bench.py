@@ -138,6 +138,10 @@ HEADLINE = [
     # late-r11: T5 span-corruption pairs — the pure map-side
     # training-pair shape (one scan, no shuffle, no UDF)
     "span_corruption_pairs",
+    # late-r11: margin-based pair mining — the bidirectional
+    # rank-and-normalize shape (one persisted scored frame, two
+    # bounded rankings, stat joins)
+    "margin_mined_pairs",
 ]
 
 

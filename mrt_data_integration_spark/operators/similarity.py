@@ -1896,3 +1896,98 @@ def hard_negative_ivf_topk(
         F.col("corpus_label").alias("negative_label"),
         "cosine_sim",
     )
+
+
+def margin_knn_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based pair mining between two embedding corpora — the
+    ratio-margin criterion of Artetxe & Schwenk (TACL 2019) that built
+    CCMatrix (Schwenk et al., ACL 2021), the standard recipe for
+    mining aligned training pairs (bitext, caption-image, QA) out of
+    two unaligned corpora: raw cosine over-selects hubs (vectors close
+    to EVERYTHING), so each candidate's cosine is normalized by the
+    average similarity of both endpoints' k-NN neighborhoods —
+
+        margin(x, y) = cos(x, y) / ((avg_kNN(x) + avg_kNN(y)) / 2)
+
+    — and the pair is trusted when it is MUTUALLY best (x's nearest
+    target is y and y's nearest source is x).
+
+    Mechanism: one scored frame (broadcast ``src``, one ``tgt`` scan —
+    brute_force_topk's shape), persisted for its TWO ranking consumers
+    (the forward per-src top-k and the backward per-tgt top-k, both
+    through the two-stage bounded ranking); neighborhood averages are
+    rounded to 12 (the engine's float-combination discipline) before
+    the margin. Returns ONE row per src vector — its best target with
+    the margin and the mutuality flag — so downstream thresholding
+    (CCMatrix keeps margin >= ~1.06) is a plain filter.
+
+    At corpus scale the brute scored frame is the exactness baseline;
+    the IVF probe (:func:`ivf_probe_topk`) supplies the same
+    per-query candidate sets from cell-bounded scans and composes the
+    way the hard-negative family's does. A target that is best-for-
+    many-sources concentrates its (narrow) stat rows in the final
+    join — AQE's skew split handles it; vectors never re-shuffle.
+
+    ``src`` and ``tgt`` must be distinct corpora (no self-pair
+    exclusion is applied); NULL embeddings are excluded. ``margin`` is
+    NULL when both neighborhoods average to exactly zero.
+    """
+    s = src.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("__svec__"),
+        norm(vec_col).alias("__sn__"),
+    )
+    t = tgt.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("tgt_id"),
+        F.col(vec_col).alias("__tvec__"),
+        norm(vec_col).alias("__tn__"),
+    )
+    scored = track_cache(
+        t.crossJoin(F.broadcast(s))
+        .select(
+            "src_id",
+            "tgt_id",
+            (
+                dot("__svec__", "__tvec__")
+                / (F.col("__sn__") * F.col("__tn__"))
+            ).alias("cosine_sim"),
+        )
+        .persist()
+    )
+    fwd = bounded_topk(
+        scored, k, "cosine_sim", key_col="src_id", tie_col="tgt_id"
+    )
+    bwd = bounded_topk(
+        scored, k, "cosine_sim", key_col="tgt_id", tie_col="src_id"
+    )
+    fwd_stats = fwd.groupBy("src_id").agg(
+        F.round(F.avg("cosine_sim"), 12).alias("__favg__"),
+        F.min(F.when(F.col("rk") == 1, F.col("tgt_id"))).alias("tgt_id"),
+        F.min(F.when(F.col("rk") == 1, F.col("cosine_sim"))).alias(
+            "__fcos__"
+        ),
+    )
+    bwd_stats = bwd.groupBy("tgt_id").agg(
+        F.round(F.avg("cosine_sim"), 12).alias("__bavg__"),
+        F.min(F.when(F.col("rk") == 1, F.col("src_id"))).alias("__bbest__"),
+    )
+    denom = (F.col("__favg__") + F.col("__bavg__")) / 2
+    out = (
+        fwd_stats.join(bwd_stats, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round("__fcos__", 4).alias("cosine_sim"),
+            F.round(
+                F.when(denom != 0, F.col("__fcos__") / denom), 4
+            ).alias("margin"),
+            (F.col("__bbest__") == F.col("src_id")).alias("mutual"),
+        )
+    )
+    return attach_cache(out, [scored])

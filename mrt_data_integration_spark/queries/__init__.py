@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (128 queries as of r11 —
+# ROTATION POLICY (round 4+): the registry (129 queries as of r11 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r11: 28 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r11: 29 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -215,7 +215,8 @@ _POOL_B: list[str] = [
     # late-r7 addition (S1+S2 — JSONL sink/source, the LLM-corpus
     # interchange format): zero driver history, force-included in r8 per
     # rule 2; slot funded by retiring `pivot_method_by_coef`.
-    "jsonl_roundtrip",
+    # (`jsonl_roundtrip` was retired late-r11 to fund
+    # `margin_mined_pairs` — see _RETIRED for the twin argument.)
     # late-r7 addition (E6+ — watermarked stream-stream interval join,
     # the missing Structured Streaming primitive): zero driver history,
     # force-included in r8 per rule 2; slot funded by retiring
@@ -306,6 +307,18 @@ _POOL_B: list[str] = [
     # pre-ranked candidate #5, argument written before building
     # (see _RETIRED).
     "span_corruption_pairs",
+    # late-r11 addition (E4+ — margin-based pair mining, Artetxe &
+    # Schwenk TACL 2019 / the CCMatrix recipe: each source's best
+    # target normalized by both endpoints' k-NN-average similarity
+    # with a mutual-best flag — the hub correction that raw cosine
+    # lacks; one persisted scored frame feeding both ranked
+    # neighborhoods through the two-stage bounded top-k, with a full
+    # cosine → bidirectional ranks → rounded averages → margin →
+    # mutuality replay oracle): zero driver history → forced into
+    # POOL_B's r12 window per rule 2; slot funded by retiring
+    # `jsonl_roundtrip` — the r12 plan comment's pre-ranked candidate
+    # #6, argument written before building (see _RETIRED).
+    "margin_mined_pairs",
 ]
 _CORE: list[str] = [
     "pricing_summary",
@@ -583,6 +596,18 @@ _RETIRED: list[str] = [
     # (tests/test_oracle_parity.py — retirees stay registered) plus
     # its dedicated bucketing/boundary tests (tests/test_rangejoin.py).
     "campaign_event_attribution",
+    # late-r11: retired to fund the `margin_mined_pairs` r12 slot —
+    # the r12 plan comment's pre-ranked candidate #6 (the last of the
+    # six; the r12 flip must pre-rank fresh candidates before any r12
+    # registration). Twin coverage for the write-then-read roundtrip
+    # IDENTITY shape: `partitioned_parquet_roundtrip` (POOL_B, r10
+    # hash — the same sink→scan identity routed through the RICHER
+    # write → compact → pruned-read maintenance path); what the
+    # parquet twin cannot pin — the JSONL text codec's escaping
+    # semantics — keeps its own DuckDB oracle every CI run
+    # (tests/test_oracle_parity.py) and the sink family's golden
+    # round-trip tests (tests/test_sinks.py).
+    "jsonl_roundtrip",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,
@@ -933,7 +958,9 @@ _WINDOW: list[str] = (
 #     richer compaction maintenance path); the JSONL text codec's
 #     escaping semantics keep their CI oracle + golden tests — ranks
 #     last because the codec is the one thing the parquet twin cannot
-#     pin.
+#     pin [SPENT late-r11 funding `margin_mined_pairs` — see _RETIRED;
+#     ALL SIX candidates now spent: the r12 flip must pre-rank fresh
+#     ones before any r12 registration].
 #     (`funnel_conversion` was already spent late-r10 on DSIR;
 #     `stateful_capped_sessions` stays WITHDRAWN — it carries the only
 #     applyInPandasWithState hash oracle.)

@@ -569,3 +569,67 @@ def hard_negative_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("corpus_label").alias("negative_label"),
         "cosine_sim",
     )
+
+
+@query(
+    "margin_mined_pairs",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id AS src_id, {_E_DBL} AS v FROM embeddings
+      WHERE label % 2 = 0 AND embedding IS NOT NULL
+    ),
+    t AS (
+      SELECT vec_id AS tgt_id, {_E_DBL} AS v FROM embeddings
+      WHERE label % 2 = 1 AND embedding IS NOT NULL
+    ),
+    sc AS (
+      SELECT src_id, tgt_id,
+             list_dot_product(s.v, t.v)
+               / (sqrt(list_dot_product(s.v, s.v))
+                  * sqrt(list_dot_product(t.v, t.v))) AS cs
+      FROM s, t
+    ),
+    fwd AS (
+      SELECT src_id, tgt_id, cs, row_number() OVER (
+        PARTITION BY src_id ORDER BY cs DESC, tgt_id) AS rk
+      FROM sc
+    ),
+    bwd AS (
+      SELECT src_id, tgt_id, cs, row_number() OVER (
+        PARTITION BY tgt_id ORDER BY cs DESC, src_id) AS rk
+      FROM sc
+    ),
+    fs AS (
+      SELECT src_id,
+             round(avg(cs), 12) AS favg,
+             min(CASE WHEN rk = 1 THEN tgt_id END) AS tgt_id,
+             min(CASE WHEN rk = 1 THEN cs END) AS fcos
+      FROM fwd WHERE rk <= 4 GROUP BY src_id
+    ),
+    bs AS (
+      SELECT tgt_id,
+             round(avg(cs), 12) AS bavg,
+             min(CASE WHEN rk = 1 THEN src_id END) AS bbest
+      FROM bwd WHERE rk <= 4 GROUP BY tgt_id
+    )
+    SELECT fs.src_id, fs.tgt_id,
+           round(fcos, 4) AS cosine_sim,
+           round(CASE WHEN (favg + bavg) / 2 != 0
+                      THEN fcos / ((favg + bavg) / 2) END, 4) AS margin,
+           (bbest = fs.src_id) AS mutual
+    FROM fs JOIN bs USING (tgt_id)
+    """,
+)
+def margin_mined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+ (late r11, operators/similarity.margin_knn_pairs): margin-
+    based pair mining (Artetxe & Schwenk TACL 2019 — the CCMatrix
+    recipe): even-label vectors as the source corpus, odd-label as the
+    target; each source's best target normalized by both endpoints'
+    k-NN-average similarity (the hub correction), with the mutual-best
+    flag. One row per source vector. The oracle replays the cosine
+    frame, both ranked neighborhoods, the rounded averages, the margin
+    and the mutuality end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("label") % 2 == 0)
+    tgt = emb.filter(F.col("label") % 2 == 1)
+    return sim.margin_knn_pairs(src, tgt, k=4)

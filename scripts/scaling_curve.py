@@ -185,6 +185,7 @@ OP_INPUTS = {
     "pmi_colloc": {"docs"},
     "wminhash_sigs": {"docs"},
     "hard_negative": {"emb"},
+    "margin_mining": {"emb"},
     "streaming_scd2_drain": {"orders", "sscd2_src"},
     "wcls_fit": {"panel"},
 }
@@ -384,6 +385,16 @@ def main() -> None:
             .collect()[0][0]
         )
 
+    def _margin_mining(k):
+        from mrt_data_integration_spark.operators.similarity import (
+            margin_knn_pairs,
+        )
+
+        out = margin_knn_pairs(mm_src, emb(k), k=4)
+        n = out.count()
+        dd.release_cache(out)  # the persisted scored frame
+        return n
+
     def _boiler(d):
         # same lingering-cache guard as _spans: the operator persists
         # its chunking scan for two consumers
@@ -412,6 +423,10 @@ def main() -> None:
     # Fixed hard-negative anchor batch: replica-0 vectors exist
     # identically at every scale, so the probe workload is constant and
     # the measured slope is the corpus scan's.
+    mm_src = None
+    if "margin_mining" in wanted_ops:
+        mm_src = emb(1).filter(F.col("vec_id") < 200).collect()
+        mm_src = spark.createDataFrame(mm_src, emb(1).schema)
     hn_anchors = None
     if "hard_negative" in wanted_ops:
         hn_anchors = emb(1).filter(F.col("vec_id") < 20).collect()
@@ -904,6 +919,14 @@ def main() -> None:
         "hard_negative": lambda k: sim.hard_negative_topk(
             emb(k), hn_anchors, k=4
         ).count(),
+        # late-r11: margin pair mining — FIXED 200-source batch against
+        # the k×-growing target corpus (the brute scored frame is
+        # quadratic BY DEFINITION — the exactness baseline — so the
+        # measured axis is the one the operator meets at scale: a
+        # broadcast source batch scanning a growing target, the
+        # hard_negative protocol; the corpus×corpus path composes with
+        # ivf_probe_topk's cell-bounded candidates instead).
+        "margin_mining": lambda k: _margin_mining(k),
         # r9: streaming SCD2 drain — the versioned-state maintenance
         # path. Expected slope HONESTLY ABOVE the batch collapse's:
         # each micro-batch's publish COPIES untouched closed rows

@@ -811,3 +811,111 @@ def test_ivf_probe_topk_ragged_centers_rejected(spark):
     )
     with pytest.raises(ValueError, match="one dimension"):
         ivf_probe_topk(emb, emb, [[0.0, 1.0], [1.0]], k=1)
+
+
+def test_margin_knn_pairs_numpy_twin(spark):
+    """Full-pipeline twin on random corpora: cosines, bidirectional
+    top-k neighborhoods, rounded averages, margin, mutuality — exact
+    row set equality."""
+    import numpy as np
+
+    from mrt_data_integration_spark.operators.dedup import release_cache
+    from mrt_data_integration_spark.operators.similarity import (
+        margin_knn_pairs,
+    )
+
+    rng = np.random.default_rng(21)
+    S = rng.normal(size=(17, 6)); T = rng.normal(size=(23, 6))
+    src = spark.createDataFrame(
+        [(i, [float(x) for x in S[i]]) for i in range(17)],
+        "vec_id long, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [(100 + j, [float(x) for x in T[j]]) for j in range(23)],
+        "vec_id long, embedding array<double>",
+    )
+    out = margin_knn_pairs(src, tgt, k=4)
+    got = {
+        r.src_id: (r.tgt_id, r.cosine_sim, r.margin, r.mutual)
+        for r in out.collect()
+    }
+    release_cache(out)
+
+    def cos(a, b):
+        return float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b)))
+
+    cs = {(i, 100 + j): cos(S[i], T[j]) for i in range(17) for j in range(23)}
+    want = {}
+    bbest = {}
+    bavg = {}
+    for j in range(23):
+        ranked = sorted(range(17), key=lambda i: (-cs[(i, 100 + j)], i))
+        bbest[100 + j] = ranked[0]
+        bavg[100 + j] = round(
+            sum(cs[(i, 100 + j)] for i in ranked[:4]) / 4, 12
+        )
+    for i in range(17):
+        ranked = sorted(range(23), key=lambda j: (-cs[(i, 100 + j)], j))
+        best = 100 + ranked[0]
+        favg = round(sum(cs[(i, 100 + j)] for j in ranked[:4]) / 4, 12)
+        fcos = cs[(i, best)]
+        denom = (favg + bavg[best]) / 2
+        want[i] = (
+            best,
+            round(fcos, 4),
+            round(fcos / denom, 4) if denom != 0 else None,
+            bbest[best] == i,
+        )
+    assert got == want
+
+
+def test_margin_knn_hub_correction(spark):
+    """The criterion's point: a HUB target (near-equally close to every
+    source) scores a LOWER margin than a genuinely aligned pair of the
+    same raw cosine — its own neighborhood average is inflated, which
+    is exactly the denominator."""
+    from mrt_data_integration_spark.operators.similarity import (
+        margin_knn_pairs,
+    )
+
+    # sources: near-orthogonal directions; tgt 100 = hub (diagonal —
+    # cosine ~0.57 to all three), tgt 101 = aligned with src 1 only
+    src = spark.createDataFrame(
+        [
+            (0, [1.0, 0.05, 0.0]),
+            (1, [0.05, 1.0, 0.0]),
+            (2, [0.0, 0.05, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [(100, [1.0, 1.0, 1.0]), (101, [0.06, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.src_id: r for r in margin_knn_pairs(src, tgt, k=2).collect()}
+    # src 1's best is the aligned 101, mutually; srcs 0/2 fall to the hub
+    assert out[1].tgt_id == 101 and out[1].mutual
+    assert out[0].tgt_id == 100 and out[2].tgt_id == 100
+    # aligned pair out-margins the hub pairs
+    assert out[1].margin > out[0].margin
+    assert out[1].margin > out[2].margin
+
+
+def test_margin_knn_null_and_grain(spark):
+    """NULL embeddings are excluded on both sides; output is one row
+    per surviving source."""
+    from mrt_data_integration_spark.operators.similarity import (
+        margin_knn_pairs,
+    )
+
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [(10, [1.0, 1.0]), (11, None)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = margin_knn_pairs(src, tgt, k=2).collect()
+    assert sorted(r.src_id for r in rows) == [0, 2]
+    assert all(r.tgt_id == 10 and r.mutual in (True, False) for r in rows)
