@@ -324,11 +324,17 @@ def _ivf_probe(
     id_col: str,
     vec_col: str,
     label_col: str | None,
+    exclude_self: bool = True,
+    round_scores: bool = True,
 ) -> DataFrame:
     """Probe half shared by :func:`ivf_topk` (ml.KMeans index) and
     :func:`ivf_probe_topk` (any precomputed index). ``assigned``
     carries the internal columns (corpus_id, __cvec__, __cn__,
-    __cell__[, __clabel__])."""
+    __cell__[, __clabel__]). ``exclude_self=False`` keeps
+    query_id == corpus_id candidate pairs — required when queries and
+    corpus are DISTINCT frames whose id spaces merely overlap
+    (cross-corpus mining); the self-exclusion only means something
+    when both sides are the same corpus."""
 
     def probe_cells(vec: Column | str) -> Column:
         """Array of the n_probe nearest cell ids (squared-L2 to each
@@ -354,7 +360,11 @@ def _ivf_probe(
         *([F.col(label_col).alias("__qlabel__")] if label_col else []),
         F.explode(probe_cells(vec_col)).alias("__cell__"),
     )
-    pair_ok = F.col("query_id") != F.col("corpus_id")
+    pair_ok = (
+        F.col("query_id") != F.col("corpus_id")
+        if exclude_self
+        else F.lit(True)
+    )
     if label_col:
         # hard-negative predicate: candidates must mismatch the query's
         # label, null-safely (hard_negative_topk semantics) — evaluated
@@ -374,11 +384,14 @@ def _ivf_probe(
     )
     # Candidates are cell-bounded, but a hot cell can still be large —
     # the two-stage ranking keeps every reducer group partition-sized.
+    score_out = (
+        F.round("cosine_sim", 4) if round_scores else F.col("cosine_sim")
+    )
     return bounded_topk(scored, k, "cosine_sim").select(
         "query_id",
         "corpus_id",
         *(["corpus_label"] if label_col else []),
-        F.round("cosine_sim", 4).alias("cosine_sim"),
+        score_out.alias("cosine_sim"),
         "rk",
     )
 
@@ -1972,6 +1985,13 @@ def margin_knn_pairs(
     bwd = bounded_topk(
         scored, k, "cosine_sim", key_col="tgt_id", tie_col="src_id"
     )
+    return attach_cache(_margin_assemble(fwd, bwd), [scored])
+
+
+def _margin_assemble(fwd: DataFrame, bwd: DataFrame) -> DataFrame:
+    """Margin/mutuality assembly shared by the brute and IVF paths:
+    ``fwd`` = per-src ranked targets, ``bwd`` = per-tgt ranked sources
+    — both (src_id, tgt_id, cosine_sim, rk) with UNROUNDED cosines."""
     fwd_stats = fwd.groupBy("src_id").agg(
         F.round(F.avg("cosine_sim"), 12).alias("__favg__"),
         F.min(F.when(F.col("rk") == 1, F.col("tgt_id"))).alias("tgt_id"),
@@ -1984,16 +2004,85 @@ def margin_knn_pairs(
         F.min(F.when(F.col("rk") == 1, F.col("src_id"))).alias("__bbest__"),
     )
     denom = (F.col("__favg__") + F.col("__bavg__")) / 2
-    out = (
-        fwd_stats.join(bwd_stats, "tgt_id")
-        .select(
-            "src_id",
-            "tgt_id",
-            F.round("__fcos__", 4).alias("cosine_sim"),
-            F.round(
-                F.when(denom != 0, F.col("__fcos__") / denom), 4
-            ).alias("margin"),
-            (F.col("__bbest__") == F.col("src_id")).alias("mutual"),
-        )
+    return fwd_stats.join(bwd_stats, "tgt_id").select(
+        "src_id",
+        "tgt_id",
+        F.round("__fcos__", 4).alias("cosine_sim"),
+        F.round(
+            F.when(denom != 0, F.col("__fcos__") / denom), 4
+        ).alias("margin"),
+        (F.col("__bbest__") == F.col("src_id")).alias("mutual"),
     )
-    return attach_cache(out, [scored])
+
+
+def margin_knn_pairs_ivf(
+    src: DataFrame,
+    tgt: DataFrame,
+    src_centers: list[list[float]],
+    tgt_centers: list[list[float]],
+    k: int = 4,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """:func:`margin_knn_pairs` through the IVF cell probe — the
+    corpus-scale composition the brute operator's docstring names, now
+    code (the hard-negative family's precedent): BOTH corpora carry
+    their own index (``cell_col`` + the matching centers list), the
+    forward neighborhoods come from probing the target index with the
+    sources and the backward neighborhoods from probing the source
+    index with the targets, and the margin/mutuality assembly is the
+    brute path's verbatim. ``n_probe == n_centroids`` on both sides
+    reproduces :func:`margin_knn_pairs` exactly (pinned by test);
+    partial probes approximate the neighborhoods the way every IVF
+    probe does. Self-pairs are NOT excluded (``exclude_self=False`` —
+    the corpora are distinct frames whose id spaces may overlap).
+
+    A source whose probed cells hold no target vanishes from the
+    output (no candidates → no row), the IVF completeness contract.
+    """
+
+    def _assigned(corpus: DataFrame) -> DataFrame:
+        return corpus.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("corpus_id"),
+            F.col(vec_col).alias("__cvec__"),
+            norm(vec_col).alias("__cn__"),
+            F.col(cell_col).alias("__cell__"),
+        )
+
+    fwd = _ivf_probe(
+        _assigned(tgt),
+        src.filter(F.col(vec_col).isNotNull()),
+        tgt_centers,
+        k,
+        n_probe,
+        id_col,
+        vec_col,
+        label_col=None,
+        exclude_self=False,
+        round_scores=False,
+    ).select(
+        F.col("query_id").alias("src_id"),
+        F.col("corpus_id").alias("tgt_id"),
+        "cosine_sim",
+        "rk",
+    )
+    bwd = _ivf_probe(
+        _assigned(src),
+        tgt.filter(F.col(vec_col).isNotNull()),
+        src_centers,
+        k,
+        n_probe,
+        id_col,
+        vec_col,
+        label_col=None,
+        exclude_self=False,
+        round_scores=False,
+    ).select(
+        F.col("query_id").alias("tgt_id"),
+        F.col("corpus_id").alias("src_id"),
+        "cosine_sim",
+        "rk",
+    )
+    return _margin_assemble(fwd, bwd)

@@ -919,3 +919,54 @@ def test_margin_knn_null_and_grain(spark):
     rows = margin_knn_pairs(src, tgt, k=2).collect()
     assert sorted(r.src_id for r in rows) == [0, 2]
     assert all(r.tgt_id == 10 and r.mutual in (True, False) for r in rows)
+
+
+def test_margin_knn_ivf_full_probe_equals_brute(spark):
+    """margin_knn_pairs_ivf with n_probe == n_centroids on BOTH
+    deterministic Lloyd's indexes reproduces the brute margins exactly
+    — the composition changes the candidate source, never the
+    criterion."""
+    import numpy as np
+
+    from mrt_data_integration_spark.operators.cluster import kmeans_lloyd
+    from mrt_data_integration_spark.operators.dedup import release_cache
+    from mrt_data_integration_spark.operators.similarity import (
+        margin_knn_pairs,
+        margin_knn_pairs_ivf,
+    )
+
+    rng = np.random.default_rng(33)
+    S = rng.normal(size=(20, 6)); T = rng.normal(size=(26, 6))
+    src = spark.createDataFrame(
+        [(i, [float(x) for x in S[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        # OVERLAPPING id space with src — the exclude_self=False case
+        [(j, [float(x) for x in T[j]]) for j in range(26)],
+        "vec_id long, embedding array<double>",
+    )
+    sa, sc = kmeans_lloyd(src, k=3, n_iter=2)
+    ta, tc = kmeans_lloyd(tgt, k=3, n_iter=2)
+    src_c = src.join(sa.select("vec_id", "cell"), "vec_id")
+    tgt_c = tgt.join(ta.select("vec_id", "cell"), "vec_id")
+    brute = margin_knn_pairs(src, tgt, k=4)
+    want = sorted(map(tuple, brute.collect()))
+    got = sorted(
+        map(
+            tuple,
+            margin_knn_pairs_ivf(
+                src_c, tgt_c, sc, tc, k=4, n_probe=3
+            ).collect(),
+        )
+    )
+    release_cache(brute)
+    release_cache(sa)
+    release_cache(ta)
+    assert got == want
+
+    # partial probe: still one row per surviving source, margins are
+    # well-formed, mutual is boolean
+    part = margin_knn_pairs_ivf(src_c, tgt_c, sc, tc, k=4, n_probe=1).collect()
+    assert len({r.src_id for r in part}) == len(part) <= 20
+    assert all(r.mutual in (True, False) for r in part)
