@@ -28,6 +28,8 @@ def changelog_to_scd2(
     tracked_cols: list[str],
     seq_cols: list[str],
     ts_col: str,
+    op_col: str | None = None,
+    delete_op: str = "D",
 ) -> DataFrame:
     """Collapse an ordered change log into SCD2 version rows.
 
@@ -48,6 +50,18 @@ def changelog_to_scd2(
     versions, NULL → NULL does not — a plain ``!=`` would silently
     treat every NULL row as "no change".
 
+    ``op_col`` (late r11 — the type-2 half of the CDC delete contract
+    `apply_cdc_changes` already has): a ``delete_op`` observation is a
+    TOMBSTONE — it closes the key's open version at the delete's
+    ``ts_col`` and emits NO version row, so a deleted key has no
+    current row (the null-safe rule of the type-1 path: a NULL op is
+    an upsert, never a delete). A later re-insert opens a NEW version
+    even when its tracked values equal the pre-delete values — the
+    delete is a hard boundary, not a value change — and version
+    numbers keep counting across the gap. Consecutive tombstones
+    collapse; a tombstone for a never-seen key yields nothing. The
+    default (None) is byte-identical to the pre-delete behavior.
+
     One hash shuffle on ``key_cols``; the detect window and the
     run-collapse windows share the same (partitionBy, orderBy) spec so
     Catalyst plans a single Exchange + Sort for all of them.
@@ -55,11 +69,39 @@ def changelog_to_scd2(
     kt = [F.col(c) for c in key_cols]
     w = Window.partitionBy(*kt).orderBy(*[F.col(c) for c in seq_cols])
     cur = F.struct(*[F.col(c) for c in tracked_cols])
-    is_new = ~F.lag(cur).over(w).eqNullSafe(cur) | F.lag(cur).over(w).isNull()
-    runs = changes.withColumn("__new__", is_new).filter("__new__")
+    if op_col is None:
+        is_del = F.lit(False)
+    else:
+        is_del = F.col(op_col).eqNullSafe(delete_op)
+    prev_del = F.coalesce(F.lag(is_del).over(w), F.lit(False))
+    # boundaries: first observation, value change, anything following
+    # a tombstone (re-inserts never collapse across the gap), and the
+    # first tombstone of a tombstone run
+    is_new = (
+        F.lag(cur).over(w).isNull()
+        | ~F.lag(cur).over(w).eqNullSafe(cur)
+        | prev_del
+    ) & ~(is_del & prev_del)
+    runs = (
+        changes.withColumn("__del__", is_del)
+        .withColumn("__new__", is_new)
+        .filter("__new__")
+    )
+    # versions count NON-tombstone runs only, but tombstones stay in
+    # the frame long enough to bound the previous run's valid_to
+    w_runs = Window.partitionBy(*kt).orderBy(*[F.col(c) for c in seq_cols])
+    w_cum = w_runs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        runs.withColumn("valid_to", F.lead(F.col(ts_col)).over(w))
-        .withColumn("version", F.row_number().over(w))
+        runs.withColumn("valid_to", F.lead(F.col(ts_col)).over(w_runs))
+        .withColumn(
+            "version",
+            # cast: count() is LongType, but the merge path unions with
+            # this history and carries row_number()-IntegerType versions
+            F.count(F.when(~F.col("__del__"), F.lit(1)))
+            .over(w_cum)
+            .cast("int"),
+        )
+        .filter(~F.col("__del__"))
         .select(
             *key_cols,
             *tracked_cols,
@@ -78,6 +120,8 @@ def scd2_merge(
     tracked_cols: list[str],
     seq_cols: list[str],
     ts_col: str,
+    op_col: str | None = None,
+    delete_op: str = "D",
 ) -> DataFrame:
     """Fold a NEW change batch into an existing SCD2 ``history``.
 
@@ -90,10 +134,21 @@ def scd2_merge(
 
     - keys absent from the batch pass through UNCHANGED (no shuffle of
       the untouched history beyond the anti-join probe);
-    - for affected keys, the CURRENT row re-enters the collapse as the
-      baseline observation (its valid_from/version carried through),
-      so an unchanged attribute batch extends no version and a changed
-      one closes the current row at the first differing observation.
+    - for affected keys, the CURRENT row (when one exists — a
+      delete-terminated key has none and its batch collapses fresh)
+      re-enters the collapse as the baseline observation, so an
+      unchanged attribute batch extends no version and a changed one
+      closes the current row at the first differing observation.
+
+    ``op_col`` (late r11): batch tombstones (``delete_op``) close the
+    open version at the delete's ``ts_col`` and leave the key with no
+    current row — `changelog_to_scd2`'s delete semantics, so
+    merge == rebuild still holds on logs WITH deletes (fuzz-pinned).
+    Version numbers resume from the key's CLOSED row count — for a
+    never-deleted key that equals the old current-version carry
+    (versions 1..n with n current ⇒ n−1 closed), so the default path
+    is byte-identical; for a delete-terminated key it correctly
+    resumes past the tombstone gap.
 
     At 100 TB the history side is the big one: affected keys are a
     broadcast semi/anti-join prune (micro-batch sized), so the closed
@@ -104,8 +159,12 @@ def scd2_merge(
     closed = history.filter(~F.col("is_current")).join(
         F.broadcast(affected), key_cols, "left_semi"
     )
-    # current rows re-enter the collapse as the baseline observation;
-    # __v0__ carries their version so re-numbering can resume from it.
+    # version numbering resumes from the per-key CLOSED row count (see
+    # docstring); one tiny aggregate over the affected keys' history
+    n_closed = closed.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("int").alias("__nc__")
+    )
+    # current rows re-enter the collapse as the baseline observation.
     # seq tiebreaker columns (seq_cols minus ts_col) ride along from
     # the batch; the baseline fills them with typed NULLs — NULLS FIRST
     # sorts the baseline before any batch row that ties on ts (the
@@ -120,37 +179,53 @@ def scd2_merge(
             *tracked_cols,
             F.col("valid_from").alias(ts_col),
             *[F.lit(None).cast(batch_types[c]).alias(c) for c in tiebreak],
-            F.col("version").alias("__v0__"),
+            F.lit(False).alias("__del__"),
         )
     )
+    if op_col is None:
+        batch_del = F.lit(False)
+    else:
+        # null-safe: a NULL op is an upsert, never a delete (the
+        # type-1 path's contract, apply_cdc_changes)
+        batch_del = F.col(op_col).eqNullSafe(delete_op)
     batch_obs = batch.select(
         *key_cols,
         *tracked_cols,
         ts_col,
         *tiebreak,
-        F.lit(None).cast("long").alias("__v0__"),
+        batch_del.alias("__del__"),
     )
     merged_log = base.unionByName(batch_obs, allowMissingColumns=False)
     w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
         F.col(ts_col), *[F.col(c) for c in tiebreak]
     )
     cur = F.struct(*[F.col(c) for c in tracked_cols])
-    is_new = ~F.lag(cur).over(w).eqNullSafe(cur) | F.lag(cur).over(w).isNull()
-    v0 = F.first("__v0__", ignorenulls=True).over(
-        Window.partitionBy(*[F.col(c) for c in key_cols])
-    )
+    is_del = F.col("__del__")
+    prev_del = F.coalesce(F.lag(is_del).over(w), F.lit(False))
+    # the changelog collapse's boundary rules verbatim (value change,
+    # post-tombstone re-insert, first tombstone of a tombstone run)
+    is_new = (
+        F.lag(cur).over(w).isNull()
+        | ~F.lag(cur).over(w).eqNullSafe(cur)
+        | prev_del
+    ) & ~(is_del & prev_del)
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rebuilt = (
         merged_log.withColumn("__new__", is_new)
         .filter("__new__")
         .withColumn("valid_to", F.lead(F.col(ts_col)).over(w))
-        .withColumn("__rn__", F.row_number().over(w))
-        # brand-new keys (no history) have no __v0__ → resume from 1
+        .withColumn(
+            "__rn__",
+            F.count(F.when(~is_del, F.lit(1))).over(w_cum).cast("int"),
+        )
+        .filter(~is_del)
+        .join(F.broadcast(n_closed), key_cols, "left")
         .withColumn(
             "version",
-            (F.col("__rn__") + F.coalesce(v0, F.lit(1)) - F.lit(1)).cast(
+            (F.col("__rn__") + F.coalesce(F.col("__nc__"), F.lit(0))).cast(
                 "int"
-            ),  # keep IntegerType so merge output unions cleanly with
-            # changelog_to_scd2's row_number()-typed history
+            ),  # IntegerType so merge output unions cleanly with
+            # changelog_to_scd2's history
         )
         .select(
             *key_cols,

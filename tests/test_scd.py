@@ -436,3 +436,113 @@ def test_cdc_op_col_colliding_with_snapshot_column_fails_fast(spark):
         apply_cdc_changes(
             snap, b, key_cols=["k"], seq_cols=["seq"], op_col="op"
         )
+
+
+def _dlog(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, attr string, ts timestamp, rid long, op string"
+    )
+
+
+def test_scd2_delete_tombstone_handwalk(spark):
+    """insert → update → delete → re-insert (SAME value as pre-delete):
+    the tombstone closes v2 at the delete ts and leaves no current row
+    until the re-insert opens v3 — a NEW version despite equal tracked
+    values (the delete is a hard boundary, not a value change), with
+    numbering continuing across the gap."""
+    log = _dlog(
+        spark,
+        [
+            (1, "a", _ts(1), 1, "U"),
+            (1, "b", _ts(3), 2, "U"),
+            (1, None, _ts(5), 3, "D"),
+            (1, "b", _ts(8), 4, "U"),
+        ],
+    )
+    hist = changelog_to_scd2(
+        log, ["k"], ["attr"], ["ts", "rid"], "ts", op_col="op"
+    )
+    rows = sorted(hist.collect(), key=lambda r: r.version)
+    assert [(r.version, r.attr, r.valid_from, r.valid_to, r.is_current)
+            for r in rows] == [
+        (1, "a", _ts(1), _ts(3), False),
+        (2, "b", _ts(3), _ts(5), False),   # closed BY the tombstone
+        (3, "b", _ts(8), None, True),      # re-insert: new version
+    ]
+
+
+def test_scd2_delete_edge_cases(spark):
+    """Consecutive tombstones collapse (the second is redundant, and
+    the gap still closes at the FIRST delete's ts); a tombstone for a
+    never-seen key yields nothing; a key ending in a tombstone has no
+    current row; NULL op is an upsert (the type-1 contract)."""
+    log = _dlog(
+        spark,
+        [
+            (1, "a", _ts(1), 1, "U"),
+            (1, None, _ts(2), 2, "D"),
+            (1, None, _ts(3), 3, "D"),
+            (2, None, _ts(1), 4, "D"),
+            (3, "x", _ts(1), 5, None),     # NULL op = upsert
+        ],
+    )
+    hist = changelog_to_scd2(
+        log, ["k"], ["attr"], ["ts", "rid"], "ts", op_col="op"
+    )
+    rows = {r.k: r for r in hist.collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1].valid_to == _ts(2) and not rows[1].is_current
+    assert rows[3].is_current and rows[3].attr == "x"
+
+
+def test_scd2_merge_equals_rebuild_with_deletes_randomized(spark):
+    """merge == rebuild on logs WITH tombstones: random per-key
+    observation streams (upserts + deletes, including delete-then-
+    reinsert and batch boundaries landing ON tombstones), split into
+    1-4 sequential batches, folded by scd2_merge — identical row set
+    to the one-shot changelog_to_scd2 of the full log."""
+    import random
+
+    rng = random.Random(20260817)
+    for trial in range(4):
+        rows, rid = [], 0
+        for k in range(1, 7):
+            alive = False
+            for d in sorted(rng.sample(range(1, 28), rng.randint(1, 9))):
+                rid += 1
+                if alive and rng.random() < 0.3:
+                    rows.append((k, None, _ts(d), rid, "D"))
+                    alive = False
+                else:
+                    rows.append(
+                        (k, rng.choice("abc"), _ts(d), rid, "U")
+                    )
+                    alive = True
+        rows.sort(key=lambda r: (r[2], r[3]))
+        log = _dlog(spark, rows)
+        want = sorted(
+            map(
+                tuple,
+                changelog_to_scd2(
+                    log, ["k"], ["attr"], ["ts", "rid"], "ts", op_col="op"
+                ).collect(),
+            )
+        )
+        cuts = sorted(rng.sample(range(1, 28), rng.randint(0, 3)))
+        bounds = [1] + cuts + [28]
+        hist = None
+        for lo, hi in zip(bounds, bounds[1:]):
+            b = log.filter(
+                (F.col("ts") >= _ts(lo)) & (F.col("ts") < _ts(hi))
+            )
+            if hist is None:
+                hist = changelog_to_scd2(
+                    b, ["k"], ["attr"], ["ts", "rid"], "ts", op_col="op"
+                )
+            else:
+                hist = scd2_merge(
+                    hist, b, ["k"], ["attr"], ["ts", "rid"], "ts",
+                    op_col="op",
+                )
+        got = sorted(map(tuple, hist.collect()))
+        assert got == want, (trial, got, want)
