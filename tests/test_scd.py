@@ -546,3 +546,37 @@ def test_scd2_merge_equals_rebuild_with_deletes_randomized(spark):
                 )
         got = sorted(map(tuple, hist.collect()))
         assert got == want, (trial, got, want)
+
+
+def test_point_in_time_join_over_tombstoned_history(spark):
+    """PIT probes against a delete-terminated history: facts inside a
+    version's interval match it, facts in the post-delete gap match
+    NOTHING (half-open intervals make the tombstone a real coverage
+    hole — no 'current row forever' leak), and facts after the
+    re-insert match the new version."""
+    from mrt_data_integration_spark.operators.scd import (
+        point_in_time_join,
+    )
+
+    log = _dlog(
+        spark,
+        [
+            (1, "a", _ts(1), 1, "U"),
+            (1, None, _ts(5), 2, "D"),
+            (1, "b", _ts(10), 3, "U"),
+        ],
+    )
+    hist = changelog_to_scd2(
+        log, ["k"], ["attr"], ["ts", "rid"], "ts", op_col="op"
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, _ts(2)), (101, 1, _ts(7)), (102, 1, _ts(12))],
+        "fact_id long, k long, ts timestamp",
+    )
+    got = {
+        r.fact_id: r.attr
+        for r in point_in_time_join(
+            facts, hist, ["k"], "ts", how="left"
+        ).collect()
+    }
+    assert got == {100: "a", 101: None, 102: "b"}
