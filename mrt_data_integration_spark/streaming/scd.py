@@ -53,6 +53,8 @@ def merge_scd2_updates(
     seq_cols: list[str],
     ts_col: str,
     chain: str | None = None,
+    op_col: str | None = None,
+    delete_op: str = "D",
 ) -> None:
     """Compacting foreachBatch sink: fold one micro-batch of change
     observations into the versioned SCD2 history at ``state_dir``.
@@ -63,6 +65,11 @@ def merge_scd2_updates(
     batch id reuses its complete version instead of re-merging), and
     version pruning are the shared protocol in
     ``streaming.rollup.merge_into_versioned_state``.
+
+    ``op_col``/``delete_op`` (late r11) pass straight through to the
+    batch operators: a CDC stream carrying delete tombstones maintains
+    the same history the one-shot collapse of its full log would
+    produce (stream == batch, deletes included — pinned by test).
     """
     from mrt_data_integration_spark.streaming.rollup import (
         merge_into_versioned_state,
@@ -71,10 +78,12 @@ def merge_scd2_updates(
     def merge(b: DataFrame, prev: DataFrame | None) -> DataFrame:
         if prev is None:
             return changelog_to_scd2(
-                b, key_cols, tracked_cols, seq_cols, ts_col
+                b, key_cols, tracked_cols, seq_cols, ts_col,
+                op_col=op_col, delete_op=delete_op,
             )
         return scd2_merge(
-            prev, b, key_cols, tracked_cols, seq_cols, ts_col
+            prev, b, key_cols, tracked_cols, seq_cols, ts_col,
+            op_col=op_col, delete_op=delete_op,
         )
 
     merge_into_versioned_state(batch_df, batch_id, state_dir, merge, chain)
@@ -140,6 +149,8 @@ def merge_scd2_updates_bucketed(
     ts_col: str,
     n_buckets: int = 16,
     chain: str | None = None,
+    op_col: str | None = None,
+    delete_op: str = "D",
 ) -> None:
     """:func:`merge_scd2_updates` through the BUCKET-PARTITIONED
     versioned-state protocol (streaming/rollup.py) — the evolution the
@@ -162,10 +173,12 @@ def merge_scd2_updates_bucketed(
     def merge(b: DataFrame, prev: DataFrame | None) -> DataFrame:
         if prev is None:
             return changelog_to_scd2(
-                b, key_cols, tracked_cols, seq_cols, ts_col
+                b, key_cols, tracked_cols, seq_cols, ts_col,
+                op_col=op_col, delete_op=delete_op,
             )
         return scd2_merge(
-            prev, b, key_cols, tracked_cols, seq_cols, ts_col
+            prev, b, key_cols, tracked_cols, seq_cols, ts_col,
+            op_col=op_col, delete_op=delete_op,
         )
 
     merge_into_bucketed_state(

@@ -393,3 +393,66 @@ def test_bucketed_cdc_snapshot_equals_one_shot_collapse(spark, tmp_path):
     # the deleted-but-not-revived bucket-0 keys are really gone
     surviving = {t[0] for t in got}
     assert surviving & set(bucket0) == {bucket0[0]}
+
+
+def test_stream_merge_with_tombstones_equals_full_rebuild(
+    spark, tmp_path
+):
+    """A CDC stream carrying DELETE tombstones (op_col pass-through,
+    late r11) maintains exactly the history the one-shot collapse of
+    the full log builds — deletes close versions across micro-batch
+    boundaries (a batch ending ON a tombstone leaves the key with no
+    current row, and the re-insert arriving in a LATER batch opens a
+    new version numbered past the gap)."""
+    schema = "k long, attr string, ts timestamp, rid long, op string"
+    rows = [
+        (1, "A", _ts(1), 1, "U"),
+        (2, "X", _ts(1), 2, "U"),
+        (1, None, _ts(3), 3, "D"),   # batch 1 ends with key 1 deleted
+        (2, "Y", _ts(4), 4, "U"),
+        (1, "A", _ts(5), 5, "U"),    # re-insert, same value as v1
+        (2, None, _ts(6), 6, "D"),
+        (3, "Q", _ts(7), 7, "U"),
+        (2, "Z", _ts(8), 8, "U"),    # re-insert after delete
+    ]
+    src = str(tmp_path / "src")
+    for i in range(4):
+        spark.createDataFrame(rows[2 * i: 2 * i + 2], schema).coalesce(
+            1
+        ).write.mode("append").parquet(f"{src}/part{i}")
+    state_dir = str(tmp_path / "state")
+    args = dict(_ARGS, op_col="op")
+
+    def sink(df, bid):
+        merge_scd2_updates(df, bid, state_dir, **args)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part*")
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = _hist_tuples(read_scd2_history(spark, state_dir))
+    want = _hist_tuples(
+        changelog_to_scd2(
+            spark.createDataFrame(rows, schema), op_col="op", **_ARGS
+        )
+    )
+    assert got == want
+    # spot semantics: key 1 = v1 closed at the delete + v2 re-insert
+    # (current); key 2 = v1, v2 (closed, the second by its delete),
+    # v3 current
+    by_key = {}
+    for k, attr, _, vt, ver, cur in got:
+        by_key.setdefault(k, []).append((ver, attr, vt, cur))
+    assert [(v, a, c) for v, a, _, c in sorted(by_key[1])] == [
+        (1, "A", False), (2, "A", True)
+    ]
+    assert by_key[1][0][2] == _ts(3)  # closed BY the tombstone
+    assert [v for v, _, _, _ in sorted(by_key[2])] == [1, 2, 3]
