@@ -897,11 +897,127 @@ _R11_SIT_OUT = (
     "doc_fingerprint_dedup",
     "tfidf_top_terms",
 )
-_WINDOW: list[str] = (
-    _POOL_A
-    + [n for n in _CORE if n not in _R11_SIT_OUT]
+# Round 12 window: POOL_B's turn (37 after the r11 add/retire pairs:
+# the six r11 additions `pmi_collocations`,
+# `weighted_minhash_signatures`, `boilerplate_span_removal`,
+# `hard_negative_ivf_probe`, `span_corruption_pairs`,
+# `margin_mined_pairs` have ZERO driver history and are force-included
+# per rule 2 — the r11 verdict's promised rotation, item 1; slots
+# funded by the six late-r11 retirements with twin arguments in
+# _RETIRED) + the 13 r11 sit-outs (all CORE, last rows r10, due back)
+# = 37 + 13 = exactly 50. No r11 row was red (50/50 green:
+# CORRECTNESS_r11.json), so rule 1 forces nothing. The THIRTEEN CORE
+# members holding fresh r11 hash rows sit out — shapes stay covered
+# in-window (the r10 delegations, re-based where a named twin was
+# retired since):
+# `cluster_score_meat` (grouped gram/crossprod) by `weighted_gram`
+#   (returning — the same sufficient-stats reduction),
+# `group_best_highlight` (argmax + flag) by `argmax_per_group`
+#   (returning — the same struct-max shape),
+# `unpivot_long` (reshape) by `union_pooled_studies` (POOL_B — unpivot
+#   compiles to the same union-of-projections/Expand the study stack
+#   runs) + `rollup_hierarchy` (returning — GROUPING SETS runs the
+#   same Expand physical operator)  [re-based: the old twin
+#   `estimator_report_pivot` retired mid-r11],
+# `topk_per_group` (window rank) by `window_rank_features` (POOL_B)
+#   + `exact_percentiles` (returning — same sort/window machinery),
+# `wls_normal_equations` (d×d gram collapse) by `weighted_gram`
+#   (returning — the same normal-equations family),
+# `wcls_cluster_robust` (per-group regression) by `regr_by_group`
+#   (returning) + `wcls_large_panel` (POOL_B — the distributed fit),
+# `fact_fact_join` (SMJ) by `star_join_revenue` (returning — broadcast
+#   star join) + `streaming_click_attribution` (POOL_B — the
+#   stream-stream interval join over the same orders×events pair)
+#   [re-based: the old twin `campaign_event_attribution` retired
+#   late-r11],
+# `brand_part_rollup` (grouping sets) by `rollup_hierarchy` (returning
+#   — the same GROUPING SETS physical operator),
+# `doc_quality_stats` (text scan aggregates) by `doc_lang_id`
+#   (returning) + `char_trigram_lm_filter` (POOL_B),
+# `minhash_signatures` (grouped hash-agg signatures) by
+#   `doc_fingerprint_dedup` (returning — hash dedup on the same scan)
+#   + `weighted_minhash_signatures` (POOL_B — the importance-weighted
+#   member of the same signature family),
+# `lsh_candidate_pairs` (band-keyed self-join) by
+#   `image_near_dup_pairs` (POOL_B — the SAME band→equi-join→verify
+#   physical shape on image hashes),
+# `ngram_jaccard_pairs` (pair join + set overlap verify) by
+#   `image_near_dup_pairs` (POOL_B) + `fuzzy_title_pairs` (POOL_B
+#   — pair join + edit-distance verify, the same canonical-pair shape),
+# `bpe_ish_token_counts` (tokenize-explode-count) by `bpe_train_merges`
+#   (POOL_B — the REAL BPE training over the same tokenize/explode/
+#   count scan) + `tfidf_top_terms` (returning)  [re-based: the old
+#   twin `bpe_token_counts` retired late-r11].
+_R12_SIT_OUT = (
+    "cluster_score_meat",
+    "group_best_highlight",
+    "unpivot_long",
+    "topk_per_group",
+    "wls_normal_equations",
+    "wcls_cluster_robust",
+    "fact_fact_join",
+    "brand_part_rollup",
+    "doc_quality_stats",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "bpe_ish_token_counts",
 )
-# (The r11 plan written at the r10 flip EXECUTED above verbatim:
+_WINDOW: list[str] = (
+    _POOL_B
+    + [n for n in _CORE if n not in _R12_SIT_OUT]
+)
+# (The r12 plan written at the r11 flip EXECUTED above verbatim:
+# POOL_B's 37 + the 13 r11 sit-outs, zero slack, no red r11 rows —
+# the dry run commit 1f150bf confirmed 50/50 green in a fresh
+# session before the flip.)
+#
+# r13 plan (written at this r12 window flip, per the standing
+# practice): POOL_A's turn. POOL_A is 37 and the 13 r12 sit-outs (all
+# CORE, last rows r11) are due back: 37 + 13 = exactly 50 — ZERO
+# slack for the seventh consecutive round. Consequences, enforceable
+# now:
+#   - any NEW query registered during r12 joins POOL_A for its forced
+#     r13 row AND must be paired with a POOL_A retirement. Fresh
+#     consolidation candidates, pre-ranked at THIS flip BEFORE any
+#     r12 registration exists (the cfd59ca discipline — argument
+#     written before building anything they would fund):
+#     (1) `ivfpq_appended_index_topk` (POOL_A, rows-only) vs
+#     `ivfpq_index_topk` (POOL_A, rows-only — the probe PLAN is
+#     identical; the two queries differ only in index provenance, and
+#     append==bulk-encode of the persisted index is pinned byte-exact
+#     in tests/test_similarity.py::
+#     test_ivfpq_index_append_equals_bulk_encode,
+#     so the append contract is CI-held while the probe shape keeps
+#     its driver row); retiring the append probe costs the window
+#     nothing hash-wise (both seats are rows-only) and the strongest
+#     check of the pair — the append==rebuild identity — was never
+#     driver-visible anyway. (2) `embedding_norm_stats` (POOL_A, r11
+#     hash) vs `label_centroids` (POOL_A, r11 hash — grouped
+#     element-wise vector averages over the SAME embeddings scan, the
+#     strictly richer array-aggregate arithmetic) + `cosine_topk`
+#     (POOL_A — the same norms computed inline in every cosine).
+#     (3) `stratified_sample` (POOL_A, r11 hash) vs
+#     `weighted_doc_sample` (POOL_A, r11 hash — the SAME A-ES
+#     key-and-rank machinery, weighted keys vs per-stratum uniform)
+#     + `stratified_fixed_k_sample` (POOL_B — the fixed-k variant of
+#     the same stratified shape). (4) `cosine_topk` (POOL_A, r11
+#     hash) vs `hard_negative_mining` (POOL_A, r11 hash — the same
+#     brute scored-frame ranking with a label predicate added) +
+#     `margin_mined_pairs` (POOL_B — the same persisted scored frame
+#     through the two-stage bounded top-k); ranks last because
+#     cosine_topk is the ANN family's declared exactness baseline —
+#     spend it only if (1)-(3) are exhausted.
+#   - no rotation query waits >2 rounds under this plan: POOL_B + the
+#     13 r12-sit-out CORE members (the r11 returners) get r12 rows,
+#     POOL_A + the 13 r13-sit-out CORE members get r13 rows.
+# Any r12 red row is force-included per rule 1 and displaces a
+# fresh-r12 POOL_B member whose shape must then be delegated
+# in-window. test_window_policy.py enforces the bookkeeping either
+# way.
+#
+# --- r11-era history (the plan the flip above executed) -----------
+# (The r11 plan written at the r10 flip EXECUTED verbatim:
 # POOL_A's 37 + the 13 r10 sit-outs, zero slack, no red r10 rows.)
 #
 # r12 plan (written at this r11 window flip, per the standing
