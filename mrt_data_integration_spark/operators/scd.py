@@ -76,11 +76,17 @@ def changelog_to_scd2(
     prev_del = F.coalesce(F.lag(is_del).over(w), F.lit(False))
     # boundaries: first observation, value change, anything following
     # a tombstone (re-inserts never collapse across the gap), and the
-    # first tombstone of a tombstone run
+    # first tombstone of a tombstone run. `is_del` is a boundary in its
+    # OWN right: a before-image tombstone (Debezium-style CDC deletes
+    # carry the prior row's values, so tracked_cols equal the previous
+    # observation's) must still close the open version — without the
+    # disjunct it fails every other boundary test and is silently
+    # dropped, leaving the deleted key CURRENT (the r11 ADVICE defect).
     is_new = (
         F.lag(cur).over(w).isNull()
         | ~F.lag(cur).over(w).eqNullSafe(cur)
         | prev_del
+        | is_del
     ) & ~(is_del & prev_del)
     runs = (
         changes.withColumn("__del__", is_del)
@@ -203,11 +209,14 @@ def scd2_merge(
     is_del = F.col("__del__")
     prev_del = F.coalesce(F.lag(is_del).over(w), F.lit(False))
     # the changelog collapse's boundary rules verbatim (value change,
-    # post-tombstone re-insert, first tombstone of a tombstone run)
+    # post-tombstone re-insert, first tombstone of a tombstone run, and
+    # any non-tombstone→tombstone transition — before-image deletes
+    # carrying the prior row's values must still close the open version)
     is_new = (
         F.lag(cur).over(w).isNull()
         | ~F.lag(cur).over(w).eqNullSafe(cur)
         | prev_del
+        | is_del
     ) & ~(is_del & prev_del)
     w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rebuilt = (

@@ -495,38 +495,103 @@ def test_scd2_delete_edge_cases(spark):
     assert rows[3].is_current and rows[3].attr == "x"
 
 
+def test_scd2_before_image_delete_closes_open_version(spark):
+    """A tombstone carrying the PRIOR row's tracked values (Debezium-
+    style before-image CDC deletes) must still close the open version —
+    value equality is not 'no change' when the op flips to delete (the
+    r11 ADVICE defect: the equal-valued tombstone failed every boundary
+    disjunct and was silently dropped, leaving the key current)."""
+    log = _dlog(
+        spark,
+        [
+            (1, "a", _ts(1), 1, "U"),
+            (1, "a", _ts(4), 2, "D"),      # before-image: same attr
+            (2, None, _ts(1), 3, "U"),     # NULL-valued upsert...
+            (2, None, _ts(3), 4, "D"),     # ...then NULL-carrying delete
+        ],
+    )
+    hist = changelog_to_scd2(
+        log, ["k"], ["attr"], ["ts", "rid"], "ts", op_col="op"
+    )
+    rows = {r.k: r for r in hist.collect()}
+    assert set(rows) == {1, 2}, "each key keeps exactly its closed row"
+    assert rows[1].valid_to == _ts(4) and not rows[1].is_current
+    assert rows[2].valid_to == _ts(3) and not rows[2].is_current
+
+
+def test_scd2_merge_before_image_delete_closes_current_row(spark):
+    """The merge half of the same defect: a batch tombstone whose
+    tracked values equal the history's current row must close it (the
+    baseline observation re-enters the collapse with identical values,
+    so without the is_del boundary the tombstone vanished and the key
+    stayed current). Also pins merge == rebuild on this exact shape."""
+    b0 = _dlog(spark, [(1, "a", _ts(1), 1, "U"), (2, "x", _ts(1), 2, "U")])
+    b1 = _dlog(spark, [(1, "a", _ts(5), 3, "D")])
+    hist = changelog_to_scd2(
+        b0, ["k"], ["attr"], ["ts", "rid"], "ts", op_col="op"
+    )
+    merged = scd2_merge(
+        hist, b1, ["k"], ["attr"], ["ts", "rid"], "ts", op_col="op"
+    )
+    want = sorted(
+        map(
+            tuple,
+            changelog_to_scd2(
+                b0.unionByName(b1), ["k"], ["attr"], ["ts", "rid"], "ts",
+                op_col="op",
+            ).collect(),
+        )
+    )
+    got = sorted(map(tuple, merged.collect()))
+    assert got == want
+    rows = {r.k: r for r in merged.collect()}
+    assert rows[1].valid_to == _ts(5) and not rows[1].is_current
+    assert rows[2].is_current
+
+
 def test_scd2_merge_equals_rebuild_with_deletes_randomized(spark):
     """merge == rebuild on logs WITH tombstones: random per-key
-    observation streams (upserts + deletes, including delete-then-
-    reinsert and batch boundaries landing ON tombstones), split into
-    1-4 sequential batches, folded by scd2_merge — identical row set
-    to the one-shot changelog_to_scd2 of the full log."""
+    observation streams (upserts + deletes — NULL-payload tombstones,
+    BEFORE-IMAGE tombstones carrying the prior row's values (the r11
+    ADVICE blind spot), NULL-valued upserts so NULL→NULL-delete runs
+    arise, delete-then-reinsert, and batch boundaries landing ON
+    tombstones), split into 1-4 sequential batches, folded by
+    scd2_merge — identical row set to the one-shot changelog_to_scd2
+    of the full log."""
     import random
 
     rng = random.Random(20260817)
     for trial in range(4):
         rows, rid = [], 0
         for k in range(1, 7):
-            alive = False
+            alive, last = False, None
             for d in sorted(rng.sample(range(1, 28), rng.randint(1, 9))):
                 rid += 1
                 if alive and rng.random() < 0.3:
-                    rows.append((k, None, _ts(d), rid, "D"))
+                    # half the tombstones are before-image (carry the
+                    # prior observation's value — possibly NULL)
+                    payload = last if rng.random() < 0.5 else None
+                    rows.append((k, payload, _ts(d), rid, "D"))
                     alive = False
                 else:
-                    rows.append(
-                        (k, rng.choice("abc"), _ts(d), rid, "U")
-                    )
+                    last = rng.choice(["a", "b", "c", None])
+                    rows.append((k, last, _ts(d), rid, "U"))
                     alive = True
         rows.sort(key=lambda r: (r[2], r[3]))
         log = _dlog(spark, rows)
+
+        def _key(t):
+            # None-safe total order (NULL attrs sort first)
+            return tuple((v is not None, v) for v in t)
+
         want = sorted(
             map(
                 tuple,
                 changelog_to_scd2(
                     log, ["k"], ["attr"], ["ts", "rid"], "ts", op_col="op"
                 ).collect(),
-            )
+            ),
+            key=_key,
         )
         cuts = sorted(rng.sample(range(1, 28), rng.randint(0, 3)))
         bounds = [1] + cuts + [28]
@@ -544,7 +609,7 @@ def test_scd2_merge_equals_rebuild_with_deletes_randomized(spark):
                     hist, b, ["k"], ["attr"], ["ts", "rid"], "ts",
                     op_col="op",
                 )
-        got = sorted(map(tuple, hist.collect()))
+        got = sorted(map(tuple, hist.collect()), key=_key)
         assert got == want, (trial, got, want)
 
 
