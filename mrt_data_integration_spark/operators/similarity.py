@@ -1991,7 +1991,17 @@ def margin_knn_pairs(
 def _margin_assemble(fwd: DataFrame, bwd: DataFrame) -> DataFrame:
     """Margin/mutuality assembly shared by the brute and IVF paths:
     ``fwd`` = per-src ranked targets, ``bwd`` = per-tgt ranked sources
-    — both (src_id, tgt_id, cosine_sim, rk) with UNROUNDED cosines."""
+    — both (src_id, tgt_id, cosine_sim, rk) with UNROUNDED cosines.
+
+    The backward join is a LEFT join: under a partial IVF probe a
+    source's best target can have NO backward candidates (its probed
+    cells in the source index are empty), and an inner join would drop
+    that source silently — the r11 ADVICE asymmetry. Such a pair is
+    emitted with a NULL margin (no backward neighborhood to normalize
+    by) and ``mutual = false`` (mutuality cannot be verified). On the
+    brute path the two joins are identical — every forward-best target
+    appears in the full scored frame, so backward stats always exist
+    (byte-identical outputs, pinned by the driver oracle)."""
     fwd_stats = fwd.groupBy("src_id").agg(
         F.round(F.avg("cosine_sim"), 12).alias("__favg__"),
         F.min(F.when(F.col("rk") == 1, F.col("tgt_id"))).alias("tgt_id"),
@@ -2004,14 +2014,16 @@ def _margin_assemble(fwd: DataFrame, bwd: DataFrame) -> DataFrame:
         F.min(F.when(F.col("rk") == 1, F.col("src_id"))).alias("__bbest__"),
     )
     denom = (F.col("__favg__") + F.col("__bavg__")) / 2
-    return fwd_stats.join(bwd_stats, "tgt_id").select(
+    return fwd_stats.join(bwd_stats, "tgt_id", "left").select(
         "src_id",
         "tgt_id",
         F.round("__fcos__", 4).alias("cosine_sim"),
         F.round(
             F.when(denom != 0, F.col("__fcos__") / denom), 4
         ).alias("margin"),
-        (F.col("__bbest__") == F.col("src_id")).alias("mutual"),
+        F.coalesce(
+            F.col("__bbest__") == F.col("src_id"), F.lit(False)
+        ).alias("mutual"),
     )
 
 
@@ -2041,6 +2053,10 @@ def margin_knn_pairs_ivf(
 
     A source whose probed cells hold no target vanishes from the
     output (no candidates → no row), the IVF completeness contract.
+    A source whose best target has no BACKWARD probe candidates (the
+    target's probed cells in the source index are empty) is KEPT, with
+    a NULL margin and ``mutual = false`` — `_margin_assemble`'s left
+    backward join; dropping it silently was the r11 ADVICE asymmetry.
     """
 
     def _assigned(corpus: DataFrame) -> DataFrame:

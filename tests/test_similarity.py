@@ -970,3 +970,41 @@ def test_margin_knn_ivf_full_probe_equals_brute(spark):
     part = margin_knn_pairs_ivf(src_c, tgt_c, sc, tc, k=4, n_probe=1).collect()
     assert len({r.src_id for r in part}) == len(part) <= 20
     assert all(r.mutual in (True, False) for r in part)
+
+
+def test_margin_knn_ivf_backward_hole_keeps_source(spark):
+    """A source whose best target has NO backward probe candidates (the
+    target's probed cells in the source index are empty) must be KEPT
+    with a NULL margin and mutual=false — the r11 ADVICE asymmetry: the
+    old inner backward join dropped it silently. Hand-built indexes
+    force the hole: every source row sits in source-index cell 0, but
+    the source-centers list steers every target's single probe to cell
+    1, so the backward probe finds nothing."""
+    from mrt_data_integration_spark.operators.similarity import (
+        margin_knn_pairs_ivf,
+    )
+
+    src = spark.createDataFrame(
+        [(1, [1.0, 0.1], 0), (2, [1.0, -0.1], 0)],
+        "vec_id long, embedding array<double>, cell int",
+    )
+    tgt = spark.createDataFrame(
+        [(10, [1.0, 0.0], 0), (11, [0.9, 0.3], 0)],
+        "vec_id long, embedding array<double>, cell int",
+    )
+    # tgt index: one center → forward probe sees every target.
+    # src index centers: targets (≈[1,0]) are nearest center 1, but all
+    # src rows carry cell 0 → backward probe candidates: none.
+    rows = margin_knn_pairs_ivf(
+        src,
+        tgt,
+        src_centers=[[0.0, 5.0], [1.0, 0.0]],
+        tgt_centers=[[1.0, 0.0]],
+        k=2,
+        n_probe=1,
+    ).collect()
+    assert {r.src_id for r in rows} == {1, 2}, "no source may vanish"
+    for r in rows:
+        assert r.tgt_id is not None and r.cosine_sim is not None
+        assert r.margin is None, "no backward neighborhood → NULL margin"
+        assert r.mutual is False
