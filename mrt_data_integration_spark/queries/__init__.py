@@ -271,7 +271,16 @@ _POOL_B: list[str] = [
     # oracle): zero driver history → forced into POOL_B's r12 window
     # per rule 2; slot funded by retiring `bpe_token_counts` — the r12
     # plan comment's pre-ranked candidate #2, argument written before
-    # building (see _RETIRED).
+    # building (see _RETIRED). The band-join half of the family
+    # (`weighted_minhash_pairs`, operators/wminhash.py) holds no
+    # driver slot BY TWIN ARGUMENT: its (seed, winner) band equi-join
+    # + per-pair agreement count is `lsh_candidate_pairs`' physical
+    # shape verbatim on a different band key (same band→equi-join→
+    # count plan, same hot-band cap), so the signatures query pins the
+    # winner computation and the in-rotation LSH pair query pins the
+    # join shape; the pair semantics keep their own CI checks
+    # (tests/test_wminhash.py: probability-Jaccard agreement twin,
+    # band-cap, python twin).
     "weighted_minhash_signatures",
     # late-r11 addition (E10+ — C4/RefinedWeb boilerplate removal:
     # content-defined spans found in >= min_docs DISTINCT documents

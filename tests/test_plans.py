@@ -336,3 +336,40 @@ def test_bpe_round_is_map_plus_partial_agg(spark, sf_smoke):
     assert agg.count("Exchange") == base.count("Exchange") + 1, (
         "pair counting must add exactly ONE exchange (the pair-key agg)"
     )
+
+
+@pytest.mark.parametrize(
+    "name", ["tfidf_top_terms", "weighted_minhash_signatures"]
+)
+def test_vocabulary_join_carries_no_unconditional_broadcast(
+    spark, sf_smoke, name
+):
+    """The r11 verdict's broadcast-gating item: the corpus-wide
+    distinct-term df table grows with the corpus (Zipf-bounded but
+    unbounded in principle), so the idf join must NOT carry a hard
+    broadcast hint — AQE decides from measured sizes. The ONLY
+    broadcast hint in either query's analyzed plan is the 1-row
+    n_docs aggregate (the DSIR/BM25 in-plan count pattern), pinned by
+    checking the hinted subtree is that single-row count."""
+    df = QUERIES[name](spark, sf_smoke)
+    lines = (
+        df._jdf.queryExecution().analyzed().toString().splitlines()
+    )
+    idxs = [i for i, ln in enumerate(lines) if "ResolvedHint" in ln]
+    assert len(idxs) == 1, (
+        f"{name}: expected exactly one broadcast hint (the 1-row "
+        f"n_docs frame), found {len(idxs)}"
+    )
+    # the hint's child (next tree line) must be the global count(1)
+    # aggregate — not the vocabulary df aggregate
+    child = lines[idxs[0] + 1]
+    assert "count(1)" in child and "__n_docs__" in child, (
+        f"{name}: the sole broadcast hint must wrap the 1-row n_docs "
+        f"aggregate, got: {child}"
+    )
+    # and n_docs is in-plan: no separate .count() action means the
+    # analyzed plan itself references the aggregate, which the above
+    # already proves; finally the df join must still exist unhinted
+    assert any("count(distinct doc_id" in ln.lower() for ln in lines), (
+        f"{name}: vocabulary df aggregate missing from the plan"
+    )
