@@ -142,6 +142,10 @@ HEADLINE = [
     # rank-and-normalize shape (one persisted scored frame, two
     # bounded rankings, stat joins)
     "margin_mined_pairs",
+    # r12: CCNet perplexity filter — the bounded-model scoring shape
+    # (two train hash-aggs, map-side bigram explode, three broadcast
+    # model joins, one doc-grain collapse)
+    "lm_perplexity_filter",
 ]
 
 

@@ -326,6 +326,7 @@ def _ivf_probe(
     label_col: str | None,
     exclude_self: bool = True,
     round_scores: bool = True,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Probe half shared by :func:`ivf_topk` (ml.KMeans index) and
     :func:`ivf_probe_topk` (any precomputed index). ``assigned``
@@ -334,7 +335,17 @@ def _ivf_probe(
     query_id == corpus_id candidate pairs — required when queries and
     corpus are DISTINCT frames whose id spaces merely overlap
     (cross-corpus mining); the self-exclusion only means something
-    when both sides are the same corpus."""
+    when both sides are the same corpus.
+
+    ``broadcast_queries`` (r12): the default hints the probe frame —
+    right for the anchor-batch callers (a query batch is small, and
+    the estimate of an exploded probe frame is poor enough that the
+    hint is load-bearing). Pass False when the QUERY side is a full
+    corpus (margin mining's backward probe: every target, vectors in
+    tow, probes the source index) — a hard broadcast of that frame is
+    the ungated-vocabulary-broadcast OOM class; the join then shuffles
+    both sides on the cell key (AQE still converts to broadcast when
+    the measured size allows)."""
 
     def probe_cells(vec: Column | str) -> Column:
         """Array of the n_probe nearest cell ids (squared-L2 to each
@@ -370,8 +381,9 @@ def _ivf_probe(
         # label, null-safely (hard_negative_topk semantics) — evaluated
         # map-side inside the probed cells, BEFORE the ranking shuffle
         pair_ok = ~F.col("__clabel__").eqNullSafe(F.col("__qlabel__"))
+    probe_side = F.broadcast(probes) if broadcast_queries else probes
     scored = (
-        assigned.join(F.broadcast(probes), "__cell__")
+        assigned.join(probe_side, "__cell__")
         .filter(pair_ok)
         .select(
             "query_id",
@@ -2095,6 +2107,10 @@ def margin_knn_pairs_ivf(
         label_col=None,
         exclude_self=False,
         round_scores=False,
+        # the query side here is the FULL target corpus (vectors in
+        # tow) — never hard-broadcast it; shuffle on the cell key and
+        # let AQE convert when the measured size allows
+        broadcast_queries=False,
     ).select(
         F.col("query_id").alias("tgt_id"),
         F.col("corpus_id").alias("src_id"),

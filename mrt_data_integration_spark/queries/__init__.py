@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (129 queries as of r11 —
+# ROTATION POLICY (round 4+): the registry (130 queries as of r12 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r11: 29 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r12: 30 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -118,12 +118,26 @@ _POOL_A: list[str] = [
     # after the r6 window froze, zero driver history; POOL_A's r7 turn
     # force-includes all seven per exception rule 2.
     "weighted_doc_sample",
-    "ivfpq_appended_index_topk",
+    # (`ivfpq_appended_index_topk` was retired r12 to fund
+    # `lm_perplexity_filter` — the r13 plan comment's pre-ranked
+    # candidate #1, argument written at the flip before building; see
+    # _RETIRED.)
     "streaming_dedup_ingest",
     "lsh_store_ingest_candidates",
     "corpus_ingest_pipeline",
     "streaming_funnel_conversion",
     "training_shard_manifest",
+    # r12 addition (E5+ — CCNet perplexity filtering, Wenzek et al.
+    # 2020: a hashed bigram LM with stupid backoff (Brants 2007)
+    # trained on the even-doc_id reference half, scoring every doc's
+    # bigram stream; the md5-bucket count tables are fixed-width —
+    # DSIR's hashing trick — so the scoring joins broadcast a BOUNDED
+    # model at any corpus size, with a full tokenize → train →
+    # backoff → collapse replay oracle): zero driver history → forced
+    # into POOL_A's r13 window per rule 2; slot funded by retiring
+    # `ivfpq_appended_index_topk` — the r13 plan comment's pre-ranked
+    # candidate #1, argument written at the flip (see _RETIRED).
+    "lm_perplexity_filter",
     # r8 additions (new operator families, registered after the r8
     # window froze — zero driver history, force-included in POOL_A's r9
     # turn per rule 2; each slot funded by the paired retirement of a
@@ -617,6 +631,17 @@ _RETIRED: list[str] = [
     # (tests/test_oracle_parity.py) and the sink family's golden
     # round-trip tests (tests/test_sinks.py).
     "jsonl_roundtrip",
+    # r12: retired to fund the `lm_perplexity_filter` r13 slot — the
+    # r13 plan comment's pre-ranked candidate #1, argument written at
+    # the r12 flip BEFORE the family it funds existed. Twin coverage:
+    # `ivfpq_index_topk` (POOL_A — the probe PLAN is identical; the
+    # two queries differ only in index provenance), and the strongest
+    # check of the append path — append == bulk-encode byte identity —
+    # was always CI, never driver-visible (tests/test_similarity.py::
+    # test_ivfpq_index_append_equals_bulk_encode, plus
+    # ::test_ivfpq_persisted_index_matches_online). Both seats were
+    # rows-only, so the swap costs the window nothing hash-wise.
+    "ivfpq_appended_index_topk",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,

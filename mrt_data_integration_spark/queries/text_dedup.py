@@ -1584,3 +1584,87 @@ def weighted_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return wmh_op(w, n_hashes=8)
+
+
+@query(
+    "lm_perplexity_filter",
+    # Full replay: tokenize with ordinality, train the hashed bigram
+    # model on the even-doc_id half (md5 buckets — dsir._bucket's
+    # arithmetic, bit-identical in DuckDB), score every doc's bigram
+    # stream under stupid backoff, collapse to the doc grain.
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+      FROM documents
+    ),
+    train_tok AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+    uni AS (
+      SELECT CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT)
+               % 65536 AS b,
+             CAST(count(*) AS DOUBLE) AS cnt
+      FROM train_tok GROUP BY 1
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_tokens FROM train_tok),
+    pairs AS (
+      SELECT doc_id,
+             (string_split_regex(text, '\s+'))[g.i] AS w1,
+             (string_split_regex(text, '\s+'))[g.i + 1] AS w2
+      FROM documents,
+           unnest(generate_series(
+             1, greatest(len(string_split_regex(text, '\s+')) - 1, 0)
+           )) AS g(i)
+    ),
+    bi AS (
+      SELECT CAST(concat('0x', substr(md5(w1 || ' ' || w2), 1, 8))
+                  AS BIGINT) % 65536 AS b,
+             CAST(count(*) AS DOUBLE) AS cnt
+      FROM pairs WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             CASE WHEN bi.cnt IS NOT NULL AND cu.cnt IS NOT NULL
+                  THEN bi.cnt / cu.cnt
+                  ELSE 0.4 * (COALESCE(uw.cnt, 0) + 1.0)
+                       / (n.n_tokens + 65536.0)
+             END AS s
+      FROM pairs p
+      CROSS JOIN n
+      LEFT JOIN bi
+        ON bi.b = CAST(concat('0x',
+             substr(md5(p.w1 || ' ' || p.w2), 1, 8)) AS BIGINT) % 65536
+      LEFT JOIN uni cu
+        ON cu.b = CAST(concat('0x', substr(md5(p.w1), 1, 8)) AS BIGINT)
+                  % 65536
+      LEFT JOIN uni uw
+        ON uw.b = CAST(concat('0x', substr(md5(p.w2), 1, 8)) AS BIGINT)
+                  % 65536
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(sum(ln(s)) / count(*), 6) AS avg_logprob,
+           (round(sum(ln(s)) / count(*), 6) >= -3.4) AS kept
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5+ (r12, operators/ngram_lm.py): CCNet-style perplexity
+    filtering (Wenzek et al. 2020) — a hashed bigram LM with stupid
+    backoff (Brants et al. 2007) trained on the even-doc_id reference
+    half, scoring EVERY document's bigram stream; kept = the
+    low-perplexity tail (avg_logprob >= -3.4, the sf-scale median).
+    The model is md5-bucket count tables (fixed width 65536 — DSIR's
+    hashing trick), so the scoring joins broadcast a BOUNDED frame at
+    any corpus size; training is two explode → hash-agg passes with
+    the token total kept in-plan. The oracle replays tokenize → train
+    → backoff → collapse end-to-end."""
+    from mrt_data_integration_spark.operators.ngram_lm import (
+        perplexity_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return perplexity_filter(
+        docs,
+        docs.filter(F.col("doc_id") % 2 == 0),
+        min_avg_logprob=-3.4,
+    )

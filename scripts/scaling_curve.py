@@ -183,6 +183,7 @@ OP_INPUTS = {
     "pca_fit": {"emb"},
     "dsir_select": {"docs"},
     "pmi_colloc": {"docs"},
+    "lm_perplexity": {"docs"},
     "wminhash_sigs": {"docs"},
     "hard_negative": {"emb"},
     "margin_mining": {"emb"},
@@ -394,6 +395,17 @@ def main() -> None:
         n = out.count()
         dd.release_cache(out)  # the persisted scored frame
         return n
+
+    def _lm_perplexity(d):
+        from pyspark.sql import functions as SF
+
+        from mrt_data_integration_spark.operators.ngram_lm import (
+            perplexity_filter,
+        )
+
+        return perplexity_filter(
+            d, d.filter(SF.col("doc_id") % 2 == 0), min_avg_logprob=-3.4
+        ).count()
 
     def _boiler(d):
         # same lingering-cache guard as _spans: the operator persists
@@ -927,6 +939,12 @@ def main() -> None:
         # hard_negative protocol; the corpus×corpus path composes with
         # ivf_probe_topk's cell-bounded candidates instead).
         "margin_mining": lambda k: _margin_mining(k),
+        # r12: CCNet perplexity filter — train on the even half of the
+        # k×-growing corpus, score all of it. Both passes scale with
+        # the corpus; the model stays fixed-width (65536 buckets), so
+        # the scoring joins broadcast the same bytes at every k.
+        # Expected linear in corpus size.
+        "lm_perplexity": lambda k: _lm_perplexity(docs(k)),
         # r9: streaming SCD2 drain — the versioned-state maintenance
         # path. Expected slope HONESTLY ABOVE the batch collapse's:
         # each micro-batch's publish COPIES untouched closed rows

@@ -1008,3 +1008,32 @@ def test_margin_knn_ivf_backward_hole_keeps_source(spark):
         assert r.tgt_id is not None and r.cosine_sim is not None
         assert r.margin is None, "no backward neighborhood → NULL margin"
         assert r.mutual is False
+
+
+def test_margin_ivf_backward_probe_carries_no_broadcast_hint(spark):
+    """The backward probe's query side is the FULL target corpus
+    (vectors in tow): a hard broadcast hint on it is the ungated-
+    broadcast OOM class at corpus scale. The analyzed plan must carry
+    exactly ONE broadcast hint — the forward probe's small source
+    batch — with the backward cell join left to AQE."""
+    from mrt_data_integration_spark.operators.similarity import (
+        margin_knn_pairs_ivf,
+    )
+
+    src = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0)],
+        "vec_id long, embedding array<double>, cell int",
+    )
+    tgt = spark.createDataFrame(
+        [(10, [1.0, 0.1], 0), (11, [0.8, 0.2], 0)],
+        "vec_id long, embedding array<double>, cell int",
+    )
+    df = margin_knn_pairs_ivf(
+        src, tgt, src_centers=[[1.0, 0.0]], tgt_centers=[[1.0, 0.0]],
+        k=2, n_probe=1,
+    )
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert plan.count("ResolvedHint") == 1, (
+        "expected one broadcast hint (the forward probe's query batch);"
+        " the backward corpus-side probe must not be hinted"
+    )

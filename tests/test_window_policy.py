@@ -143,6 +143,11 @@ _NO_ORACLE_RETIREES = {
     # tests/test_simulation.py::test_generator_deterministic_and_chunk_free,
     # ::test_distributed_generator_matches_local
     "synthetic_panel_stats",
+    # r12: the probe PLAN is ivfpq_index_topk's verbatim (stays in
+    # rotation); the append contract is the byte-exact CI identity
+    # tests/test_similarity.py::test_ivfpq_index_append_equals_bulk_encode
+    # (+ ::test_ivfpq_persisted_index_matches_online)
+    "ivfpq_appended_index_topk",
 }
 
 
