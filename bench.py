@@ -146,6 +146,10 @@ HEADLINE = [
     # (two train hash-aggs, map-side bigram explode, three broadcast
     # model joins, one doc-grain collapse)
     "lm_perplexity_filter",
+    # r12: semantic decontamination — the broadcast-benchmark
+    # map-side-max shape (crossJoin collapsed by partial max before
+    # one narrow exchange)
+    "semantic_decontamination",
 ]
 
 

@@ -412,3 +412,130 @@ def contamination_overlap(
         )
         .drop("__frac__")
     )
+
+
+def semantic_decontamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """EMBEDDING-space decontamination — the semantic complement of the
+    n-gram overlap gates above (the contamination screens in GPT-4 /
+    Llama-style reports that catch paraphrased eval leakage exact-match
+    n-grams miss): every corpus vector's max cosine against the
+    benchmark set, flagged at ``threshold``.
+
+    Output grain: one row per corpus vector with a non-NULL embedding —
+    (id_col, max_bench_sim rounded to 4, contaminated). An empty
+    benchmark yields an empty frame (no rows to screen against).
+
+    Scale shape: the benchmark is SMALL by construction (an eval set),
+    so it broadcasts into a corpus-scan crossJoin whose per-row
+    cosines collapse MAP-SIDE — the partial max aggregate reduces each
+    corpus vector's |benchmark| pairs to one (id, max) row before the
+    exchange, so the one shuffle carries narrow id/double rows, never
+    vectors. ``broadcast_benchmark=False`` is the escape hatch for a
+    benchmark too big to broadcast — at that size use
+    :func:`semantic_decontamination_ivf` (cell-bounded candidates)
+    instead of an all-pairs crossJoin.
+
+    The cosine is the engine's sequential zip_with fold (bit-identical
+    to DuckDB's list_dot_product — the exactness/speed trade the
+    cosine family settled in r7), so the DuckDB oracle replays this
+    end-to-end.
+    """
+    from mrt_data_integration_spark.operators.similarity import (
+        cosine,
+    )
+
+    b = benchmark.filter(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).alias("__bvec__")
+    )
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    pairs = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), F.col(vec_col).alias("__cvec__"))
+        .crossJoin(b)
+    )
+    return (
+        pairs.groupBy(id_col)
+        .agg(
+            F.round(F.max(cosine("__cvec__", "__bvec__")), 4).alias(
+                "max_bench_sim"
+            )
+        )
+        .withColumn(
+            "contaminated",
+            F.col("max_bench_sim") >= F.lit(float(threshold)),
+        )
+    )
+
+
+def semantic_decontamination_ivf(
+    corpus_assigned: DataFrame,
+    benchmark: DataFrame,
+    centers: list[list[float]],
+    threshold: float = 0.35,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """:func:`semantic_decontamination` through an IVF cell probe — the
+    corpus-scale path when benchmark × corpus is too big even for the
+    map-side collapse: the corpus carries a cell index (``cell_col`` +
+    the matching ``centers``, any (assignments, centers) pair — the
+    hard-negative family's train/probe split), each benchmark vector
+    probes its ``n_probe`` nearest cells, and only corpus vectors in
+    probed cells are scored.
+
+    The approximation is ONE-SIDED: candidates are a subset of the
+    brute pairs, so the flagged set is a subset of the brute flagged
+    set (missed cells can only lower max_bench_sim — pinned by test),
+    and ``n_probe == len(centers)`` reproduces the brute output
+    exactly. Corpus vectors in cells no benchmark vector probes keep
+    max_bench_sim NULL with ``contaminated = false`` (nothing probed
+    them — the honest boundary, same convention as the margin family's
+    backward hole).
+    """
+    from mrt_data_integration_spark.operators.similarity import (
+        cosine,
+        nearest_cells,
+    )
+
+    probes = benchmark.filter(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).alias("__bvec__"),
+        F.explode(nearest_cells(vec_col, centers, n_probe)).alias(
+            "__cell__"
+        ),
+    )
+    c = corpus_assigned.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cvec__"),
+        F.col(cell_col).alias("__cell__"),
+    )
+    hits = (
+        c.join(F.broadcast(probes), "__cell__")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.max(cosine("__cvec__", "__bvec__")), 4).alias(
+                "max_bench_sim"
+            )
+        )
+    )
+    return (
+        corpus_assigned.filter(F.col(vec_col).isNotNull())
+        .select(id_col)
+        .join(hits, id_col, "left")
+        .withColumn(
+            "contaminated",
+            F.coalesce(
+                F.col("max_bench_sim") >= F.lit(float(threshold)),
+                F.lit(False),
+            ),
+        )
+    )

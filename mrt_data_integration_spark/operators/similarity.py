@@ -315,6 +315,29 @@ def ivf_topk(
     )
 
 
+def nearest_cells(
+    vec: Column | str, centers: list[list[float]], n_probe: int
+) -> Column:
+    """Array of the ``n_probe`` nearest cell ids for ``vec`` under the
+    literal ``centers`` (squared-L2 per centroid; array_sort on
+    (dist, cell) structs so ties break to the lowest cell id) — the
+    probe-cell selection shared by every IVF consumer (`_ivf_probe`,
+    decontaminate.semantic_decontamination_ivf)."""
+    entries = []
+    for cid, c in enumerate(centers):
+        arr = F.array(*[F.lit(x) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(
+                _c(vec), arr, lambda x, y: (x.cast("double") - y) ** 2
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        entries.append(F.struct(d2.alias("dist"), F.lit(cid).alias("cell")))
+    ranked = F.slice(F.array_sort(F.array(*entries)), 1, n_probe)
+    return F.transform(ranked, lambda s: s["cell"])
+
+
 def _ivf_probe(
     assigned: DataFrame,
     queries: DataFrame,
@@ -348,21 +371,7 @@ def _ivf_probe(
     the measured size allows)."""
 
     def probe_cells(vec: Column | str) -> Column:
-        """Array of the n_probe nearest cell ids (squared-L2 to each
-        literal centroid; array_sort on (dist, cell) structs)."""
-        entries = []
-        for cid, c in enumerate(centers):
-            arr = F.array(*[F.lit(x) for x in c])
-            d2 = F.aggregate(
-                F.zip_with(
-                    _c(vec), arr, lambda x, y: (x.cast("double") - y) ** 2
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            entries.append(F.struct(d2.alias("dist"), F.lit(cid).alias("cell")))
-        ranked = F.slice(F.array_sort(F.array(*entries)), 1, n_probe)
-        return F.transform(ranked, lambda s: s["cell"])
+        return nearest_cells(vec, centers, n_probe)
 
     probes = queries.select(
         F.col(id_col).alias("query_id"),

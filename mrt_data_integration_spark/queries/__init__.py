@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (130 queries as of r12 —
+# ROTATION POLICY (round 4+): the registry (131 queries as of r12 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r12: 30 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r12: 31 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -69,7 +69,9 @@ _POOL_A: list[str] = [
     "json_props_extract",
     "user_activity_lag_features",
     "stateful_capped_sessions",
-    "embedding_norm_stats",
+    # (`embedding_norm_stats` was retired r12 to fund
+    # `semantic_decontamination` — the r13 plan comment's pre-ranked
+    # candidate #2, argument written at the flip; see _RETIRED.)
     "cosine_topk",
     "label_centroids",
     "lsh_bucket_profile",
@@ -138,6 +140,18 @@ _POOL_A: list[str] = [
     # `ivfpq_appended_index_topk` — the r13 plan comment's pre-ranked
     # candidate #1, argument written at the flip (see _RETIRED).
     "lm_perplexity_filter",
+    # r12 addition (E9++ — SEMANTIC decontamination: every corpus
+    # vector's max benchmark cosine, map-side-collapsed crossJoin over
+    # the broadcast eval set, flagged at threshold — the
+    # embedding-space complement of the n-gram overlap gates, catching
+    # paraphrased leakage; the corpus-scale IVF path
+    # (semantic_decontamination_ivf, cell-bounded candidates over any
+    # trained index, one-sided approximation) ships as code with a
+    # full-probe==brute identity test): zero driver history → forced
+    # into POOL_A's r13 window per rule 2; slot funded by retiring
+    # `embedding_norm_stats` — the r13 plan comment's pre-ranked
+    # candidate #2 (see _RETIRED).
+    "semantic_decontamination",
     # r8 additions (new operator families, registered after the r8
     # window froze — zero driver history, force-included in POOL_A's r9
     # turn per rule 2; each slot funded by the paired retirement of a
@@ -642,6 +656,16 @@ _RETIRED: list[str] = [
     # ::test_ivfpq_persisted_index_matches_online). Both seats were
     # rows-only, so the swap costs the window nothing hash-wise.
     "ivfpq_appended_index_topk",
+    # r12: retired to fund the `semantic_decontamination` r13 slot —
+    # the r13 plan comment's pre-ranked candidate #2, argument written
+    # at the r12 flip BEFORE the family it funds existed. Twin
+    # coverage: `label_centroids` (POOL_A, r11 hash — grouped
+    # element-wise vector averages over the SAME embeddings scan, the
+    # strictly richer array-aggregate arithmetic) and `cosine_topk`
+    # (POOL_A — the same norms computed inline in every cosine); the
+    # retiree keeps its DuckDB oracle every CI run
+    # (tests/test_oracle_parity.py).
+    "embedding_norm_stats",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,

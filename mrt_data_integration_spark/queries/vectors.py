@@ -633,3 +633,53 @@ def margin_mined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = emb.filter(F.col("label") % 2 == 0)
     tgt = emb.filter(F.col("label") % 2 == 1)
     return sim.margin_knn_pairs(src, tgt, k=4)
+
+
+@query(
+    "semantic_decontamination",
+    oracle=f"""
+    WITH b AS (
+      SELECT {_E_DBL} AS bv FROM embeddings
+      WHERE vec_id % 25 = 0 AND embedding IS NOT NULL
+    ),
+    c AS (
+      SELECT vec_id, {_E_DBL} AS cv FROM embeddings
+      WHERE vec_id % 25 <> 0 AND embedding IS NOT NULL
+    )
+    SELECT c.vec_id,
+           round(max(
+             list_dot_product(cv, bv)
+             / (sqrt(list_dot_product(cv, cv))
+                * sqrt(list_dot_product(bv, bv)))
+           ), 4) AS max_bench_sim,
+           (round(max(
+             list_dot_product(cv, bv)
+             / (sqrt(list_dot_product(cv, cv))
+                * sqrt(list_dot_product(bv, bv)))
+           ), 4) >= 0.35) AS contaminated
+    FROM c, b
+    GROUP BY c.vec_id
+    """,
+)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9++ (r12, operators/decontaminate.py): SEMANTIC decontamination
+    — every corpus vector's max cosine against the benchmark slice
+    (vec_id % 25 == 0), flagged at 0.35; the embedding-space complement
+    of the n-gram overlap gates (catches paraphrased eval leakage
+    exact n-grams miss). Benchmark broadcast into a corpus-scan
+    crossJoin whose |benchmark| pairs per vector collapse MAP-SIDE
+    (partial max before the one narrow exchange); the oracle replays
+    the same sequential-fold cosines. The corpus-scale path
+    (`semantic_decontamination_ivf`, cell-bounded candidates over any
+    trained index) is code with a full-probe==brute identity test, not
+    a docstring."""
+    from mrt_data_integration_spark.operators.decontaminate import (
+        semantic_decontamination as sd_op,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sd_op(
+        emb.filter(F.col("vec_id") % 25 != 0),
+        emb.filter(F.col("vec_id") % 25 == 0),
+        threshold=0.35,
+    )

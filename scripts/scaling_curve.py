@@ -184,6 +184,7 @@ OP_INPUTS = {
     "dsir_select": {"docs"},
     "pmi_colloc": {"docs"},
     "lm_perplexity": {"docs"},
+    "semantic_decon": {"emb"},
     "wminhash_sigs": {"docs"},
     "hard_negative": {"emb"},
     "margin_mining": {"emb"},
@@ -395,6 +396,21 @@ def main() -> None:
         n = out.count()
         dd.release_cache(out)  # the persisted scored frame
         return n
+
+    def _semantic_decon(k):
+        from pyspark.sql import functions as SF
+
+        from mrt_data_integration_spark.operators.decontaminate import (
+            semantic_decontamination as sd,
+        )
+
+        e = emb(k)
+        bench = e.filter(
+            (SF.col("vec_id") < 10_000_000) & (SF.col("vec_id") % 25 == 0)
+        )
+        return sd(
+            e.filter(SF.col("vec_id") % 25 != 0), bench, threshold=0.35
+        ).count()
 
     def _lm_perplexity(d):
         from pyspark.sql import functions as SF
@@ -945,6 +961,11 @@ def main() -> None:
         # the scoring joins broadcast the same bytes at every k.
         # Expected linear in corpus size.
         "lm_perplexity": lambda k: _lm_perplexity(docs(k)),
+        # r12: semantic decontamination — FIXED benchmark (replica-0
+        # slice, identical at every scale) screening the k×-growing
+        # corpus: one corpus scan with a map-side max collapse.
+        # Expected linear in corpus size.
+        "semantic_decon": lambda k: _semantic_decon(k),
         # r9: streaming SCD2 drain — the versioned-state maintenance
         # path. Expected slope HONESTLY ABOVE the batch collapse's:
         # each micro-batch's publish COPIES untouched closed rows

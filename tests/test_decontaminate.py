@@ -321,3 +321,151 @@ def test_contamination_overlap_hits_broadcast_is_gated(spark):
         (r.doc_id, r.overlap_frac, r.contaminated) for r in df.collect()
     )
     assert key(bcast) == key(plain)
+
+
+# --- semantic (embedding-space) decontamination (r12) ----------------
+
+
+def _emb_frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_semantic_decon_planted_copy_and_twin(spark):
+    """A planted scaled copy of a benchmark vector scores cosine 1.0
+    and must flag; every max_bench_sim equals the numpy max over the
+    benchmark (sequential-fold arithmetic, rounded to 4)."""
+    import numpy as np
+
+    from mrt_data_integration_spark.operators.decontaminate import (
+        semantic_decontamination,
+    )
+
+    rng = np.random.default_rng(5)
+    B = rng.normal(size=(6, 8))
+    C = rng.normal(size=(20, 8))
+    C[7] = 3.0 * B[2]  # planted: exact direction match
+    bench = _emb_frame(
+        spark, [(i, [float(x) for x in B[i]]) for i in range(6)]
+    )
+    corpus = _emb_frame(
+        spark, [(100 + i, [float(x) for x in C[i]]) for i in range(20)]
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_decontamination(
+            corpus, bench, threshold=0.9
+        ).collect()
+    }
+    assert len(out) == 20
+    assert out[107].contaminated and out[107].max_bench_sim == 1.0
+    for i in range(20):
+        want = round(
+            max(
+                float(np.dot(C[i], B[j]))
+                / (np.linalg.norm(C[i]) * np.linalg.norm(B[j]))
+                for j in range(6)
+            ),
+            4,
+        )
+        # numpy pairwise summation can differ from the sequential fold
+        # in the last ulp — compare at the rounded grain with slack 1e-4
+        assert abs(out[100 + i].max_bench_sim - want) <= 1e-4
+        assert out[100 + i].contaminated == (
+            out[100 + i].max_bench_sim >= 0.9
+        )
+
+
+def test_semantic_decon_ivf_full_probe_equals_brute(spark):
+    """n_probe == n_cells scores every (corpus, benchmark) pair — the
+    IVF path must reproduce the brute output exactly; a partial probe
+    may only SHRINK the flagged set (one-sided approximation), and
+    unprobed corpus vectors keep NULL max_bench_sim with
+    contaminated=false."""
+    import numpy as np
+
+    from mrt_data_integration_spark.operators.cluster import kmeans_lloyd
+    from mrt_data_integration_spark.operators.decontaminate import (
+        semantic_decontamination,
+        semantic_decontamination_ivf,
+    )
+    from mrt_data_integration_spark.operators.dedup import release_cache
+
+    rng = np.random.default_rng(11)
+    B = rng.normal(size=(5, 6))
+    C = rng.normal(size=(30, 6))
+    bench = _emb_frame(
+        spark, [(i, [float(x) for x in B[i]]) for i in range(5)]
+    )
+    corpus = _emb_frame(
+        spark, [(100 + i, [float(x) for x in C[i]]) for i in range(30)]
+    )
+    assigns, centers = kmeans_lloyd(corpus, k=4, n_iter=2)
+    corpus_c = corpus.join(assigns.select("vec_id", "cell"), "vec_id")
+    brute = {
+        r.vec_id: (r.max_bench_sim, r.contaminated)
+        for r in semantic_decontamination(
+            corpus, bench, threshold=0.3
+        ).collect()
+    }
+    full = {
+        r.vec_id: (r.max_bench_sim, r.contaminated)
+        for r in semantic_decontamination_ivf(
+            corpus_c, bench, centers, threshold=0.3, n_probe=4
+        ).collect()
+    }
+    release_cache(assigns)
+    assert full == brute
+    part = semantic_decontamination_ivf(
+        corpus_c, bench, centers, threshold=0.3, n_probe=1
+    ).collect()
+    assert {r.vec_id for r in part} == set(brute), "grain: every vector"
+    for r in part:
+        if r.max_bench_sim is None:
+            assert r.contaminated is False
+        else:
+            assert r.max_bench_sim <= brute[r.vec_id][0] + 1e-12
+        assert (not r.contaminated) or brute[r.vec_id][1]
+
+
+def test_semantic_decon_partitioning_and_plan(spark):
+    import numpy as np
+
+    from mrt_data_integration_spark.operators.decontaminate import (
+        semantic_decontamination,
+    )
+
+    rng = np.random.default_rng(3)
+    bench = _emb_frame(
+        spark,
+        [(i, [float(x) for x in rng.normal(size=6)]) for i in range(4)],
+    )
+    corpus = _emb_frame(
+        spark,
+        [
+            (100 + i, [float(x) for x in rng.normal(size=6)])
+            for i in range(25)
+        ],
+    )
+    a = sorted(
+        map(tuple, semantic_decontamination(corpus, bench).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            semantic_decontamination(
+                corpus.repartition(9), bench.repartition(3)
+            ).collect(),
+        )
+    )
+    assert a == b
+    plan = (
+        semantic_decontamination(corpus, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    # the map-side collapse: partial max before the exchange
+    assert "partial_max" in plan or "partial" in plan.lower()
