@@ -150,6 +150,10 @@ HEADLINE = [
     # map-side-max shape (crossJoin collapsed by partial max before
     # one narrow exchange)
     "semantic_decontamination",
+    # r12: winnowing fingerprint profile — the pure-map local
+    # fingerprint selection (window minima over a materialized hash
+    # array; one scan, zero shuffles)
+    "winnowing_profile",
 ]
 
 

@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (131 queries as of r12 —
+# ROTATION POLICY (round 4+): the registry (132 queries as of r12 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r12: 31 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r12: 32 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -106,7 +106,9 @@ _POOL_A: list[str] = [
     # resolution, stratified sampling, sequence packing, PII redaction;
     # zero driver history until r5, force-included per rule 2)
     "dedup_clusters",
-    "stratified_sample",
+    # (`stratified_sample` was retired r12 to fund `winnowing_profile`
+    # — the r13 plan comment's pre-ranked candidate #3, argument
+    # written at the flip; see _RETIRED.)
     "sequence_packing",
     "pii_redact",
     # late-r5 additions (E10 — substring-chunk dedup, model-based corpus
@@ -152,6 +154,18 @@ _POOL_A: list[str] = [
     # `embedding_norm_stats` — the r13 plan comment's pre-ranked
     # candidate #2 (see _RETIRED).
     "semantic_decontamination",
+    # r12 addition (E3++ — winnowing fingerprints, Schleimer et al.
+    # SIGMOD 2003: k-gram md5 hashes, window minima on the combined
+    # h*2^31+pos key (numeric min == lexicographic argmin), distinct
+    # selections — the LOCAL guarantee-carrying fingerprint index
+    # (any shared >= w+k-1-token run surfaces a shared fingerprint,
+    # fuzz-pinned); the profile query is a PURE MAP and the postings
+    # pair join is lsh_candidate_pairs' band shape on the fingerprint
+    # key with the same hot-key cap): zero driver history → forced
+    # into POOL_A's r13 window per rule 2; slot funded by retiring
+    # `stratified_sample` — the r13 plan comment's pre-ranked
+    # candidate #3 (see _RETIRED).
+    "winnowing_profile",
     # r8 additions (new operator families, registered after the r8
     # window froze — zero driver history, force-included in POOL_A's r9
     # turn per rule 2; each slot funded by the paired retirement of a
@@ -666,6 +680,16 @@ _RETIRED: list[str] = [
     # retiree keeps its DuckDB oracle every CI run
     # (tests/test_oracle_parity.py).
     "embedding_norm_stats",
+    # r12: retired to fund the `winnowing_profile` r13 slot — the r13
+    # plan comment's pre-ranked candidate #3, argument written at the
+    # r12 flip BEFORE the family it funds existed. Twin coverage for
+    # the per-stratum A-ES sampling shape: `weighted_doc_sample`
+    # (POOL_A, r11 hash — the SAME A-ES key-and-rank machinery,
+    # weighted keys vs per-stratum uniform) and
+    # `stratified_fixed_k_sample` (POOL_B — the fixed-k variant of the
+    # same stratified shape); the retiree keeps its DuckDB oracle
+    # every CI run (tests/test_oracle_parity.py).
+    "stratified_sample",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,

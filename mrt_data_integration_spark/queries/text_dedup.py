@@ -1668,3 +1668,68 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 0),
         min_avg_logprob=-3.4,
     )
+
+
+@query(
+    "winnowing_profile",
+    # Full replay: k=3 word grams -> 32-bit md5-prefix hashes combined
+    # with their gram offset (h * 2^31 + pos, so numeric min == the
+    # (h, pos)-lexicographic argmin), w=4 window minima, distinct
+    # selections, per-doc profile. Short docs (1-3 grams) contribute
+    # their single whole-doc minimum; gram-less docs profile with 0.
+    oracle=r"""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(
+                 1, greatest(len(string_split_regex(text, '\s+')) - 2, 0)
+               ),
+               i -> CAST(concat('0x', substr(md5(array_to_string(
+                      (string_split_regex(text, '\s+'))[i:i+2], ' '
+                    )), 1, 8)) AS BIGINT) * 2147483648 + (i - 1)
+             ) AS hs
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, len(hs) AS n_grams,
+             CASE WHEN len(hs) >= 4 THEN
+               list_distinct(list_transform(
+                 generate_series(1, len(hs) - 3),
+                 j -> list_min(hs[j:j+3])
+               ))
+             WHEN len(hs) >= 1 THEN [list_min(hs)]
+             ELSE CAST([] AS BIGINT[]) END AS sel
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(n_grams AS INTEGER) AS n_grams,
+           CAST(len(sel) AS INTEGER) AS n_fps,
+           CASE WHEN n_grams >= 4
+                THEN round(len(sel) / CAST(n_grams - 3 AS DOUBLE), 6)
+                WHEN n_grams >= 1 THEN 1.0
+           END AS density,
+           list_min(sel) // 2147483648 AS min_fp,
+           list_max(sel) // 2147483648 AS max_fp
+    FROM s
+    """,
+)
+def winnowing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3++ (r12, operators/winnow.py): winnowing fingerprint profile
+    (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS algorithm):
+    k=3-gram md5 hashes, w=4 window minima with the leftmost tie rule,
+    distinct selections; per-doc (n_grams, n_fps, density, min/max
+    fingerprint). Density tracks the paper's 2/(w+1) expectation — a
+    corpus-health signal. A PURE MAP: one scan, zero shuffles (the
+    selection guarantee — any shared >= w+k-1-token run surfaces a
+    shared fingerprint — and the postings pair join live in
+    operators/winnow.py with the hot-fingerprint cap; the pair join's
+    band->equi-join->count physical shape is `lsh_candidate_pairs`'
+    verbatim on the fingerprint key, CI-pinned by the guarantee fuzz
+    test)."""
+    from mrt_data_integration_spark.operators.winnow import (
+        winnow_profile,
+    )
+
+    return winnow_profile(
+        load_table(spark, sf_dir, "documents"), k=3, w=4
+    )

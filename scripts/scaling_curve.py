@@ -185,6 +185,7 @@ OP_INPUTS = {
     "pmi_colloc": {"docs"},
     "lm_perplexity": {"docs"},
     "semantic_decon": {"emb"},
+    "winnow_profile": {"docs"},
     "wminhash_sigs": {"docs"},
     "hard_negative": {"emb"},
     "margin_mining": {"emb"},
@@ -396,6 +397,13 @@ def main() -> None:
         n = out.count()
         dd.release_cache(out)  # the persisted scored frame
         return n
+
+    def _winnow_profile(d):
+        from mrt_data_integration_spark.operators.winnow import (
+            winnow_profile,
+        )
+
+        return winnow_profile(d, k=3, w=4).count()
 
     def _semantic_decon(k):
         from pyspark.sql import functions as SF
@@ -966,6 +974,11 @@ def main() -> None:
         # corpus: one corpus scan with a map-side max collapse.
         # Expected linear in corpus size.
         "semantic_decon": lambda k: _semantic_decon(k),
+        # r12: winnowing fingerprint profile — a pure map (tokenize +
+        # O(n_grams) md5 + window minima per doc, no shuffle, no UDF).
+        # Expected flat through the grid (the span_corruption class);
+        # the 100x point locates the linear term.
+        "winnow_profile": lambda k: _winnow_profile(docs(k)),
         # r9: streaming SCD2 drain — the versioned-state maintenance
         # path. Expected slope HONESTLY ABOVE the batch collapse's:
         # each micro-batch's publish COPIES untouched closed rows
