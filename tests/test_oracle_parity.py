@@ -22,6 +22,62 @@ def test_all_queries_have_impl():
         assert name in QUERIES
 
 
+# Registry-wide broadcast-hint budget (r12 — the lint form of the r11
+# verdict's ungated-vocabulary-broadcast finding, the HOF-lint
+# pattern): every hard F.broadcast hint in a registered query's
+# ANALYZED plan is enumerated here with its boundedness class. A hint
+# is legitimate only when the hinted frame is bounded by CONFIG or
+# CONSTRUCTION, never by data volume:
+#   [1row]  single-row stats aggregate (crossJoin-broadcast pattern)
+#   [model] fixed-width hashed model / codebook / centroid table
+#           (width is a config constant — DSIR/ngram_lm/PQ class)
+#   [batch] a declared-small query/anchor/benchmark batch (an eval
+#           set, a probe batch — small by construction, with the
+#           cross-corpus callers gated off per the r12 margin fix)
+#   [dim]   a star-schema dimension / dimension-history (the classic
+#           broadcast-join usage; AQE would pick it unhinted at bench
+#           scale, the hint pins the plan for the test suite)
+#   [prune] micro-batch-sized affected-key semi/anti prune frames
+#   [gate]  threshold-pruned frequent/hit sets WITH a documented
+#           broadcast=False escape hatch
+# A query absent from this table must carry ZERO hints — a new hint
+# fails CI until it is audited into a class here (the discipline that
+# would have caught the two r11 vocabulary hints at registration).
+_HINT_BUDGET = {
+    "benchmark_decontamination": 2,  # [batch] benchmark gram sets
+    "bloom_decontamination": 2,      # [model] bloom words + [batch] verify
+    "bm25_doc_search": 4,            # [batch] query vocab + [1row] stats
+    "boilerplate_span_removal": 1,   # [gate] frequent-span set
+    "brand_part_rollup": 1,          # [dim] filtered part dimension
+    "cdc_current_snapshot": 2,       # [prune] affected keys x2
+    "char_trigram_lm_filter": 2,     # [model] trigram tables
+    "cosine_topk": 1,                # [batch] 5-vector query batch
+    "dsir_selected_sample": 3,       # [model] x2 + [1row] totals
+    "hard_negative_ivf_probe": 1,    # [batch] anchor probe batch
+    "hard_negative_mining": 1,       # [batch] anchor batch
+    "heavy_hitters": 1,              # [1row] total
+    "ivf_topk": 1,                   # [batch] query batch
+    "ivfpq_appended_index_topk": 3,  # [model] centroids/codebooks + [batch]
+    "ivfpq_index_topk": 3,           # [model] + [batch]
+    "ivfpq_topk": 3,                 # [model] + [batch]
+    "leakage_safe_split": 1,         # [1row] spanning-clusters count
+    "lineitem_priority_regime": 1,   # [dim] custkey-slice history
+    "lm_perplexity_filter": 4,       # [model] x3 + [1row] token total
+    "margin_mined_pairs": 2,         # [batch] source batch (brute frame)
+    "mc_simulation_grid": 1,         # [batch] scenario grid
+    "pmi_collocations": 2,           # [1row] totals x2
+    "pq_topk": 3,                    # [model] codebooks + [batch]
+    "relative_efficiency": 1,        # [1row] reference row
+    "semantic_decontamination": 1,   # [batch] benchmark (gate param)
+    "sensitivity_scenarios": 3,      # [batch] scenario grids
+    "sequence_packing": 1,           # [1row] pack-boundary frame
+    "star_join_revenue": 3,          # [dim] region/nation/customer
+    "tfidf_top_terms": 1,            # [1row] n_docs (r12 gating fix)
+    "training_mix_rebalance": 1,     # [model] per-source mix table
+    "weighted_minhash_signatures": 1,  # [1row] n_docs (r12 gating fix)
+}
+
+
 def test_queries_run_on_smoke(spark, sf_smoke):
     # Every registered query must at least execute at sf0.001 — and
     # every query's PHYSICAL PLAN must pass the registry-wide scale
@@ -70,6 +126,20 @@ def test_queries_run_on_smoke(spark, sf_smoke):
                 lint_hits.append((name, marker))
         if _hof_captured_tokenizer(plan):
             lint_hits.append((name, "HOF-captured-tokenizer"))
+        # broadcast-hint budget (r12): hints live in the ANALYZED
+        # plan (the executed plan shows only the resulting join)
+        n_hints = (
+            df._jdf.queryExecution().analyzed().toString()
+        ).count("ResolvedHint")
+        if n_hints != _HINT_BUDGET.get(name, 0):
+            lint_hits.append(
+                (
+                    name,
+                    f"broadcast-hints {n_hints} != budget "
+                    f"{_HINT_BUDGET.get(name, 0)} — audit the hinted "
+                    "frame's boundedness class into _HINT_BUDGET",
+                )
+            )
         df.limit(5).collect()
     assert not lint_hits, f"plan lint violations: {lint_hits}"
 
