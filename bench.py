@@ -154,6 +154,10 @@ HEADLINE = [
     # fingerprint selection (window minima over a materialized hash
     # array; one scan, zero shuffles)
     "winnowing_profile",
+    # mid-r12: positional phrase search — the slot-vote shape
+    # (posexplode postings × broadcast phrase frame → two partial-agg
+    # shuffles on narrow int keys)
+    "phrase_search_occurrences",
 ]
 
 

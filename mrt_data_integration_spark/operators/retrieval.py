@@ -136,3 +136,81 @@ def bm25_topk(
         .select(query_id_col, "rank", id_col, "score")
     )
     return attach_cache(out, [tf])
+
+
+def positional_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, term, pos): one row per token OCCURRENCE with its
+    0-based position — the positional inverted index BM25's bag-of-
+    words postings decline to be. Built by posexploding the shared
+    whitespace tokenization (oracle twin: generate_series indexing
+    into ``string_split_regex``)."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "term"),
+    ).select(id_col, "term", "pos")
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase occurrence counting over positional postings — the
+    retrieval primitive ranked-bag scoring cannot express ("slow hash
+    batch" as a PHRASE, not three independent terms): per (phrase,
+    doc), the number of positions where every phrase slot's term
+    appears in order.
+
+    Mechanism (the standard positional-join): the phrase list unrolls
+    to a tiny (phrase_id, slot, term) frame (broadcast — a query set,
+    the BM25 vocab-prune class); joining it to the postings ON TERM is
+    simultaneously the vocabulary prune (only rows for asked-about
+    terms survive the scan) and the slot assignment; each match votes
+    for a candidate start ``pos - slot``, and a start wins when all
+    ``len(phrase)`` DISTINCT slots voted — repeated terms in a phrase
+    ("a a") work because each slot must find ITS OWN term at its own
+    offset, and overlapping occurrences ("a a a" → two starts) fall
+    out naturally. Negative candidate starts die on the distinct-slot
+    bar (slot > pos can't complete). Two partial-agg shuffles on
+    (phrase, doc, start) then (phrase, doc); postings carry only
+    (id, term-join artifacts, two ints) — text never shuffles.
+
+    Returns (phrase_id, phrase, id_col, n_occurrences), occurrences
+    >= 1 only (docs without the phrase simply don't appear).
+    """
+    rows = []
+    for pid, p in enumerate(phrases):
+        terms = p.split(" ")
+        for slot, t in enumerate(terms):
+            rows.append((pid, p, slot, t, len(terms)))
+    spark = docs.sparkSession
+    ph = spark.createDataFrame(
+        rows,
+        "phrase_id int, phrase string, slot int, term string, "
+        "n_slots int",
+    )
+    post = positional_postings(docs, id_col, text_col)
+    votes = post.join(F.broadcast(ph), "term").select(
+        "phrase_id",
+        "phrase",
+        id_col,
+        (F.col("pos") - F.col("slot")).alias("__start__"),
+        "slot",
+        "n_slots",
+    )
+    starts = (
+        votes.groupBy("phrase_id", "phrase", id_col, "__start__")
+        .agg(
+            F.countDistinct("slot").alias("__hit__"),
+            F.max("n_slots").alias("__need__"),
+        )
+        .filter(F.col("__hit__") == F.col("__need__"))
+    )
+    return starts.groupBy("phrase_id", "phrase", id_col).agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )

@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (132 queries as of r12 —
+# ROTATION POLICY (round 4+): the registry (133 queries as of r12 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r12: 32 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r12: 33 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -74,7 +74,9 @@ _POOL_A: list[str] = [
     # candidate #2, argument written at the flip; see _RETIRED.)
     "cosine_topk",
     "label_centroids",
-    "lsh_bucket_profile",
+    # (`lsh_bucket_profile` was retired mid-r12 to fund
+    # `phrase_search_occurrences` — the r13 plan comment's pre-ranked
+    # fresh candidate #5; see _RETIRED.)
     "embedding_similar_pairs_lsh",
     # r9 additions (E4+ — hard-negative mining, the r8 verdict's item 2:
     # the only r8 operator family whose correctness rested on CI alone
@@ -166,6 +168,18 @@ _POOL_A: list[str] = [
     # `stratified_sample` — the r13 plan comment's pre-ranked
     # candidate #3 (see _RETIRED).
     "winnowing_profile",
+    # mid-r12 addition (E5++ — exact phrase search over positional
+    # postings: the retrieval primitive BM25's bag-of-words ranking
+    # cannot express; the unrolled (phrase, slot, term) frame
+    # broadcasts as the vocab prune, candidate starts vote at
+    # pos - slot, a start wins when all DISTINCT slots voted —
+    # repeated-term phrases and overlapping occurrences fall out of
+    # the bar, pinned by twin tests): zero driver history → forced
+    # into POOL_A's r13 window per rule 2; slot funded by retiring
+    # `lsh_bucket_profile` — the r13 plan comment's pre-ranked fresh
+    # candidate #5, argument written mid-r12 BEFORE this family was
+    # built (see _RETIRED).
+    "phrase_search_occurrences",
     # r8 additions (new operator families, registered after the r8
     # window froze — zero driver history, force-included in POOL_A's r9
     # turn per rule 2; each slot funded by the paired retirement of a
@@ -690,6 +704,18 @@ _RETIRED: list[str] = [
     # same stratified shape); the retiree keeps its DuckDB oracle
     # every CI run (tests/test_oracle_parity.py).
     "stratified_sample",
+    # mid-r12: retired to fund the `phrase_search_occurrences` r13
+    # slot — the r13 plan comment's pre-ranked fresh candidate #5,
+    # argument written BEFORE the family it funds existed. Twin
+    # coverage: `lsh_candidate_pairs` (CORE — the pair join OVER the
+    # same band buckets the profile histograms, so its hash row pins
+    # the banding arithmetic end-to-end) and
+    # `lsh_store_ingest_candidates` (POOL_A — the persisted-store
+    # probe over the same signatures); the histogram reshape is
+    # `value_histogram`'s retired shape (twin-argued since r6); the
+    # retiree keeps its DuckDB oracle every CI run
+    # (tests/test_oracle_parity.py).
+    "lsh_bucket_profile",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,
@@ -1089,7 +1115,25 @@ _WINDOW: list[str] = (
 #     `margin_mined_pairs` (POOL_B — the same persisted scored frame
 #     through the two-stage bounded top-k); ranks last because
 #     cosine_topk is the ANN family's declared exactness baseline —
-#     spend it only if (1)-(3) are exhausted.
+#     spend it only if the others are exhausted. [(1)(2)(3) SPENT
+#     r12 funding `lm_perplexity_filter`, `semantic_decontamination`,
+#     `winnowing_profile` — see _RETIRED.] Fresh candidates
+#     pre-ranked mid-r12 (argument written BEFORE building anything
+#     they would fund — the standing discipline): (5)
+#     `lsh_bucket_profile` (POOL_A, r11 hash) vs
+#     `lsh_candidate_pairs` (CORE — the pair join OVER the same band
+#     buckets the profile histograms, so its hash row pins the
+#     banding arithmetic end-to-end) + `lsh_store_ingest_candidates`
+#     (POOL_A — the persisted-store probe over the same signatures);
+#     the histogram reshape itself is `value_histogram`'s retired
+#     shape, twin-argued since r6. (6) `events_hourly_rollup`
+#     (POOL_A, r11 hash) vs `incremental_rollup_merge` +
+#     `streaming_rollup_merge` (both POOL_B — the SAME hourly rollup
+#     arithmetic routed through the strictly richer mergeable-state
+#     build/merge/drain paths; the hll_daily_distinct retirement's
+#     seat-quality argument, r11 candidate #3). Ranked (5) before
+#     (6) because (6)'s state-path twins are rows-only seats while
+#     (5)'s pair twin holds a CORE hash seat.
 #   - no rotation query waits >2 rounds under this plan: POOL_B + the
 #     13 r12-sit-out CORE members (the r11 returners) get r12 rows,
 #     POOL_A + the 13 r13-sit-out CORE members get r13 rows.

@@ -1733,3 +1733,62 @@ def winnowing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_profile(
         load_table(spark, sf_dir, "documents"), k=3, w=4
     )
+
+
+@query(
+    "phrase_search_occurrences",
+    # Full replay: positional tokens via generate_series indexing, the
+    # unrolled (phrase, slot, term) frame as VALUES, slot-aligned
+    # candidate starts, the all-slots-voted bar, per-doc counts.
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             (string_split_regex(text, '\s+'))[g.i] AS term,
+             g.i - 1 AS pos
+      FROM documents,
+           unnest(generate_series(
+             1, len(string_split_regex(text, '\s+'))
+           )) AS g(i)
+    ),
+    ph(phrase_id, phrase, slot, term, n_slots) AS (VALUES
+      (0, 'table hash', 0, 'table', 2),
+      (0, 'table hash', 1, 'hash', 2),
+      (1, 'customer join', 0, 'customer', 2),
+      (1, 'customer join', 1, 'join', 2),
+      (2, 'slow hash batch', 0, 'slow', 3),
+      (2, 'slow hash batch', 1, 'hash', 3),
+      (2, 'slow hash batch', 2, 'batch', 3),
+      (3, 'a a', 0, 'a', 2),
+      (3, 'a a', 1, 'a', 2)
+    ),
+    starts AS (
+      SELECT p.phrase_id, p.phrase, t.doc_id, t.pos - p.slot AS s
+      FROM tok t JOIN ph p ON t.term = p.term
+      GROUP BY 1, 2, 3, 4
+      HAVING count(DISTINCT p.slot) = max(p.n_slots)
+    )
+    SELECT CAST(phrase_id AS INTEGER) AS phrase_id, phrase, doc_id,
+           count(*) AS n_occurrences
+    FROM starts
+    GROUP BY 1, 2, 3
+    """,
+)
+def phrase_search_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5++ (r12, operators/retrieval.py): exact PHRASE search over
+    positional postings — the retrieval primitive BM25's bag-of-words
+    scoring cannot express. Four probe phrases (two bigrams, a
+    trigram, and the repeated-term 'a a' that exercises the
+    distinct-slot bar and overlapping starts) counted per document.
+    The phrase frame joins broadcast (the BM25 vocab-prune class: the
+    term join IS the vocabulary prune), candidate starts vote at
+    pos - slot, a start wins when all slots voted; two partial-agg
+    shuffles, text never moves. The oracle replays positions → slot
+    votes → all-slots bar → counts end-to-end."""
+    from mrt_data_integration_spark.operators.retrieval import (
+        phrase_search,
+    )
+
+    return phrase_search(
+        load_table(spark, sf_dir, "documents"),
+        ["table hash", "customer join", "slow hash batch", "a a"],
+    )

@@ -186,6 +186,7 @@ OP_INPUTS = {
     "lm_perplexity": {"docs"},
     "semantic_decon": {"emb"},
     "winnow_profile": {"docs"},
+    "phrase_search": {"docs"},
     "wminhash_sigs": {"docs"},
     "hard_negative": {"emb"},
     "margin_mining": {"emb"},
@@ -397,6 +398,15 @@ def main() -> None:
         n = out.count()
         dd.release_cache(out)  # the persisted scored frame
         return n
+
+    def _phrase_search(d):
+        from mrt_data_integration_spark.operators.retrieval import (
+            phrase_search,
+        )
+
+        return phrase_search(
+            d, ["table hash", "customer join", "slow hash batch", "a a"]
+        ).count()
 
     def _winnow_profile(d):
         from mrt_data_integration_spark.operators.winnow import (
@@ -979,6 +989,12 @@ def main() -> None:
         # Expected flat through the grid (the span_corruption class);
         # the 100x point locates the linear term.
         "winnow_profile": lambda k: _winnow_profile(docs(k)),
+        # mid-r12: phrase search — fixed phrase set over the
+        # k×-growing corpus. NOTE the disjoint-vocab rewrite means
+        # replicas > 0 contain no probe-phrase hits — the postings
+        # join still scans and prunes every replica, which is the
+        # claim under test (the vocab prune's cost, not hit growth).
+        "phrase_search": lambda k: _phrase_search(docs(k)),
         # r9: streaming SCD2 drain — the versioned-state maintenance
         # path. Expected slope HONESTLY ABOVE the batch collapse's:
         # each micro-batch's publish COPIES untouched closed rows

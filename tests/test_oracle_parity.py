@@ -65,6 +65,7 @@ _HINT_BUDGET = {
     "lm_perplexity_filter": 4,       # [model] x3 + [1row] token total
     "margin_mined_pairs": 2,         # [batch] source batch (brute frame)
     "mc_simulation_grid": 1,         # [batch] scenario grid
+    "phrase_search_occurrences": 1,  # [batch] unrolled phrase frame
     "pmi_collocations": 2,           # [1row] totals x2
     "pq_topk": 3,                    # [model] codebooks + [batch]
     "relative_efficiency": 1,        # [1row] reference row
