@@ -456,3 +456,69 @@ def test_stream_merge_with_tombstones_equals_full_rebuild(
     ]
     assert by_key[1][0][2] == _ts(3)  # closed BY the tombstone
     assert [v for v, _, _, _ in sorted(by_key[2])] == [1, 2, 3]
+
+
+def test_stream_merge_with_before_image_tombstones(spark, tmp_path):
+    """The r12 boundary fix through the STREAMING path: tombstones
+    carrying the prior row's values (Debezium-style before-image CDC
+    deletes) must close the open version across micro-batch
+    boundaries — before the fix an equal-valued tombstone vanished in
+    the merge's collapse and the key stayed current forever."""
+    from mrt_data_integration_spark.operators.scd import (
+        changelog_to_scd2,
+    )
+    from mrt_data_integration_spark.streaming.scd import (
+        merge_scd2_updates,
+        read_scd2_history,
+    )
+
+    schema = "k long, attr string, ts timestamp, rid long, op string"
+    rows = [
+        (1, "A", _ts(1), 1, "U"),
+        (2, None, _ts(1), 2, "U"),   # NULL-valued upsert
+        (1, "A", _ts(3), 3, "D"),    # before-image: same attr as v1
+        (2, None, _ts(4), 4, "D"),   # NULL -> NULL-carrying delete
+        (1, "A", _ts(5), 5, "U"),    # re-insert across the gap
+        (3, "Q", _ts(6), 6, "U"),
+    ]
+    src = str(tmp_path / "src")
+    for i in range(3):
+        spark.createDataFrame(rows[2 * i: 2 * i + 2], schema).coalesce(
+            1
+        ).write.mode("append").parquet(f"{src}/part{i}")
+    state_dir = str(tmp_path / "state")
+    args = dict(_ARGS, op_col="op")
+
+    def sink(df, bid):
+        merge_scd2_updates(df, bid, state_dir, **args)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part*")
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = _hist_tuples(read_scd2_history(spark, state_dir))
+    want = _hist_tuples(
+        changelog_to_scd2(
+            spark.createDataFrame(rows, schema), op_col="op", **_ARGS
+        )
+    )
+    assert got == want
+    by_key = {}
+    for k, attr, _, vt, ver, cur in got:
+        by_key.setdefault(k, []).append((ver, attr, vt, cur))
+    # key 1: v1 closed BY the equal-valued tombstone, v2 current
+    assert [(v, a, c) for v, a, _, c in sorted(by_key[1])] == [
+        (1, "A", False), (2, "A", True)
+    ]
+    assert sorted(by_key[1])[0][2] == _ts(3)
+    # key 2: its only version closed by the NULL->NULL delete; no
+    # current row survives
+    assert [(v, c) for v, _, _, c in sorted(by_key[2])] == [(1, False)]
