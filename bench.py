@@ -158,6 +158,11 @@ HEADLINE = [
     # (posexplode postings × broadcast phrase frame → two partial-agg
     # shuffles on narrow int keys)
     "phrase_search_occurrences",
+    # mid-r12: winnowing-gated substring decontamination — the
+    # sparse-index contamination shape (two pure-map fingerprint
+    # selections → distinct (doc, fp) longs → broadcast-benchmark
+    # equi-join → pair counts)
+    "winnowing_decontamination",
 ]
 
 

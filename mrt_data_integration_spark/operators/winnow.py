@@ -172,3 +172,57 @@ def winnow_candidate_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def winnow_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Substring-level decontamination through the winnowing index —
+    the >=L-token-run contamination rule (the Lee et al. / LLaMA-class
+    "drop documents sharing a long verbatim run with the eval set")
+    carried by the selection guarantee: any corpus document sharing a
+    run of >= w+k-1 tokens with a benchmark document is GUARANTEED to
+    share a selected fingerprint, while the index holds only
+    ~2/(w+1) of the gram stream — the scale story vs the exact n-gram
+    decontamination path, which must index EVERY gram to make the
+    same promise (operators/decontaminate.py's dense-gram or
+    Bloom-gated frames).
+
+    Output: (id_col, bench_id, n_shared) for pairs sharing >=
+    ``min_shared`` distinct selected fingerprints. A shared
+    fingerprint IS an exact shared k-gram (md5-prefix equality; the
+    2^-32 collision tail is the documented boundary, same as every
+    md5-keyed operator here) at winnowed positions — so min_shared=1
+    with the guarantee gives a SUPERSET of all >= w+k-1-token
+    contaminations and never misses one; raising min_shared trades
+    recall below the guarantee length for precision.
+
+    Scale shape: both sides reduce to DISTINCT (doc, fp) longs before
+    any join (bodies never shuffle); the benchmark side is an eval
+    set — small by construction — and broadcasts
+    (``broadcast_benchmark=False`` escape hatch → shuffle equi-join
+    on the fingerprint key, the same gating convention as
+    semantic_decontamination)."""
+    bid = bench_id_col or "bench_id"
+    cfp = winnow_fingerprints(corpus, k, w, id_col, text_col).select(
+        F.col(id_col), "fp_hash"
+    ).distinct()
+    bfp = winnow_fingerprints(
+        benchmark, k, w, id_col, text_col
+    ).select(F.col(id_col).alias(bid), "fp_hash").distinct()
+    if broadcast_benchmark:
+        bfp = F.broadcast(bfp)
+    return (
+        cfp.join(bfp, "fp_hash")
+        .groupBy(id_col, bid)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )

@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (133 queries as of r12 —
+# ROTATION POLICY (round 4+): the registry (134 queries as of r12 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r12: 33 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r12: 34 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -65,7 +65,9 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # tests.
 _POOL_A: list[str] = [
     "gopher_quality_flags",
-    "events_hourly_rollup",
+    # (`events_hourly_rollup` was retired mid-r12 to fund
+    # `winnowing_decontamination` — the r13 plan comment's pre-ranked
+    # fresh candidate #6; see _RETIRED.)
     "json_props_extract",
     "user_activity_lag_features",
     "stateful_capped_sessions",
@@ -180,6 +182,18 @@ _POOL_A: list[str] = [
     # candidate #5, argument written mid-r12 BEFORE this family was
     # built (see _RETIRED).
     "phrase_search_occurrences",
+    # mid-r12 addition (E9+++ — winnowing-gated substring
+    # decontamination: the >=L-token-run contamination rule carried
+    # by the winnowing selection guarantee (any corpus doc sharing a
+    # >= w+k-1-token run with a benchmark doc MUST surface) at
+    # ~2/(w+1) index density — the scale story vs the dense-gram
+    # exact path; both sides reduce to DISTINCT (doc, fp) longs
+    # before the broadcast-benchmark join): zero driver history →
+    # forced into POOL_A's r13 window per rule 2; slot funded by
+    # retiring `events_hourly_rollup` — the r13 plan comment's
+    # pre-ranked fresh candidate #6, argument written mid-r12 BEFORE
+    # this family was built (see _RETIRED).
+    "winnowing_decontamination",
     # r8 additions (new operator families, registered after the r8
     # window froze — zero driver history, force-included in POOL_A's r9
     # turn per rule 2; each slot funded by the paired retirement of a
@@ -716,6 +730,18 @@ _RETIRED: list[str] = [
     # retiree keeps its DuckDB oracle every CI run
     # (tests/test_oracle_parity.py).
     "lsh_bucket_profile",
+    # mid-r12: retired to fund the `winnowing_decontamination` r13
+    # slot — the r13 plan comment's pre-ranked fresh candidate #6,
+    # argument written BEFORE the family it funds existed. Twin
+    # coverage for the time-bucketed rollup shape:
+    # `incremental_rollup_merge` + `streaming_rollup_merge` (both
+    # POOL_B — the SAME hourly rollup arithmetic routed through the
+    # strictly richer mergeable-state build/merge/drain paths; the
+    # hll_daily_distinct retirement's seat-quality argument) and
+    # `gap_filled_user_series` (POOL_A — the same event-time
+    # bucketing feeding the resample); the retiree keeps its DuckDB
+    # oracle every CI run (tests/test_oracle_parity.py).
+    "events_hourly_rollup",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,

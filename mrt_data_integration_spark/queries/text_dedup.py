@@ -1792,3 +1792,68 @@ def phrase_search_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         ["table hash", "customer join", "slow hash batch", "a a"],
     )
+
+
+@query(
+    "winnowing_decontamination",
+    # Replays the winnowing selection for BOTH frame halves (the
+    # winnowing_profile CTEs verbatim), reduces each side to DISTINCT
+    # (doc, fingerprint) pairs, and intersects on the fingerprint.
+    oracle=r"""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(
+                 1, greatest(len(string_split_regex(text, '\s+')) - 2, 0)
+               ),
+               i -> CAST(concat('0x', substr(md5(array_to_string(
+                      (string_split_regex(text, '\s+'))[i:i+2], ' '
+                    )), 1, 8)) AS BIGINT) * 2147483648 + (i - 1)
+             ) AS hs
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 4 THEN
+               list_distinct(list_transform(
+                 generate_series(1, len(hs) - 3),
+                 j -> list_min(hs[j:j+3])
+               ))
+             WHEN len(hs) >= 1 THEN [list_min(hs)]
+             ELSE CAST([] AS BIGINT[]) END AS sel
+      FROM g
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, f // 2147483648 AS fp
+      FROM (SELECT doc_id, unnest(sel) AS f FROM s)
+    )
+    SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+    FROM fp c JOIN fp b ON c.fp = b.fp
+    WHERE c.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+    GROUP BY 1, 2
+    """,
+)
+def winnowing_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+++ (mid-r12, operators/winnow.py winnow_contamination):
+    substring-level decontamination through the winnowing index — the
+    >=L-token-run contamination rule (Lee et al. / LLaMA-class) with
+    the selection guarantee: any corpus doc sharing a run of >=
+    w+k-1 = 6 tokens with a benchmark doc (doc_id %% 20 == 0) is
+    GUARANTEED to surface, while the index holds only ~2/(w+1) of the
+    gram stream (the scale story vs the dense-gram exact path, which
+    indexes EVERY gram for the same promise). Both sides reduce to
+    DISTINCT (doc, fp) longs before the join; the benchmark side
+    broadcasts (eval-set-small, escape hatch documented). A shared
+    fingerprint is an exact shared k-gram (md5-prefix equality)."""
+    from mrt_data_integration_spark.operators.winnow import (
+        winnow_contamination,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_contamination(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        k=3,
+        w=4,
+        min_shared=1,
+    )

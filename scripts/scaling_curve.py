@@ -187,6 +187,7 @@ OP_INPUTS = {
     "semantic_decon": {"emb"},
     "winnow_profile": {"docs"},
     "phrase_search": {"docs"},
+    "winnow_decon": {"docs"},
     "wminhash_sigs": {"docs"},
     "hard_negative": {"emb"},
     "margin_mining": {"emb"},
@@ -398,6 +399,23 @@ def main() -> None:
         n = out.count()
         dd.release_cache(out)  # the persisted scored frame
         return n
+
+    def _winnow_decon(d):
+        from pyspark.sql import functions as SF
+
+        from mrt_data_integration_spark.operators.winnow import (
+            winnow_contamination,
+        )
+
+        return winnow_contamination(
+            d.filter(SF.col("doc_id") % 20 != 0),
+            d.filter(
+                (SF.col("doc_id") < 10_000_000)
+                & (SF.col("doc_id") % 20 == 0)
+            ),
+            k=3,
+            w=4,
+        ).count()
 
     def _phrase_search(d):
         from mrt_data_integration_spark.operators.retrieval import (
@@ -995,6 +1013,12 @@ def main() -> None:
         # join still scans and prunes every replica, which is the
         # claim under test (the vocab prune's cost, not hit growth).
         "phrase_search": lambda k: _phrase_search(docs(k)),
+        # mid-r12: winnowing decontamination — FIXED benchmark
+        # (replica-0 slice) against the k×-growing corpus; the
+        # disjoint-vocab axis means replicas > 0 share no grams with
+        # the benchmark, so the measured cost is the fingerprint
+        # selection + distinct + probe, not hit growth.
+        "winnow_decon": lambda k: _winnow_decon(docs(k)),
         # r9: streaming SCD2 drain — the versioned-state maintenance
         # path. Expected slope HONESTLY ABOVE the batch collapse's:
         # each micro-batch's publish COPIES untouched closed rows

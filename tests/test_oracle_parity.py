@@ -76,6 +76,7 @@ _HINT_BUDGET = {
     "tfidf_top_terms": 1,            # [1row] n_docs (r12 gating fix)
     "training_mix_rebalance": 1,     # [model] per-source mix table
     "weighted_minhash_signatures": 1,  # [1row] n_docs (r12 gating fix)
+    "winnowing_decontamination": 1,  # [batch] benchmark fp frame
 }
 
 

@@ -133,3 +133,66 @@ def test_winnow_partitioning_invariance_and_plan(spark):
     plan = prof._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan, "the profile must be a pure map"
+
+
+def test_contamination_guarantee_and_twin(spark):
+    """Cross-frame guarantee: a corpus doc sharing a >= w+k-1-token
+    run with a benchmark doc must surface; full python twin over
+    random frames; broadcast flag is plan-only."""
+    from mrt_data_integration_spark.operators.winnow import (
+        winnow_contamination,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"c{i}" for i in range(60)]
+    leak = "m0 m1 m2 m3 m4 m5"  # 6 tokens = w+k-1
+    corpus_rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+        for i in range(30)
+    ]
+    corpus_rows[7] = (7, corpus_rows[7][1] + " " + leak)
+    bench_rows = [
+        (100 + j, " ".join(rng.choice(vocab) for _ in range(12)))
+        for j in range(5)
+    ]
+    bench_rows[2] = (102, leak + " " + bench_rows[2][1])
+    corpus = _docs(spark, corpus_rows)
+    bench = _docs(spark, bench_rows)
+    got = {
+        (r.doc_id, r.bench_id): r.n_shared
+        for r in winnow_contamination(corpus, bench, k=3, w=4).collect()
+    }
+    assert (7, 102) in got, "the planted >= w+k-1 leak must surface"
+
+    def fps(t):
+        return {h // _POS_BASE for h in _py_winnow(t, 3, 4)}
+
+    want = {}
+    for ci, ct in corpus_rows:
+        for bi, bt in bench_rows:
+            n = len(fps(ct) & fps(bt))
+            if n >= 1:
+                want[(ci, bi)] = n
+    assert got == want
+    unhinted = {
+        (r.doc_id, r.bench_id): r.n_shared
+        for r in winnow_contamination(
+            corpus, bench, k=3, w=4, broadcast_benchmark=False
+        ).collect()
+    }
+    assert unhinted == got
+
+
+def test_contamination_min_shared_filter(spark):
+    from mrt_data_integration_spark.operators.winnow import (
+        winnow_contamination,
+    )
+
+    corpus = _docs(spark, [(0, "a b c d e f g h i j")])
+    bench = _docs(spark, [(100, "a b c d e f g h i j")])
+    all_pairs = winnow_contamination(corpus, bench).collect()
+    assert len(all_pairs) == 1 and all_pairs[0].n_shared >= 2
+    strict = winnow_contamination(
+        corpus, bench, min_shared=all_pairs[0].n_shared + 1
+    ).collect()
+    assert strict == []
