@@ -1160,6 +1160,27 @@ _WINDOW: list[str] = (
 #     seat-quality argument, r11 candidate #3). Ranked (5) before
 #     (6) because (6)'s state-path twins are rows-only seats while
 #     (5)'s pair twin holds a CORE hash seat.
+#     [(5) SPENT mid-r12 funding `phrase_search_occurrences`; (6)
+#     SPENT mid-r12 funding `winnowing_decontamination` — see
+#     _RETIRED.] Fresh candidates pre-ranked late-r12 for the r13
+#     flip (nothing they would fund exists yet — the standing
+#     discipline): (7) `benchmark_decontamination` (POOL_A, r11
+#     hash) vs `bloom_decontamination` (POOL_B, r10 hash — its
+#     oracle is benchmark_decontamination's SQL VERBATIM, so its
+#     driver row hash-pins the identical exact-overlap semantics
+#     through the HARDER two-phase Bloom-gated path, and bloom ==
+#     exact is identity-pinned at sane and absurd filter sizes in
+#     tests/test_decontaminate.py) + `winnowing_decontamination`
+#     (POOL_A — the substring-level member of the same E9 surface);
+#     the strongest kind of argument (the campaign/streaming-click
+#     precedent: retire the easy half when the hard half carries the
+#     same oracle). (8) `gopher_quality_flags` (POOL_A, r11 hash) vs
+#     `corpus_ingest_pipeline` (POOL_A — the composed pipeline runs
+#     the SAME Gopher gate as its middle stage, pinned by the
+#     stage-count oracle row `c_quality`) + `doc_quality_stats`
+#     (CORE — the same text-scan aggregate arithmetic); ranks behind
+#     (7) because the pipeline pins the gate's row-count effect, not
+#     every flag column (those keep their own oracle every CI run).
 #   - no rotation query waits >2 rounds under this plan: POOL_B + the
 #     13 r12-sit-out CORE members (the r11 returners) get r12 rows,
 #     POOL_A + the 13 r13-sit-out CORE members get r13 rows.
