@@ -197,6 +197,11 @@ def main() -> None:
         "streaming_dedup_ingest",
         "streaming_click_attribution",
         "streaming_scd2_history",
+        # r12: sub-second SCD collapse whose first shot carries the
+        # window codegen; single tail draws kept reading as phantom
+        # 1.5-1.8x movers (worktree-A/B'd clean twice this round) —
+        # widen to 5 shots so the median sheds them
+        "scd2_priority_history",
     }
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
