@@ -163,6 +163,9 @@ HEADLINE = [
     # selections → distinct (doc, fp) longs → broadcast-benchmark
     # equi-join → pair counts)
     "winnowing_decontamination",
+    # late-r12: quality-ranked canonical selection — the CC loop plus
+    # a per-component struct-max argmax + unhinted component join-back
+    "quality_canonical_dedup",
 ]
 
 

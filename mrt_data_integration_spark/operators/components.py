@@ -271,3 +271,62 @@ def leakage_safe_split(
     return assigned.select(
         id_col, "component", expr.alias("split")
     )
+
+
+def select_canonical(
+    docs: DataFrame,
+    clusters: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-ranked canonical selection over duplicate clusters — the
+    production keep rule (retain the highest-quality copy of each
+    near-dup cluster: longest, cleanest) where `connected_components`'
+    min-id convention is only a deterministic placeholder.
+
+    ``clusters`` is the (node, component) frame from
+    `connected_components` (covering documents that appear in at least
+    one candidate pair); documents outside every cluster are their own
+    singleton canonical. Winner per cluster = max ``quality_col``,
+    ties to the LOWEST id (so constant quality reproduces the min-id
+    rule exactly — identity-pinned against `dedup_clusters`).
+
+    Scale shape: one membership left join (cluster frame keyed by id),
+    one per-component max-of-struct aggregate (partial map-side; the
+    (quality, -id) struct makes the numeric max the lexicographic
+    argmax), one join back on the component key. The per-component
+    best table grows WITH the corpus — it is never broadcast-hinted
+    (AQE decides), unlike the eval-set-bounded frames elsewhere.
+    """
+    q = docs.select(
+        F.col(id_col), F.col(quality_col).alias("__q__")
+    )
+    member = (
+        q.join(
+            clusters.select(
+                F.col("node").alias(id_col), "component"
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn(
+            "component", F.coalesce("component", F.col(id_col))
+        )
+    )
+    best = member.groupBy("component").agg(
+        F.max(
+            F.struct(
+                F.col("__q__").alias("q"),
+                (-F.col(id_col)).alias("nid"),
+            )
+        ).alias("__b__")
+    )
+    return member.join(best, "component").select(
+        id_col,
+        "component",
+        F.col("__q__").alias("quality"),
+        (
+            (F.col("__q__") == F.col("__b__.q"))
+            & (F.col(id_col) == -F.col("__b__.nid"))
+        ).alias("is_canonical"),
+    )

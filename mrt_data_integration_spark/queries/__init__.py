@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (134 queries as of r12 —
+# ROTATION POLICY (round 4+): the registry (135 queries as of r12 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r12: 34 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r12: 35 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -101,7 +101,9 @@ _POOL_A: list[str] = [
     # joined in r4 (first two got r4 driver rows; the last two get their
     # first rows in r5 with the rest of pool A)
     "doc_repetition_filter",
-    "benchmark_decontamination",
+    # (`benchmark_decontamination` was retired late-r12 to fund
+    # `quality_canonical_dedup` — the r13 plan comment's pre-ranked
+    # fresh candidate #7; see _RETIRED.)
     "training_mix_rebalance",
     # r5 addition (E4 — IVFADC persisted-index variant; its online twin
     # `ivfpq_topk` was retired r9, `pq_topk` retired r10 — see _RETIRED)
@@ -194,6 +196,18 @@ _POOL_A: list[str] = [
     # pre-ranked fresh candidate #6, argument written mid-r12 BEFORE
     # this family was built (see _RETIRED).
     "winnowing_decontamination",
+    # late-r12 addition (E10+ — quality-ranked canonical selection:
+    # the production keep rule for duplicate clusters (retain the
+    # highest-quality copy) replacing the min-id placeholder; LSH
+    # pairs → CC → per-cluster (quality, -id) struct-max argmax with
+    # min-id ties, singletons their own canonicals; constant quality
+    # == the min-id rule, identity-pinned; the per-component best
+    # table grows with the corpus and is NOT broadcast-hinted): zero
+    # driver history → forced into POOL_A's r13 window per rule 2;
+    # slot funded by retiring `benchmark_decontamination` — the r13
+    # plan comment's pre-ranked fresh candidate #7, argument written
+    # late-r12 BEFORE this family was built (see _RETIRED).
+    "quality_canonical_dedup",
     # r8 additions (new operator families, registered after the r8
     # window froze — zero driver history, force-included in POOL_A's r9
     # turn per rule 2; each slot funded by the paired retirement of a
@@ -742,6 +756,19 @@ _RETIRED: list[str] = [
     # bucketing feeding the resample); the retiree keeps its DuckDB
     # oracle every CI run (tests/test_oracle_parity.py).
     "events_hourly_rollup",
+    # late-r12: retired to fund the `quality_canonical_dedup` r13
+    # slot — the r13 plan comment's pre-ranked fresh candidate #7,
+    # argument written BEFORE the family it funds existed. Twin
+    # coverage (the strongest kind — the campaign/streaming-click
+    # precedent): `bloom_decontamination` (POOL_B, r10 hash) carries
+    # benchmark_decontamination's oracle SQL VERBATIM, so its driver
+    # row hash-pins the identical exact-overlap semantics through the
+    # HARDER two-phase Bloom-gated path (bloom == exact identity at
+    # sane and absurd filter sizes, tests/test_decontaminate.py);
+    # `winnowing_decontamination` (POOL_A) keeps the substring-level
+    # member of the same E9 surface driver-visible; the retiree keeps
+    # its DuckDB oracle every CI run (tests/test_oracle_parity.py).
+    "benchmark_decontamination",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,

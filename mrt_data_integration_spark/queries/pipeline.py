@@ -1064,3 +1064,62 @@ def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "n_masked",
     )
+
+
+@query(
+    "quality_canonical_dedup",
+    # The dedup_clusters closure CTEs verbatim, then the quality
+    # argmax with min-id ties over full-doc membership (singletons =
+    # their own component).
+    oracle=f"""
+    WITH RECURSIVE {_LSH_PAIRS_SQL},
+    edges AS (
+      SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+    ),
+    comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n),
+    mem AS (
+      SELECT d.doc_id,
+             coalesce(c.component, d.doc_id) AS component,
+             d.n_chars AS quality
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    best AS (
+      SELECT component, max(quality) AS bq FROM mem GROUP BY 1
+    ),
+    bestid AS (
+      SELECT m.component, min(m.doc_id) AS bid
+      FROM mem m JOIN best b
+        ON m.component = b.component AND m.quality = b.bq
+      GROUP BY 1
+    )
+    SELECT m.doc_id, m.component, m.quality,
+           (m.doc_id = bestid.bid) AS is_canonical
+    FROM mem m
+    JOIN bestid ON m.component = bestid.component
+    """,
+)
+def quality_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10+ (late r12, operators/components.select_canonical):
+    quality-ranked canonical selection — the production keep rule for
+    duplicate clusters (retain the highest-quality copy; min-id is
+    only a placeholder convention). LSH pairs → connected components →
+    per-cluster (quality, -id) struct-max argmax (ties to the lowest
+    id, so constant quality reproduces dedup_clusters' keeper —
+    identity-pinned in CI) with singleton docs as their own
+    canonicals. Quality here = n_chars (the longest-copy rule). The
+    per-component best table grows with the corpus and is NOT
+    broadcast-hinted. The oracle replays the closure + argmax
+    end-to-end."""
+    from mrt_data_integration_spark.operators.components import (
+        select_canonical,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.lsh_candidate_pairs(docs, n_hashes=4, band_size=2)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return select_canonical(docs, cc, "n_chars")

@@ -188,6 +188,7 @@ OP_INPUTS = {
     "winnow_profile": {"docs"},
     "phrase_search": {"docs"},
     "winnow_decon": {"docs"},
+    "quality_canonical": {"docs"},
     "wminhash_sigs": {"docs"},
     "hard_negative": {"emb"},
     "margin_mining": {"emb"},
@@ -398,6 +399,21 @@ def main() -> None:
         out = margin_knn_pairs(mm_src, emb(k), k=4)
         n = out.count()
         dd.release_cache(out)  # the persisted scored frame
+        return n
+
+    def _quality_canonical(d):
+        from mrt_data_integration_spark.cache_registry import (
+            sweep_caches,
+        )
+        from mrt_data_integration_spark.operators.components import (
+            connected_components,
+            select_canonical,
+        )
+
+        pairs = dd.lsh_candidate_pairs(d, n_hashes=4, band_size=2)
+        cc = connected_components(pairs, "id_a", "id_b")
+        n = select_canonical(d, cc, "n_chars").count()
+        sweep_caches()
         return n
 
     def _winnow_decon(d):
@@ -1019,6 +1035,11 @@ def main() -> None:
         # the benchmark, so the measured cost is the fingerprint
         # selection + distinct + probe, not hit growth.
         "winnow_decon": lambda k: _winnow_decon(docs(k)),
+        # late-r12: quality canonical selection — the dedup_clusters
+        # CC machinery plus the per-component argmax and join-back;
+        # expected to track dedup_clusters' slope (the CC fixpoint
+        # dominates).
+        "quality_canonical": lambda k: _quality_canonical(docs(k)),
         # r9: streaming SCD2 drain — the versioned-state maintenance
         # path. Expected slope HONESTLY ABOVE the batch collapse's:
         # each micro-batch's publish COPIES untouched closed rows

@@ -157,3 +157,77 @@ def test_leakage_safe_split_rejects_partial_boundaries(spark):
             items, pairs, "doc_id",
             boundaries=[("train", 90), ("val", 80), ("test", 100)],
         )
+
+
+# --- quality-ranked canonical selection (late r12) -------------------
+
+
+def test_select_canonical_quality_argmax_and_singletons(spark):
+    """Winner = max quality per cluster, ties to the lowest id;
+    documents outside every pair are singleton canonicals."""
+    from pyspark.sql import functions as F
+
+    from mrt_data_integration_spark.operators.components import (
+        select_canonical,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (4, 7), (9, 3)],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    out = {
+        r.doc_id: r
+        for r in select_canonical(docs, cc, "n_chars").collect()
+    }
+    cache_registry.sweep_caches()
+    assert len(out) == 5
+    # cluster {1,2,3}: quality 50 tie between 2 and 3 -> lowest id (2)
+    assert [out[i].is_canonical for i in (1, 2, 3)] == [
+        False, True, False
+    ]
+    assert {out[i].component for i in (1, 2, 3)} == {1}
+    # 4 and 9 are singletons: own component, canonical
+    for i in (4, 9):
+        assert out[i].component == i and out[i].is_canonical
+    assert out[2].quality == 50 and out[4].quality == 7
+
+
+def test_select_canonical_constant_quality_is_min_id_rule(spark):
+    """With constant quality the argmax tie rule degenerates to the
+    min-id convention — byte-identical to dedup_clusters' keeper."""
+    import random as _r
+
+    from pyspark.sql import functions as F
+
+    from mrt_data_integration_spark.operators.components import (
+        select_canonical,
+    )
+
+    rng = _r.Random(13)
+    n = 40
+    docs = spark.createDataFrame(
+        [(i, 1) for i in range(n)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame(
+        [
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < 0.05
+        ],
+        "id_a long, id_b long",
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    got = {
+        r.doc_id: (r.component, r.is_canonical)
+        for r in select_canonical(docs, cc, "n_chars").collect()
+    }
+    members = {r.node: r.component for r in cc.collect()}
+    cache_registry.sweep_caches()
+    for i in range(n):
+        comp = members.get(i, i)
+        assert got[i] == (comp, i == comp)
