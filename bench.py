@@ -166,6 +166,9 @@ HEADLINE = [
     # late-r12: quality-ranked canonical selection — the CC loop plus
     # a per-component struct-max argmax + unhinted component join-back
     "quality_canonical_dedup",
+    # late-r12: two-sample KS drift profile — the value-grain-collapse
+    # + bounded-global-window shape
+    "length_drift_ks",
 ]
 
 

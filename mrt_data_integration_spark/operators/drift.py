@@ -1,0 +1,100 @@
+"""Two-sample distribution-drift statistics — the Kolmogorov-Smirnov
+profile between two corpus slices (ingest-monitoring QA: "did this
+crawl's length/quality distribution move?", the check every
+continuously-ingested training corpus runs between releases; the KS
+statistic is the classic distribution-free two-sample test,
+Kolmogorov 1933 / Smirnov 1939).
+
+Scale design — the naive formulation (global sort of ALL observations,
+one running rank window) is a single-partition bottleneck at corpus
+scale. The engine's shape instead:
+
+1. collapse to the VALUE GRAIN first: one partial-agg hash shuffle
+   produces (value, n_a, n_b) — a table bounded by the value DOMAIN
+   (a length in characters, a bucketed score), not the corpus;
+2. the empirical-CDF running sums then run a global window over that
+   bounded table (the exact_percentiles precedent: a global window is
+   sanctioned exactly when its input is domain-bounded — document
+   lengths, not documents);
+3. totals ride a 1-row crossJoin broadcast (the DSIR/BM25 pattern).
+
+Continuous-valued columns must be bucketed by the caller before the
+profile (the same contract as every fixed-width histogram here); the
+KS statistic of the bucketed profile lower-bounds the unbucketed one.
+
+All integer counts; the only divisions are the two final CDF ratios,
+rounded to 6 (the float-combination discipline) — fully
+SQL-replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def two_sample_ks_profile(
+    df: DataFrame,
+    value_col: str,
+    in_a: Column,
+) -> DataFrame:
+    """The CDF-difference profile between the ``in_a`` slice (sample
+    A) and its complement (sample B) over ``value_col``: one row per
+    DISTINCT value — (value_col, n_a, n_b, cdf_a, cdf_b, ks_term =
+    |cdf_a − cdf_b|, all CDFs rounded to 6). ``max(ks_term)`` IS the
+    two-sample KS statistic; emitting the whole profile keeps the
+    drift LOCATION visible (which lengths moved), not just the
+    magnitude, and gives the oracle a full surface to hash.
+
+    Rows with a NULL value are excluded (a CDF has no place for
+    them); an empty side yields NULL CDFs for that side (no
+    silent 0/0)."""
+    flagged = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("__v__"),
+        in_a.cast("boolean").alias("__a__"),
+    )
+    per_value = flagged.groupBy("__v__").agg(
+        F.count(F.when(F.col("__a__"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("__a__"), 1)).alias("n_b"),
+    )
+    totals = flagged.agg(
+        F.count(F.when(F.col("__a__"), 1))
+        .cast("double")
+        .alias("__ta__"),
+        F.count(F.when(~F.col("__a__"), 1))
+        .cast("double")
+        .alias("__tb__"),
+    )
+    w = Window.orderBy("__v__").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf_a = F.when(
+        F.col("__ta__") > 0,
+        F.round(F.sum("n_a").over(w) / F.col("__ta__"), 6),
+    )
+    cdf_b = F.when(
+        F.col("__tb__") > 0,
+        F.round(F.sum("n_b").over(w) / F.col("__tb__"), 6),
+    )
+    return (
+        per_value.crossJoin(F.broadcast(totals))  # 1 row: constants
+        .select(
+            F.col("__v__").alias(value_col),
+            "n_a",
+            "n_b",
+            cdf_a.alias("cdf_a"),
+            cdf_b.alias("cdf_b"),
+        )
+        .withColumn(
+            "ks_term",
+            F.round(F.abs(F.col("cdf_a") - F.col("cdf_b")), 6),
+        )
+    )
+
+
+def ks_statistic(profile: DataFrame) -> float:
+    """max ks_term of a :func:`two_sample_ks_profile` frame — the
+    two-sample KS statistic (driver-side scalar; the profile is the
+    distributed artifact)."""
+    row = profile.agg(F.max("ks_term").alias("ks")).collect()[0]
+    return float(row.ks) if row.ks is not None else float("nan")

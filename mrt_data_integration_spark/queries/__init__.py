@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (135 queries as of r12 —
+# ROTATION POLICY (round 4+): the registry (136 queries as of r12 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r12: 35 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r12: 36 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -64,7 +64,9 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # tests/test_oracle_parity.py; rotated-out no_oracle fits keep their golden
 # tests.
 _POOL_A: list[str] = [
-    "gopher_quality_flags",
+    # (`gopher_quality_flags` was retired late-r12 to fund
+    # `length_drift_ks` — the r13 plan comment's pre-ranked fresh
+    # candidate #8; see _RETIRED.)
     # (`events_hourly_rollup` was retired mid-r12 to fund
     # `winnowing_decontamination` — the r13 plan comment's pre-ranked
     # fresh candidate #6; see _RETIRED.)
@@ -208,6 +210,18 @@ _POOL_A: list[str] = [
     # plan comment's pre-ranked fresh candidate #7, argument written
     # late-r12 BEFORE this family was built (see _RETIRED).
     "quality_canonical_dedup",
+    # late-r12 addition (E11+ — two-sample KS drift profile: the
+    # distribution-free drift check between corpus slices over a
+    # bounded value domain; the corpus collapses to the VALUE GRAIN
+    # before the global CDF window (the exact_percentiles sanctioned
+    # global-window class — domain-bounded input), totals ride a
+    # 1-row crossJoin broadcast; max ks_term == the KS statistic and
+    # the profile keeps the drift LOCATION visible): zero driver
+    # history → forced into POOL_A's r13 window per rule 2; slot
+    # funded by retiring `gopher_quality_flags` — the r13 plan
+    # comment's pre-ranked fresh candidate #8, argument written
+    # late-r12 BEFORE this family was built (see _RETIRED).
+    "length_drift_ks",
     # r8 additions (new operator families, registered after the r8
     # window froze — zero driver history, force-included in POOL_A's r9
     # turn per rule 2; each slot funded by the paired retirement of a
@@ -769,6 +783,16 @@ _RETIRED: list[str] = [
     # member of the same E9 surface driver-visible; the retiree keeps
     # its DuckDB oracle every CI run (tests/test_oracle_parity.py).
     "benchmark_decontamination",
+    # late-r12: retired to fund the `length_drift_ks` r13 slot — the
+    # r13 plan comment's pre-ranked fresh candidate #8, argument
+    # written BEFORE the family it funds existed. Twin coverage for
+    # the map-side text-flag scan: `corpus_ingest_pipeline` (POOL_A —
+    # the composed pipeline runs the SAME Gopher gate as its middle
+    # stage, pinned by its `c_quality` stage-count oracle row) and
+    # `doc_quality_stats` (CORE — the same text-scan aggregate
+    # arithmetic); the individual flag columns keep their own DuckDB
+    # oracle every CI run (tests/test_oracle_parity.py).
+    "gopher_quality_flags",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,

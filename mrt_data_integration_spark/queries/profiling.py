@@ -313,3 +313,57 @@ def stratified_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bounded_topk(
         scored, 20, "__h__", key_col="lang", tie_col="doc_id", ascending=True
     ).select("lang", "rk", "doc_id", "n_chars")
+
+
+@query(
+    "length_drift_ks",
+    # Full replay: slice flags, the value-grain collapse, the two
+    # running-CDF windows over distinct values, the |difference|
+    # profile. DuckDB lateral aliases let ks_term reference the CDFs.
+    oracle="""
+    WITH f AS (
+      SELECT n_chars AS v, (lang = 'en') AS a
+      FROM documents WHERE n_chars IS NOT NULL
+    ),
+    pv AS (
+      SELECT v,
+             count(CASE WHEN a THEN 1 END)     AS n_a,
+             count(CASE WHEN NOT a THEN 1 END) AS n_b
+      FROM f GROUP BY v
+    ),
+    t AS (
+      SELECT CAST(count(CASE WHEN a THEN 1 END) AS DOUBLE)     AS ta,
+             CAST(count(CASE WHEN NOT a THEN 1 END) AS DOUBLE) AS tb
+      FROM f
+    )
+    SELECT v AS n_chars, n_a, n_b,
+           CASE WHEN t.ta > 0 THEN round(
+             sum(n_a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) / t.ta,
+             6) END AS cdf_a,
+           CASE WHEN t.tb > 0 THEN round(
+             sum(n_b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) / t.tb,
+             6) END AS cdf_b,
+           round(abs(cdf_a - cdf_b), 6) AS ks_term
+    FROM pv, t
+    """,
+)
+def length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11+ (late r12, operators/drift.py): two-sample KS drift
+    profile — the distribution-free drift check between the English
+    slice and the rest of the corpus over document length: one row per
+    distinct n_chars with both empirical CDFs and the |difference|
+    whose max IS the KS statistic (the profile keeps the drift
+    LOCATION visible, not just the magnitude). Scale shape: the
+    corpus collapses to the VALUE GRAIN first (one partial-agg hash
+    shuffle; the global CDF window then runs over a table bounded by
+    the length domain, not the corpus — the exact_percentiles
+    precedent), totals ride a 1-row crossJoin broadcast. The oracle
+    replays flags → collapse → windows → profile end-to-end."""
+    from mrt_data_integration_spark.operators.drift import (
+        two_sample_ks_profile,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return two_sample_ks_profile(
+        docs, "n_chars", F.col("lang") == "en"
+    )

@@ -189,6 +189,7 @@ OP_INPUTS = {
     "phrase_search": {"docs"},
     "winnow_decon": {"docs"},
     "quality_canonical": {"docs"},
+    "ks_drift": {"docs"},
     "wminhash_sigs": {"docs"},
     "hard_negative": {"emb"},
     "margin_mining": {"emb"},
@@ -400,6 +401,19 @@ def main() -> None:
         n = out.count()
         dd.release_cache(out)  # the persisted scored frame
         return n
+
+    def _ks_drift(d):
+        from pyspark.sql import functions as SF
+
+        from mrt_data_integration_spark.operators.drift import (
+            two_sample_ks_profile,
+        )
+
+        return two_sample_ks_profile(
+            d.withColumn("n_chars", SF.length("text")),
+            "n_chars",
+            SF.col("lang") == "en",
+        ).count()
 
     def _quality_canonical(d):
         from mrt_data_integration_spark.cache_registry import (
@@ -1040,6 +1054,11 @@ def main() -> None:
         # expected to track dedup_clusters' slope (the CC fixpoint
         # dominates).
         "quality_canonical": lambda k: _quality_canonical(docs(k)),
+        # late-r12: KS drift — the window input is the value DOMAIN
+        # (document lengths), so only the collapse scan grows with the
+        # corpus. Expected flat-to-linear in corpus size with a
+        # CONSTANT window stage.
+        "ks_drift": lambda k: _ks_drift(docs(k)),
         # r9: streaming SCD2 drain — the versioned-state maintenance
         # path. Expected slope HONESTLY ABOVE the batch collapse's:
         # each micro-batch's publish COPIES untouched closed rows

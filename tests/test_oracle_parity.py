@@ -61,6 +61,7 @@ _HINT_BUDGET = {
     "ivfpq_index_topk": 3,           # [model] + [batch]
     "ivfpq_topk": 3,                 # [model] + [batch]
     "leakage_safe_split": 1,         # [1row] spanning-clusters count
+    "length_drift_ks": 1,            # [1row] slice totals
     "lineitem_priority_regime": 1,   # [dim] custkey-slice history
     "lm_perplexity_filter": 4,       # [model] x3 + [1row] token total
     "margin_mined_pairs": 2,         # [batch] source batch (brute frame)
