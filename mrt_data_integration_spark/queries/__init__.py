@@ -1148,14 +1148,82 @@ _R12_SIT_OUT = (
     "ngram_jaccard_pairs",
     "bpe_ish_token_counts",
 )
-_WINDOW: list[str] = (
-    _POOL_B
-    + [n for n in _CORE if n not in _R12_SIT_OUT]
+# Round 13 window: POOL_A's turn (37 after the r12 add/retire pairs:
+# the seven r12 additions `lm_perplexity_filter`,
+# `semantic_decontamination`, `winnowing_profile`,
+# `phrase_search_occurrences`, `winnowing_decontamination`,
+# `quality_canonical_dedup`, `length_drift_ks` have ZERO driver
+# history and are force-included per rule 2 — the r12 verdict's
+# promised rotation, item 1; slots funded by the seven r12
+# retirements with twin arguments in _RETIRED) + the 13 r12 sit-outs
+# (all CORE, last rows r11, due back) = 37 + 13 = exactly 50. No r12
+# row was red (50/50 green: CORRECTNESS_r12.json — 39 hash + 11
+# declared rows-only), so rule 1 forces nothing. The THIRTEEN CORE
+# members holding fresh r12 hash rows sit out — shapes stay covered
+# in-window (the r11 delegations, re-based where a named twin was
+# retired during r12):
+# `pricing_summary` (scan + grouped agg) by `brand_part_rollup`
+#   (returning — GROUPING SETS grouped agg over the same lineitem
+#   scan) + `group_best_highlight` (returning)  [re-based: the old
+#   twin `events_hourly_rollup` retired r12],
+# `weighted_gram` (grouped gram) by `wls_normal_equations` (returning —
+#   the same normal-equations family) + `cluster_score_meat`
+#   (returning),
+# `relative_efficiency` (reference-row normalization) by
+#   `training_mix_rebalance` (POOL_A — same ratio-to-reference shape),
+# `rollup_hierarchy` (grouping sets) by `brand_part_rollup` (returning
+#   — the same GROUPING SETS physical operator),
+# `exact_percentiles` (global sort percentiles) by `topk_per_group`
+#   (returning — same sort/window machinery),
+# `running_total` (cumulative frame) by `user_activity_lag_features`
+#   (POOL_A — same window-frame machinery),
+# `argmax_per_group` by `group_best_highlight` (returning — same
+#   argmax shape),
+# `regr_by_group` by `wcls_cluster_robust` (returning — per-group
+#   regression),
+# `star_join_revenue` (broadcast star join) by `fact_fact_join`
+#   (returning) + `lineitem_priority_regime` (POOL_A — broadcast
+#   history join); bench-tracked,
+# `anti_join_dormant_customers` by `winnowing_decontamination`
+#   (POOL_A — benchmark exclusion is the same anti-join-shaped
+#   set-difference, routed through fingerprint keys) +
+#   `leakage_safe_split` (POOL_A — the zero-straddle split is
+#   verified by the same anti-join arithmetic)  [re-based: the old
+#   twin `benchmark_decontamination` retired r12],
+# `doc_lang_id` by `lang_classifier_scores` (POOL_A) +
+#   `doc_quality_stats` (returning); bench-tracked,
+# `doc_fingerprint_dedup` (exact hash dedup) by `streaming_dedup_ingest`
+#   (POOL_A — ingest-time exact dedup on the same fingerprints) +
+#   `dedup_clusters` (POOL_A),
+# `tfidf_top_terms` by `bpe_ish_token_counts` (returning) +
+#   `bm25_doc_search` (POOL_A — the same tf/df arithmetic inside the
+#   ranking); bench-tracked.
+_R13_SIT_OUT = (
+    "pricing_summary",
+    "weighted_gram",
+    "relative_efficiency",
+    "rollup_hierarchy",
+    "exact_percentiles",
+    "running_total",
+    "argmax_per_group",
+    "regr_by_group",
+    "star_join_revenue",
+    "anti_join_dormant_customers",
+    "doc_lang_id",
+    "doc_fingerprint_dedup",
+    "tfidf_top_terms",
 )
-# (The r12 plan written at the r11 flip EXECUTED above verbatim:
+_WINDOW: list[str] = (
+    _POOL_A
+    + [n for n in _CORE if n not in _R13_SIT_OUT]
+)
+# (The r12 plan written at the r11 flip EXECUTED verbatim:
 # POOL_B's 37 + the 13 r11 sit-outs, zero slack, no red r11 rows —
 # the dry run commit 1f150bf confirmed 50/50 green in a fresh
-# session before the flip.)
+# session before the flip. The r13 plan below EXECUTED at this r13
+# flip likewise: POOL_A's 37 + the 13 r12 sit-outs, zero slack, no
+# red r12 rows — preflight_window 50/50 re-confirmed in a fresh
+# session before this flip was committed.)
 #
 # r13 plan (written at this r12 window flip, per the standing
 # practice): POOL_A's turn. POOL_A is 37 and the 13 r12 sit-outs (all
@@ -1239,6 +1307,87 @@ _WINDOW: list[str] = (
 # fresh-r12 POOL_B member whose shape must then be delegated
 # in-window. test_window_policy.py enforces the bookkeeping either
 # way.
+#
+# r14 plan (written at this r13 window flip, per the standing
+# practice): POOL_B's turn. POOL_B is 37 and the 13 r13 sit-outs (all
+# CORE, last rows r12) are due back: 37 + 13 = exactly 50 — ZERO
+# slack for the eighth consecutive round. Consequences, enforceable
+# now:
+#   - any NEW query registered during r13 joins POOL_B for its forced
+#     r14 row AND must be paired with a POOL_B retirement. Fresh
+#     consolidation candidates, pre-ranked at THIS flip BEFORE any
+#     r13 registration exists (the cfd59ca discipline — the r12
+#     verdict's item 2: the prior list is exhausted, argument written
+#     before building anything these would fund):
+#     (9) `semantic_dedup_summary` (POOL_B, rows-only seat) vs
+#     `semantic_decontamination` (POOL_A, forced r13 hash slot — the
+#     SAME blocked-BLAS per-vector max-cosine collapse over the same
+#     embeddings scan, hash-pinned end-to-end) +
+#     `embedding_kmeans_cells` (POOL_A, r11 hash — the Lloyd's cell
+#     assignment both share); the dedup-specific drop semantics keep
+#     their planted-copy / determinism / never-drops-unique CI pins
+#     (tests/test_similarity.py::test_semantic_dedup_drops_planted_copies,
+#     ::test_semantic_dedup_deterministic,
+#     ::test_semantic_dedup_never_drops_unique_vectors,
+#     ::test_semantic_dedup_blas_matches_expr_pairs). Retiring a
+#     rows-only seat for a hash registration RAISES the window's hash
+#     share — the hll_daily_distinct seat-quality argument.
+#     (10) `multimodal_features` (POOL_B, rows-only seat) vs
+#     `image_near_dup_pairs` (POOL_B, r12 hash — the perceptual-hash
+#     pair join computes its dhash THROUGH the same stdlib decode
+#     path, so decode stays driver-visible through a HASH seat); the
+#     decode semantics keep their exact raster pins
+#     (tests/test_multimodal.py::test_ppm_pixel_decode_exact,
+#     ::test_bmp24_pixel_decode_row_order_and_padding,
+#     ::test_stdlib_image_decode_real_formats,
+#     ::test_pixel_stats_null_blob_is_null_row). Same
+#     rows-only-for-hash seat-quality argument as (9).
+#     (11) `incremental_rollup_merge` (POOL_B, rows-only) vs
+#     `streaming_rollup_merge` (POOL_B, rows-only — the streaming
+#     drain of the SAME mergeable binary-HLL state path) +
+#     `heavy_hitters` (POOL_B, r12 hash — the sketch family's hash
+#     seat); merged==direct including a parquet round-trip of the
+#     binary state is identity-pinned
+#     (tests/test_sketches.py::
+#     test_rollup_state_merge_equals_direct_with_parquet_roundtrip).
+#     Ranks behind (9)/(10) because its named state twin is itself a
+#     rows-only seat.
+#     (12) `wcls_large_panel` (POOL_B, rows-only) vs
+#     `sensitivity_scenarios` (POOL_B, rows-only — the SAME
+#     generate_panel mapInPandas source through the fan-out harness)
+#     + `wcls_cluster_robust` (CORE, hash — the same estimator
+#     arithmetic at driver-hash strength); the generator's
+#     determinism / chunking-invariance / distributed==local
+#     contracts are CI
+#     (tests/test_simulation.py::test_generator_deterministic_and_chunk_free,
+#     ::test_distributed_generator_matches_local). Ranks last of the
+#     rows-only class because it is the only driver row exercising
+#     the generator at 20× size before a fit.
+#     (`cosine_topk` remains the standing last-resort hash-seat
+#     candidate — the ANN exactness baseline; spend only if
+#     (9)-(12) are exhausted.)
+#   - no rotation query waits >2 rounds under this plan: POOL_A + the
+#     13 r13-sit-out CORE members (the r12 returners) get r13 rows,
+#     POOL_B + the 13 r14-sit-out CORE members get r14 rows.
+# Any r13 red row is force-included per rule 1 and displaces a
+# fresh-r13 POOL_A member whose shape must then be delegated
+# in-window. test_window_policy.py enforces the bookkeeping either
+# way.
+#
+# CI-only coverage ledger note (r12 verdict item 4, the 0ab3b5b
+# `weighted_minhash_pairs` precedent): `winnow_candidate_pairs`
+# (operators/winnow.py — the corpus self-join + n_shared count half
+# of winnowing) holds no driver query by design. Its physical plan is
+# `lsh_candidate_pairs`' (CORE, hash-verified every rotation) shape
+# VERBATIM on the fingerprint key: DISTINCT (doc, key) longs →
+# self-equi-join on the key → pair-grain count/verify — the same
+# band-keyed join the LSH pair query hash-pins, with `fp` standing in
+# for `(band, bucket)`. The winnowing-specific halves ARE
+# driver-verified: selection via `winnowing_profile` (forced r13
+# hash slot) and the cross-frame intersect via
+# `winnowing_decontamination` (forced r13 hash slot); the join-shape
+# residual is twin-carried per the above, plus guarantee fuzz in
+# tests/test_winnow.py.
 #
 # --- r11-era history (the plan the flip above executed) -----------
 # (The r11 plan written at the r10 flip EXECUTED verbatim:
