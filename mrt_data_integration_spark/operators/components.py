@@ -297,6 +297,14 @@ def select_canonical(
     argmax), one join back on the component key. The per-component
     best table grows WITH the corpus — it is never broadcast-hinted
     (AQE decides), unlike the eval-set-bounded frames elsewhere.
+
+    NULL handling + id contract (ADVICE r12): ``quality_col`` is
+    ranked as a double with NULL coalesced below every real value
+    (-inf), so an all-NULL cluster still elects its min-id canonical
+    and a NULL-quality row is never silently unmarked —
+    ``is_canonical`` is always a non-NULL boolean. ``id_col`` must be
+    numeric (the tie-break negates it); integer-valued qualities
+    compare exactly up to 2^53.
     """
     q = docs.select(
         F.col(id_col), F.col(quality_col).alias("__q__")
@@ -313,20 +321,26 @@ def select_canonical(
             "component", F.coalesce("component", F.col(id_col))
         )
     )
-    best = member.groupBy("component").agg(
+    ranked = member.withColumn(
+        "__qn__",
+        F.coalesce(
+            F.col("__q__").cast("double"), F.lit(float("-inf"))
+        ),
+    )
+    best = ranked.groupBy("component").agg(
         F.max(
             F.struct(
-                F.col("__q__").alias("q"),
+                F.col("__qn__").alias("q"),
                 (-F.col(id_col)).alias("nid"),
             )
         ).alias("__b__")
     )
-    return member.join(best, "component").select(
+    return ranked.join(best, "component").select(
         id_col,
         "component",
         F.col("__q__").alias("quality"),
         (
-            (F.col("__q__") == F.col("__b__.q"))
+            (F.col("__qn__") == F.col("__b__.q"))
             & (F.col(id_col) == -F.col("__b__.nid"))
         ).alias("is_canonical"),
     )

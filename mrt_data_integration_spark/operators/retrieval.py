@@ -185,7 +185,12 @@ def phrase_search(
     """
     rows = []
     for pid, p in enumerate(phrases):
-        terms = p.split(" ")
+        # any-whitespace split (ADVICE r12): documents tokenize on \s+,
+        # so a phrase with consecutive/tab whitespace must not produce
+        # empty-string slot terms that silently match nothing.
+        terms = p.split()
+        if not terms:
+            raise ValueError(f"phrase {p!r} tokenizes to no terms")
         for slot, t in enumerate(terms):
             rows.append((pid, p, slot, t, len(terms)))
     spark = docs.sparkSession

@@ -86,7 +86,12 @@ def winnow_fingerprints(
         .select(id_col, F.explode(sel).alias("__fp__"))
         .select(
             id_col,
-            (F.col("__fp__") / _POS_BASE).cast("long").alias("fp_hash"),
+            # exact integer decode (ADVICE r12): the combined key is
+            # non-negative (h < 2^32, pos >= 0), so an arithmetic shift
+            # IS the oracle's integer `//` by construction — no
+            # float-division rounding window even if the position
+            # encoding ever widens toward 2^31.
+            F.shiftright("__fp__", 31).alias("fp_hash"),
             (F.col("__fp__") % _POS_BASE).cast("long").alias("pos"),
         )
     )
@@ -108,7 +113,7 @@ def winnow_profile(
     hs, sel = _fingerprint_array(text_col, k, w)
     n_grams = F.size("__hs__")
     n_windows = F.greatest(n_grams - (w - 1), F.least(n_grams, F.lit(1)))
-    fp_of = lambda c: (c / _POS_BASE).cast("long")  # noqa: E731
+    fp_of = lambda c: F.shiftright(c, 31)  # exact integer decode  # noqa: E731
     return (
         docs.select(F.col(id_col), hs.alias("__hs__"))
         .select(

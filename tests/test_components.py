@@ -231,3 +231,37 @@ def test_select_canonical_constant_quality_is_min_id_rule(spark):
     for i in range(n):
         comp = members.get(i, i)
         assert got[i] == (comp, i == comp)
+
+
+def test_select_canonical_null_quality_semantics(spark):
+    """NULL-quality handling (ADVICE r12): is_canonical is always a
+    non-NULL boolean; a NULL-quality row never beats a real quality;
+    an all-NULL cluster still elects its min-id canonical."""
+    from mrt_data_integration_spark.operators.components import (
+        select_canonical,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, 50), (3, None), (4, None), (5, None), (9, None)],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    out = {
+        r.doc_id: r
+        for r in select_canonical(docs, cc, "n_chars").collect()
+    }
+    cache_registry.sweep_caches()
+    assert len(out) == 6
+    # every flag is a real boolean, never NULL
+    assert all(isinstance(r.is_canonical, bool) for r in out.values())
+    # cluster {1,2,3}: the only real quality (doc 2) wins
+    assert [out[i].is_canonical for i in (1, 2, 3)] == [False, True, False]
+    # all-NULL cluster {4,5}: min-id canonical, not a headless cluster
+    assert [out[i].is_canonical for i in (4, 5)] == [True, False]
+    # NULL-quality singleton is still its own canonical
+    assert out[9].is_canonical and out[9].component == 9
+    # the surfaced quality column keeps the raw (nullable) values
+    assert out[2].quality == 50 and out[4].quality is None

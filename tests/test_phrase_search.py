@@ -96,3 +96,20 @@ def test_partitioning_invariance(spark):
         )
     )
     assert a == b
+
+
+def test_phrase_whitespace_normalization(spark):
+    """ADVICE r12: phrases split on ANY whitespace (documents tokenize
+    on \\s+), so doubled/tab whitespace in a phrase must match the
+    single-spaced corpus rather than silently returning nothing; an
+    all-whitespace phrase is a loud error, not an empty result."""
+    import pytest
+
+    docs = _docs(spark, [(1, "a b c"), (2, "b c b c")])
+    got = {
+        (r.phrase, r.doc_id): r.n_occurrences
+        for r in phrase_search(docs, ["b  c", "a\tb"]).collect()
+    }
+    assert got == {("b  c", 1): 1, ("b  c", 2): 2, ("a\tb", 1): 1}
+    with pytest.raises(ValueError, match="no terms"):
+        phrase_search(docs, ["   "]).collect()
