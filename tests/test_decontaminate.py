@@ -3,6 +3,7 @@ n-gram repetition edge cases and the benchmark decontamination flag."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from mrt_data_integration_spark.operators.decontaminate import (
@@ -469,3 +470,82 @@ def test_semantic_decon_partitioning_and_plan(spark):
     assert "BatchEvalPython" not in plan
     # the map-side collapse: partial max before the exchange
     assert "partial_max" in plan or "partial" in plan.lower()
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_semantic_decon_ivf_lloyds_replay_oracle(spark, sf):
+    """Full DuckDB hash-strength oracle for the IVF PRODUCTION path
+    (the r12 verdict's item 5 — the hard_negative_ivf_probe precedent
+    reused): the oracle replays every Lloyd's iteration as unrolled
+    CTEs, re-derives the cell index, ranks each BENCHMARK vector's 2
+    probe cells by centroid distance, scores only corpus vectors in
+    probed cells, and reproduces the per-vector max cosine + the NULL
+    unprobed boundary — so the approximate semantic screen is
+    verified end-to-end (training loop, probe selection, candidate
+    bound, flag semantics), not just identity-pinned against brute.
+    Run at sf0.001/sf0.01 in CI; sf0.1 verified at registration
+    (results/LATE_R13_NOTES.md)."""
+    from mrt_data_integration_spark.operators.cluster import kmeans_lloyd
+    from mrt_data_integration_spark.operators.decontaminate import (
+        semantic_decontamination_ivf,
+    )
+    from mrt_data_integration_spark.operators.dedup import release_cache
+    from mrt_data_integration_spark.queries.vectors import (
+        _KMEANS_ITER,
+        _KMEANS_K,
+        _kmeans_ctes,
+    )
+    from mrt_data_integration_spark.sources import load_table
+    from tests.oracle_utils import compare_frames, run_oracle
+
+    sf_dir = f"/root/testdata/{sf}"
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    assigns, centers = kmeans_lloyd(emb, k=_KMEANS_K, n_iter=_KMEANS_ITER)
+    corpus_assigned = emb.filter(F.col("vec_id") % 25 != 0).join(
+        assigns.select("vec_id", "cell"), "vec_id"
+    )
+    bench = emb.filter(F.col("vec_id") % 25 == 0)
+    got = semantic_decontamination_ivf(
+        corpus_assigned, bench, centers, threshold=0.35, n_probe=2
+    ).toPandas()
+    release_cache(assigns)
+
+    oracle = f"""
+    {_kmeans_ctes(_KMEANS_K, _KMEANS_ITER)},
+    bench AS (
+      SELECT vec_id, v FROM emb WHERE vec_id % 25 = 0
+    ),
+    corp AS (
+      SELECT e.vec_id, e.v, f.cell
+      FROM emb e JOIN final f USING (vec_id)
+      WHERE e.vec_id % 25 <> 0
+    ),
+    probes AS (
+      SELECT bv, cell FROM (
+        SELECT b.v AS bv, c.cell,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY list_distance(b.v, c.c), c.cell
+               ) AS rn
+        FROM bench b CROSS JOIN c{_KMEANS_ITER} c
+      ) WHERE rn <= 2
+    ),
+    hits AS (
+      SELECT corp.vec_id,
+             round(max(
+               list_dot_product(corp.v, p.bv)
+               / (sqrt(list_dot_product(corp.v, corp.v))
+                  * sqrt(list_dot_product(p.bv, p.bv)))
+             ), 4) AS max_bench_sim
+      FROM corp JOIN probes p USING (cell)
+      GROUP BY corp.vec_id
+    )
+    SELECT c0_.vec_id, h.max_bench_sim,
+           coalesce(h.max_bench_sim >= 0.35, false) AS contaminated
+    FROM (SELECT DISTINCT vec_id FROM corp) c0_
+    LEFT JOIN hits h USING (vec_id)
+    """
+    want = run_oracle(oracle, sf_dir)
+    compare_frames(got, want)
