@@ -169,6 +169,9 @@ HEADLINE = [
     # late-r12: two-sample KS drift profile — the value-grain-collapse
     # + bounded-global-window shape
     "length_drift_ks",
+    # r13: categorical drift (PSI + chi-square) — the category-grain
+    # collapse + 1-row-totals broadcast shape (no window at all)
+    "lang_category_drift",
 ]
 
 

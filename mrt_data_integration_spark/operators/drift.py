@@ -98,3 +98,98 @@ def ks_statistic(profile: DataFrame) -> float:
     distributed artifact)."""
     row = profile.agg(F.max("ks_term").alias("ks")).collect()[0]
     return float(row.ks) if row.ks is not None else float("nan")
+
+
+def category_drift_profile(
+    df: DataFrame,
+    cat_col: str,
+    in_a: Column,
+) -> DataFrame:
+    """CATEGORICAL drift between the ``in_a`` slice (sample A) and its
+    complement (sample B) over ``cat_col`` — the discrete complement
+    of :func:`two_sample_ks_profile` (a CDF needs an ordered domain;
+    language / source / topic labels have none): one row per category
+    present in either slice — (cat_col, n_a, n_b, frac_a, frac_b,
+    psi_term, chi2_term).
+
+    ``sum(psi_term)`` IS the Population Stability Index (the
+    score-monitoring standard: PSI < 0.1 stable, > 0.25 action) and
+    ``sum(chi2_term)`` the Pearson two-sample chi-square statistic
+    (homogeneity test, df = k − 1); emitting the per-category profile
+    keeps the drift LOCATION visible (which language moved), the same
+    contract as the KS profile.
+
+    Term semantics (all rounded to 6, the float-combination
+    discipline):
+    - ``frac_a/frac_b``: category share of its slice; NULL when that
+      slice is empty (no silent 0/0).
+    - ``psi_term`` = (frac_a − frac_b) · ln(frac_a / frac_b); NULL
+      when either side's count is zero — PSI is undefined at empty
+      cells (callers smooth or bucket rare categories first; an
+      honest NULL beats an invented epsilon).
+    - ``chi2_term`` = Σ_side (observed − expected)² / expected with
+      expected from the pooled margin — defined whenever both slice
+      totals are positive (zero cells are fine here).
+
+    Rows with a NULL category are excluded (same convention as the
+    KS profile's NULL values).
+
+    Scale shape: one partial-agg hash shuffle to the CATEGORY grain
+    (bounded by the label domain, not the corpus), totals on a 1-row
+    crossJoin broadcast; no window at all — strictly cheaper than the
+    KS profile at any scale.
+    """
+    flagged = df.filter(F.col(cat_col).isNotNull()).select(
+        F.col(cat_col).alias("__c__"),
+        in_a.cast("boolean").alias("__a__"),
+    )
+    per_cat = flagged.groupBy("__c__").agg(
+        F.count(F.when(F.col("__a__"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("__a__"), 1)).alias("n_b"),
+    )
+    totals = flagged.agg(
+        F.count(F.when(F.col("__a__"), 1))
+        .cast("double")
+        .alias("__ta__"),
+        F.count(F.when(~F.col("__a__"), 1))
+        .cast("double")
+        .alias("__tb__"),
+    )
+    fa = F.when(F.col("__ta__") > 0, F.col("n_a") / F.col("__ta__"))
+    fb = F.when(F.col("__tb__") > 0, F.col("n_b") / F.col("__tb__"))
+    psi = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        (fa - fb) * F.log(fa / fb),
+    )
+    ea = (
+        (F.col("n_a") + F.col("n_b"))
+        * F.col("__ta__")
+        / (F.col("__ta__") + F.col("__tb__"))
+    )
+    eb = (
+        (F.col("n_a") + F.col("n_b"))
+        * F.col("__tb__")
+        / (F.col("__ta__") + F.col("__tb__"))
+    )
+    chi2 = F.when(
+        (F.col("__ta__") > 0) & (F.col("__tb__") > 0),
+        (F.col("n_a") - ea) ** 2 / ea + (F.col("n_b") - eb) ** 2 / eb,
+    )
+    return per_cat.crossJoin(F.broadcast(totals)).select(
+        F.col("__c__").alias(cat_col),
+        "n_a",
+        "n_b",
+        F.round(fa, 6).alias("frac_a"),
+        F.round(fb, 6).alias("frac_b"),
+        F.round(psi, 6).alias("psi_term"),
+        F.round(chi2, 6).alias("chi2_term"),
+    )
+
+
+def psi_statistic(profile: DataFrame) -> float:
+    """sum(psi_term) of a :func:`category_drift_profile` frame — the
+    Population Stability Index (driver-side scalar; NULL terms — empty
+    cells — are skipped by the sum, matching the smoothed-PSI
+    convention of dropping undefined cells)."""
+    row = profile.agg(F.sum("psi_term").alias("psi")).collect()[0]
+    return float(row.psi) if row.psi is not None else float("nan")

@@ -34,7 +34,7 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (136 queries as of r12 —
+# ROTATION POLICY (round 4+): the registry (137 queries as of r13 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
@@ -286,7 +286,16 @@ _POOL_B: list[str] = [
     # late-r11 to fund `boilerplate_span_removal` — see _RETIRED for
     # the twin argument.)
     "partitioned_parquet_roundtrip",
-    "semantic_dedup_summary",
+    # (`semantic_dedup_summary` was retired r13 to fund
+    # `lang_category_drift` — see _RETIRED for the twin argument.)
+    # r13 addition (E11+ categorical drift: PSI + chi-square between
+    # ingest slices — the discrete complement of length_drift_ks):
+    # registered after the r13 window froze, zero driver history;
+    # POOL_B's r14 turn force-includes it per exception rule 2. Slot
+    # funded by the paired retirement of `semantic_dedup_summary`
+    # (pre-ranked candidate #9, argument written at the r13 flip
+    # BEFORE this family existed — see _RETIRED).
+    "lang_category_drift",
     # (`campaign_event_attribution`, the bucketed batch range join, was
     # retired late-r11 to fund `span_corruption_pairs` — see _RETIRED.)
     "incremental_rollup_merge",
@@ -793,6 +802,19 @@ _RETIRED: list[str] = [
     # arithmetic); the individual flag columns keep their own DuckDB
     # oracle every CI run (tests/test_oracle_parity.py).
     "gopher_quality_flags",
+    # r13: retired to fund the `lang_category_drift` r14 slot — the
+    # r14 plan comment's pre-ranked fresh candidate #9, argument
+    # written at the r13 flip BEFORE the family it funds existed.
+    # Twin coverage: `semantic_decontamination` (POOL_A, forced r13
+    # hash slot — the SAME blocked-BLAS per-vector max-cosine collapse
+    # over the same embeddings scan, hash-pinned end-to-end) and
+    # `embedding_kmeans_cells` (POOL_A, r11 hash — the Lloyd's cell
+    # assignment both share); the dedup-specific drop semantics keep
+    # their planted-copy / determinism / never-drops-unique /
+    # blas==expr CI pins (tests/test_similarity.py). Retiring this
+    # rows-only seat for a hash registration RAISES the window's hash
+    # share — the hll_daily_distinct seat-quality argument.
+    "semantic_dedup_summary",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,

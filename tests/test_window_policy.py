@@ -150,6 +150,15 @@ _NO_ORACLE_RETIREES = {
     # tests/test_similarity.py::test_ivfpq_index_append_equals_bulk_encode
     # (+ ::test_ivfpq_persisted_index_matches_online)
     "ivfpq_appended_index_topk",
+    # r13: the SAME blocked-BLAS per-vector max-cosine collapse stays
+    # driver-visible through semantic_decontamination (hash oracle) and
+    # the Lloyd's cells through embedding_kmeans_cells (hash oracle);
+    # the dedup-specific drop semantics keep
+    # tests/test_similarity.py::test_semantic_dedup_drops_planted_copies,
+    # ::test_semantic_dedup_deterministic,
+    # ::test_semantic_dedup_never_drops_unique_vectors,
+    # ::test_semantic_dedup_blas_matches_expr_pairs
+    "semantic_dedup_summary",
 }
 
 
