@@ -172,6 +172,9 @@ HEADLINE = [
     # r13: categorical drift (PSI + chi-square) — the category-grain
     # collapse + 1-row-totals broadcast shape (no window at all)
     "lang_category_drift",
+    # r13: token-budget selection — the per-group ranked prefix fill
+    # (one group-keyed shuffle, two running expressions on one sort)
+    "token_budget_selection",
 ]
 
 

@@ -1,0 +1,75 @@
+"""Token-budget corpus selection — the dataset-assembly step that
+turns "we can afford N tokens from each source" into a deterministic
+document pick: rank every document within its group by quality, fill
+the group's budget greedily in rank order, keep the prefix that fits
+(the ordered-prefix rule used when assembling a training mix from
+quality-scored pools; the per-source budgets are how target mixture
+weights — "20% code, 5% forums" — become document sets).
+
+Semantics: an ORDERED PREFIX FILL, not a knapsack — the first
+document whose tokens overflow the budget is cut and so is everything
+ranked below it, even if some smaller later document would still fit.
+That keeps the rule monotone (raising the budget never drops a
+previously selected document), deterministic, and replayable in one
+window pass; bin-packing the tail is `sequence_packing`'s job, not
+selection's.
+
+Scale shape: ONE hash shuffle on the group key feeding a per-group
+sort window (two running expressions share the single sort); the text
+column itself never has to ride along — callers pass a precomputed
+token-count column, so the window input is (id, group, quality,
+tokens) narrow rows. Group cardinality is the parallelism: sources /
+domains number in the thousands-to-millions at corpus scale, so the
+per-group sort partitions evenly; a SINGLE global budget (one group)
+would serialize — for that case compose a quality threshold from the
+percentile machinery instead (exact_percentiles' sanctioned global
+window), then filter.
+
+Ordering is pinned cross-engine: quality DESC NULLS LAST, id ASC —
+NULL-quality documents rank after every scored one and still consume
+budget only if reached.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget: int,
+    group_col: str,
+    quality_col: str,
+    tokens_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rank ``docs`` within each ``group_col`` by (``quality_col``
+    DESC NULLS LAST, ``id_col`` ASC), accumulate ``tokens_col`` in
+    rank order, and keep the prefix whose running total fits
+    ``budget``.
+
+    Returns one row per input document — (id_col, group_col,
+    doc_tokens, rank, cum_tokens, selected) — so the rejected tail
+    stays visible for auditing (how much quality mass the budget cut);
+    filter ``selected`` for the kept set. ``rank`` and ``cum_tokens``
+    are BIGINT (the sessionization HUGEINT lesson: keep integer
+    representations engine-identical).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc_nulls_last(quality_col), F.asc(id_col)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(tokens_col).cast("long").alias("doc_tokens"),
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum(F.col(tokens_col).cast("long"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_tokens"),
+    ).withColumn(
+        "selected",
+        F.coalesce(
+            F.col("cum_tokens") <= F.lit(int(budget)), F.lit(False)
+        ),
+    )

@@ -34,7 +34,7 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (137 queries as of r13 —
+# ROTATION POLICY (round 4+): the registry (138 queries as of r13 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
@@ -307,7 +307,16 @@ _POOL_B: list[str] = [
     "window_rank_features",
     # (`synthetic_panel_stats` was retired late-r11 to fund
     # `hard_negative_ivf_probe` — see _RETIRED for the twin argument.)
-    "multimodal_features",
+    # (`multimodal_features` was retired r13 to fund
+    # `token_budget_selection` — see _RETIRED for the twin argument.)
+    # r13 addition (E10+ token-budget corpus selection — the
+    # ordered-prefix fill that turns per-source token budgets into
+    # document sets): registered after the r13 window froze, zero
+    # driver history; POOL_B's r14 turn force-includes it per
+    # exception rule 2. Slot funded by the paired retirement of
+    # `multimodal_features` (pre-ranked candidate #10, argument
+    # written at the r13 flip BEFORE this family existed).
+    "token_budget_selection",
     "wcls_large_panel",
     "sensitivity_scenarios",
     # r7 additions (E5+ — distributed BPE tokenizer training + encode):
@@ -815,6 +824,20 @@ _RETIRED: list[str] = [
     # rows-only seat for a hash registration RAISES the window's hash
     # share — the hll_daily_distinct seat-quality argument.
     "semantic_dedup_summary",
+    # r13: retired to fund the `token_budget_selection` r14 slot —
+    # the r14 plan comment's pre-ranked fresh candidate #10, argument
+    # written at the r13 flip BEFORE the family it funds existed.
+    # Twin coverage: `image_near_dup_pairs` (POOL_B, r12 hash — the
+    # perceptual-hash pair join computes its dhash THROUGH the same
+    # stdlib decode path, so decode stays driver-visible through a
+    # HASH seat); the decode semantics keep their exact raster pins
+    # (tests/test_multimodal.py::test_ppm_pixel_decode_exact,
+    # ::test_bmp24_pixel_decode_row_order_and_padding,
+    # ::test_stdlib_image_decode_real_formats,
+    # ::test_pixel_stats_null_blob_is_null_row). Same
+    # rows-only-for-hash seat-quality argument as
+    # `semantic_dedup_summary` above.
+    "multimodal_features",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,

@@ -1123,3 +1123,59 @@ def quality_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.lsh_candidate_pairs(docs, n_hashes=4, band_size=2)
     cc = connected_components(pairs, "id_a", "id_b")
     return select_canonical(docs, cc, "n_chars")
+
+
+@query(
+    "token_budget_selection",
+    # Full replay: token counts, the per-group quality ranking, the
+    # running-total window, the prefix rule — window ordering pinned
+    # NULLS LAST on both engines, integers cast BIGINT (the
+    # sessionization HUGEINT lesson).
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, n_chars,
+             len(string_split_regex(text, '\\s+')) AS doc_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(doc_tokens AS BIGINT) AS doc_tokens,
+           CAST(row_number() OVER w AS BIGINT) AS rank,
+           CAST(sum(doc_tokens) OVER (
+             w ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_tokens,
+           coalesce(CAST(sum(doc_tokens) OVER (
+             w ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) <= 1500, false) AS selected
+    FROM toks
+    WINDOW w AS (
+      PARTITION BY source ORDER BY n_chars DESC NULLS LAST, doc_id
+    )
+    """,
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10+ (r13, operators/budget.token_budget_select): token-budget
+    corpus selection — every source's documents ranked by quality
+    (n_chars, the length proxy), the per-source budget of 1500 tokens
+    filled greedily in rank order, the fitting prefix kept (the
+    ordered-prefix rule that turns target mixture weights into
+    document sets at dataset-assembly time). One row per document with
+    the audit columns (rank, running total, selected flag) — the
+    rejected tail stays visible. Scale shape: ONE hash shuffle on the
+    source key feeding a per-group sort window over narrow
+    (id, group, quality, tokens) rows — the text column never rides
+    along; group cardinality is the parallelism (sources/domains are
+    thousands-to-millions at corpus scale). The oracle replays token
+    counts → ranking → running total → prefix rule end-to-end."""
+    from mrt_data_integration_spark.operators.budget import (
+        token_budget_select,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__tok__", tx.token_count("text")
+    )
+    return token_budget_select(
+        docs,
+        budget=1500,
+        group_col="source",
+        quality_col="n_chars",
+        tokens_col="__tok__",
+    )

@@ -191,6 +191,7 @@ OP_INPUTS = {
     "quality_canonical": {"docs"},
     "ks_drift": {"docs"},
     "category_drift": {"docs"},
+    "token_budget": {"docs"},
     "wminhash_sigs": {"docs"},
     "hard_negative": {"emb"},
     "margin_mining": {"emb"},
@@ -429,6 +430,22 @@ def main() -> None:
             SF.right(SF.col("source"), SF.lit(1)).isin(
                 "0", "2", "4", "6", "8"
             ),
+        ).count()
+
+    def _token_budget(d):
+        from pyspark.sql import functions as SF
+
+        from mrt_data_integration_spark.operators.budget import (
+            token_budget_select,
+        )
+        from mrt_data_integration_spark.operators.text import token_count
+
+        return token_budget_select(
+            d.withColumn("__tok__", token_count("text")),
+            budget=1500,
+            group_col="source",
+            quality_col="n_chars",
+            tokens_col="__tok__",
         ).count()
 
     def _quality_canonical(d):
@@ -1079,6 +1096,11 @@ def main() -> None:
         # totals broadcast, no window. Expected flat-to-linear in
         # corpus size with a CONSTANT (label-domain) output.
         "category_drift": lambda k: _category_drift(docs(k)),
+        # r13: token-budget selection — one group-keyed shuffle feeding
+        # a per-group sort window over narrow rows (text pruned before
+        # the exchange). Expected linear in corpus size; the per-group
+        # sort is the marginal term.
+        "token_budget": lambda k: _token_budget(docs(k)),
         # r9: streaming SCD2 drain — the versioned-state maintenance
         # path. Expected slope HONESTLY ABOVE the batch collapse's:
         # each micro-batch's publish COPIES untouched closed rows

@@ -1,0 +1,114 @@
+"""Token-budget corpus selection (operators/budget.py): python twin,
+the ordered-prefix rule (monotone in budget, not a knapsack),
+NULL-quality ordering, and the single-shuffle window plan shape."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from mrt_data_integration_spark.operators.budget import (
+    token_budget_select,
+)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, grp string, q long, tok long"
+    )
+
+
+def _py_select(rows, budget):
+    """rows: (id, grp, quality, tokens) -> {id: (rank, cum, selected)}."""
+    out = {}
+    by_grp: dict[str, list] = {}
+    for r in rows:
+        by_grp.setdefault(r[1], []).append(r)
+    for grp, members in by_grp.items():
+        # quality DESC NULLS LAST, id ASC
+        members.sort(key=lambda r: (r[2] is None, -(r[2] or 0), r[0]))
+        cum = 0
+        for rank, r in enumerate(members, start=1):
+            cum += r[3]
+            out[r[0]] = (rank, cum, cum <= budget)
+    return out
+
+
+def test_budget_select_matches_python_twin(spark):
+    rng = random.Random(20260817)
+    rows = [
+        (
+            i,
+            rng.choice(["s0", "s1", "s2"]),
+            rng.randint(0, 50),
+            rng.randint(1, 40),
+        )
+        for i in range(200)
+    ]
+    got = {
+        r.doc_id: (r.rank, r.cum_tokens, r.selected)
+        for r in token_budget_select(
+            _frame(spark, rows), 300, "grp", "q", "tok"
+        ).collect()
+    }
+    assert got == _py_select(rows, 300)
+
+
+def test_budget_select_is_monotone_prefix_not_knapsack(spark):
+    """The prefix rule: the first overflowing doc cuts everything below
+    it even if a smaller one would fit; raising the budget never drops
+    a previously selected doc."""
+    rows = [
+        # quality order within grp g: 1 (q=9, tok=5), 2 (q=8, tok=10),
+        # 3 (q=7, tok=2): budget 7 keeps only doc 1 — doc 3 (tok=2)
+        # would fit but is cut by the prefix rule at doc 2.
+        (1, "g", 9, 5),
+        (2, "g", 8, 10),
+        (3, "g", 7, 2),
+    ]
+    small = {
+        r.doc_id: r.selected
+        for r in token_budget_select(
+            _frame(spark, rows), 7, "grp", "q", "tok"
+        ).collect()
+    }
+    assert small == {1: True, 2: False, 3: False}
+    for budget in (15, 17, 100):
+        bigger = {
+            r.doc_id: r.selected
+            for r in token_budget_select(
+                _frame(spark, rows), budget, "grp", "q", "tok"
+            ).collect()
+        }
+        assert all(bigger[k] for k in small if small[k]), "monotone"
+
+
+def test_budget_select_null_quality_ranks_last(spark):
+    rows = [(1, "g", None, 3), (2, "g", 5, 3), (3, "g", 1, 3)]
+    got = {
+        r.doc_id: (r.rank, r.selected)
+        for r in token_budget_select(
+            _frame(spark, rows), 6, "grp", "q", "tok"
+        ).collect()
+    }
+    assert got == {2: (1, True), 3: (2, True), 1: (3, False)}
+
+
+def test_budget_select_plan_single_group_shuffle(spark):
+    rng = random.Random(5)
+    rows = [
+        (i, f"s{i % 7}", rng.randint(0, 9), rng.randint(1, 9))
+        for i in range(300)
+    ]
+    out = token_budget_select(_frame(spark, rows), 20, "grp", "q", "tok")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # both running expressions (rank + cumulative sum) must share ONE
+    # window over ONE group-keyed exchange — a second Exchange would
+    # mean the sort is being paid twice
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    # integer representation pinned BIGINT (the sessionization lesson)
+    kinds = dict(out.dtypes)
+    assert kinds["rank"] == "bigint" and kinds["cum_tokens"] == "bigint"

@@ -159,6 +159,14 @@ _NO_ORACLE_RETIREES = {
     # ::test_semantic_dedup_never_drops_unique_vectors,
     # ::test_semantic_dedup_blas_matches_expr_pairs
     "semantic_dedup_summary",
+    # r13: the stdlib decode path stays driver-visible through
+    # image_near_dup_pairs (POOL_B, hash oracle — its dhash is computed
+    # THROUGH the same decode); the decode semantics keep
+    # tests/test_multimodal.py::test_ppm_pixel_decode_exact,
+    # ::test_bmp24_pixel_decode_row_order_and_padding,
+    # ::test_stdlib_image_decode_real_formats,
+    # ::test_pixel_stats_null_blob_is_null_row
+    "multimodal_features",
 }
 
 
