@@ -175,6 +175,9 @@ HEADLINE = [
     # r13: token-budget selection — the per-group ranked prefix fill
     # (one group-keyed shuffle, two running expressions on one sort)
     "token_budget_selection",
+    # r13: token-diversity profile — the sorted-array RLE sequential
+    # fold (pure map, zero shuffles; order-pinned float accumulation)
+    "token_diversity_stats",
 ]
 
 

@@ -34,7 +34,7 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (138 queries as of r13 —
+# ROTATION POLICY (round 4+): the registry (139 queries as of r13 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
@@ -298,7 +298,16 @@ _POOL_B: list[str] = [
     "lang_category_drift",
     # (`campaign_event_attribution`, the bucketed batch range join, was
     # retired late-r11 to fund `span_corruption_pairs` — see _RETIRED.)
-    "incremental_rollup_merge",
+    # (`incremental_rollup_merge` was retired r13 to fund
+    # `token_diversity_stats` — see _RETIRED for the twin argument.)
+    # r13 addition (E5+ token-diversity profile: TTR / top-token share
+    # / unigram entropy / Gini–Simpson — the collapsed-distribution
+    # quality signals): registered after the r13 window froze, zero
+    # driver history; POOL_B's r14 turn force-includes it per
+    # exception rule 2. Slot funded by the paired retirement of
+    # `incremental_rollup_merge` (pre-ranked candidate #11, argument
+    # written at the r13 flip BEFORE this family existed).
+    "token_diversity_stats",
     "stratified_fixed_k_sample",
     "document_chunking",
     "corpus_snapshot_diff",
@@ -838,6 +847,17 @@ _RETIRED: list[str] = [
     # rows-only-for-hash seat-quality argument as
     # `semantic_dedup_summary` above.
     "multimodal_features",
+    # r13: retired to fund the `token_diversity_stats` r14 slot — the
+    # r14 plan comment's pre-ranked fresh candidate #11, argument
+    # written at the r13 flip BEFORE the family it funds existed.
+    # Twin coverage: `streaming_rollup_merge` (POOL_B, rows-only —
+    # the streaming drain of the SAME mergeable binary-HLL state
+    # path) and `heavy_hitters` (POOL_B, r12 hash — the sketch
+    # family's hash seat); merged==direct including a parquet
+    # round-trip of the binary state is identity-pinned
+    # (tests/test_sketches.py::
+    # test_rollup_state_merge_equals_direct_with_parquet_roundtrip).
+    "incremental_rollup_merge",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,

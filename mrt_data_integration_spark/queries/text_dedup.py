@@ -1857,3 +1857,65 @@ def winnowing_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         w=4,
         min_shared=1,
     )
+
+
+@query(
+    "token_diversity_stats",
+    # Full replay: the float sum (Σ c·ln c) is order-pinned on BOTH
+    # engines — Spark folds sequentially over the sorted token array,
+    # the oracle list_reduce's the counts in token order — so the one
+    # transcendental accumulation is bit-identical by construction,
+    # not by luck (a GROUP BY sum would be shuffle-fetch-order
+    # nondeterministic on the Spark side). Integer aggregates replay
+    # as plain SQL; all ratios rounded to 6.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    cnt AS (
+      SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT)   AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(max(c) AS BIGINT)   AS max_c,
+             CAST(sum(c * c) AS BIGINT) AS sum_c2,
+             coalesce(list_reduce(
+               list_transform(
+                 list(CAST(c AS DOUBLE) ORDER BY t), x -> x * ln(x)
+               ),
+               (a, b) -> a + b
+             ), 0.0) AS slnc
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_types,
+           round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+           round(CAST(max_c AS DOUBLE) / n_tokens, 6)   AS top_frac,
+           round(ln(CAST(n_tokens AS DOUBLE))
+                 - slnc / n_tokens, 6)                  AS entropy,
+           round(1.0 - CAST(sum_c2 AS DOUBLE)
+                 / (CAST(n_tokens AS DOUBLE) * n_tokens), 6) AS simpson
+    FROM agg
+    """,
+)
+def token_diversity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5+ (r13, operators/diversity.token_diversity_profile): per-doc
+    token-diversity profile — type-token ratio, top-token share,
+    unigram Shannon entropy (nats) and Gini–Simpson diversity, the
+    collapsed-distribution quality signals that complement the n-gram
+    repetition filter's repeated-span view (keyword stuffing and
+    generation loops score low here even when no span repeats). Scale
+    shape: a PURE MAP, zero shuffles (the winnow_profile class) — each
+    document run-length-encodes its SORTED token array in one
+    sequential `aggregate` fold, so the single float accumulation
+    (Σ c·ln c) has a fixed engine-replayable order; every other
+    aggregate is integer. The oracle replays counts → ordered ln-fold
+    → the four ratios end-to-end."""
+    from mrt_data_integration_spark.operators.diversity import (
+        token_diversity_profile,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_diversity_profile(docs)

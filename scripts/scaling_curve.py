@@ -192,6 +192,7 @@ OP_INPUTS = {
     "ks_drift": {"docs"},
     "category_drift": {"docs"},
     "token_budget": {"docs"},
+    "token_diversity": {"docs"},
     "wminhash_sigs": {"docs"},
     "hard_negative": {"emb"},
     "margin_mining": {"emb"},
@@ -447,6 +448,13 @@ def main() -> None:
             quality_col="n_chars",
             tokens_col="__tok__",
         ).count()
+
+    def _token_diversity(d):
+        from mrt_data_integration_spark.operators.diversity import (
+            token_diversity_profile,
+        )
+
+        return token_diversity_profile(d).count()
 
     def _quality_canonical(d):
         from mrt_data_integration_spark.cache_registry import (
@@ -1101,6 +1109,9 @@ def main() -> None:
         # the exchange). Expected linear in corpus size; the per-group
         # sort is the marginal term.
         "token_budget": lambda k: _token_budget(docs(k)),
+        # r13: token-diversity profile — pure map (sorted-array RLE
+        # fold). Expected linear in corpus bytes, zero exchanges.
+        "token_diversity": lambda k: _token_diversity(docs(k)),
         # r9: streaming SCD2 drain — the versioned-state maintenance
         # path. Expected slope HONESTLY ABOVE the batch collapse's:
         # each micro-batch's publish COPIES untouched closed rows
