@@ -178,6 +178,10 @@ HEADLINE = [
     # r13: token-diversity profile — the sorted-array RLE sequential
     # fold (pure map, zero shuffles; order-pinned float accumulation)
     "token_diversity_stats",
+    # r13: containment pairs — the asymmetric overlap-coefficient
+    # variant of the shingle-keyed pair join (no size-ratio prune, so
+    # the df cap is the fan-out control)
+    "containment_dedup_pairs",
 ]
 
 

@@ -618,6 +618,102 @@ def ngram_jaccard_pairs(
     return _attach_cache(out, [exploded])
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 500,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs — the asymmetric dedup metric
+    symmetric Jaccard is blind to: a 50-shingle quote fully embedded
+    in a 5000-shingle article has Jaccard ≈ 0.01 but containment 1.0.
+    Thresholding the OVERLAP COEFFICIENT |A∩B| / min(|A|,|B|)
+    (Szymkiewicz–Simpson) catches partial copies, quotations, and
+    excerpt-expansion pairs that survive every symmetric filter; both
+    directional containments |A∩B|/|A| and |A∩B|/|B| ride along so
+    callers can tell which side is the fragment.
+
+    Same candidate machinery as :func:`ngram_jaccard_pairs`
+    (explode distinct shingles → md5-prefix keys → shingle-keyed
+    self-join → per-pair intersection counts) with one deliberate
+    difference: NO size-ratio join prune. Jaccard ≥ t implies
+    min(n)/max(n) ≥ t, so unlike-sized pairs can be dropped AT the
+    join there; containment's entire point is pairing unlike sizes,
+    so no size predicate is sound here. That makes ``max_shingle_df``
+    (the boilerplate-shingle document-frequency cap) THE fan-out
+    control — it stays ON by default and should only be ``None`` for
+    oracle-exact checks at test scale, never production corpora.
+    Post-aggregation the threshold prunes at the pair grain:
+    n_inter ≥ t·min(n_a, n_b).
+
+    Returns (id_a, id_b, n_inter, n_a, n_b, overlap, containment_a,
+    containment_b), id_a < id_b, ratios rounded to 4."""
+    exploded = _spread(df).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                word_shingles(text_col, shingle_n),
+                lambda s: F.substring(F.md5(s), 1, 16),
+            )
+        ).alias("shingle"),
+    )
+    # Same multi-consumer persist rationale as ngram_jaccard_pairs.
+    exploded = track_cache(exploded.persist())
+    if max_shingle_df is not None:
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        sh = exploded
+    from pyspark.sql import Window
+
+    sh = sh.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first(F.col("a.n_sh")).alias("n_a"),
+            F.first(F.col("b.n_sh")).alias("n_b"),
+        )
+    )
+    ov = F.col("n_inter") / F.least("n_a", "n_b")
+    out = (
+        inter.filter(ov >= F.lit(float(threshold)))
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.round(ov, 4).alias("overlap"),
+            F.round(F.col("n_inter") / F.col("n_a"), 4).alias(
+                "containment_a"
+            ),
+            F.round(F.col("n_inter") / F.col("n_b"), 4).alias(
+                "containment_b"
+            ),
+        )
+    )
+    return _attach_cache(out, [exploded])
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame,
     id_col: str = "doc_id",

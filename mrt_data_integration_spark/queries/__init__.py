@@ -34,7 +34,7 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (139 queries as of r13 —
+# ROTATION POLICY (round 4+): the registry (140 queries as of r13 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
@@ -326,7 +326,16 @@ _POOL_B: list[str] = [
     # `multimodal_features` (pre-ranked candidate #10, argument
     # written at the r13 flip BEFORE this family existed).
     "token_budget_selection",
-    "wcls_large_panel",
+    # (`wcls_large_panel` was retired r13 to fund
+    # `containment_dedup_pairs` — see _RETIRED for the twin argument.)
+    # r13 addition (E3++ n-gram containment pairs — the asymmetric
+    # overlap-coefficient dedup metric that catches partial copies
+    # symmetric Jaccard misses): registered after the r13 window
+    # froze, zero driver history; POOL_B's r14 turn force-includes it
+    # per exception rule 2. Slot funded by the paired retirement of
+    # `wcls_large_panel` (pre-ranked candidate #12, argument written
+    # at the r13 flip BEFORE this family existed).
+    "containment_dedup_pairs",
     "sensitivity_scenarios",
     # r7 additions (E5+ — distributed BPE tokenizer training + encode):
     # registered after the r7 window froze, zero driver history; POOL_B's
@@ -858,6 +867,18 @@ _RETIRED: list[str] = [
     # (tests/test_sketches.py::
     # test_rollup_state_merge_equals_direct_with_parquet_roundtrip).
     "incremental_rollup_merge",
+    # r13: retired to fund the `containment_dedup_pairs` r14 slot —
+    # the r14 plan comment's pre-ranked fresh candidate #12, argument
+    # written at the r13 flip BEFORE the family it funds existed.
+    # Twin coverage: `sensitivity_scenarios` (POOL_B, rows-only — the
+    # SAME generate_panel mapInPandas source through the fan-out
+    # harness) and `wcls_cluster_robust` (CORE, hash — the same
+    # estimator arithmetic at driver-hash strength); the generator's
+    # determinism / chunking-invariance / distributed==local
+    # contracts are CI
+    # (tests/test_simulation.py::test_generator_deterministic_and_chunk_free,
+    # ::test_distributed_generator_matches_local).
+    "wcls_large_panel",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,

@@ -1919,3 +1919,48 @@ def token_diversity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return token_diversity_profile(docs)
+
+
+@query(
+    "containment_dedup_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, substr(md5(unnest({_SHINGLES})), 1, 16) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_inter,
+           CAST(sa.n_sh AS BIGINT) AS n_a,
+           CAST(sb.n_sh AS BIGINT) AS n_b,
+           round(CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 4)
+             AS overlap,
+           round(CAST(n_inter AS DOUBLE) / sa.n_sh, 4) AS containment_a,
+           round(CAST(n_inter AS DOUBLE) / sb.n_sh, 4) AS containment_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.2
+    """,
+)
+def containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3++ (r13, operators/dedup.containment_pairs): exact n-gram
+    CONTAINMENT pairs — the asymmetric metric symmetric Jaccard is
+    blind to (a quote fully embedded in a long article has Jaccard
+    ≈ 0.01 but overlap coefficient 1.0): shingle-keyed self-join,
+    per-pair intersection counts, Szymkiewicz–Simpson overlap
+    |A∩B|/min(|A|,|B|) thresholded at 0.2 with both directional
+    containments riding along (which side is the fragment).
+    ``max_shingle_df=None`` explicitly: the SQL oracle computes
+    UNCAPPED containment, so the query must too — the operator's
+    boilerplate-shingle cap (default 500, THE fan-out control since
+    containment admits no size-ratio join prune) belongs to
+    production corpora, not this check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.containment_pairs(
+        docs, threshold=0.2, max_shingle_df=None
+    )

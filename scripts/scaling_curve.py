@@ -193,6 +193,7 @@ OP_INPUTS = {
     "category_drift": {"docs"},
     "token_budget": {"docs"},
     "token_diversity": {"docs"},
+    "containment_pairs": {"docs"},
     "wminhash_sigs": {"docs"},
     "hard_negative": {"emb"},
     "margin_mining": {"emb"},
@@ -455,6 +456,16 @@ def main() -> None:
         )
 
         return token_diversity_profile(d).count()
+
+    def _containment_pairs(d):
+        from mrt_data_integration_spark.operators import dedup as dd2
+
+        out = dd2.containment_pairs(
+            d, threshold=0.2, max_shingle_df=500
+        )
+        n = out.count()
+        dd2.release_cache(out)
+        return n
 
     def _quality_canonical(d):
         from mrt_data_integration_spark.cache_registry import (
@@ -1112,6 +1123,11 @@ def main() -> None:
         # r13: token-diversity profile — pure map (sorted-array RLE
         # fold). Expected linear in corpus bytes, zero exchanges.
         "token_diversity": lambda k: _token_diversity(docs(k)),
+        # r13: containment pairs — shingle-keyed self-join with the
+        # df cap as the only fan-out control (production setting).
+        # Expected to track ngram_jaccard's class; the cap bounds the
+        # per-shingle fan-out at cap² independent of corpus size.
+        "containment_pairs": lambda k: _containment_pairs(docs(k)),
         # r9: streaming SCD2 drain — the versioned-state maintenance
         # path. Expected slope HONESTLY ABOVE the batch collapse's:
         # each micro-batch's publish COPIES untouched closed rows

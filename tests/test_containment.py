@@ -1,0 +1,123 @@
+"""n-gram containment pairs (operators/dedup.containment_pairs):
+python twin, the planted-fragment case symmetric Jaccard misses,
+directional containments, hot-shingle cap, cache release."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from mrt_data_integration_spark.operators import dedup as dd
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _py_shingles(text, n=3):
+    toks = text.split(" ")
+    m = max(len(toks) - (n - 1), 1)
+    out = {" ".join(toks[i : i + n]) for i in range(m)}
+    return {hashlib.md5(s.encode()).hexdigest()[:16] for s in out}
+
+
+def _py_pairs(rows, threshold, n=3):
+    sh = {i: _py_shingles(t, n) for i, t in rows}
+    out = {}
+    ids = sorted(sh)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            ov = inter / min(len(sh[a]), len(sh[b]))
+            if ov >= threshold:
+                out[(a, b)] = (
+                    inter,
+                    len(sh[a]),
+                    len(sh[b]),
+                    round(ov, 4),
+                    round(inter / len(sh[a]), 4),
+                    round(inter / len(sh[b]), 4),
+                )
+    return out
+
+
+def test_containment_matches_python_twin(spark):
+    rng = random.Random(20260819)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+        for i in range(40)
+    ]
+    out = dd.containment_pairs(
+        _docs(spark, rows), threshold=0.3, max_shingle_df=None
+    )
+    got = {
+        (r.id_a, r.id_b): (
+            r.n_inter, r.n_a, r.n_b,
+            r.overlap, r.containment_a, r.containment_b,
+        )
+        for r in out.collect()
+    }
+    dd.release_cache(out)
+    assert got == _py_pairs(rows, 0.3)
+
+
+def test_containment_catches_fragment_jaccard_misses(spark):
+    """The raison d'être: a short quote embedded verbatim in a long
+    article has overlap 1.0 (and containment_a = 1.0 on the fragment
+    side) while its Jaccard is far below any dedup threshold."""
+    rng = random.Random(4)
+    quote = " ".join(f"q{i}" for i in range(8))
+    article = " ".join(
+        [f"body{i}" for i in range(300)] + [quote] + [f"tail{i}" for i in range(300)]
+    )
+    rows = [(1, quote), (2, article)]
+    cont = dd.containment_pairs(
+        _docs(spark, rows), threshold=0.9, max_shingle_df=None
+    )
+    got = {(r.id_a, r.id_b): r for r in cont.collect()}
+    dd.release_cache(cont)
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r.overlap == 1.0 and r.containment_a == 1.0
+    assert r.containment_b < 0.05  # the article barely notices
+    jac = dd.ngram_jaccard_pairs(
+        _docs(spark, rows), threshold=0.2, max_shingle_df=None
+    )
+    assert jac.collect() == []  # symmetric Jaccard misses it entirely
+    dd.release_cache(jac)
+
+
+def test_containment_hot_shingle_cap_bounds_fanout(spark):
+    """Containment has NO size-ratio join prune (by design), so the
+    document-frequency cap is the only fan-out control — it must
+    actually remove boilerplate-driven pairs."""
+    rows = [
+        (i, f"all rights reserved legal notice unique{i} tail{i} word{i}")
+        for i in range(40)
+    ]
+    uncapped = dd.containment_pairs(
+        _docs(spark, rows), threshold=0.0, max_shingle_df=None
+    )
+    capped = dd.containment_pairs(
+        _docs(spark, rows), threshold=0.0, max_shingle_df=10
+    )
+    n_un, n_cap = uncapped.count(), capped.count()
+    dd.release_cache(uncapped)
+    dd.release_cache(capped)
+    assert n_un >= 780  # C(40,2) from the shared boilerplate shingles
+    assert n_cap == 0  # unique tails share nothing once the cap bites
+
+
+def test_containment_plan_shape(spark):
+    rows = [(i, f"a b c d e unique{i}") for i in range(30)]
+    out = dd.containment_pairs(
+        _docs(spark, rows), threshold=0.5, max_shingle_df=500
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    dd.release_cache(out)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan  # shingle-keyed equi-join only

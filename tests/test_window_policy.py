@@ -173,6 +173,13 @@ _NO_ORACLE_RETIREES = {
     # binary state is identity-pinned at tests/test_sketches.py::
     # test_rollup_state_merge_equals_direct_with_parquet_roundtrip
     "incremental_rollup_merge",
+    # r13: the SAME generate_panel mapInPandas source stays
+    # driver-visible through sensitivity_scenarios (the fan-out
+    # harness) and the estimator arithmetic through wcls_cluster_robust
+    # (CORE, hash); generator contracts at
+    # tests/test_simulation.py::test_generator_deterministic_and_chunk_free,
+    # ::test_distributed_generator_matches_local
+    "wcls_large_panel",
 }
 
 
