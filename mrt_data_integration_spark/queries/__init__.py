@@ -1449,9 +1449,46 @@ _WINDOW: list[str] = (
 #     ::test_distributed_generator_matches_local). Ranks last of the
 #     rows-only class because it is the only driver row exercising
 #     the generator at 20× size before a fit.
-#     (`cosine_topk` remains the standing last-resort hash-seat
-#     candidate — the ANN exactness baseline; spend only if
-#     (9)-(12) are exhausted.)
+#     [(9) SPENT r13 funding `lang_category_drift`; (10) SPENT r13
+#     funding `token_budget_selection`; (11) SPENT r13 funding
+#     `token_diversity_stats`; (12) SPENT r13 funding
+#     `containment_dedup_pairs` — see _RETIRED. All four executed in
+#     pre-ranked order; each swap retired a rows-only seat for a hash
+#     registration, raising the r14 window's hash share by four.]
+#     Fresh candidates pre-ranked late-r13 for the r14 flip (nothing
+#     they would fund exists yet — the standing discipline):
+#     (13) `sensitivity_scenarios` (POOL_B, rows-only) vs
+#     `mc_simulation_grid`-class CI (the run_grid/mc_summary machinery
+#     is golden-pinned vs the reference's example_estimates.csv in
+#     tests/test_mc_statistical_parity.py — 52,000 fits,
+#     results/PARITY.md) + `regr_by_group` / `wcls_cluster_robust`
+#     (CORE, hash — the per-group estimator arithmetic at driver-hash
+#     strength); with `wcls_large_panel` retired r13, this is the
+#     LAST generator-sourced rows-only seat — spend it only after
+#     weighing that the generate_panel mapInPandas source then has no
+#     driver row at all (its determinism/distributed==local contracts
+#     are CI-only, which the driver row never actually checked).
+#     (14) `streaming_rollup_merge` (POOL_B, rows-only) vs
+#     `heavy_hitters` (POOL_B, r12 hash — the sketch family's hash
+#     seat) + `streaming_click_attribution` / `streaming_scd2_history`
+#     (the stateful-drain physical shapes, both with driver rows);
+#     the merged==direct-with-parquet-roundtrip identity
+#     (tests/test_sketches.py) carries the state contract. Ranks
+#     behind (13) only because r13 already retired this family's
+#     batch half (`incremental_rollup_merge`) — retiring both halves
+#     in consecutive rounds leaves the binary-HLL state path with no
+#     driver row, the same weighing as (13).
+#     (15) `string_report_format` (POOL_B, r12 hash) vs
+#     `ci_coverage_flags` (POOL_B, r12 hash — the same derived-flag
+#     chain over the same estimator frame) + the LaTeX/report golden
+#     tests (tests/test_report.py) that pin the formatting semantics
+#     the query exists to exercise; a hash-for-hash swap (no seat-
+#     quality gain), ranked below the rows-only retirements.
+#     (16) `cosine_topk` (POOL_A, r11 hash) — the standing last-resort
+#     hash-seat candidate (the ANN exactness baseline; its twin
+#     argument unchanged: `hard_negative_mining` + `margin_mined_pairs`
+#     carry the same brute scored-frame ranking); spend only if
+#     (13)-(15) are exhausted.
 #   - no rotation query waits >2 rounds under this plan: POOL_A + the
 #     13 r13-sit-out CORE members (the r12 returners) get r13 rows,
 #     POOL_B + the 13 r14-sit-out CORE members get r14 rows.

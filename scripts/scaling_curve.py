@@ -413,11 +413,20 @@ def main() -> None:
             two_sample_ks_profile,
         )
 
-        return two_sample_ks_profile(
-            d.withColumn("n_chars", SF.length("text")),
-            "n_chars",
-            SF.col("lang") == "en",
-        ).count()
+        # agg over ks_term, NOT count(): a count still runs the
+        # value-grain collapse (it sets the cardinality) but prunes
+        # the CDF windows and the |difference| — the r13
+        # measurement-prune finding; the recorded numbers re-base.
+        row = (
+            two_sample_ks_profile(
+                d.withColumn("n_chars", SF.length("text")),
+                "n_chars",
+                SF.col("lang") == "en",
+            )
+            .agg(SF.max("ks_term"))
+            .collect()
+        )
+        return len(row)
 
     def _category_drift(d):
         from pyspark.sql import functions as SF
@@ -426,13 +435,22 @@ def main() -> None:
             category_drift_profile,
         )
 
-        return category_drift_profile(
-            d,
-            "lang",
-            SF.right(SF.col("source"), SF.lit(1)).isin(
-                "0", "2", "4", "6", "8"
-            ),
-        ).count()
+        # agg over the computed terms, NOT count(): a count lets the
+        # optimizer prune the psi/chi2 expressions entirely (the r13
+        # measurement-prune finding — count() on a row-preserving or
+        # projection-heavy frame measures the scan, not the operator)
+        row = (
+            category_drift_profile(
+                d,
+                "lang",
+                SF.right(SF.col("source"), SF.lit(1)).isin(
+                    "0", "2", "4", "6", "8"
+                ),
+            )
+            .agg(SF.sum("psi_term"), SF.sum("chi2_term"))
+            .collect()
+        )
+        return len(row)
 
     def _token_budget(d):
         from pyspark.sql import functions as SF
@@ -442,20 +460,41 @@ def main() -> None:
         )
         from mrt_data_integration_spark.operators.text import token_count
 
-        return token_budget_select(
-            d.withColumn("__tok__", token_count("text")),
-            budget=1500,
-            group_col="source",
-            quality_col="n_chars",
-            tokens_col="__tok__",
-        ).count()
+        from pyspark.sql import functions as SF
+
+        # forced aggregation over the window outputs (count() prunes
+        # the cumulative sum — the r13 measurement-prune finding)
+        row = (
+            token_budget_select(
+                d.withColumn("__tok__", token_count("text")),
+                budget=1500,
+                group_col="source",
+                quality_col="n_chars",
+                tokens_col="__tok__",
+            )
+            .agg(
+                SF.sum("cum_tokens"),
+                SF.count(SF.when(SF.col("selected"), 1)),
+            )
+            .collect()
+        )
+        return len(row)
 
     def _token_diversity(d):
+        from pyspark.sql import functions as SF
+
         from mrt_data_integration_spark.operators.diversity import (
             token_diversity_profile,
         )
 
-        return token_diversity_profile(d).count()
+        # forced aggregation over the fold outputs (count() prunes the
+        # whole RLE fold — the r13 measurement-prune finding)
+        row = (
+            token_diversity_profile(d)
+            .agg(SF.sum("entropy"), SF.sum("simpson"))
+            .collect()
+        )
+        return len(row)
 
     def _containment_pairs(d):
         from mrt_data_integration_spark.operators import dedup as dd2
@@ -508,12 +547,24 @@ def main() -> None:
             d, ["table hash", "customer join", "slow hash batch", "a a"]
         ).count()
 
-    def _winnow_profile(d):
+    def _winnow_profile_forced(d):
+        from pyspark.sql import functions as SF
+
         from mrt_data_integration_spark.operators.winnow import (
             winnow_profile,
         )
 
-        return winnow_profile(d, k=3, w=4).count()
+        # r13 measurement-prune fix: the r12 grid used count(), which
+        # let the optimizer prune the ENTIRE pure-map selection (the
+        # measured numbers were the parquet scan). Aggregate the
+        # computed columns so the fingerprint selection actually runs;
+        # the recorded winnowing tail re-bases this round.
+        row = (
+            winnow_profile(d, k=3, w=4)
+            .agg(SF.sum("n_fps"), SF.sum("n_grams"))
+            .collect()
+        )
+        return len(row)
 
     def _semantic_decon(k):
         from pyspark.sql import functions as SF
@@ -1088,7 +1139,7 @@ def main() -> None:
         # O(n_grams) md5 + window minima per doc, no shuffle, no UDF).
         # Expected flat through the grid (the span_corruption class);
         # the 100x point locates the linear term.
-        "winnow_profile": lambda k: _winnow_profile(docs(k)),
+        "winnow_profile": lambda k: _winnow_profile_forced(docs(k)),
         # mid-r12: phrase search — fixed phrase set over the
         # k×-growing corpus. NOTE the disjoint-vocab rewrite means
         # replicas > 0 contain no probe-phrase hits — the postings

@@ -60,6 +60,7 @@ _HINT_BUDGET = {
     "ivfpq_appended_index_topk": 3,  # [model] centroids/codebooks + [batch]
     "ivfpq_index_topk": 3,           # [model] + [batch]
     "ivfpq_topk": 3,                 # [model] + [batch]
+    "lang_category_drift": 1,        # [1row] slice totals (r13)
     "leakage_safe_split": 1,         # [1row] spanning-clusters count
     "length_drift_ks": 1,            # [1row] slice totals
     "lineitem_priority_regime": 1,   # [dim] custkey-slice history
