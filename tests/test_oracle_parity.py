@@ -105,20 +105,40 @@ def test_queries_run_on_smoke(spark, sf_smoke):
     #     and capture the attribute.
     import re as _re
 
+    # r13 generalization (the r11/r12 carried observation): flag ANY
+    # expensive call inside a lambda body whose argument subtree
+    # contains NO lambda variable — such a subtree is loop-invariant
+    # and re-evaluated per ELEMENT by interpreted HOFs, so it must be
+    # hoisted into its own projection. An expensive call OVER the
+    # lambda argument (md5(lambda x), split(lambda x)) is per-element
+    # by design and legitimate.
+    _EXPENSIVE = _re.compile(
+        r"\b(split|regexp_replace|regexp_extract|md5|sha2|sha1|crc32"
+        r"|xxhash64|sentences|conv|json_tuple|get_json_object"
+        r"|from_json|to_json)\(",
+    )
+
+    def _balanced(plan: str, start: int) -> str:
+        """The balanced-paren span beginning at plan[start] (which must
+        point at the character just past an opening paren)."""
+        i, depth = start, 1
+        while i < len(plan) and depth:
+            depth += {"(": 1, ")": -1}.get(plan[i], 0)
+            i += 1
+        return plan[start:i]
+
     def _hof_captured_tokenizer(plan: str) -> bool:
         pos = 0
         while True:
             start = plan.find("lambdafunction(", pos)
             if start < 0:
                 return False
-            i, depth = start + len("lambdafunction("), 1
-            while i < len(plan) and depth:
-                depth += {"(": 1, ")": -1}.get(plan[i], 0)
-                i += 1
-            body = plan[start:i]
-            if _re.search(r"\bsplit\(|\bregexp_(replace|extract)\(", body):
-                return True
-            pos = i
+            body = _balanced(plan, start + len("lambdafunction("))
+            for m in _EXPENSIVE.finditer(body):
+                args = _balanced(body, m.end())
+                if "lambda" not in args:
+                    return True
+            pos = start + len("lambdafunction(") + len(body)
 
     lint_hits = []
     for name, fn in sorted(QUERIES.items()):
