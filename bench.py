@@ -182,6 +182,9 @@ HEADLINE = [
     # variant of the shingle-keyed pair join (no size-ratio prune, so
     # the df cap is the fan-out control)
     "containment_dedup_pairs",
+    # r13: corpus rank-frequency diagnostics — token-grain shuffle +
+    # two-phase bounded top-k + rank-ordered regression fold
+    "zipf_lexical_profile",
 ]
 
 

@@ -34,7 +34,7 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (140 queries as of r13 —
+# ROTATION POLICY (round 4+): the registry (141 queries as of r13 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
@@ -269,7 +269,16 @@ _POOL_B: list[str] = [
     "counterfactual_pseudo_outcome",
     "ci_coverage_flags",
     "union_pooled_studies",
-    "string_report_format",
+    # (`string_report_format` was retired r13 to fund
+    # `zipf_lexical_profile` — see _RETIRED for the twin argument.)
+    # r13 addition (E5+ corpus rank-frequency diagnostics: Zipf slope,
+    # hapax fraction, vocabulary totals): registered after the r13
+    # window froze, zero driver history; POOL_B's r14 turn
+    # force-includes it per exception rule 2. Slot funded by the
+    # paired retirement of `string_report_format` (pre-ranked
+    # candidate #15, argument written at the r13 flip BEFORE this
+    # family existed).
+    "zipf_lexical_profile",
     "pwcls_fit",
     "etwcls_fit",
     "drwcls_fit",
@@ -879,6 +888,18 @@ _RETIRED: list[str] = [
     # (tests/test_simulation.py::test_generator_deterministic_and_chunk_free,
     # ::test_distributed_generator_matches_local).
     "wcls_large_panel",
+    # r13: retired to fund the `zipf_lexical_profile` r14 slot — the
+    # r14 plan comment's pre-ranked fresh candidate #15, argument
+    # written at the r13 flip BEFORE the family it funds existed.
+    # Twin coverage: `ci_coverage_flags` (POOL_B, r12 hash — the same
+    # derived-flag chain over the same estimator frame) and the
+    # LaTeX/report golden tests (tests/test_report.py) that pin the
+    # formatting semantics the query exists to exercise; the retiree
+    # keeps its own DuckDB oracle every CI run
+    # (tests/test_oracle_parity.py). A hash-for-hash swap — no
+    # seat-quality change, spent only after the four rows-only
+    # candidates (9)-(12).
+    "string_report_format",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,

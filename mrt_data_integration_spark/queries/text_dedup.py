@@ -1964,3 +1964,75 @@ def containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.containment_pairs(
         docs, threshold=0.2, max_shingle_df=None
     )
+
+
+@query(
+    "zipf_lexical_profile",
+    # Full replay: token counts, the deterministic (freq DESC, token)
+    # top-1000 ranking, the four regression sums folded in RANK order
+    # on both engines (Spark: one sequential pass over the rank-sorted
+    # struct array; DuckDB: ordered list_reduce per sum — identical
+    # per-accumulator op sequences, so the slope's float arithmetic is
+    # bit-pinned), the corpus totals, the top-20 emission.
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(text, '\\s+')) AS token
+      FROM documents WHERE text IS NOT NULL
+    ),
+    cnt AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+    stats AS (
+      SELECT CAST(sum(freq) AS BIGINT)  AS n_tokens,
+             CAST(count(*) AS BIGINT)   AS n_types,
+             round(CAST(count(*) FILTER (WHERE freq = 1) AS DOUBLE)
+                   / count(*), 6)       AS hapax_frac
+      FROM cnt
+    ),
+    top AS (
+      SELECT token, freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, token)
+                  AS BIGINT) AS rank
+      FROM cnt ORDER BY freq DESC, token LIMIT 1000
+    ),
+    fit AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             list_reduce(list(ln(CAST(rank AS DOUBLE))
+               ORDER BY rank), (a, b) -> a + b) AS sx,
+             list_reduce(list(ln(CAST(freq AS DOUBLE))
+               ORDER BY rank), (a, b) -> a + b) AS sy,
+             list_reduce(list(ln(CAST(rank AS DOUBLE))
+               * ln(CAST(freq AS DOUBLE))
+               ORDER BY rank), (a, b) -> a + b) AS sxy,
+             list_reduce(list(ln(CAST(rank AS DOUBLE))
+               * ln(CAST(rank AS DOUBLE))
+               ORDER BY rank), (a, b) -> a + b) AS sxx
+      FROM top
+    )
+    SELECT rank, token, CAST(freq AS BIGINT) AS freq,
+           n_tokens, n_types, hapax_frac,
+           CASE WHEN fit.n >= 2 THEN round(
+             (fit.n * sxy - sx * sy) / (fit.n * sxx - sx * sx), 6
+           ) END AS zipf_slope
+    FROM top, stats, fit
+    WHERE rank <= 20
+    """,
+)
+def zipf_lexical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5+ (r13, operators/lexstats.zipf_profile): corpus rank-
+    frequency diagnostics — the top-20 tokens with the Zipf log-log
+    slope fit over the top 1000 ranks (natural text ≈ −1; this
+    synthetic corpus reads ≈ −0.18, correctly flagging templated
+    text), hapax fraction and vocabulary totals: the corpus-grain
+    lexical-health check per release (per-document diversity is
+    `token_diversity_stats`; the two disagree exactly when healthy
+    documents are near-copies of each other). Scale shape: one
+    token-grain shuffle, the global top-1000 via two-phase
+    bounded_topk (never a vocabulary-wide single-reducer window), the
+    regression sums folded sequentially in rank order (order-pinned
+    floats), totals on 1-row broadcasts. The oracle replays counts →
+    ranking → ordered folds → slope end-to-end."""
+    from mrt_data_integration_spark.operators.lexstats import (
+        zipf_profile,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_profile(docs, fit_n=1000, emit_n=20)

@@ -194,6 +194,7 @@ OP_INPUTS = {
     "token_budget": {"docs"},
     "token_diversity": {"docs"},
     "containment_pairs": {"docs"},
+    "zipf_profile": {"docs"},
     "wminhash_sigs": {"docs"},
     "hard_negative": {"emb"},
     "margin_mining": {"emb"},
@@ -505,6 +506,16 @@ def main() -> None:
         n = out.count()
         dd2.release_cache(out)
         return n
+
+    def _zipf_profile(d):
+        from mrt_data_integration_spark.operators.lexstats import (
+            zipf_profile,
+        )
+
+        # collect() — the 20-row output already forces the full
+        # count/rank/fold pipeline (the threshold-output class; no
+        # count() prune possible)
+        return len(zipf_profile(d).collect())
 
     def _quality_canonical(d):
         from mrt_data_integration_spark.cache_registry import (
@@ -1179,6 +1190,9 @@ def main() -> None:
         # Expected to track ngram_jaccard's class; the cap bounds the
         # per-shingle fan-out at cap² independent of corpus size.
         "containment_pairs": lambda k: _containment_pairs(docs(k)),
+        # r13: corpus rank-frequency diagnostics — token-grain
+        # shuffle dominates; the fit stage is O(fit_n) at any scale.
+        "zipf_profile": lambda k: _zipf_profile(docs(k)),
         # r9: streaming SCD2 drain — the versioned-state maintenance
         # path. Expected slope HONESTLY ABOVE the batch collapse's:
         # each micro-batch's publish COPIES untouched closed rows

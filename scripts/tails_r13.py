@@ -137,6 +137,13 @@ def main() -> None:
             .collect()
         )
 
+    def _zipf():
+        from mrt_data_integration_spark.operators.lexstats import (
+            zipf_profile,
+        )
+
+        return len(zipf_profile(docs).collect())
+
     only = os.environ.get("SPARK_GRAFT_TAIL_OPS")
     wanted = set(only.split(",")) if only else None
     for name, fn in (
@@ -146,6 +153,7 @@ def main() -> None:
         ("containment_pairs", _containment),
         ("winnow_profile", _winnow_profile),
         ("ks_drift", _ks_drift),
+        ("zipf_profile", _zipf),
     ):
         if wanted is not None and name not in wanted:
             continue

@@ -79,6 +79,7 @@ _HINT_BUDGET = {
     "training_mix_rebalance": 1,     # [model] per-source mix table
     "weighted_minhash_signatures": 1,  # [1row] n_docs (r12 gating fix)
     "winnowing_decontamination": 1,  # [batch] benchmark fp frame
+    "zipf_lexical_profile": 2,       # [1row] stats + [1row] slope fit (r13)
 }
 
 
