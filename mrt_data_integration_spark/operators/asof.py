@@ -33,18 +33,34 @@ def asof_join(
     left_time: str,
     right_time: str,
     payload: list[str],
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """For each left row, attach ``payload`` columns from the latest right
-    row with the same key and ``right_time <= left_time`` (inclusive).
+    """For each left row, attach ``payload`` columns from the matching
+    right row with the same key: the latest with ``right_time <=
+    left_time`` (``direction="backward"``, the default — inclusive) or
+    the earliest with ``right_time >= left_time``
+    (``direction="forward"`` — also inclusive; the same one-shuffle
+    window with the time ordering reversed).
+
+    ``tolerance`` bounds the match's time gap: a match farther than
+    ``tolerance`` (in the time column's ``cast("double")`` units —
+    epoch seconds for timestamps, the raw value for numerics) is
+    nulled out, row kept (the pandas ``merge_asof`` contract). Dates
+    cast through timestamp first; callers with exotic time types
+    pre-cast.
 
     Right rows that tie on (key, time) must be pre-deduplicated by the
     caller (the result would otherwise be tie-broken arbitrarily).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     l_tag = left.select(
         F.col(left_key).alias("__key__"),
         F.col(left_time).alias("__time__"),
         F.lit(1).alias("__side__"),
         *[F.lit(None).cast(right.schema[p].dataType).alias(p) for p in payload],
+        F.lit(None).cast(right.schema[right_time].dataType).alias("__rt__"),
         *[F.col(c) for c in left.columns],
     )
     r_tag = right.select(
@@ -52,19 +68,41 @@ def asof_join(
         F.col(right_time).alias("__time__"),
         F.lit(0).alias("__side__"),
         *[F.col(p) for p in payload],
+        F.col(right_time).alias("__rt__"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
     )
     unioned = l_tag.unionByName(r_tag)
+    t_ord = (
+        F.col("__time__").asc()
+        if direction == "backward"
+        else F.col("__time__").desc()
+    )
+    # side stays ascending in BOTH directions: the right row (side=0)
+    # sorts before a left row at the same time, which is exactly what
+    # makes the match inclusive on either side of the inequality.
     w = (
         Window.partitionBy("__key__")
-        .orderBy("__time__", "__side__")
+        .orderBy(t_ord, "__side__")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled: list[Column] = [
         F.last(p, ignorenulls=True).over(w).alias(p) for p in payload
     ]
-    return (
-        unioned.select("__side__", *left.columns, *filled)
+    matched_t = F.last("__rt__", ignorenulls=True).over(w).alias("__mt__")
+    out = (
+        unioned.select("__side__", "__time__", *left.columns, *filled, matched_t)
         .filter(F.col("__side__") == 1)
         .drop("__side__")
     )
+    if tolerance is not None:
+        gap = F.abs(
+            F.col("__time__").cast("double") - F.col("__mt__").cast("double")
+        )
+        keep = F.col("__mt__").isNotNull() & (gap <= F.lit(float(tolerance)))
+        out = out.select(
+            *left.columns,
+            *[F.when(keep, F.col(p)).alias(p) for p in payload],
+        )
+    else:
+        out = out.select(*left.columns, *payload)
+    return out

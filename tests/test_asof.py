@@ -1,0 +1,108 @@
+"""As-of join (operators/asof.py): python twin for both directions,
+inclusive-equality ties, tolerance nulling (the pandas merge_asof
+contract), unmatched rows, and the single-shuffle plan shape."""
+
+from __future__ import annotations
+
+import random
+
+from mrt_data_integration_spark.operators.asof import asof_join
+
+
+def _frames(spark, lrows, rrows):
+    left = spark.createDataFrame(lrows, "lid long, k long, t long")
+    right = spark.createDataFrame(rrows, "k long, rt long, v long")
+    return left, right
+
+
+def _py_asof(lrows, rrows, direction, tolerance=None):
+    out = {}
+    for lid, k, t in lrows:
+        if direction == "backward":
+            cand = [(rt, v) for (rk, rt, v) in rrows if rk == k and rt <= t]
+            match = max(cand) if cand else None
+        else:
+            cand = [(rt, v) for (rk, rt, v) in rrows if rk == k and rt >= t]
+            match = min(cand) if cand else None
+        v = match[1] if match else None
+        if (
+            match is not None
+            and tolerance is not None
+            and abs(t - match[0]) > tolerance
+        ):
+            v = None
+        out[lid] = v
+    return out
+
+
+def _run(spark, lrows, rrows, **kw):
+    left, right = _frames(spark, lrows, rrows)
+    return {
+        r.lid: r.v
+        for r in asof_join(
+            left, right, "k", "k", "t", "rt", ["v"], **kw
+        ).collect()
+    }
+
+
+def test_asof_matches_python_twin_both_directions(spark):
+    rng = random.Random(20260821)
+    lrows = [
+        (i, rng.randint(0, 4), rng.randint(0, 100)) for i in range(120)
+    ]
+    rrows = list(
+        {
+            (k, rt): (k, rt, rt * 10 + k)
+            for k, rt in (
+                (rng.randint(0, 4), rng.randint(0, 100))
+                for _ in range(200)
+            )
+        }.values()
+    )
+    for direction in ("backward", "forward"):
+        got = _run(spark, lrows, rrows, direction=direction)
+        assert got == _py_asof(lrows, rrows, direction), direction
+
+
+def test_asof_equality_is_inclusive_both_directions(spark):
+    lrows = [(1, 7, 50)]
+    rrows = [(7, 50, 99)]
+    assert _run(spark, lrows, rrows, direction="backward") == {1: 99}
+    assert _run(spark, lrows, rrows, direction="forward") == {1: 99}
+
+
+def test_asof_tolerance_nulls_far_matches(spark):
+    lrows = [(1, 7, 50), (2, 7, 90)]
+    rrows = [(7, 40, 11)]
+    # backward: both match rt=40; gaps 10 and 50 — tolerance 20 keeps
+    # only the near one, the far row stays with a NULL payload
+    got = _run(
+        spark, lrows, rrows, direction="backward", tolerance=20
+    )
+    assert got == {1: 11, 2: None}
+    # forward from t=50/90 with only rt=40: no candidates at all
+    assert _run(spark, lrows, rrows, direction="forward") == {
+        1: None, 2: None,
+    }
+
+
+def test_asof_rejects_bad_direction(spark):
+    import pytest
+
+    left, right = _frames(spark, [(1, 1, 1)], [(1, 1, 1)])
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(left, right, "k", "k", "t", "rt", ["v"], direction="nearest")
+
+
+def test_asof_single_shuffle_plan(spark):
+    rng = random.Random(2)
+    lrows = [(i, i % 5, rng.randint(0, 50)) for i in range(100)]
+    rrows = [(k, t, t) for k in range(5) for t in range(0, 50, 7)]
+    left, right = _frames(spark, lrows, rrows)
+    out = asof_join(left, right, "k", "k", "t", "rt", ["v"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan, "the union+window form must not join at all"
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "ONE key-partitioned shuffle of |L|+|R| rows is the whole cost"
+    )
