@@ -139,19 +139,53 @@ def category_drift_profile(
     crossJoin broadcast; no window at all — strictly cheaper than the
     KS profile at any scale.
     """
+    return profile_from_category_counts(
+        category_counts(df, cat_col, in_a), cat_col
+    )
+
+
+def category_counts(
+    df: DataFrame, cat_col: str, in_a: Column
+) -> DataFrame:
+    """The drift profile's MERGEABLE sufficient statistic: one row per
+    non-NULL category — (__c__, n_a, n_b) counts. Two such frames
+    merge by unioning and summing per category (counts add), which is
+    what the streaming drain does per micro-batch."""
     flagged = df.filter(F.col(cat_col).isNotNull()).select(
         F.col(cat_col).alias("__c__"),
         in_a.cast("boolean").alias("__a__"),
     )
-    per_cat = flagged.groupBy("__c__").agg(
+    return flagged.groupBy("__c__").agg(
         F.count(F.when(F.col("__a__"), 1)).alias("n_a"),
         F.count(F.when(~F.col("__a__"), 1)).alias("n_b"),
     )
-    totals = flagged.agg(
-        F.count(F.when(F.col("__a__"), 1))
+
+
+def merge_category_counts(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union-sum merge of two :func:`category_counts` states."""
+    return (
+        a.unionByName(b)
+        .groupBy("__c__")
+        .agg(
+            F.sum("n_a").cast("long").alias("n_a"),
+            F.sum("n_b").cast("long").alias("n_b"),
+        )
+    )
+
+
+def profile_from_category_counts(
+    per_cat: DataFrame, cat_col: str
+) -> DataFrame:
+    """Finalize a counts state into the drift profile. The totals are
+    the state's own column sums (equal to the raw-row counts by
+    construction), so a batch profile and a streaming drain's merged
+    state finalize through the SAME expressions — identical rounded
+    doubles, not merely close ones."""
+    totals = per_cat.agg(
+        F.coalesce(F.sum("n_a"), F.lit(0))
         .cast("double")
         .alias("__ta__"),
-        F.count(F.when(~F.col("__a__"), 1))
+        F.coalesce(F.sum("n_b"), F.lit(0))
         .cast("double")
         .alias("__tb__"),
     )

@@ -1,0 +1,86 @@
+"""Streaming categorical-drift drain (streaming/drift.py): the drained
+stream's finalized profile must equal the batch profile EXACTLY
+(identical rounded doubles — the finalize shares the batch operator's
+expressions over the merged counts), across multiple micro-batches,
+with the state merged incrementally per batch."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from mrt_data_integration_spark.operators.drift import (
+    category_drift_profile,
+)
+from mrt_data_integration_spark.streaming.drift import (
+    run_category_drift_stream,
+)
+
+
+def _rows(n, seed):
+    rng = random.Random(seed)
+    cats = ["en", "de", "fr", "zh", None]
+    return [
+        (i, rng.choice(cats), rng.choice(["a", "b"]))
+        for i in range(n)
+    ]
+
+
+def test_streaming_drift_equals_batch(spark, tmp_path):
+    df = spark.createDataFrame(
+        _rows(400, 20260822), "doc_id long, c string, grp string"
+    )
+    src = str(tmp_path / "src")
+    # several files -> several micro-batches under maxFilesPerTrigger=1
+    df.repartition(5).write.parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    in_a = F.col("grp") == "a"
+    got = sorted(
+        map(
+            tuple,
+            run_category_drift_stream(
+                spark, stream, str(tmp_path / "state"), "c", in_a
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, category_drift_profile(df, "c", in_a).collect())
+    )
+    assert got == want  # identical rounded doubles, not merely close
+
+
+def test_streaming_drift_merges_across_batches(spark, tmp_path):
+    """A category appearing ONLY in a later file must still carry its
+    full count — i.e. the state genuinely merges rather than keeping
+    the last batch."""
+    a = spark.createDataFrame(
+        [(1, "en", "a")] * 1, "doc_id long, c string, grp string"
+    )
+    rows1 = [(i, "en", "a") for i in range(30)]
+    rows2 = [(i, "zh", "b") for i in range(30, 50)]
+    df1 = spark.createDataFrame(rows1, a.schema)
+    df2 = spark.createDataFrame(rows2, a.schema)
+    src = str(tmp_path / "src")
+    df1.coalesce(1).write.parquet(src)
+    df2.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(a.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = {
+        r.c: (r.n_a, r.n_b)
+        for r in run_category_drift_stream(
+            spark,
+            stream,
+            str(tmp_path / "state"),
+            "c",
+            F.col("grp") == "a",
+        ).collect()
+    }
+    assert out == {"en": (30, 0), "zh": (0, 20)}
