@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 def token_budget_select(
     docs: DataFrame,
-    budget: int,
+    budget: int | DataFrame,
     group_col: str,
     quality_col: str,
     tokens_col: str,
@@ -46,8 +46,18 @@ def token_budget_select(
 ) -> DataFrame:
     """Rank ``docs`` within each ``group_col`` by (``quality_col``
     DESC NULLS LAST, ``id_col`` ASC), accumulate ``tokens_col`` in
-    rank order, and keep the prefix whose running total fits
-    ``budget``.
+    rank order, and keep the prefix whose running total fits the
+    budget.
+
+    ``budget`` is either one int for every group, or a
+    (group_col, budget) DataFrame — the production form, where target
+    mixture weights become per-source budgets (e.g. ``weight_s ×
+    total_token_budget``). A group absent from the budgets table has
+    no allocation: its rows keep their rank/running total but
+    ``selected`` is false throughout (an honest zero, not an implicit
+    infinity). The budgets table is bounded by the group domain, not
+    the corpus — joined without a hint (AQE broadcasts it when small,
+    the hint-budget discipline).
 
     Returns one row per input document — (id_col, group_col,
     doc_tokens, rank, cum_tokens, selected) — so the rejected tail
@@ -59,7 +69,7 @@ def token_budget_select(
     w = Window.partitionBy(group_col).orderBy(
         F.desc_nulls_last(quality_col), F.asc(id_col)
     )
-    return docs.select(
+    ranked = docs.select(
         F.col(id_col),
         F.col(group_col),
         F.col(tokens_col).cast("long").alias("doc_tokens"),
@@ -67,9 +77,20 @@ def token_budget_select(
         F.sum(F.col(tokens_col).cast("long"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("cum_tokens"),
-    ).withColumn(
-        "selected",
-        F.coalesce(
-            F.col("cum_tokens") <= F.lit(int(budget)), F.lit(False)
-        ),
     )
+    if isinstance(budget, DataFrame):
+        ranked = ranked.join(
+            budget.select(
+                F.col(group_col), F.col("budget").cast("long").alias("__b__")
+            ),
+            group_col,
+            "left",
+        )
+        limit = F.col("__b__")
+    else:
+        limit = F.lit(int(budget))
+    out = ranked.withColumn(
+        "selected",
+        F.coalesce(F.col("cum_tokens") <= limit, F.lit(False)),
+    )
+    return out.drop("__b__") if isinstance(budget, DataFrame) else out

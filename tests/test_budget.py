@@ -112,3 +112,36 @@ def test_budget_select_plan_single_group_shuffle(spark):
     # integer representation pinned BIGINT (the sessionization lesson)
     kinds = dict(out.dtypes)
     assert kinds["rank"] == "bigint" and kinds["cum_tokens"] == "bigint"
+
+
+def test_budget_select_per_group_budgets_table(spark):
+    """The production form: target mixture weights become per-source
+    budgets; a group absent from the table selects nothing (an honest
+    zero, not an implicit infinity)."""
+    rows = [
+        (1, "a", 9, 5), (2, "a", 8, 5), (3, "a", 7, 5),
+        (4, "b", 9, 5), (5, "b", 8, 5),
+        (6, "c", 9, 5),
+    ]
+    budgets = spark.createDataFrame(
+        [("a", 10), ("b", 5)], "grp string, budget long"
+    )
+    got = {
+        r.doc_id: r.selected
+        for r in token_budget_select(
+            _frame(spark, rows), budgets, "grp", "q", "tok"
+        ).collect()
+    }
+    assert got == {
+        1: True, 2: True, 3: False,   # a: budget 10 fits two 5s
+        4: True, 5: False,            # b: budget 5 fits one
+        6: False,                     # c: no allocation at all
+    }
+    # the scalar form on the same rows stays the reference behavior
+    scalar = {
+        r.doc_id: r.selected
+        for r in token_budget_select(
+            _frame(spark, rows), 10, "grp", "q", "tok"
+        ).collect()
+    }
+    assert scalar == {1: True, 2: True, 3: False, 4: True, 5: True, 6: True}

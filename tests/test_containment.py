@@ -121,3 +121,31 @@ def test_containment_plan_shape(spark):
     dd.release_cache(out)
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan  # shingle-keyed equi-join only
+
+
+def test_containment_dominates_jaccard_pointwise(spark):
+    """Structural property fuzz: on any pair, jaccard <= overlap
+    (|A∩B|/|A∪B| <= |A∩B|/min) with equality exactly when the two
+    shingle sets coincide — so a containment screen at threshold t
+    always catches at least the Jaccard-t pairs."""
+    rng = random.Random(20260823)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25))))
+        for i in range(30)
+    ]
+    cont = dd.containment_pairs(
+        _docs(spark, rows), threshold=0.0, max_shingle_df=None
+    )
+    c = {(r.id_a, r.id_b): r for r in cont.collect()}
+    dd.release_cache(cont)
+    jac = dd.ngram_jaccard_pairs(
+        _docs(spark, rows), threshold=0.0, max_shingle_df=None
+    )
+    j = {(r.id_a, r.id_b): r.jaccard for r in jac.collect()}
+    dd.release_cache(jac)
+    assert set(j) == set(c), "same candidate pairs (shared-shingle grain)"
+    for k, r in c.items():
+        assert j[k] <= r.overlap + 1e-9
+        if r.n_a == r.n_b == r.n_inter:
+            assert j[k] == r.overlap == 1.0
