@@ -49,19 +49,52 @@ def two_sample_ks_profile(
     Rows with a NULL value are excluded (a CDF has no place for
     them); an empty side yields NULL CDFs for that side (no
     silent 0/0)."""
+    return ks_profile_from_value_counts(
+        value_counts(df, value_col, in_a), value_col
+    )
+
+
+def value_counts(
+    df: DataFrame, value_col: str, in_a: Column
+) -> DataFrame:
+    """The KS profile's MERGEABLE sufficient statistic: one row per
+    non-NULL distinct value — (__v__, n_a, n_b) counts; two such
+    frames merge by unioning and summing per value (counts add) —
+    shared with :func:`category_counts` via the same shape."""
     flagged = df.filter(F.col(value_col).isNotNull()).select(
         F.col(value_col).alias("__v__"),
         in_a.cast("boolean").alias("__a__"),
     )
-    per_value = flagged.groupBy("__v__").agg(
+    return flagged.groupBy("__v__").agg(
         F.count(F.when(F.col("__a__"), 1)).alias("n_a"),
         F.count(F.when(~F.col("__a__"), 1)).alias("n_b"),
     )
-    totals = flagged.agg(
-        F.count(F.when(F.col("__a__"), 1))
+
+
+def merge_value_counts(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union-sum merge of two :func:`value_counts` states."""
+    return (
+        a.unionByName(b)
+        .groupBy("__v__")
+        .agg(
+            F.sum("n_a").cast("long").alias("n_a"),
+            F.sum("n_b").cast("long").alias("n_b"),
+        )
+    )
+
+
+def ks_profile_from_value_counts(
+    per_value: DataFrame, value_col: str
+) -> DataFrame:
+    """Finalize a value-grain counts state into the KS profile. The
+    totals are the state's own column sums (equal to the raw-row
+    counts by construction), so a batch profile and a streaming
+    drain's merged state finalize through the SAME expressions."""
+    totals = per_value.agg(
+        F.coalesce(F.sum("n_a"), F.lit(0))
         .cast("double")
         .alias("__ta__"),
-        F.count(F.when(~F.col("__a__"), 1))
+        F.coalesce(F.sum("n_b"), F.lit(0))
         .cast("double")
         .alias("__tb__"),
     )

@@ -25,8 +25,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 
 from mrt_data_integration_spark.operators.drift import (
     category_counts,
+    ks_profile_from_value_counts,
     merge_category_counts,
+    merge_value_counts,
     profile_from_category_counts,
+    value_counts,
 )
 from mrt_data_integration_spark.streaming.rollup import (
     _latest_version,
@@ -91,3 +94,47 @@ def run_category_drift_stream(
     v = _latest_version(state_dir)
     state = spark.read.parquet(os.path.join(state_dir, f"state_v{v}"))
     return profile_from_category_counts(state, cat_col)
+
+
+def run_ks_drift_stream(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    state_dir: str,
+    value_col: str,
+    in_a: Column,
+) -> DataFrame:
+    """The KS complement of :func:`run_category_drift_stream`: drain a
+    (bounded) document stream maintaining the VALUE-grain count state
+    (the KS profile's mergeable sufficient statistic — per-value slice
+    counts add); the finalized state feeds the batch operator's
+    expressions verbatim, so the drained stream's CDF-difference
+    profile equals the batch `two_sample_ks_profile` exactly. State
+    per batch is bounded by the value DOMAIN (a length in characters),
+    the same bound that makes the batch window sanctioned."""
+    ck = os.path.join(state_dir, "_checkpoint")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        def merge(b: DataFrame, prev: DataFrame | None) -> DataFrame:
+            batch_state = value_counts(b, value_col, in_a)
+            if prev is None:
+                return batch_state
+            return merge_value_counts(prev, batch_state)
+
+        merge_into_versioned_state(
+            batch_df,
+            batch_id,
+            state_dir,
+            merge,
+            checkpoint_chain_token(ck),
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination()
+    v = _latest_version(state_dir)
+    state = spark.read.parquet(os.path.join(state_dir, f"state_v{v}"))
+    return ks_profile_from_value_counts(state, value_col)

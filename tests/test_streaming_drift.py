@@ -84,3 +84,41 @@ def test_streaming_drift_merges_across_batches(spark, tmp_path):
         ).collect()
     }
     assert out == {"en": (30, 0), "zh": (0, 20)}
+
+
+def test_streaming_ks_drift_equals_batch(spark, tmp_path):
+    """The KS complement: the drained value-grain count state must
+    finalize into the batch CDF-difference profile EXACTLY."""
+    from mrt_data_integration_spark.operators.drift import (
+        two_sample_ks_profile,
+    )
+    from mrt_data_integration_spark.streaming.drift import (
+        run_ks_drift_stream,
+    )
+
+    rng = random.Random(20260824)
+    rows = [
+        (i, rng.randint(0, 40), rng.choice(["a", "b"]))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, v int, grp string")
+    src = str(tmp_path / "src")
+    df.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    in_a = F.col("grp") == "a"
+    got = sorted(
+        map(
+            tuple,
+            run_ks_drift_stream(
+                spark, stream, str(tmp_path / "state"), "v", in_a
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, two_sample_ks_profile(df, "v", in_a).collect())
+    )
+    assert got == want
