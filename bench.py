@@ -246,12 +246,17 @@ def main() -> None:
         spread[name] = [round(shots[0], 3), round(shots[-1], 3)]
 
     total = round(sum(times.values()), 3)
-    # Diagnostics (per-query min/max spread) go on their OWN earlier line:
-    # the driver only keeps the tail of stdout and parses the FINAL line as
-    # JSON — r5's single fat line (~2.6 KB with spread included) outgrew
-    # that capture and the round's headline number was lost
-    # (BENCH_r05.json "parsed": null). Keep the last line compact.
+    # Diagnostics (per-query medians + min/max spread) go on their OWN
+    # earlier lines: the driver only keeps the tail of stdout and parses
+    # the FINAL line as JSON — r5's single fat line (~2.6 KB with spread
+    # included) outgrew that capture and the round's headline number was
+    # lost (BENCH_r05.json "parsed": null), and by r12/r13 the "queries"
+    # map alone (~69 entries) had re-grown the final line past the
+    # driver's 2000-char capture, losing the headline two rounds running
+    # (the r13 verdict's item 2). The final line is now a fixed handful
+    # of scalar fields (~100 bytes) and can never outgrow the capture.
     print(json.dumps({"spread_min_max": spread, "shots": n_shots, "reps": reps}))
+    print(json.dumps({"queries": times}))
     sys.stdout.flush()
     print(
         json.dumps(
@@ -259,7 +264,7 @@ def main() -> None:
                 "metric": "headline_suite_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
+                "n_queries": len(times),
                 "sf": sf,
                 "reps": reps,
             }

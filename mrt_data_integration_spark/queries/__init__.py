@@ -1320,9 +1320,75 @@ _R13_SIT_OUT = (
     "doc_fingerprint_dedup",
     "tfidf_top_terms",
 )
+# Round 14 window: POOL_B's turn (37 after the r13 add/retire pairs:
+# the five r13 additions `lang_category_drift`,
+# `token_budget_selection`, `token_diversity_stats`,
+# `containment_dedup_pairs`, `zipf_lexical_profile` have ZERO driver
+# history and are force-included per rule 2 — the r13 verdict's
+# promised rotation, item 1; slots funded by the five r13 retirements
+# with twin arguments in _RETIRED) + the 13 r13 sit-outs (all CORE,
+# last rows r12, due back) = 37 + 13 = exactly 50. No r13 row was red
+# (50/50 green: CORRECTNESS_r13.json — 48 hash + 2 declared
+# rows-only), so rule 1 forces nothing. The THIRTEEN CORE members
+# holding fresh r13 hash rows sit out — shapes stay covered in-window
+# (the r12 delegations, re-based where a named twin was retired
+# since):
+# `cluster_score_meat` (grouped gram/crossprod) by `weighted_gram`
+#   (returning — the same sufficient-stats reduction),
+# `group_best_highlight` (argmax + flag) by `argmax_per_group`
+#   (returning — the same struct-max shape),
+# `unpivot_long` (reshape) by `union_pooled_studies` (POOL_B — unpivot
+#   compiles to the same union-of-projections/Expand the study stack
+#   runs) + `rollup_hierarchy` (returning — GROUPING SETS runs the
+#   same Expand physical operator),
+# `topk_per_group` (window rank) by `window_rank_features` (POOL_B)
+#   + `exact_percentiles` (returning — same sort/window machinery),
+# `wls_normal_equations` (d×d gram collapse) by `weighted_gram`
+#   (returning — the same normal-equations family),
+# `wcls_cluster_robust` (per-group regression) by `regr_by_group`
+#   (returning) + `pwcls_fit` (POOL_B — the same estimator arithmetic
+#   through the full distributed fit)  [re-based: the old twin
+#   `wcls_large_panel` retired r13],
+# `fact_fact_join` (SMJ) by `star_join_revenue` (returning — broadcast
+#   star join) + `streaming_click_attribution` (POOL_B — the
+#   stream-stream interval join over the same orders×events pair),
+# `brand_part_rollup` (grouping sets) by `rollup_hierarchy` (returning
+#   — the same GROUPING SETS physical operator),
+# `doc_quality_stats` (text scan aggregates) by `doc_lang_id`
+#   (returning) + `char_trigram_lm_filter` (POOL_B),
+# `minhash_signatures` (grouped hash-agg signatures) by
+#   `doc_fingerprint_dedup` (returning — hash dedup on the same scan)
+#   + `weighted_minhash_signatures` (POOL_B — the importance-weighted
+#   member of the same signature family),
+# `lsh_candidate_pairs` (band-keyed self-join) by
+#   `image_near_dup_pairs` (POOL_B — the SAME band→equi-join→verify
+#   physical shape on image hashes),
+# `ngram_jaccard_pairs` (pair join + set overlap verify) by
+#   `image_near_dup_pairs` (POOL_B) + `fuzzy_title_pairs` (POOL_B
+#   — pair join + edit-distance verify) + `containment_dedup_pairs`
+#   (POOL_B, forced r14 slot — the same md5-prefix shingle-keyed pair
+#   join through the overlap-coefficient verify),
+# `bpe_ish_token_counts` (tokenize-explode-count) by `bpe_train_merges`
+#   (POOL_B — the REAL BPE training over the same tokenize/explode/
+#   count scan) + `tfidf_top_terms` (returning).
+_R14_SIT_OUT = (
+    "cluster_score_meat",
+    "group_best_highlight",
+    "unpivot_long",
+    "topk_per_group",
+    "wls_normal_equations",
+    "wcls_cluster_robust",
+    "fact_fact_join",
+    "brand_part_rollup",
+    "doc_quality_stats",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "bpe_ish_token_counts",
+)
 _WINDOW: list[str] = (
-    _POOL_A
-    + [n for n in _CORE if n not in _R13_SIT_OUT]
+    _POOL_B
+    + [n for n in _CORE if n not in _R14_SIT_OUT]
 )
 # (The r12 plan written at the r11 flip EXECUTED verbatim:
 # POOL_B's 37 + the 13 r11 sit-outs, zero slack, no red r11 rows —
@@ -1517,6 +1583,83 @@ _WINDOW: list[str] = (
 # fresh-r13 POOL_A member whose shape must then be delegated
 # in-window. test_window_policy.py enforces the bookkeeping either
 # way.
+#
+# r15 plan (written at this r14 window flip, per the standing
+# practice): POOL_A's turn. POOL_A is 37 and the 13 r14 sit-outs (all
+# CORE, last rows r13) are due back: 37 + 13 = exactly 50 — ZERO
+# slack for the ninth consecutive round. Consequences, enforceable
+# now:
+#   - any NEW query registered during r14 joins POOL_A for its forced
+#     r15 row AND must be paired with a POOL_A retirement. The banked
+#     POOL_B candidates (13) `sensitivity_scenarios` and (14)
+#     `streaming_rollup_merge` CANNOT fund r14 registrations —
+#     retiring a POOL_B member mid-r14 would shrink the LIVE r14
+#     window (they hold r14 slots right now); they carry to the r15
+#     flip for r15-era registrations. Fresh POOL_A candidates,
+#     pre-ranked at THIS flip BEFORE any r14 registration exists (the
+#     cfd59ca discipline — argument written before building anything
+#     they would fund):
+#     (17) `ivfpq_index_topk` (POOL_A, rows-only seat — recall-based,
+#     no oracle by design) vs `hard_negative_ivf_probe` (POOL_B, r12
+#     hash — the SAME IVF train/centroid/cell-pruned-probe physical
+#     plan held at driver-HASH strength via its Lloyd's-replay
+#     oracle) + `embedding_kmeans_cells` (POOL_A, hash — the Lloyd's
+#     assignment both share); the IVFADC-specific halves keep their
+#     CI identities every run (tests/test_similarity.py::
+#     test_ivfpq_persisted_index_matches_online,
+#     ::test_ivfpq_index_append_equals_bulk_encode,
+#     ::test_pq_topk_recall_and_determinism,
+#     ::test_pq_topk_exact_on_clustered_corpus,
+#     ::test_ivfpq_recall_and_determinism). Retiring a rows-only seat
+#     for a
+#     hash registration RAISES the window's hash share — the
+#     hll_daily_distinct seat-quality argument. Ranks first.
+#     (18) `lang_classifier_scores` (POOL_A, rows-only seat —
+#     declared class) vs `doc_lang_id` (CORE, hash — the same
+#     char-ngram profile-scoring arithmetic at driver-hash strength)
+#     + `char_trigram_lm_filter` (POOL_B, hash — the same char-ngram
+#     language modeling through the LM-filter route); the
+#     classifier-specific argmax-over-languages keeps its CI tests
+#     (tests/test_pipeline_ops.py::
+#     test_lang_classifier_scores_shape_and_determinism,
+#     ::test_lang_classifier_separates_synthetic_extremes). Same
+#     rows-only-for-hash seat-quality argument as (17). Ranks second.
+#     (19) `substring_chunk_pairs` (POOL_A, r13 hash) vs
+#     `dedup_spans_rewrite` (POOL_A, r13 hash — the rewrite CONSUMES
+#     the same CDC chunk pairs through the strictly richer span-
+#     removal path) + `document_chunking` (POOL_B, hash — the chunk
+#     grain itself); a hash-for-hash swap (no seat-quality gain),
+#     ranked below the rows-only retirements.
+#     (20) `kmeans_diversity_sample` (POOL_A, r13 hash) vs
+#     `embedding_kmeans_cells` (POOL_A, r13 hash — the SAME Lloyd's
+#     cell assignment the sample ranks within) + `weighted_doc_sample`
+#     (POOL_A, r13 hash — the same per-group rank-and-take sampling
+#     shape); hash-for-hash, ranked with (19) below (17)/(18).
+#     (16) `cosine_topk` (POOL_A, r13 hash) stays the standing
+#     last-resort hash-seat candidate (the ANN exactness baseline;
+#     twins unchanged: `hard_negative_mining` + `margin_mined_pairs`);
+#     spend only if (17)-(20) are exhausted.
+#   - no rotation query waits >2 rounds under this plan: POOL_B + the
+#     13 r14-sit-out CORE members (the r13 returners) get r14 rows,
+#     POOL_A + the 13 r15-sit-out CORE members get r15 rows.
+# Any r14 red row is force-included per rule 1 and displaces a
+# fresh-r14 POOL_B member whose shape must then be delegated
+# in-window. test_window_policy.py enforces the bookkeeping either
+# way.
+#
+# CI-only coverage ledger note (r13 verdict item 5, the
+# `winnow_candidate_pairs` precedent): `containment_cross_pairs`
+# (operators/dedup.py:717 — the new-batch-vs-reference-corpus form of
+# the containment screen) holds no driver query by design. Its
+# machinery is `containment_dedup_pairs`' (POOL_B, forced r14 hash
+# slot) VERBATIM — the same md5-prefix shingle explode, the same
+# df-cap prune, the same intersect/min-denominator arithmetic — with
+# the self-join replaced by a two-frame equi-join on the identical
+# key, and the cross-specific contract is CI-held every run
+# (tests/test_containment.py::
+# test_containment_cross_pairs_twin_and_fragment — the python twin on
+# the cross form plus the planted-fragment pin where overlap 1.0
+# finds what Jaccard@0.2 cannot).
 #
 # CI-only coverage ledger note (r12 verdict item 4, the 0ab3b5b
 # `weighted_minhash_pairs` precedent): `winnow_candidate_pairs`

@@ -8,37 +8,35 @@ from __future__ import annotations
 from mrt_data_integration_spark import queries as q
 from mrt_data_integration_spark.queries import ORACLES
 
-# The r12 registrations with zero driver-row history before r13 — the
-# r12 verdict's promised rotation (item 1). All must hold r13 window
-# slots per exception rule 2 (all seven are POOL_A members, so
-# POOL_A's turn includes them automatically; this pins the promise
+# The r13 registrations with zero driver-row history before r14 — the
+# r13 verdict's promised rotation (item 1). All must hold r14 window
+# slots per exception rule 2 (all five are POOL_B members, so
+# POOL_B's turn includes them automatically; this pins the promise
 # anyway).
-_R13_FORCED = (
-    "lm_perplexity_filter",
-    "semantic_decontamination",
-    "winnowing_profile",
-    "phrase_search_occurrences",
-    "winnowing_decontamination",
-    "quality_canonical_dedup",
-    "length_drift_ks",
+_R14_FORCED = (
+    "lang_category_drift",
+    "token_budget_selection",
+    "token_diversity_stats",
+    "containment_dedup_pairs",
+    "zipf_lexical_profile",
 )
 
-# The thirteen r12 sit-outs (last driver rows: r11). All must return in
-# the r13 window (none was retired this round).
-_R12_SAT_OUT = (
-    "cluster_score_meat",
-    "group_best_highlight",
-    "unpivot_long",
-    "topk_per_group",
-    "wls_normal_equations",
-    "wcls_cluster_robust",
-    "fact_fact_join",
-    "brand_part_rollup",
-    "doc_quality_stats",
-    "minhash_signatures",
-    "lsh_candidate_pairs",
-    "ngram_jaccard_pairs",
-    "bpe_ish_token_counts",
+# The thirteen r13 sit-outs (last driver rows: r12). All must return in
+# the r14 window (none was retired this round).
+_R13_SAT_OUT = (
+    "pricing_summary",
+    "weighted_gram",
+    "relative_efficiency",
+    "rollup_hierarchy",
+    "exact_percentiles",
+    "running_total",
+    "argmax_per_group",
+    "regr_by_group",
+    "star_join_revenue",
+    "anti_join_dormant_customers",
+    "doc_lang_id",
+    "doc_fingerprint_dedup",
+    "tfidf_top_terms",
 )
 
 
@@ -61,34 +59,34 @@ def test_window_is_drawn_from_registry_front():
     assert names[:50] == q._WINDOW, "registration order must realize the window"
 
 
-def test_zero_history_rule_r13():
-    """Every query with zero driver-row history at the r13 freeze must
-    sit inside the driver-recorded first 50 (exception rule 2 — the r12
+def test_zero_history_rule_r14():
+    """Every query with zero driver-row history at the r14 freeze must
+    sit inside the driver-recorded first 50 (exception rule 2 — the r13
     verdict's promised rotation, item 1)."""
     window = set(q._WINDOW)
-    for name in _R13_FORCED:
-        assert name in window, f"{name} promised a first driver row in r13"
+    for name in _R14_FORCED:
+        assert name in window, f"{name} promised a first driver row in r14"
 
 
 def test_no_query_waits_more_than_two_rounds():
-    """The thirteen r12 sit-outs' last driver rows are r11; every one
-    still in the rotation must return in r13 (a second consecutive
+    """The thirteen r13 sit-outs' last driver rows are r12; every one
+    still in the rotation must return in r14 (a second consecutive
     sit-out breaks the invariant). Retirees would be exempt — they
     leave the rotation, not the verification surface (next test)."""
     window, retired = set(q._WINDOW), set(q._RETIRED)
-    missing = [n for n in _R12_SAT_OUT if n not in window and n not in retired]
-    assert not missing, f"r12 sit-outs neither returned nor retired: {missing}"
+    missing = [n for n in _R13_SAT_OUT if n not in window and n not in retired]
+    assert not missing, f"r13 sit-outs neither returned nor retired: {missing}"
 
 
-def test_r13_sit_outs_hold_fresh_r12_rows():
-    """Only CORE members that actually got an r12 driver row may sit out
-    the r13 window — sitting out two consecutive rounds is the invariant
-    the rotation exists to prevent. An r12-row member is exactly one
-    that was IN the r12 window, i.e. not in the r12 sit-out list."""
-    for name in q._R13_SIT_OUT:
-        assert name in q._CORE, f"r13 sit-out {name} must be a CORE member"
-        assert name not in q._R12_SIT_OUT, (
-            f"{name} sat out r12 too — two consecutive sit-outs break the "
+def test_r14_sit_outs_hold_fresh_r13_rows():
+    """Only CORE members that actually got an r13 driver row may sit out
+    the r14 window — sitting out two consecutive rounds is the invariant
+    the rotation exists to prevent. An r13-row member is exactly one
+    that was IN the r13 window, i.e. not in the r13 sit-out list."""
+    for name in q._R14_SIT_OUT:
+        assert name in q._CORE, f"r14 sit-out {name} must be a CORE member"
+        assert name not in q._R13_SIT_OUT, (
+            f"{name} sat out r13 too — two consecutive sit-outs break the "
             "two-round invariant"
         )
 
@@ -237,6 +235,20 @@ def test_r14_window_feasibility():
     slot."""
     assert len(q._POOL_B) + len(q._R13_SIT_OUT) == 50, (
         "r14 window over/under-subscribed — pair registry growth with a "
+        "retirement (see _RETIRED in queries/__init__.py)"
+    )
+
+
+def test_r15_window_feasibility():
+    """The r15 window is POOL_A's turn plus the r14 sit-outs (all CORE,
+    due back — their last rows are r13). That sum must be EXACTLY 50:
+    any query registered during r14, or any POOL_A growth, must be
+    paired with a POOL_A retirement of a same-shape twin (candidates
+    pre-ranked in the r15 plan comment in queries/__init__.py), or the
+    r15 rotation becomes infeasible and a due query silently loses its
+    slot."""
+    assert len(q._POOL_A) + len(q._R14_SIT_OUT) == 50, (
+        "r15 window over/under-subscribed — pair registry growth with a "
         "retirement (see _RETIRED in queries/__init__.py)"
     )
 
