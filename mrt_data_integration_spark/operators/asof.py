@@ -52,9 +52,20 @@ def asof_join(
 
     Right rows that tie on (key, time) must be pre-deduplicated by the
     caller (the result would otherwise be tie-broken arbitrarily).
+
+    NULL time keys never match, in EITHER direction (the pandas
+    ``merge_asof`` contract, which rejects NaN keys outright): right
+    rows with a NULL ``right_time`` are dropped before the union, and
+    left rows with a NULL ``left_time`` are kept with NULL payload —
+    the window's null ordering is pinned nulls-first in both
+    directions so a NULL left row sorts before every real right row
+    and inherits nothing. (Before r14 this was asymmetric: forward's
+    bare ``desc`` put NULLs LAST, so a NULL-time left row silently
+    matched the smallest right_time.)
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    right = right.filter(F.col(right_time).isNotNull())
     l_tag = left.select(
         F.col(left_key).alias("__key__"),
         F.col(left_time).alias("__time__"),
@@ -72,10 +83,13 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
     )
     unioned = l_tag.unionByName(r_tag)
+    # nulls-first in BOTH directions (asc's default, but desc's is
+    # nulls-LAST): a NULL-time left row must sort before every real
+    # right row so it matches nothing — see the docstring contract.
     t_ord = (
-        F.col("__time__").asc()
+        F.col("__time__").asc_nulls_first()
         if direction == "backward"
-        else F.col("__time__").desc()
+        else F.col("__time__").desc_nulls_first()
     )
     # side stays ascending in BOTH directions: the right row (side=0)
     # sorts before a left row at the same time, which is exactly what

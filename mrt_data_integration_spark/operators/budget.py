@@ -79,13 +79,34 @@ def token_budget_select(
         .alias("cum_tokens"),
     )
     if isinstance(budget, DataFrame):
-        ranked = ranked.join(
-            budget.select(
-                F.col(group_col), F.col("budget").cast("long").alias("__b__")
-            ),
-            group_col,
-            "left",
+        # The budgets table's group key MUST be unique: a duplicate row
+        # would fan out every document of that group through the left
+        # join (grain corruption with conflicting `selected` flags).
+        # Enforce loudly and distributedly — collapse to one row per
+        # group and raise at evaluation time if any group had two: the
+        # guard is a count-agg over the (bounded) group domain, not a
+        # corpus-sized check.
+        b = budget.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias("__n__"),
+            F.max(F.col("budget").cast("long")).alias("__b__"),
         )
+        b = b.select(
+            F.col(group_col),
+            F.when(F.col("__n__") == 1, F.col("__b__"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "token_budget_select: duplicate budget rows "
+                            f"for {group_col}="
+                        ),
+                        F.col(group_col).cast("string"),
+                    )
+                )
+            )
+            .alias("__b__"),
+        )
+        ranked = ranked.join(b, group_col, "left")
         limit = F.col("__b__")
     else:
         limit = F.lit(int(budget))

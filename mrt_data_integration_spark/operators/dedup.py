@@ -648,6 +648,19 @@ def containment_pairs(
     Post-aggregation the threshold prunes at the pair grain:
     n_inter ≥ t·min(n_a, n_b).
 
+    CAPPED-UNIVERSE CONTRACT: under ``max_shingle_df``, EVERY reported
+    quantity — ``n_a``/``n_b``, ``n_inter``, and all three ratios — is
+    computed over the capped shingle sets (sizes and intersections see
+    the same universe, the ``ngram_jaccard_pairs`` convention). For
+    this asymmetric metric the consequence is sharper than for
+    Jaccard: a boilerplate-heavy fragment's denominator shrinks toward
+    its RARE shingles, so ``overlap``/``containment_*`` read as
+    distinctive-content containment — 1.0 means "everything
+    distinctive about the smaller doc is in the larger one", which is
+    the screening-relevant quantity, NOT the uncapped textbook ratio
+    the ``max_shingle_df=None`` oracle computes. Pinned by
+    tests/test_containment.py::test_capped_universe_denominators.
+
     Returns (id_a, id_b, n_inter, n_a, n_b, overlap, containment_a,
     containment_b), id_a < id_b, ratios rounded to 4."""
     exploded = _spread(df).select(
@@ -735,7 +748,12 @@ def containment_cross_pairs(
     rounded to 4. The document-frequency cap is computed over the
     UNION of both corpora (a boilerplate shingle is boilerplate
     wherever it appears) and remains the fan-out control — no
-    size-ratio prune is sound here either.
+    size-ratio prune is sound here either. The capped-universe
+    contract is :func:`containment_pairs`'s verbatim: under the cap,
+    ``n_new``/``n_ref`` and every ratio are computed over the CAPPED
+    shingle sets (same universe as the intersection), so
+    ``containment_new`` reads as distinctive-content containment of
+    the new document, not the uncapped textbook ratio.
     """
     def _explode(df: DataFrame, side: str) -> DataFrame:
         return _spread(df).select(

@@ -92,6 +92,11 @@ def run_category_drift_stream(
     )
     q.awaitTermination()
     v = _latest_version(state_dir)
+    if v < 0:
+        raise RuntimeError(
+            "run_category_drift_stream: no micro-batch was drained "
+            f"(empty stream) — no state under {state_dir!r}"
+        )
     state = spark.read.parquet(os.path.join(state_dir, f"state_v{v}"))
     return profile_from_category_counts(state, cat_col)
 
@@ -136,5 +141,10 @@ def run_ks_drift_stream(
     )
     q.awaitTermination()
     v = _latest_version(state_dir)
+    if v < 0:
+        raise RuntimeError(
+            "run_ks_drift_stream: no micro-batch was drained "
+            f"(empty stream) — no state under {state_dir!r}"
+        )
     state = spark.read.parquet(os.path.join(state_dir, f"state_v{v}"))
     return ks_profile_from_value_counts(state, value_col)

@@ -106,3 +106,34 @@ def test_asof_single_shuffle_plan(spark):
     assert plan.count("Exchange hashpartitioning") == 1, (
         "ONE key-partitioned shuffle of |L|+|R| rows is the whole cost"
     )
+
+
+def test_asof_null_time_keys_never_match(spark):
+    """NULL time keys never match in EITHER direction (the r13 ADVICE
+    asymmetry: forward's bare desc put NULLs last, so a NULL-time left
+    row silently matched the smallest right_time). Left NULL-time rows
+    are kept with NULL payload; right NULL-time rows feed nobody."""
+    lrows = [(1, 1, 10), (2, 1, None), (3, 1, 40)]
+    rrows = [(1, None, 999), (1, 20, 20), (1, 35, 35)]
+    left = spark.createDataFrame(lrows, "lid long, k long, t long")
+    right = spark.createDataFrame(rrows, "k long, rt long, v long")
+    for direction, want in (
+        ("backward", {1: None, 2: None, 3: 35}),
+        ("forward", {1: 20, 2: None, 3: None}),
+    ):
+        got = {
+            r.lid: r.v
+            for r in asof_join(
+                left, right, "k", "k", "t", "rt", ["v"], direction=direction
+            ).collect()
+        }
+        assert got == want, f"direction={direction}"
+    # with tolerance the NULL-time left row must also stay unmatched
+    got = {
+        r.lid: r.v
+        for r in asof_join(
+            left, right, "k", "k", "t", "rt", ["v"],
+            direction="forward", tolerance=100,
+        ).collect()
+    }
+    assert got == {1: 20, 2: None, 3: None}

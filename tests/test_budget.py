@@ -145,3 +145,29 @@ def test_budget_select_per_group_budgets_table(spark):
         ).collect()
     }
     assert scalar == {1: True, 2: True, 3: False, 4: True, 5: True, 6: True}
+
+
+def test_budget_select_duplicate_budget_rows_fail_loudly(spark):
+    """A duplicate group key in the budgets table would fan out every
+    document of that group through the join (grain corruption with
+    conflicting selected flags) — the r13 ADVICE item. The guard must
+    raise at evaluation time, not silently duplicate rows."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    rows = [(1, "a", 9, 5), (2, "a", 8, 5), (3, "b", 9, 5)]
+    budgets = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5)], "grp string, budget long"
+    )
+    out = token_budget_select(_frame(spark, rows), budgets, "grp", "q", "tok")
+    with pytest.raises(Exception, match="duplicate budget rows"):
+        out.collect()
+    # a unique budgets table still works untouched
+    ok = token_budget_select(
+        _frame(spark, rows),
+        spark.createDataFrame([("a", 10), ("b", 5)], "grp string, budget long"),
+        "grp", "q", "tok",
+    )
+    assert {r.doc_id: r.selected for r in ok.collect()} == {
+        1: True, 2: True, 3: True,
+    }

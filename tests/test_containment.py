@@ -151,6 +151,75 @@ def test_containment_dominates_jaccard_pointwise(spark):
             assert j[k] == r.overlap == 1.0
 
 
+def test_capped_universe_denominators(spark):
+    """The capped-universe contract (docstring, r13 verdict item 4):
+    under ``max_shingle_df`` EVERY reported quantity — n_a/n_b,
+    n_inter, and all three ratios — is computed over the CAPPED
+    shingle sets (sizes and intersections see the same universe).
+    A boilerplate-heavy fragment therefore reads overlap 1.0 when all
+    its DISTINCTIVE shingles are contained, even though its uncapped
+    textbook containment is well below 1."""
+    from collections import Counter
+
+    cap = 5
+    boiler = " ".join(f"legal{i}" for i in range(12))
+    rare = " ".join(f"rare{i}" for i in range(6))
+    rows = [
+        # fragment: mostly boilerplate, distinctive part = the rare run
+        (1, f"{boiler} {rare}"),
+        # host: different filler + the same rare run embedded
+        (2, " ".join([f"host{i}" for i in range(80)]) + f" {rare} "
+            + " ".join([f"tail{i}" for i in range(80)])),
+    ] + [
+        # enough boilerplate-only docs to push its shingles past the cap
+        (10 + i, boiler) for i in range(8)
+    ]
+    out = dd.containment_pairs(
+        _docs(spark, rows), threshold=0.0, max_shingle_df=cap
+    )
+    got = {
+        (r.id_a, r.id_b): (
+            r.n_inter, r.n_a, r.n_b,
+            r.overlap, r.containment_a, r.containment_b,
+        )
+        for r in out.collect()
+    }
+    dd.release_cache(out)
+    # python twin with the SAME capped-universe rule
+    sh = {i: _py_shingles(t) for i, t in rows}
+    df = Counter(x for s in sh.values() for x in s)
+    capped = {i: {x for x in s if df[x] <= cap} for i, s in sh.items()}
+    want = {}
+    ids = sorted(capped)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(capped[a] & capped[b])
+            if inter == 0:
+                continue
+            want[(a, b)] = (
+                inter, len(capped[a]), len(capped[b]),
+                round(inter / min(len(capped[a]), len(capped[b])), 4),
+                round(inter / len(capped[a]), 4),
+                round(inter / len(capped[b]), 4),
+            )
+    assert got == want
+    # the contract's sharp consequence: the fragment's denominators are
+    # its capped (distinctive) size — boiler→rare boundary shingles are
+    # doc-1-unique so they survive the cap, which is why the ratio is
+    # high-but-not-1.0 — while the uncapped textbook ratios over the
+    # full shingle sets are far lower (the inflation the docstring
+    # warns production callers about).
+    assert (1, 2) in got
+    n_inter, n_a, n_b, overlap, c_a, _ = got[(1, 2)]
+    assert n_a == len(capped[1]) and n_b == len(capped[2])
+    inter_full = len(sh[1] & sh[2])
+    uncapped_overlap = inter_full / min(len(sh[1]), len(sh[2]))
+    uncapped_c_a = inter_full / len(sh[1])
+    assert overlap >= 2 * uncapped_overlap
+    assert c_a >= 2 * uncapped_c_a
+
+
 def test_containment_cross_pairs_twin_and_fragment(spark):
     """Cross-corpus form: a new doc quoting a reference doc verbatim
     flags at containment_new ~ 1.0; python twin over random corpora;

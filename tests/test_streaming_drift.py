@@ -122,3 +122,33 @@ def test_streaming_ks_drift_equals_batch(spark, tmp_path):
         map(tuple, two_sample_ks_profile(df, "v", in_a).collect())
     )
     assert got == want
+
+
+def test_streaming_drift_empty_stream_raises_clearly(spark, tmp_path):
+    """Zero drained micro-batches used to fall through to a parquet
+    read of 'state_v-1' (an opaque path-not-found) — the r13 ADVICE
+    item. Both drains must instead raise a clear no-batches error."""
+    import pytest
+
+    from mrt_data_integration_spark.streaming.drift import (
+        run_ks_drift_stream,
+    )
+
+    schema = "doc_id long, c string, grp string, n long"
+    src = str(tmp_path / "empty_src")
+    # a valid but EMPTY source directory: no files -> no micro-batches
+    spark.createDataFrame([], schema).write.parquet(src)
+    import glob
+    import os
+
+    for f in glob.glob(os.path.join(src, "*.parquet")):
+        os.remove(f)
+    in_a = F.col("grp") == "a"
+    stream = spark.readStream.schema(schema).parquet(src)
+    with pytest.raises(RuntimeError, match="no micro-batch was drained"):
+        run_category_drift_stream(
+            spark, stream, str(tmp_path / "st1"), "c", in_a
+        )
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    with pytest.raises(RuntimeError, match="no micro-batch was drained"):
+        run_ks_drift_stream(spark, stream2, str(tmp_path / "st2"), "n", in_a)
