@@ -185,6 +185,9 @@ HEADLINE = [
     # r13: corpus rank-frequency diagnostics — token-grain shuffle +
     # two-phase bounded top-k + rank-ordered regression fold
     "zipf_lexical_profile",
+    # r14: Heaps'-law vocabulary-growth curve — the bounded checkpoint
+    # fan-out cumulation (no global window/sort) + ordered fit fold
+    "heaps_vocab_growth",
 ]
 
 

@@ -20,7 +20,7 @@ discipline); corpus totals ride 1-row broadcasts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mrt_data_integration_spark.operators.similarity import bounded_topk
@@ -129,4 +129,152 @@ def zipf_profile(
             "hapax_frac",
             "zipf_slope",
         )
+    )
+
+
+def heaps_growth(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_checkpoints: int = 16,
+) -> DataFrame:
+    """Vocabulary-growth curve (Heaps'/Herdan's law V ≈ K·N^β): the
+    companion corpus diagnostic to :func:`zipf_profile` — natural text
+    grows its vocabulary as a sublinear power of tokens read (β ≈
+    0.4–0.6); template floods flatten the curve early (β → 0), while
+    near-random token streams push β toward 1. A release-over-release
+    drop in β is the corpus-level signature of duplication that
+    per-document diversity cannot see.
+
+    Documents are ordered by ``id_col`` (the deterministic "reading
+    order"); checkpoints are ``n_checkpoints`` equally-spaced id
+    bounds ``lo + ceil(i·(hi−lo)/k)`` (integer-exact, de-duplicated —
+    a short id range yields fewer rows). One output row per distinct
+    checkpoint — (checkpoint, n_docs_cum, n_tokens_cum, vocab_cum) —
+    with the log-log OLS fit as constant columns: ``heaps_beta`` (the
+    slope of ln V on ln N) and ``heaps_k`` (exp of the intercept),
+    both rounded 6, NULL when fewer than 2 distinct checkpoints or a
+    degenerate x-variance. NULL-text rows are excluded.
+
+    Scale shape: NO cumulative window and NO sort — a global
+    running-vocabulary window would serialize on one reducer, so
+    cumulation is re-expressed as bounded fan-out joins: each
+    document's token count (doc grain) and each token's FIRST
+    ``min(id)`` occurrence (one token-grain hash shuffle, the same
+    grain as zipf's counts) explode against the ≤ k broadcast
+    checkpoint bounds they precede (``explode(filter(cps, c -> c >=
+    id))`` — map-side, fan-out ≤ k per row) and collapse by integer
+    count/sum. The fit folds SEQUENTIALLY over the checkpoint-sorted
+    point array (the order-pinned float-sum discipline), and the
+    ≤ k-row frames ride 1-row broadcasts.
+    """
+    k = int(n_checkpoints)
+    d = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id__"), tokens(text_col).alias("__toks__")
+    )
+    doc_tok = d.select("__id__", F.size("__toks__").cast("long").alias("n_tok"))
+    # checkpoint bounds from the id DOMAIN (min/max only — no sort):
+    # lo + ceil(i·(hi−lo)/k), exact in double for any realistic id range
+    cps_row = doc_tok.agg(
+        F.min("__id__").alias("__lo__"), F.max("__id__").alias("__hi__")
+    ).select(
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(k)),
+                    lambda i: (
+                        F.col("__lo__")
+                        + F.floor(
+                            (
+                                (F.col("__hi__") - F.col("__lo__")) * i
+                                + F.lit(k - 1)
+                            )
+                            / F.lit(float(k))
+                        )
+                    ).cast("long"),
+                )
+            )
+        ).alias("__cps__")
+    )
+
+    def _cum(frame: DataFrame, at: str, aggs: list[Column]) -> DataFrame:
+        # map-side bounded fan-out: each row lands in every checkpoint
+        # at or after its id — the distributed form of a running total
+        spread = frame.crossJoin(F.broadcast(cps_row)).select(
+            F.explode(
+                F.filter(F.col("__cps__"), lambda c: c >= F.col(at))
+            ).alias("checkpoint"),
+            *[c for c in frame.columns if c != at],
+        )
+        return spread.groupBy("checkpoint").agg(*aggs)
+
+    nc = _cum(
+        doc_tok,
+        "__id__",
+        [
+            F.count(F.lit(1)).alias("n_docs_cum"),
+            F.sum("n_tok").cast("long").alias("n_tokens_cum"),
+        ],
+    )
+    first_doc = (
+        d.select(
+            F.col("__id__"),
+            F.explode(F.array_distinct("__toks__")).alias("token"),
+        )
+        .groupBy("token")
+        .agg(F.min("__id__").alias("__fd__"))
+    )
+    vc = _cum(
+        first_doc.select(F.col("__fd__")),
+        "__fd__",
+        [F.count(F.lit(1)).alias("vocab_cum")],
+    )
+    pts = nc.join(vc, "checkpoint")
+    # checkpoint-ordered sequential fold of the four regression sums
+    xy = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("checkpoint").alias("c"),
+                F.log(F.col("n_tokens_cum").cast("double")).alias("x"),
+                F.log(F.col("vocab_cum").cast("double")).alias("y"),
+            )
+        )
+    )
+    init = F.struct(
+        F.lit(0.0).alias("sx"),
+        F.lit(0.0).alias("sy"),
+        F.lit(0.0).alias("sxy"),
+        F.lit(0.0).alias("sxx"),
+    )
+    folded = F.aggregate(
+        xy,
+        init,
+        lambda a, e: F.struct(
+            (a["sx"] + e["x"]).alias("sx"),
+            (a["sy"] + e["y"]).alias("sy"),
+            (a["sxy"] + e["x"] * e["y"]).alias("sxy"),
+            (a["sxx"] + e["x"] * e["x"]).alias("sxx"),
+        ),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    s = F.col("__s__")
+    beta_raw = (n_ := F.col("__n__")) * s["sxy"] - s["sx"] * s["sy"]
+    var_x = n_ * s["sxx"] - s["sx"] * s["sx"]
+    ok = (n_ >= 2) & (var_x != 0)
+    fit = pts.agg(folded.alias("__s__"), n.alias("__n__")).select(
+        F.when(ok, F.round(beta_raw / var_x, 6)).alias("heaps_beta"),
+        F.when(
+            ok,
+            F.round(
+                F.exp((s["sy"] - (beta_raw / var_x) * s["sx"]) / n_), 6
+            ),
+        ).alias("heaps_k"),
+    )
+    return pts.crossJoin(F.broadcast(fit)).select(
+        "checkpoint",
+        "n_docs_cum",
+        "n_tokens_cum",
+        "vocab_cum",
+        "heaps_beta",
+        "heaps_k",
     )

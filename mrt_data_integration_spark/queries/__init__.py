@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (141 queries as of r13 —
+# ROTATION POLICY (round 4+): the registry (142 queries as of r14 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r12: 36 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r14: 42 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -107,9 +107,15 @@ _POOL_A: list[str] = [
     # `quality_canonical_dedup` — the r13 plan comment's pre-ranked
     # fresh candidate #7; see _RETIRED.)
     "training_mix_rebalance",
-    # r5 addition (E4 — IVFADC persisted-index variant; its online twin
-    # `ivfpq_topk` was retired r9, `pq_topk` retired r10 — see _RETIRED)
-    "ivfpq_index_topk",
+    # (`ivfpq_index_topk` was retired r14 to fund `heaps_vocab_growth`
+    # — the r15 plan comment's pre-ranked fresh candidate #17, argument
+    # written at the r14 flip; see _RETIRED.)
+    # r14 addition (E5+ — Heaps'-law vocabulary-growth curve, the
+    # corpus-duplication diagnostic complementing zipf_lexical_profile;
+    # zero driver history → forced into POOL_A's r15 window per rule 2;
+    # slot funded by retiring `ivfpq_index_topk`, a rows-only seat for
+    # a hash registration — the seat-quality upgrade class)
+    "heaps_vocab_growth",
     # r5 additions (E10 — training-pipeline post-processing: dup-cluster
     # resolution, stratified sampling, sequence packing, PII redaction;
     # zero driver history until r5, force-included per rule 2)
@@ -900,6 +906,24 @@ _RETIRED: list[str] = [
     # seat-quality change, spent only after the four rows-only
     # candidates (9)-(12).
     "string_report_format",
+    # r14: retired to fund the `heaps_vocab_growth` r15 slot — the
+    # r15 plan comment's pre-ranked fresh candidate #17, argument
+    # written at the r14 flip BEFORE the family it funds existed.
+    # Twin coverage: `hard_negative_ivf_probe` (POOL_B, r12 hash —
+    # the SAME IVF train/centroid/cell-pruned-probe physical plan
+    # held at driver-HASH strength via its Lloyd's-replay oracle) and
+    # `embedding_kmeans_cells` (POOL_A, r13 hash — the Lloyd's
+    # assignment both share); the IVFADC-specific halves (PQ/ADC
+    # encode + persisted-index provenance) keep their CI identities
+    # every run (tests/test_similarity.py::
+    # test_ivfpq_persisted_index_matches_online,
+    # ::test_ivfpq_index_append_equals_bulk_encode,
+    # ::test_pq_topk_recall_and_determinism,
+    # ::test_pq_topk_exact_on_clustered_corpus,
+    # ::test_ivfpq_recall_and_determinism). Retiring a rows-only seat
+    # for a hash registration RAISES the window's hash share — the
+    # hll_daily_distinct seat-quality argument.
+    "ivfpq_index_topk",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,

@@ -2036,3 +2036,89 @@ def zipf_lexical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return zipf_profile(docs, fit_n=1000, emit_n=20)
+
+
+@query(
+    "heaps_vocab_growth",
+    # Full replay: per-doc token counts, token-grain first-occurrence
+    # min(doc_id), the integer-exact checkpoint bounds from the id
+    # domain, the bounded fan-out cumulation joins, and the log-log
+    # OLS fit folded in CHECKPOINT order on both engines (Spark: one
+    # sequential pass over the checkpoint-sorted struct array; DuckDB:
+    # ordered list_reduce per sum — identical per-accumulator op
+    # sequences, the zipf_lexical_profile discipline).
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKENS} AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    doc_tok AS (SELECT doc_id, len(toks) AS n_tok FROM d),
+    bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM doc_tok),
+    cps AS (
+      SELECT DISTINCT CAST(lo + floor(((hi - lo) * i + 15) / 16.0) AS BIGINT)
+        AS checkpoint
+      FROM bounds, generate_series(1, 16) t(i)
+    ),
+    first_doc AS (
+      SELECT token, min(doc_id) AS fd
+      FROM (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM d)
+      GROUP BY token
+    ),
+    nc AS (
+      SELECT checkpoint, CAST(count(*) AS BIGINT) AS n_docs_cum,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens_cum
+      FROM cps JOIN doc_tok ON doc_id <= checkpoint GROUP BY checkpoint
+    ),
+    vc AS (
+      SELECT checkpoint, CAST(count(*) AS BIGINT) AS vocab_cum
+      FROM cps JOIN first_doc ON fd <= checkpoint GROUP BY checkpoint
+    ),
+    pts AS (
+      SELECT checkpoint, n_docs_cum, n_tokens_cum, vocab_cum
+      FROM nc JOIN vc USING (checkpoint)
+    ),
+    fit AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+        list_reduce(list(ln(CAST(n_tokens_cum AS DOUBLE))
+          ORDER BY checkpoint), (a, b) -> a + b) AS sx,
+        list_reduce(list(ln(CAST(vocab_cum AS DOUBLE))
+          ORDER BY checkpoint), (a, b) -> a + b) AS sy,
+        list_reduce(list(ln(CAST(n_tokens_cum AS DOUBLE))
+          * ln(CAST(vocab_cum AS DOUBLE))
+          ORDER BY checkpoint), (a, b) -> a + b) AS sxy,
+        list_reduce(list(ln(CAST(n_tokens_cum AS DOUBLE))
+          * ln(CAST(n_tokens_cum AS DOUBLE))
+          ORDER BY checkpoint), (a, b) -> a + b) AS sxx
+      FROM pts
+    )
+    SELECT checkpoint, n_docs_cum, n_tokens_cum, vocab_cum,
+      CASE WHEN n >= 2 AND (n * sxx - sx * sx) <> 0 THEN
+        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+      END AS heaps_beta,
+      CASE WHEN n >= 2 AND (n * sxx - sx * sx) <> 0 THEN
+        round(exp((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+          / n), 6)
+      END AS heaps_k
+    FROM pts, fit
+    """,
+)
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5+ (r14, operators/lexstats.heaps_growth): Heaps'-law
+    vocabulary-growth curve — cumulative (docs, tokens, vocabulary) at
+    16 id-spaced checkpoints with the V ≈ K·N^β log-log fit as
+    constant columns: the corpus-duplication diagnostic that
+    complements the Zipf slope (a release whose β drops is repeating
+    itself; this synthetic fixed-vocab corpus reads β ≈ 0 — saturated
+    at the first checkpoint — correctly flagging template text).
+    Scale shape: NO global cumulative window or sort — cumulation is
+    re-expressed as ≤ 16-way bounded map-side fan-out against the
+    broadcast checkpoint bounds (doc grain for token totals; ONE
+    token-grain shuffle, zipf's grain, for first occurrences), integer
+    collapses, then the fit folded sequentially in checkpoint order
+    (order-pinned floats) riding 1-row broadcasts."""
+    from mrt_data_integration_spark.operators.lexstats import (
+        heaps_growth,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heaps_growth(docs, n_checkpoints=16)

@@ -195,6 +195,7 @@ OP_INPUTS = {
     "token_diversity": {"docs"},
     "containment_pairs": {"docs"},
     "zipf_profile": {"docs"},
+    "heaps_growth": {"docs"},
     "wminhash_sigs": {"docs"},
     "hard_negative": {"emb"},
     "margin_mining": {"emb"},
@@ -516,6 +517,16 @@ def main() -> None:
         # count/rank/fold pipeline (the threshold-output class; no
         # count() prune possible)
         return len(zipf_profile(d).collect())
+
+    def _heaps_growth(d):
+        from mrt_data_integration_spark.operators.lexstats import (
+            heaps_growth,
+        )
+
+        # collect() — the ≤16-row output already forces the full
+        # token-grain shuffle + fan-out cumulation + fit (the
+        # threshold-output class; no count() prune possible)
+        return len(heaps_growth(d).collect())
 
     def _quality_canonical(d):
         from mrt_data_integration_spark.cache_registry import (
@@ -1193,6 +1204,10 @@ def main() -> None:
         # r13: corpus rank-frequency diagnostics — token-grain
         # shuffle dominates; the fit stage is O(fit_n) at any scale.
         "zipf_profile": lambda k: _zipf_profile(docs(k)),
+        # r14: Heaps' vocabulary growth — zipf's token-grain shuffle
+        # plus a ≤16-way map-side fan-out; expected to track
+        # zipf_profile's class (the fit stage is O(k) at any scale).
+        "heaps_growth": lambda k: _heaps_growth(docs(k)),
         # r9: streaming SCD2 drain — the versioned-state maintenance
         # path. Expected slope HONESTLY ABOVE the batch collapse's:
         # each micro-batch's publish COPIES untouched closed rows

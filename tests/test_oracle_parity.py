@@ -55,6 +55,10 @@ _HINT_BUDGET = {
     "dsir_selected_sample": 3,       # [model] x2 + [1row] totals
     "hard_negative_ivf_probe": 1,    # [batch] anchor probe batch
     "hard_negative_mining": 1,       # [batch] anchor batch
+    # [1row] x5: checkpoint bounds hinted under both cumulation arms,
+    # REPEATED inside the fit's copy of the points subtree (analyzed
+    # plans count the pts tree twice), + the 1-row fit itself (r14)
+    "heaps_vocab_growth": 5,
     "heavy_hitters": 1,              # [1row] total
     "ivf_topk": 1,                   # [batch] query batch
     "ivfpq_appended_index_topk": 3,  # [model] centroids/codebooks + [batch]

@@ -178,6 +178,17 @@ _NO_ORACLE_RETIREES = {
     # tests/test_simulation.py::test_generator_deterministic_and_chunk_free,
     # ::test_distributed_generator_matches_local
     "wcls_large_panel",
+    # r14: the IVF cell-pruned probe plan stays driver-visible through
+    # hard_negative_ivf_probe (POOL_B, hash — Lloyd's-replay oracle)
+    # and the Lloyd's assignment through embedding_kmeans_cells
+    # (POOL_A, hash); the IVFADC-specific halves keep their CI
+    # identities: tests/test_similarity.py::
+    # test_ivfpq_persisted_index_matches_online,
+    # ::test_ivfpq_index_append_equals_bulk_encode,
+    # ::test_pq_topk_recall_and_determinism,
+    # ::test_pq_topk_exact_on_clustered_corpus,
+    # ::test_ivfpq_recall_and_determinism
+    "ivfpq_index_topk",
 }
 
 
