@@ -188,6 +188,10 @@ HEADLINE = [
     # r14: Heaps'-law vocabulary-growth curve — the bounded checkpoint
     # fan-out cumulation (no global window/sort) + ordered fit fold
     "heaps_vocab_growth",
+    # r14: source-overlap duplication audit — the corpus-grain matrix
+    # shape ((source, shingle) distinct → |S|-bounded source sets →
+    # map-side pair expansion → pair-grain integer count)
+    "source_overlap_audit",
 ]
 
 

@@ -813,6 +813,131 @@ def containment_cross_pairs(
     return _attach_cache(out, [new_sh, ref_sh])
 
 
+def source_overlap_matrix(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_shingle_sources: int | None = None,
+) -> DataFrame:
+    """CORPUS-grain duplication audit: for every pair of sources, how
+    much distinct shingle content they share — the matrix a mixture
+    plan consults before weighting sources (two dumps of the same
+    crawl read jaccard ≈ 1; a source that is a subset of another reads
+    containment ≈ 1 with a small jaccard, exactly the asymmetry the
+    document-grain :func:`containment_pairs` flags one level down).
+
+    One row per unordered source pair that shares at least one
+    shingle: (source_a < source_b, n_shared, n_a, n_b, jaccard,
+    overlap = |A∩B|/min — Szymkiewicz–Simpson, containment_a,
+    containment_b), ratios rounded 4, over each source's DISTINCT
+    shingle set (md5-prefix keys, the containment family's
+    convention). NULL-text rows are excluded.
+
+    Scale shape: one (source, shingle)-grain DISTINCT shuffle, then
+    ONE shingle-grain hash aggregate collecting each shingle's sorted
+    source set (bounded by the SOURCE DOMAIN |S| — a config-class
+    constant: crawls/dumps/registries number in the tens-to-hundreds,
+    never the corpus), then a map-side pair expansion of at most
+    |S|·(|S|−1)/2 per shingle and a pair-grain integer count: the
+    matrix never shuffles text, and no stage's width grows with the
+    corpus — only with |S|² and the shingle domain. For a pathological
+    source domain, ``max_shingle_sources`` drops shingles present in
+    more than that many sources before the expansion (the containment
+    family's capped-universe contract VERBATIM: sizes and
+    intersections then both see the capped universe).
+    """
+    sh = (
+        _spread(df)
+        .filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(source_col).alias("source"),
+            F.explode(
+                F.transform(
+                    word_shingles(text_col, shingle_n),
+                    lambda s: F.substring(F.md5(s), 1, 16),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sh = track_cache(sh.persist())
+    if max_shingle_sources is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_sources)
+            .select("shingle")
+        )
+        kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        kept = sh
+    sizes = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # per-shingle sorted source set (|S|-bounded), then the pair
+    # expansion — two-step select so the lambda touches only column
+    # refs (the interpreted-HOF capture discipline)
+    src_sets = (
+        kept.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+        .select("srcs", F.size("srcs").alias("m"))
+    )
+    pairs = src_sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("srcs"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("srcs"), i + 2, F.col("m") - i - 1
+                        ),
+                        lambda y: F.struct(
+                            x.alias("source_a"), y.alias("source_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    counts = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n").alias("n_b")
+    )
+    out = (
+        counts.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_shared") / F.least("n_a", "n_b"), 4
+            ).alias("overlap"),
+            F.round(F.col("n_shared") / F.col("n_a"), 4).alias(
+                "containment_a"
+            ),
+            F.round(F.col("n_shared") / F.col("n_b"), 4).alias(
+                "containment_b"
+            ),
+        )
+    )
+    return _attach_cache(out, [sh])
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame,
     id_col: str = "doc_id",

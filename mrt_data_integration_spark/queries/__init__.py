@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (142 queries as of r14 —
+# ROTATION POLICY (round 4+): the registry (143 queries as of r14 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r14: 42 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r14: 43 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -129,7 +129,16 @@ _POOL_A: list[str] = [
     # filter); forced into the r5 window per rule 2, two more CORE
     # members sit out (see _R5_SIT_OUT)
     "substring_chunk_pairs",
-    "lang_classifier_scores",
+    # (`lang_classifier_scores` was retired r14 to fund
+    # `source_overlap_audit` — the r15 plan comment's pre-ranked fresh
+    # candidate #18, argument written at the r14 flip; see _RETIRED.)
+    # r14 addition (E3+ — corpus-grain source-overlap duplication
+    # audit: per source-pair distinct-shingle jaccard/overlap/
+    # containments; zero driver history → forced into POOL_A's r15
+    # window per rule 2; slot funded by retiring
+    # `lang_classifier_scores`, a rows-only seat for a hash
+    # registration — the seat-quality upgrade class)
+    "source_overlap_audit",
     # r6 additions (E10 — A-ES weighted sampling + composed ingest
     # pipeline + shard manifest; E4 — incremental index append; E3 — LSH store;
     # E3×E6 — streaming ingest dedup; E6 — streaming funnel): registered
@@ -924,6 +933,20 @@ _RETIRED: list[str] = [
     # for a hash registration RAISES the window's hash share — the
     # hll_daily_distinct seat-quality argument.
     "ivfpq_index_topk",
+    # r14: retired to fund the `source_overlap_audit` r15 slot — the
+    # r15 plan comment's pre-ranked fresh candidate #18, argument
+    # written at the r14 flip BEFORE the family it funds existed.
+    # Twin coverage: `doc_lang_id` (CORE, hash — the same char-ngram
+    # profile-scoring arithmetic at driver-hash strength) and
+    # `char_trigram_lm_filter` (POOL_B, hash — the same char-ngram
+    # language modeling through the LM-filter route); the
+    # classifier-specific argmax-over-languages keeps its CI tests
+    # every run (tests/test_pipeline_ops.py::
+    # test_lang_classifier_scores_shape_and_determinism,
+    # ::test_lang_classifier_separates_synthetic_extremes). Retiring a
+    # rows-only seat for a hash registration RAISES the window's hash
+    # share — the hll_daily_distinct seat-quality argument.
+    "lang_classifier_scores",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,

@@ -2122,3 +2122,56 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return heaps_growth(docs, n_checkpoints=16)
+
+
+@query(
+    "source_overlap_audit",
+    # Full replay: the (source, shingle) DISTINCT grain, the pair
+    # counts, both sizes, and all four ratio columns. The oracle's
+    # pair self-join and the operator's per-shingle source-set
+    # expansion are the same arithmetic at different physical shapes
+    # (the array form never shuffles pairs wider than |S|²).
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT source, substr(md5(unnest({_SHINGLES})), 1, 16)
+        AS shingle
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+      round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4)
+        AS jaccard,
+      round(CAST(n_shared AS DOUBLE) / least(sa.n, sb.n), 4) AS overlap,
+      round(CAST(n_shared AS DOUBLE) / sa.n, 4) AS containment_a,
+      round(CAST(n_shared AS DOUBLE) / sb.n, 4) AS containment_b
+    FROM pairs JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+)
+def source_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+ (r14, operators/dedup.source_overlap_matrix): corpus-grain
+    duplication audit — every source pair's distinct-shingle overlap
+    (jaccard / Szymkiewicz–Simpson / both containments), the matrix a
+    mixture plan consults before weighting sources and the
+    corpus-level complement of the document-grain containment screen
+    (two dumps of one crawl read jaccard ≈ 1; a subset source reads
+    containment ≈ 1 with small jaccard). Scale shape: one
+    (source, shingle) DISTINCT shuffle, ONE shingle-grain aggregate
+    whose collected source sets are bounded by the SOURCE DOMAIN (a
+    config-class constant), a ≤ |S|²/2 map-side pair expansion, and a
+    pair-grain integer count — text never shuffles and no stage grows
+    with the corpus, only with |S|² and the shingle domain.
+    ``max_shingle_sources=None``: the oracle computes the uncapped
+    matrix, so the query must too (the cap exists for pathological
+    source domains and follows containment's capped-universe
+    contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.source_overlap_matrix(docs)

@@ -196,6 +196,7 @@ OP_INPUTS = {
     "containment_pairs": {"docs"},
     "zipf_profile": {"docs"},
     "heaps_growth": {"docs"},
+    "source_overlap": {"docs"},
     "wminhash_sigs": {"docs"},
     "hard_negative": {"emb"},
     "margin_mining": {"emb"},
@@ -527,6 +528,14 @@ def main() -> None:
         # token-grain shuffle + fan-out cumulation + fit (the
         # threshold-output class; no count() prune possible)
         return len(heaps_growth(d).collect())
+
+    def _source_overlap(d):
+        from mrt_data_integration_spark.operators import dedup as dd2
+
+        out = dd2.source_overlap_matrix(d)
+        n = len(out.collect())  # ≤ |S|²/2 rows force the whole matrix
+        dd2.release_cache(out)
+        return n
 
     def _quality_canonical(d):
         from mrt_data_integration_spark.cache_registry import (
@@ -1208,6 +1217,11 @@ def main() -> None:
         # plus a ≤16-way map-side fan-out; expected to track
         # zipf_profile's class (the fit stage is O(k) at any scale).
         "heaps_growth": lambda k: _heaps_growth(docs(k)),
+        # r14: source-overlap matrix — the (source, shingle) distinct
+        # shuffle dominates; the pair stage is |S|²-bounded at any
+        # scale (replicate_docs rewrites tokens per replica, so the
+        # shingle domain grows with scale while |S| stays 20).
+        "source_overlap": lambda k: _source_overlap(docs(k)),
         # r9: streaming SCD2 drain — the versioned-state maintenance
         # path. Expected slope HONESTLY ABOVE the batch collapse's:
         # each micro-batch's publish COPIES untouched closed rows

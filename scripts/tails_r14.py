@@ -51,10 +51,19 @@ def main() -> None:
         # class — no count() prune possible)
         return len(heaps_growth(docs).collect())
 
+    def _source_overlap():
+        from mrt_data_integration_spark.operators import dedup as dd
+
+        out = dd.source_overlap_matrix(docs)
+        n = len(out.collect())
+        dd.release_cache(out)
+        return n
+
     only = os.environ.get("SPARK_GRAFT_TAIL_OPS")
     wanted = set(only.split(",")) if only else None
     for name, fn in (
         ("heaps_growth", _heaps),
+        ("source_overlap", _source_overlap),
     ):
         if wanted is not None and name not in wanted:
             continue

@@ -269,3 +269,111 @@ def test_containment_cross_pairs_twin_and_fragment(spark):
     assert any(
         r.ref_id == 100 and r.containment_new == 1.0 for r in frag
     )
+
+
+# ---------------------------------------------------------------------------
+# source_overlap_matrix (r14) — the corpus-grain form
+
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def _py_source_matrix(rows, cap=None):
+    from collections import Counter
+
+    per_src: dict[str, set] = {}
+    for _, src, t in rows:
+        if t is None:
+            continue
+        per_src.setdefault(src, set()).update(_py_shingles(t))
+    if cap is not None:
+        df = Counter(x for s in per_src.values() for x in s)
+        per_src = {k: {x for x in s if df[x] <= cap} for k, s in per_src.items()}
+    out = {}
+    srcs = sorted(per_src)
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            a, b = srcs[i], srcs[j]
+            inter = len(per_src[a] & per_src[b])
+            if inter == 0:
+                continue
+            na, nb = len(per_src[a]), len(per_src[b])
+            out[(a, b)] = (
+                inter, na, nb,
+                round(inter / (na + nb - inter), 4),
+                round(inter / min(na, nb), 4),
+                round(inter / na, 4),
+                round(inter / nb, 4),
+            )
+    return out
+
+
+def test_source_matrix_matches_python_twin(spark):
+    rng = random.Random(20260827)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (
+            i,
+            f"s{rng.randint(0, 5)}",
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))),
+        )
+        for i in range(80)
+    ] + [(999, "s0", None)]
+    out = dd.source_overlap_matrix(_src_docs(spark, rows))
+    got = {
+        (r.source_a, r.source_b): (
+            r.n_shared, r.n_a, r.n_b,
+            r.jaccard, r.overlap, r.containment_a, r.containment_b,
+        )
+        for r in out.collect()
+    }
+    dd.release_cache(out)
+    assert got == _py_source_matrix(rows)
+
+
+def test_source_matrix_flags_subset_source(spark):
+    """The corpus-grain raison d'être: a source that is a strict
+    subset of another reads containment 1.0 with a small jaccard —
+    the same asymmetry containment_pairs flags at document grain."""
+    big = [(i, "full", " ".join(f"u{i}_{j}" for j in range(12))) for i in range(40)]
+    sub = [(100 + i, "subset", big[i][2]) for i in range(4)]
+    other = [(200, "other", "entirely different words here now")]
+    out = dd.source_overlap_matrix(_src_docs(spark, big + sub + other))
+    got = {(r.source_a, r.source_b): r for r in out.collect()}
+    dd.release_cache(out)
+    r = got[("full", "subset")]
+    assert r.overlap == 1.0 and r.containment_b == 1.0
+    assert r.jaccard == round(r.n_shared / r.n_a, 4) and r.jaccard < 0.2
+    assert ("full", "other") not in got  # no shared shingles at all
+
+
+def test_source_matrix_cap_contract_and_plan(spark):
+    """max_shingle_sources drops shingles present in more than that
+    many sources BEFORE sizes and intersections (the containment
+    family's capped-universe contract verbatim), and the plan stays
+    lint-clean with no pair-grain shuffle wider than the source
+    domain."""
+    rng = random.Random(3)
+    boiler = "all rights reserved legal notice"
+    rows = [
+        (i, f"s{i % 6}", f"{boiler} unique{i} tail{i} word{i} end{i}")
+        for i in range(30)
+    ]
+    capped = dd.source_overlap_matrix(
+        _src_docs(spark, rows), max_shingle_sources=3
+    )
+    got = {
+        (r.source_a, r.source_b): (
+            r.n_shared, r.n_a, r.n_b,
+            r.jaccard, r.overlap, r.containment_a, r.containment_b,
+        )
+        for r in capped.collect()
+    }
+    dd.release_cache(capped)
+    assert got == _py_source_matrix(rows, cap=3)
+    full = dd.source_overlap_matrix(_src_docs(spark, rows))
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    dd.release_cache(full)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
