@@ -192,6 +192,10 @@ HEADLINE = [
     # shape ((source, shingle) distinct → |S|-bounded source sets →
     # map-side pair expansion → pair-grain integer count)
     "source_overlap_audit",
+    # r14: grouped robust median/MAD outlier flags — the domain-bounded
+    # exact-order-statistic shape (two (group, value) count collapses +
+    # bounded windows; no hot-language reducers)
+    "robust_quality_outliers",
 ]
 
 

@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (143 queries as of r14 —
+# ROTATION POLICY (round 4+): the registry (144 queries as of r14 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r14: 43 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r14: 44 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -128,7 +128,16 @@ _POOL_A: list[str] = [
     # late-r5 additions (E10 — substring-chunk dedup, model-based corpus
     # filter); forced into the r5 window per rule 2, two more CORE
     # members sit out (see _R5_SIT_OUT)
-    "substring_chunk_pairs",
+    # (`substring_chunk_pairs` was retired r14 to fund
+    # `robust_quality_outliers` — the r15 plan comment's pre-ranked
+    # fresh candidate #19, argument written at the r14 flip; see
+    # _RETIRED.)
+    # r14 addition (E5+ — grouped robust median/MAD outlier flags via
+    # domain-bounded exact order statistics; zero driver history →
+    # forced into POOL_A's r15 window per rule 2; slot funded by
+    # retiring `substring_chunk_pairs` — a hash-for-hash swap, spent
+    # after the two rows-only upgrades (17)/(18) per the pre-ranking)
+    "robust_quality_outliers",
     # (`lang_classifier_scores` was retired r14 to fund
     # `source_overlap_audit` — the r15 plan comment's pre-ranked fresh
     # candidate #18, argument written at the r14 flip; see _RETIRED.)
@@ -947,6 +956,17 @@ _RETIRED: list[str] = [
     # rows-only seat for a hash registration RAISES the window's hash
     # share — the hll_daily_distinct seat-quality argument.
     "lang_classifier_scores",
+    # r14: retired to fund the `robust_quality_outliers` r15 slot —
+    # the r15 plan comment's pre-ranked fresh candidate #19, argument
+    # written at the r14 flip BEFORE the family it funds existed.
+    # Twin coverage: `dedup_spans_rewrite` (POOL_A, r13 hash — the
+    # rewrite CONSUMES the same CDC chunk pairs through the strictly
+    # richer span-removal path) and `document_chunking` (POOL_B, hash
+    # — the chunk grain itself); the retiree keeps its own DuckDB
+    # oracle every CI run (tests/test_oracle_parity.py). A
+    # hash-for-hash swap, spent after the rows-only upgrades
+    # (17)/(18) per the pre-ranking.
+    "substring_chunk_pairs",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,

@@ -2175,3 +2175,78 @@ def source_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract)."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.source_overlap_matrix(docs)
+
+
+@query(
+    "robust_quality_outliers",
+    # Full replay: the (lang, value) counts collapse, the exact
+    # order-statistic median from running count sums, the MAD pass
+    # over |x − med|, and the per-document robust-z flags. No float
+    # accumulation crosses a shuffle on either engine (integer counts
+    # + single float ops), so no order-pinning is needed.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS x FROM documents
+    ),
+    ok AS (SELECT lang, x FROM d WHERE x IS NOT NULL AND lang IS NOT NULL),
+    counts AS (SELECT lang, x, count(*) AS c FROM ok GROUP BY lang, x),
+    tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n
+            FROM counts GROUP BY lang),
+    cum AS (
+      SELECT lang, x, sum(c) OVER (PARTITION BY lang ORDER BY x) AS cum
+      FROM counts
+    ),
+    med AS (
+      SELECT cum.lang,
+        (min(CASE WHEN cum >= floor((n + 1) / 2.0) THEN x END)
+       + min(CASE WHEN cum >= floor((n + 2) / 2.0) THEN x END)) / 2 AS med
+      FROM cum JOIN tot USING (lang) GROUP BY cum.lang
+    ),
+    dcounts AS (
+      SELECT counts.lang, abs(x - med) AS dv, CAST(sum(c) AS BIGINT) AS c
+      FROM counts JOIN med USING (lang) GROUP BY counts.lang, abs(x - med)
+    ),
+    dtot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n
+             FROM dcounts GROUP BY lang),
+    dcum AS (
+      SELECT lang, dv, sum(c) OVER (PARTITION BY lang ORDER BY dv) AS cum
+      FROM dcounts
+    ),
+    mad AS (
+      SELECT dcum.lang,
+        (min(CASE WHEN cum >= floor((n + 1) / 2.0) THEN dv END)
+       + min(CASE WHEN cum >= floor((n + 2) / 2.0) THEN dv END)) / 2 AS mad
+      FROM dcum JOIN dtot USING (lang) GROUP BY dcum.lang
+    )
+    SELECT doc_id, d.lang, x AS n_chars,
+      CASE WHEN x IS NOT NULL THEN med END AS med,
+      CASE WHEN x IS NOT NULL THEN mad END AS mad,
+      CASE WHEN x IS NOT NULL AND mad > 0
+           THEN round((x - med) / (1.4826 * mad), 4) END AS robust_z,
+      coalesce(abs(CASE WHEN x IS NOT NULL AND mad > 0
+           THEN round((x - med) / (1.4826 * mad), 4) END) > 3.5, false)
+        AS is_outlier
+    FROM d LEFT JOIN med ON d.lang = med.lang
+    LEFT JOIN mad ON d.lang = mad.lang
+    """,
+)
+def robust_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5+ (r14, operators/robust.robust_outlier_flags): per-language
+    robust z-score outlier flags over document length — exact grouped
+    median/MAD (the Iglewicz–Hoaglin detector that survives the very
+    outliers it hunts, unlike mean/stddev) with per-document robust z
+    and the 3.5-sigma flag. Scale shape: the naive per-group exact
+    percentile would shuffle every observation to ~5 hot language
+    reducers; instead ONE (lang, value)-grain counts collapse (bounded
+    by group × value DOMAIN — the KS-drift precedent), exact order
+    statistics from running count sums over that bounded table, a
+    second identical pass over |x − med| for MAD, and a map-side
+    join-back of the ≤|langs|-row stats frame. Zero outliers on this
+    synthetic corpus (uniform lengths) — the separation behavior is
+    pinned with planted outliers in tests/test_robust.py."""
+    from mrt_data_integration_spark.operators.robust import (
+        robust_outlier_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return robust_outlier_flags(docs, "n_chars", "lang")

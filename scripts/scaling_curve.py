@@ -197,6 +197,7 @@ OP_INPUTS = {
     "zipf_profile": {"docs"},
     "heaps_growth": {"docs"},
     "source_overlap": {"docs"},
+    "robust_outliers": {"docs"},
     "wminhash_sigs": {"docs"},
     "hard_negative": {"emb"},
     "margin_mining": {"emb"},
@@ -536,6 +537,22 @@ def main() -> None:
         n = len(out.collect())  # ≤ |S|²/2 rows force the whole matrix
         dd2.release_cache(out)
         return n
+
+    def _robust_outliers(d):
+        from pyspark.sql import functions as SF
+
+        from mrt_data_integration_spark.operators.robust import (
+            robust_outlier_flags,
+        )
+
+        # forced aggregation over the computed columns (the r13
+        # measurement-prune finding: a count() would prune the joins)
+        row = (
+            robust_outlier_flags(d, "n_chars", "lang")
+            .agg(SF.sum("robust_z"), SF.sum(SF.col("is_outlier").cast("long")))
+            .collect()
+        )
+        return len(row)
 
     def _quality_canonical(d):
         from mrt_data_integration_spark.cache_registry import (
@@ -1222,6 +1239,11 @@ def main() -> None:
         # scale (replicate_docs rewrites tokens per replica, so the
         # shingle domain grows with scale while |S| stays 20).
         "source_overlap": lambda k: _source_overlap(docs(k)),
+        # r14: robust outlier flags — two domain-bounded count
+        # collapses + the doc-grain join-back; expected linear in
+        # corpus size with a CONSTANT (value-domain) window stage,
+        # the ks_drift class.
+        "robust_outliers": lambda k: _robust_outliers(docs(k)),
         # r9: streaming SCD2 drain — the versioned-state maintenance
         # path. Expected slope HONESTLY ABOVE the batch collapse's:
         # each micro-batch's publish COPIES untouched closed rows

@@ -59,11 +59,29 @@ def main() -> None:
         dd.release_cache(out)
         return n
 
+    def _robust_outliers():
+        from pyspark.sql import functions as SF
+
+        from mrt_data_integration_spark.operators.robust import (
+            robust_outlier_flags,
+        )
+
+        row = (
+            robust_outlier_flags(docs, "n_chars", "lang")
+            .agg(
+                SF.sum("robust_z"),
+                SF.sum(SF.col("is_outlier").cast("long")),
+            )
+            .collect()
+        )
+        return len(row)
+
     only = os.environ.get("SPARK_GRAFT_TAIL_OPS")
     wanted = set(only.split(",")) if only else None
     for name, fn in (
         ("heaps_growth", _heaps),
         ("source_overlap", _source_overlap),
+        ("robust_outliers", _robust_outliers),
     ):
         if wanted is not None and name not in wanted:
             continue
