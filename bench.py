@@ -196,6 +196,9 @@ HEADLINE = [
     # exact-order-statistic shape (two (group, value) count collapses +
     # bounded windows; no hot-language reducers)
     "robust_quality_outliers",
+    # r14: PPMI word similarity — the inverted-index sparse matrix
+    # product (context-keyed join + order-pinned dot/norm folds)
+    "ppmi_word_similarity",
 ]
 
 

@@ -143,3 +143,172 @@ def pmi_collocations(
         )
     )
     return attach_cache(scored, [uni])
+
+
+def ppmi_vectors(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 2,
+    top_contexts: int | None = None,
+) -> DataFrame:
+    """Sparse PPMI context vectors — the count-based distributional
+    word representation (positive pointwise mutual information over a
+    symmetric co-occurrence window; Church & Hanks 1990, surveyed as
+    the strong count baseline in Levy, Goldberg & Dagan 2015): one row
+    per (w, c) with PPMI > 0,
+
+        ppmi = max over nothing — simply ln n_wc + ln N − ln n_w −
+        ln n_c (each ln rounded 12, the engine's log discipline),
+        rounded 6, kept only when positive,
+
+    where the marginals and total are those of the min_count-PRUNED
+    symmetric co-occurrence matrix (the consistent-universe convention
+    the capped dedup metrics use: marginals and cells see the same
+    matrix). ``top_contexts`` keeps each word's strongest k contexts
+    (ppmi DESC, c tie-break) — the sparsity knob that bounds every
+    downstream vector operation.
+
+    Scale shape: co-occurrence generation is :func:`word_pairs`' pure
+    map-side slide (bodies never shuffle), symmetrized by a union
+    before ONE (w, c) hash aggregate; marginals are a w-grain
+    aggregate of the vocab-bounded matrix; the total rides a 1-row
+    broadcast; the optional top-k is a per-word window over that
+    word's contexts (vocab-bounded partitions)."""
+    ordered = word_pairs(df, text_col, window)
+    cooc = (
+        ordered.select(F.col("w1").alias("w"), F.col("w2").alias("c"))
+        .unionByName(
+            ordered.select(F.col("w2").alias("w"), F.col("w1").alias("c"))
+        )
+        .groupBy("w", "c")
+        .agg(F.count(F.lit(1)).alias("n_wc"))
+        .filter(F.col("n_wc") >= int(min_count))
+    )
+    # three consumers (marginals, total, the cells themselves): persist
+    # the vocab²-bounded matrix so the corpus-wide pair explode runs
+    # once (the pmi_collocations discipline)
+    cooc = track_cache(cooc.persist())
+    marg = cooc.groupBy("w").agg(F.sum("n_wc").cast("long").alias("n_w"))
+    tot = cooc.agg(F.sum("n_wc").cast("long").alias("n_t"))
+    mc = marg.select(F.col("w").alias("c"), F.col("n_w").alias("n_c"))
+    vec = (
+        cooc.join(marg, "w")
+        .join(mc, "c")
+        .crossJoin(F.broadcast(tot))  # 1 row: map-side constant
+        .select(
+            "w",
+            "c",
+            "n_wc",
+            F.round(
+                _ln12(F.col("n_wc"))
+                + _ln12(F.col("n_t"))
+                - _ln12(F.col("n_w"))
+                - _ln12(F.col("n_c")),
+                6,
+            ).alias("ppmi"),
+        )
+        .filter(F.col("ppmi") > 0)
+    )
+    if top_contexts is not None:
+        from pyspark.sql import Window
+
+        w_rank = Window.partitionBy("w").orderBy(
+            F.desc("ppmi"), F.asc("c")
+        )
+        vec = (
+            vec.withColumn("__r__", F.row_number().over(w_rank))
+            .filter(F.col("__r__") <= int(top_contexts))
+            .drop("__r__")
+        )
+    return attach_cache(vec, [cooc])
+
+
+def ppmi_word_similarity(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 2,
+    threshold: float = 0.2,
+    top_contexts: int | None = None,
+    max_context_df: int | None = None,
+) -> DataFrame:
+    """Distributional word-word similarity: cosine between sparse PPMI
+    context vectors, computed ENTIRELY as distributed sparse linear
+    algebra — no dense matrix, no driver-side vocabulary. One row per
+    unordered word pair (w1 < w2) with cosine ≥ ``threshold``:
+    (w1, w2, n_shared, cosine), cosine rounded 6.
+
+    Scale shape: the dot products come from a CONTEXT-keyed equi-join
+    of the sparse rows (the inverted-index form of a sparse
+    matrix-matrix product — pairs exist only where a context is
+    shared), so the join's fan-out per context is |words sharing it|²;
+    ``top_contexts`` (per-word sparsification) and ``max_context_df``
+    (drop contexts shared by more than that many words — the
+    containment family's df cap, THE fan-out control for this join)
+    bound it at corpus scale. Both float reductions are order-pinned:
+    each pair's dot and each word's squared norm fold SEQUENTIALLY
+    over context-sorted arrays (the zipf/token_diversity discipline),
+    and cosine = dot / (√n2₁ · √n2₂) is single float ops after.
+
+    The probability space is the min_count-pruned matrix and, under
+    ``max_context_df``, similarities see the capped context universe
+    (norms and dots both — the same-universe convention)."""
+    vec = ppmi_vectors(df, text_col, window, min_count, top_contexts)
+    # capture the persisted deps NOW — the joins below return new
+    # frames that do not carry the __graft_cached__ attribute
+    cached = list(getattr(vec, "__graft_cached__", ()))
+    if max_context_df is not None:
+        hot = (
+            vec.groupBy("c")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > int(max_context_df))
+            .select("c")
+        )
+        vec = vec.join(F.broadcast(hot), "c", "left_anti")
+    # order-pinned squared norms: fold ppmi² in context order per word
+    sq = F.sort_array(
+        F.collect_list(F.struct(F.col("c"), (F.col("ppmi") * F.col("ppmi")).alias("p2")))
+    )
+    n2 = F.aggregate(
+        sq, F.lit(0.0), lambda a, e: a + e["p2"]
+    )
+    norms = vec.groupBy("w").agg(n2.alias("n2"))
+    a = vec.select(
+        F.col("w").alias("w1"), F.col("c"), F.col("ppmi").alias("p1")
+    )
+    b = vec.select(
+        F.col("w").alias("w2"), F.col("c"), F.col("ppmi").alias("p2")
+    )
+    prods = (
+        a.join(b, "c")
+        .filter(F.col("w1") < F.col("w2"))
+        .select(
+            "w1",
+            "w2",
+            F.col("c"),
+            (F.col("p1") * F.col("p2")).alias("prod"),
+        )
+    )
+    # order-pinned dots: fold the shared-context products in c order
+    dp = F.sort_array(
+        F.collect_list(F.struct(F.col("c"), F.col("prod")))
+    )
+    dots = prods.groupBy("w1", "w2").agg(
+        F.aggregate(dp, F.lit(0.0), lambda acc, e: acc + e["prod"]).alias(
+            "dot"
+        ),
+        F.count(F.lit(1)).alias("n_shared"),
+    )
+    na = norms.select(F.col("w").alias("w1"), F.col("n2").alias("n2_1"))
+    nb = norms.select(F.col("w").alias("w2"), F.col("n2").alias("n2_2"))
+    cos = F.round(
+        F.col("dot") / (F.sqrt(F.col("n2_1")) * F.sqrt(F.col("n2_2"))), 6
+    )
+    out = (
+        dots.join(na, "w1")
+        .join(nb, "w2")
+        .select("w1", "w2", "n_shared", cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )
+    return attach_cache(out, cached)

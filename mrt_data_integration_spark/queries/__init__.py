@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (144 queries as of r14 —
+# ROTATION POLICY (round 4+): the registry (145 queries as of r14 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r14: 44 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r14: 45 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -278,7 +278,16 @@ _POOL_A: list[str] = [
     # #1 and #2 (argument written BEFORE building, per the r9 verdict's
     # item 6; see _RETIRED).
     "embedding_kmeans_cells",
-    "kmeans_diversity_sample",
+    # (`kmeans_diversity_sample` was retired r14 to fund
+    # `ppmi_word_similarity` — the r15 plan comment's pre-ranked fresh
+    # candidate #20, argument written at the r14 flip; see _RETIRED.)
+    # r14 addition (E5+ — distributional word-word similarity over
+    # sparse PPMI context vectors, the inverted-index sparse matrix
+    # product with order-pinned dot/norm folds; zero driver history →
+    # forced into POOL_A's r15 window per rule 2; slot funded by
+    # retiring `kmeans_diversity_sample` — a hash-for-hash swap, spent
+    # after (17)/(18)/(19) per the pre-ranking)
+    "ppmi_word_similarity",
     # r10 addition (J6-type-1 — CDC current-snapshot merge with
     # upserts + deletes, operators/scd.apply_cdc_changes; the
     # sequential-fold == one-shot-collapse oracle pattern of
@@ -967,6 +976,17 @@ _RETIRED: list[str] = [
     # hash-for-hash swap, spent after the rows-only upgrades
     # (17)/(18) per the pre-ranking.
     "substring_chunk_pairs",
+    # r14: retired to fund the `ppmi_word_similarity` r15 slot — the
+    # r15 plan comment's pre-ranked fresh candidate #20, argument
+    # written at the r14 flip BEFORE the family it funds existed.
+    # Twin coverage: `embedding_kmeans_cells` (POOL_A, r13 hash — the
+    # SAME Lloyd's cell assignment the sample ranks within) and
+    # `weighted_doc_sample` (POOL_A, r13 hash — the same per-group
+    # rank-and-take sampling shape); the retiree keeps its own DuckDB
+    # oracle every CI run (tests/test_oracle_parity.py). A
+    # hash-for-hash swap, spent after (17)/(18)/(19) per the
+    # pre-ranking.
+    "kmeans_diversity_sample",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,

@@ -2250,3 +2250,83 @@ def robust_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return robust_outlier_flags(docs, "n_chars", "lang")
+
+
+@query(
+    "ppmi_word_similarity",
+    # Full replay: the windowed ordered pairs, the symmetrized
+    # co-occurrence counts with the min_count floor, the PPMI cells
+    # (ln's rounded 12, cells rounded 6, positive kept — marginals of
+    # the PRUNED matrix, the consistent-universe convention), then
+    # BOTH float reductions as ordered folds (Spark: sequential
+    # aggregate over context-sorted struct arrays; DuckDB: ordered
+    # list_reduce — identical per-accumulator op sequences) and the
+    # single-op cosine.
+    oracle=f"""
+    WITH base AS (
+      SELECT {_TOKENS} AS ts FROM documents WHERE text IS NOT NULL
+    ),
+    js AS (SELECT unnest(generate_series(1, 2)) AS j),
+    op AS (
+      SELECT unnest([{{'w1': ts[i], 'w2': ts[i+j]}}
+                     for i in generate_series(1, len(ts)-j)]) AS p
+      FROM base, js
+    ),
+    cooc AS (
+      SELECT w, c, count(*) AS n_wc FROM (
+        SELECT p.w1 AS w, p.w2 AS c FROM op
+        UNION ALL
+        SELECT p.w2 AS w, p.w1 AS c FROM op
+      ) GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    marg AS (SELECT w, CAST(sum(n_wc) AS BIGINT) AS n_w
+             FROM cooc GROUP BY w),
+    tot AS (SELECT CAST(sum(n_wc) AS BIGINT) AS n_t FROM cooc),
+    pv0 AS (
+      SELECT cooc.w, cooc.c,
+        round(round(ln(n_wc), 12) + round(ln(n_t), 12)
+            - round(ln(m1.n_w), 12) - round(ln(m2.n_w), 12), 6) AS ppmi
+      FROM cooc JOIN marg m1 ON cooc.w = m1.w
+      JOIN marg m2 ON cooc.c = m2.w, tot
+    ),
+    pv AS (SELECT * FROM pv0 WHERE ppmi > 0),
+    norms AS (
+      SELECT w,
+        list_reduce(list(ppmi * ppmi ORDER BY c), (a, b) -> a + b) AS n2
+      FROM pv GROUP BY w
+    ),
+    dots AS (
+      SELECT a.w AS w1, b.w AS w2,
+        list_reduce(list(a.ppmi * b.ppmi ORDER BY a.c),
+                    (x, y) -> x + y) AS dot,
+        CAST(count(*) AS BIGINT) AS n_shared
+      FROM pv a JOIN pv b ON a.c = b.c AND a.w < b.w
+      GROUP BY 1, 2
+    )
+    SELECT w1, w2, n_shared,
+      round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+    FROM dots JOIN norms na ON na.w = w1 JOIN norms nb ON nb.w = w2
+    WHERE round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.2
+    """,
+)
+def ppmi_word_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5+ (r14, operators/collocations.ppmi_word_similarity):
+    distributional word-word similarity — cosine between sparse PPMI
+    context vectors (the count-based representation; Church & Hanks
+    1990, Levy/Goldberg/Dagan 2015), computed as distributed sparse
+    linear algebra: context-keyed equi-join = the inverted-index
+    sparse matrix product, no dense matrix, no driver-side
+    vocabulary. Scale shape: co-occurrence is the PMI family's
+    map-side slide (bodies never shuffle), PPMI cells ride
+    vocab-bounded joins + a 1-row total broadcast, and the fan-out
+    controls (per-word top_contexts, max_context_df — the df-cap
+    class) bound the context join; both float reductions fold
+    SEQUENTIALLY over context-sorted arrays (order-pinned, the zipf
+    discipline). Uncapped here: the oracle computes the exact full
+    product, so the query must too."""
+    from mrt_data_integration_spark.operators.collocations import (
+        ppmi_word_similarity as ppmi_op,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ppmi_op(docs, window=2, min_count=5, threshold=0.2)

@@ -198,6 +198,7 @@ OP_INPUTS = {
     "heaps_growth": {"docs"},
     "source_overlap": {"docs"},
     "robust_outliers": {"docs"},
+    "ppmi_similarity": {"docs"},
     "wminhash_sigs": {"docs"},
     "hard_negative": {"emb"},
     "margin_mining": {"emb"},
@@ -553,6 +554,17 @@ def main() -> None:
             .collect()
         )
         return len(row)
+
+    def _ppmi_similarity(d):
+        from mrt_data_integration_spark.operators import dedup as dd2
+        from mrt_data_integration_spark.operators.collocations import (
+            ppmi_word_similarity,
+        )
+
+        out = ppmi_word_similarity(d, min_count=5, threshold=0.2)
+        n = len(out.collect())  # threshold-output class: forces all folds
+        dd2.release_cache(out)
+        return n
 
     def _quality_canonical(d):
         from mrt_data_integration_spark.cache_registry import (
@@ -1244,6 +1256,12 @@ def main() -> None:
         # corpus size with a CONSTANT (value-domain) window stage,
         # the ks_drift class.
         "robust_outliers": lambda k: _robust_outliers(docs(k)),
+        # r14: PPMI word similarity — the pair-generation scan and
+        # cooc aggregate grow with the corpus; the context join grows
+        # with the (replica-rewritten) vocabulary. Registered
+        # (uncapped) params here; the 100× tail runs the PRODUCTION
+        # fan-out controls (tails_r14.py).
+        "ppmi_similarity": lambda k: _ppmi_similarity(docs(k)),
         # r9: streaming SCD2 drain — the versioned-state maintenance
         # path. Expected slope HONESTLY ABOVE the batch collapse's:
         # each micro-batch's publish COPIES untouched closed rows

@@ -76,12 +76,34 @@ def main() -> None:
         )
         return len(row)
 
+    def _ppmi_similarity():
+        from mrt_data_integration_spark.operators import dedup as dd
+        from mrt_data_integration_spark.operators.collocations import (
+            ppmi_word_similarity,
+        )
+
+        # PRODUCTION fan-out controls (the containment-tail precedent:
+        # the registered query stays uncapped only to be oracle-exact
+        # at test scale): per-word top-50 contexts + a 1000-word
+        # context df cap bound the inverted-index join at any vocab
+        out = ppmi_word_similarity(
+            docs,
+            min_count=5,
+            threshold=0.2,
+            top_contexts=50,
+            max_context_df=1000,
+        )
+        n = len(out.collect())
+        dd.release_cache(out)
+        return n
+
     only = os.environ.get("SPARK_GRAFT_TAIL_OPS")
     wanted = set(only.split(",")) if only else None
     for name, fn in (
         ("heaps_growth", _heaps),
         ("source_overlap", _source_overlap),
         ("robust_outliers", _robust_outliers),
+        ("ppmi_similarity", _ppmi_similarity),
     ):
         if wanted is not None and name not in wanted:
             continue

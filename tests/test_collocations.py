@@ -97,3 +97,182 @@ def test_short_docs_and_validation(spark):
     assert got[("solo", "pair")] == 3  # the 1-token doc's 'solo' counted
     with pytest.raises(ValueError, match="window must be"):
         word_pairs(df, window=0)
+
+
+# ---------------------------------------------------------------------------
+# PPMI vectors + word similarity (r14)
+
+from mrt_data_integration_spark.operators.collocations import (  # noqa: E402
+    ppmi_vectors,
+    ppmi_word_similarity,
+)
+from mrt_data_integration_spark.operators import dedup as _dd  # noqa: E402
+
+
+def _ppmi_twin(texts, window=2, min_count=1, top_contexts=None):
+    cooc = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        toks = t.split()
+        for j in range(1, window + 1):
+            for i in range(len(toks) - j):
+                cooc[(toks[i], toks[i + j])] += 1
+                cooc[(toks[i + j], toks[i])] += 1
+    cooc = {k: c for k, c in cooc.items() if c >= min_count}
+    marg = Counter()
+    for (w, _), c in cooc.items():
+        marg[w] += c
+    n_t = sum(cooc.values())
+    vec: dict[str, dict[str, float]] = {}
+    for (w, c), n in cooc.items():
+        ppmi = round(
+            round(math.log(n), 12) + round(math.log(n_t), 12)
+            - round(math.log(marg[w]), 12) - round(math.log(marg[c]), 12),
+            6,
+        )
+        if ppmi > 0:
+            vec.setdefault(w, {})[c] = ppmi
+    if top_contexts is not None:
+        vec = {
+            w: dict(
+                sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[:top_contexts]
+            )
+            for w, d in vec.items()
+        }
+    return vec
+
+
+def _cosine_twin(vec, threshold):
+    out = {}
+    norms = {}
+    for w, d in vec.items():
+        s = 0.0
+        for c in sorted(d):  # context order: the order-pinned fold
+            s += d[c] * d[c]
+        norms[w] = math.sqrt(s)
+    words = sorted(vec)
+    for i in range(len(words)):
+        for j in range(i + 1, len(words)):
+            a, b = words[i], words[j]
+            shared = sorted(set(vec[a]) & set(vec[b]))
+            if not shared:
+                continue
+            dot = 0.0
+            for c in shared:
+                dot += vec[a][c] * vec[b][c]
+            cos = round(dot / (norms[a] * norms[b]), 6)
+            if cos >= threshold:
+                out[(a, b)] = (len(shared), cos)
+    return out
+
+
+def _texts_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_ppmi_vectors_match_python_twin(spark):
+    import random
+
+    rng = random.Random(20260829)
+    vocab = [f"w{i}" for i in range(18)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25)))
+        for _ in range(50)
+    ] + [None]
+    out = ppmi_vectors(_texts_df(spark, texts), min_count=2)
+    got = {(r.w, r.c): r.ppmi for r in out.collect()}
+    _dd.release_cache(out)
+    want = {
+        (w, c): p
+        for w, d in _ppmi_twin(texts, min_count=2).items()
+        for c, p in d.items()
+    }
+    assert got == want
+    # PPMI is symmetric on the symmetrized matrix
+    for (w, c), p in got.items():
+        assert got.get((c, w)) == p
+
+
+def test_ppmi_similarity_matches_python_twin(spark):
+    import random
+
+    rng = random.Random(20260830)
+    vocab = [f"w{i}" for i in range(15)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 20)))
+        for _ in range(60)
+    ]
+    out = ppmi_word_similarity(
+        _texts_df(spark, texts), min_count=2, threshold=0.1
+    )
+    got = {(r.w1, r.w2): (r.n_shared, r.cosine) for r in out.collect()}
+    _dd.release_cache(out)
+    want = _cosine_twin(_ppmi_twin(texts, min_count=2), 0.1)
+    assert got == want
+
+
+def test_ppmi_similarity_groups_synonym_like_words(spark):
+    """Words used in the same contexts score high even when they NEVER
+    co-occur — the distributional property the co-occurrence PMI
+    surface cannot see (cat/dog share contexts; cat/quux share none)."""
+    texts = []
+    for pet in ("cat", "dog"):
+        texts += [f"the {pet} sat on the mat", f"a {pet} chased the ball"] * 6
+    texts += ["quux corge grault garply waldo fred plugh"] * 6
+    out = ppmi_word_similarity(
+        _texts_df(spark, texts), min_count=2, threshold=-1.0
+    )
+    got = {(r.w1, r.w2): r.cosine for r in out.collect()}
+    _dd.release_cache(out)
+    assert got[("cat", "dog")] > 0.9
+    assert ("cat", "quux") not in got  # disjoint contexts: no pair at all
+
+
+def test_ppmi_fanout_controls(spark):
+    """top_contexts sparsifies per word; max_context_df drops hub
+    contexts — both against the python twin (capped-universe rule)."""
+    import random
+
+    rng = random.Random(6)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 18)))
+        for _ in range(40)
+    ]
+    out = ppmi_vectors(_texts_df(spark, texts), min_count=2, top_contexts=3)
+    got = {(r.w, r.c): r.ppmi for r in out.collect()}
+    _dd.release_cache(out)
+    want = {
+        (w, c): p
+        for w, d in _ppmi_twin(texts, min_count=2, top_contexts=3).items()
+        for c, p in d.items()
+    }
+    assert got == want
+    per_w = Counter(w for (w, _) in got)
+    assert all(v <= 3 for v in per_w.values())
+    # the df cap: similarities computed over the capped context universe
+    vec = _ppmi_twin(texts, min_count=2)
+    df = Counter(c for d in vec.values() for c in d)
+    capped_vec = {
+        w: {c: p for c, p in d.items() if df[c] <= 5}
+        for w, d in vec.items()
+    }
+    capped_vec = {w: d for w, d in capped_vec.items() if d}
+    out2 = ppmi_word_similarity(
+        _texts_df(spark, texts), min_count=2, threshold=0.1, max_context_df=5
+    )
+    got2 = {(r.w1, r.w2): (r.n_shared, r.cosine) for r in out2.collect()}
+    _dd.release_cache(out2)
+    assert got2 == _cosine_twin(capped_vec, 0.1)
+
+
+def test_ppmi_plan_lints(spark):
+    texts = [f"a b c d e f{i}" for i in range(30)]
+    out = ppmi_word_similarity(_texts_df(spark, texts), min_count=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    _dd.release_cache(out)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
