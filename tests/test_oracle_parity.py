@@ -73,6 +73,9 @@ _HINT_BUDGET = {
     "mc_simulation_grid": 1,         # [batch] scenario grid
     "phrase_search_occurrences": 1,  # [batch] unrolled phrase frame
     "pmi_collocations": 2,           # [1row] totals x2
+    # [1row] x4: the PPMI total broadcast, repeated through the vec
+    # subtree's analyzed-plan copies (norms + both join sides + dots)
+    "ppmi_word_similarity": 4,
     "pq_topk": 3,                    # [model] codebooks + [batch]
     "relative_efficiency": 1,        # [1row] reference row
     "semantic_decontamination": 1,   # [batch] benchmark (gate param)
