@@ -199,6 +199,11 @@ HEADLINE = [
     # r14: PPMI word similarity — the inverted-index sparse matrix
     # product (context-keyed join + order-pinned dot/norm folds)
     "ppmi_word_similarity",
+    # r14: the IVF semantic-decontamination production path promoted
+    # to a driver seat — kmeans_lloyd train + cell-pruned probe +
+    # map-side partial-max collapse (tracked per round from its first
+    # driver registration, like every ANN-family member)
+    "semantic_decontamination_ivf",
 ]
 
 

@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (145 queries as of r14 —
+# ROTATION POLICY (round 4+): the registry (146 queries as of r14 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r14: 45 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r14: 46 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -76,7 +76,17 @@ _POOL_A: list[str] = [
     # (`embedding_norm_stats` was retired r12 to fund
     # `semantic_decontamination` — the r13 plan comment's pre-ranked
     # candidate #2, argument written at the flip; see _RETIRED.)
-    "cosine_topk",
+    # (`cosine_topk` was retired r14 to fund
+    # `semantic_decontamination_ivf`'s driver seat — the standing
+    # last-resort candidate #16, spent LAST after (17)-(20) per its
+    # ranking, on the r13 verdict's carried item 8; see _RETIRED.)
+    # r14 addition (E9++ — the IVF semantic-decontamination production
+    # path promoted to a driver seat: its Lloyd's-replay hash oracle
+    # was written CI-side in r13; zero driver history → forced into
+    # POOL_A's r15 window per rule 2; slot funded by retiring
+    # `cosine_topk` — a hash-for-hash swap that makes the APPROXIMATE
+    # screen driver-hash-verified)
+    "semantic_decontamination_ivf",
     "label_centroids",
     # (`lsh_bucket_profile` was retired mid-r12 to fund
     # `phrase_search_occurrences` — the r13 plan comment's pre-ranked
@@ -987,6 +997,20 @@ _RETIRED: list[str] = [
     # hash-for-hash swap, spent after (17)/(18)/(19) per the
     # pre-ranking.
     "kmeans_diversity_sample",
+    # r14: retired to fund `semantic_decontamination_ivf`'s driver
+    # seat — the standing last-resort candidate #16, spent LAST after
+    # (17)-(20) were exhausted, exactly per its ranking ("the ANN
+    # family's declared exactness baseline — spend only if the others
+    # are exhausted"), and on the r13 verdict's own carried item 8
+    # (promote the IVF semantic-decon path's Lloyd's-replay oracle to
+    # a driver slot). Twin coverage unchanged from the standing
+    # argument: `hard_negative_mining` (POOL_A, r13 hash — the same
+    # brute scored-frame ranking with a label predicate) +
+    # `margin_mined_pairs` (POOL_B, r14 window — the same persisted
+    # scored frame through the two-stage bounded top-k); the retiree
+    # keeps its own DuckDB oracle every CI run
+    # (tests/test_oracle_parity.py) and stays bench-tracked.
+    "cosine_topk",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,

@@ -683,3 +683,83 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 25 == 0),
         threshold=0.35,
     )
+
+
+@query(
+    "semantic_decontamination_ivf",
+    # The Lloyd's-replay oracle (tests/test_decontaminate.py's CI form
+    # promoted to a driver seat — the hard_negative_ivf_probe
+    # precedent): every k-means iteration unrolled as CTEs, the cell
+    # index re-derived, each BENCHMARK vector's 2 probe cells ranked
+    # by centroid distance, only corpus vectors in probed cells
+    # scored, the per-vector max cosine + the NULL unprobed boundary
+    # reproduced — the APPROXIMATE production screen hash-verified
+    # end-to-end (training loop, probe selection, candidate bound,
+    # flag semantics).
+    oracle=f"""
+    {_kmeans_ctes(_KMEANS_K, _KMEANS_ITER)},
+    bench AS (
+      SELECT vec_id, v FROM emb WHERE vec_id % 25 = 0
+    ),
+    corp AS (
+      SELECT e.vec_id, e.v, f.cell
+      FROM emb e JOIN final f USING (vec_id)
+      WHERE e.vec_id % 25 <> 0
+    ),
+    probes AS (
+      SELECT bv, cell FROM (
+        SELECT b.v AS bv, c.cell,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY list_distance(b.v, c.c), c.cell
+               ) AS rn
+        FROM bench b CROSS JOIN c{_KMEANS_ITER} c
+      ) WHERE rn <= 2
+    ),
+    hits AS (
+      SELECT corp.vec_id,
+             round(max(
+               list_dot_product(corp.v, p.bv)
+               / (sqrt(list_dot_product(corp.v, corp.v))
+                  * sqrt(list_dot_product(p.bv, p.bv)))
+             ), 4) AS max_bench_sim
+      FROM corp JOIN probes p USING (cell)
+      GROUP BY corp.vec_id
+    )
+    SELECT c0_.vec_id, h.max_bench_sim,
+           coalesce(h.max_bench_sim >= 0.35, false) AS contaminated
+    FROM (SELECT DISTINCT vec_id FROM corp) c0_
+    LEFT JOIN hits h USING (vec_id)
+    """,
+)
+def semantic_decontamination_ivf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E9++ (r12 operator, driver seat r14 —
+    operators/decontaminate.semantic_decontamination_ivf): the
+    corpus-scale APPROXIMATE path of the embedding-space benchmark
+    screen — cell-bounded candidates over the deterministic
+    kmeans_lloyd index (the hard-negative train/probe split), a
+    ONE-SIDED approximation (fewer probes can only shrink the flagged
+    set), unprobed vectors keeping NULL max-sim with
+    contaminated=false (the honest-boundary convention). The r13
+    round wrote its Lloyd's-replay hash oracle CI-side; this seat
+    promotes the approximate production screen to driver-hash
+    strength (the r13 verdict's carried item 8). Plan shape:
+    literal-centroid probe expressions, broadcast benchmark probe
+    rows onto the cell-keyed corpus, map-side partial-max collapse
+    before one narrow exchange."""
+    from mrt_data_integration_spark.operators.cluster import kmeans_lloyd
+    from mrt_data_integration_spark.operators.decontaminate import (
+        semantic_decontamination_ivf as sdi_op,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    assigns, centers = kmeans_lloyd(emb, k=_KMEANS_K, n_iter=_KMEANS_ITER)
+    corpus = emb.filter(F.col("vec_id") % 25 != 0).join(
+        assigns.select("vec_id", "cell"), "vec_id"
+    )
+    bench = emb.filter(F.col("vec_id") % 25 == 0)
+    return sdi_op(corpus, bench, centers, threshold=0.35, n_probe=2)

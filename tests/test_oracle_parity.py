@@ -79,6 +79,7 @@ _HINT_BUDGET = {
     "pq_topk": 3,                    # [model] codebooks + [batch]
     "relative_efficiency": 1,        # [1row] reference row
     "semantic_decontamination": 1,   # [batch] benchmark (gate param)
+    "semantic_decontamination_ivf": 1,  # [batch] benchmark probe rows (r14)
     "sensitivity_scenarios": 3,      # [batch] scenario grids
     "sequence_packing": 1,           # [1row] pack-boundary frame
     "star_join_revenue": 3,          # [dim] region/nation/customer
