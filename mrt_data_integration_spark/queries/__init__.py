@@ -1750,6 +1750,17 @@ _WINDOW: list[str] = (
 #     last-resort hash-seat candidate (the ANN exactness baseline;
 #     twins unchanged: `hard_negative_mining` + `margin_mined_pairs`);
 #     spend only if (17)-(20) are exhausted.
+#     [(17) SPENT r14 funding `heaps_vocab_growth`; (18) SPENT r14
+#     funding `source_overlap_audit`; (19) SPENT r14 funding
+#     `robust_quality_outliers`; (20) SPENT r14 funding
+#     `ppmi_word_similarity`; (16) SPENT LAST r14 funding
+#     `semantic_decontamination_ivf`'s driver seat (the r13 verdict's
+#     carried item 8) — all five executed in pre-ranked order, see
+#     _RETIRED. ALL POOL_A candidates now spent: the r15 flip must
+#     pre-rank fresh POOL_A ones before any r15-era POOL_A spend; the
+#     banked POOL_B candidates (13) `sensitivity_scenarios` and (14)
+#     `streaming_rollup_merge` become spendable at the r15 flip for
+#     r15-era registrations (which join POOL_B for forced r16 slots).]
 #   - no rotation query waits >2 rounds under this plan: POOL_B + the
 #     13 r14-sit-out CORE members (the r13 returners) get r14 rows,
 #     POOL_A + the 13 r15-sit-out CORE members get r15 rows.
