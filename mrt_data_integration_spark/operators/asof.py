@@ -38,10 +38,13 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach ``payload`` columns from the matching
     right row with the same key: the latest with ``right_time <=
-    left_time`` (``direction="backward"``, the default — inclusive) or
+    left_time`` (``direction="backward"``, the default — inclusive),
     the earliest with ``right_time >= left_time``
     (``direction="forward"`` — also inclusive; the same one-shuffle
-    window with the time ordering reversed).
+    window with the time ordering reversed), or the closest by
+    absolute time gap with ties going backward
+    (``direction="nearest"`` — pandas ``merge_asof`` semantics,
+    pinned against pandas itself; one shuffle, two sorts).
 
     ``tolerance`` bounds the match's time gap: a match farther than
     ``tolerance`` (in the time column's ``cast("double")`` units —
@@ -63,8 +66,15 @@ def asof_join(
     bare ``desc`` put NULLs LAST, so a NULL-time left row silently
     matched the smallest right_time.)
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, left_key, right_key, left_time, right_time,
+            payload, tolerance,
+        )
     right = right.filter(F.col(right_time).isNotNull())
     l_tag = left.select(
         F.col(left_key).alias("__key__"),
@@ -119,4 +129,101 @@ def asof_join(
         )
     else:
         out = out.select(*left.columns, *payload)
+    return out
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    payload: list[str],
+    tolerance: float | None,
+) -> DataFrame:
+    """``direction="nearest"``: the closest right row by |Δtime|, ties
+    going to the earlier (backward) match — pandas ``merge_asof``'s
+    nearest semantics, pinned against pandas itself in
+    tests/test_asof.py. Both legs ride ONE union and ONE hash shuffle:
+    the backward leg is the standard last(ignorenulls) ascending
+    window; the forward leg is first(ignorenulls) over
+    [currentRow, unboundedFollowing] under the SAME partitioning with
+    the side tie-break reversed (left before right at equal times
+    would EXCLUDE the equal-time right row from the forward frame, so
+    side orders right-first for backward and left-first for forward —
+    two Sort operators sharing one Exchange). NULL-time left rows are
+    guarded to match nothing (the forward frame of a nulls-first row
+    would otherwise span the whole partition)."""
+    right = right.filter(F.col(right_time).isNotNull())
+    l_tag = left.select(
+        F.col(left_key).alias("__key__"),
+        F.col(left_time).alias("__time__"),
+        F.lit(1).alias("__side__"),
+        *[F.lit(None).cast(right.schema[p].dataType).alias(p) for p in payload],
+        F.lit(None).cast(right.schema[right_time].dataType).alias("__rt__"),
+        *[F.col(c) for c in left.columns],
+    )
+    r_tag = right.select(
+        F.col(right_key).alias("__key__"),
+        F.col(right_time).alias("__time__"),
+        F.lit(0).alias("__side__"),
+        *[F.col(p) for p in payload],
+        F.col(right_time).alias("__rt__"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # backward: right (side 0) sorts before left at equal time -> the
+    # preceding-frame window sees it (inclusive <=)
+    w_b = (
+        Window.partitionBy("__key__")
+        .orderBy(F.col("__time__").asc_nulls_first(), F.col("__side__").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward: left (side 1) sorts before right at equal time -> the
+    # following-frame window sees it (inclusive >=)
+    w_f = (
+        Window.partitionBy("__key__")
+        .orderBy(F.col("__time__").asc_nulls_first(), F.col("__side__").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    has_t = F.col("__time__").isNotNull()
+    cols = [
+        *[
+            F.when(has_t, F.last(p, ignorenulls=True).over(w_b)).alias(f"__b_{p}")
+            for p in payload
+        ],
+        F.when(has_t, F.last("__rt__", ignorenulls=True).over(w_b)).alias("__bt__"),
+        *[
+            F.when(has_t, F.first(p, ignorenulls=True).over(w_f)).alias(f"__f_{p}")
+            for p in payload
+        ],
+        F.when(has_t, F.first("__rt__", ignorenulls=True).over(w_f)).alias("__ft__"),
+    ]
+    both = (
+        unioned.select("__side__", "__time__", *left.columns, *cols)
+        .filter(F.col("__side__") == 1)
+        .drop("__side__")
+    )
+    t = F.col("__time__").cast("double")
+    gap_b = t - F.col("__bt__").cast("double")
+    gap_f = F.col("__ft__").cast("double") - t
+    in_tol_b = F.col("__bt__").isNotNull() & (
+        F.lit(True) if tolerance is None else gap_b <= F.lit(float(tolerance))
+    )
+    in_tol_f = F.col("__ft__").isNotNull() & (
+        F.lit(True) if tolerance is None else gap_f <= F.lit(float(tolerance))
+    )
+    # ties go backward (gap_b <= gap_f), the pandas contract
+    pick_b = in_tol_b & (~in_tol_f | (gap_b <= gap_f))
+    pick_f = ~pick_b & in_tol_f
+    out = both.select(
+        *left.columns,
+        *[
+            F.when(pick_b, F.col(f"__b_{p}"))
+            .when(pick_f, F.col(f"__f_{p}"))
+            .alias(p)
+            for p in payload
+        ],
+    )
     return out

@@ -1761,6 +1761,26 @@ _WINDOW: list[str] = (
 #     banked POOL_B candidates (13) `sensitivity_scenarios` and (14)
 #     `streaming_rollup_merge` become spendable at the r15 flip for
 #     r15-era registrations (which join POOL_B for forced r16 slots).]
+#     Fresh POOL_A candidates pre-ranked late-r14 for r15-era POOL_A
+#     spends (nothing they would fund exists yet — the standing
+#     discipline; POOL_A spends only become relevant again at the r16
+#     flip, but the arguments are banked now while the seats' twin
+#     structure is fresh):
+#     (21) `label_centroids` (POOL_A, r13 hash) vs
+#     `embedding_kmeans_cells` (POOL_A, r13 hash — Lloyd's
+#     re-estimation step computes the SAME grouped element-wise
+#     vector-mean arithmetic, hash-verified through the unrolled-CTE
+#     oracle every rotation) + `semantic_decontamination_ivf` (POOL_A,
+#     forced r15 hash slot — consumes those centroids end-to-end);
+#     the label grouping itself is plain groupBy (the
+#     brand_part_rollup class). A hash-for-hash swap.
+#     (22) `weighted_doc_sample` (POOL_A, r13 hash) vs
+#     `stratified_fixed_k_sample` (POOL_B, hash — the SAME A-ES
+#     key-and-rank machinery through the fixed-k variant) +
+#     `token_budget_selection` (POOL_B, r14 hash — the same per-group
+#     rank-and-take selection shape); ranks behind (21) because
+#     kmeans_diversity_sample's r14 retirement already thinned this
+#     sampling family's driver rows by one. Hash-for-hash.
 #   - no rotation query waits >2 rounds under this plan: POOL_B + the
 #     13 r14-sit-out CORE members (the r13 returners) get r14 rows,
 #     POOL_A + the 13 r15-sit-out CORE members get r15 rows.

@@ -90,8 +90,8 @@ def test_asof_rejects_bad_direction(spark):
     import pytest
 
     left, right = _frames(spark, [(1, 1, 1)], [(1, 1, 1)])
-    with pytest.raises(ValueError, match="backward|forward"):
-        asof_join(left, right, "k", "k", "t", "rt", ["v"], direction="nearest")
+    with pytest.raises(ValueError, match="backward|forward|nearest"):
+        asof_join(left, right, "k", "k", "t", "rt", ["v"], direction="sideways")
 
 
 def test_asof_single_shuffle_plan(spark):
@@ -137,3 +137,104 @@ def test_asof_null_time_keys_never_match(spark):
         ).collect()
     }
     assert got == {1: 20, 2: None, 3: None}
+
+
+def _pd_asof(lrows, rrows, direction, tolerance=None):
+    import pandas as pd
+
+    lf = (
+        pd.DataFrame(lrows, columns=["lid", "k", "t"])
+        .dropna(subset=["t"])
+        .astype({"t": "int64", "k": "int64"})
+        .sort_values("t")
+    )
+    rf = (
+        pd.DataFrame(rrows, columns=["k", "rt", "v"])
+        .dropna(subset=["rt"])
+        .astype({"rt": "int64", "k": "int64"})
+        .sort_values("rt")
+    )
+    merged = pd.merge_asof(
+        lf, rf, left_on="t", right_on="rt", by="k",
+        direction=direction, tolerance=tolerance,
+    )
+    out = {int(r.lid): (None if pd.isna(r.v) else int(r.v))
+           for r in merged.itertuples()}
+    # NULL-time left rows: kept with NULL payload (our contract;
+    # pandas rejects NaN keys outright, so add them back here)
+    for lid, _, t in lrows:
+        if t is None:
+            out[lid] = None
+    return out
+
+
+def test_asof_nearest_matches_pandas(spark):
+    """direction='nearest' is pinned against pandas merge_asof itself
+    (closest |gap|, ties backward, tolerance nulling) over randomized
+    multi-key frames with duplicates and NULL times."""
+    rng = random.Random(20260831)
+    for trial in range(3):
+        lrows = [
+            (i, rng.randint(0, 3), rng.randint(0, 100)) for i in range(120)
+        ] + [(900, 0, None)]
+        rrows = [
+            (k, rng.randint(0, 100), rng.randint(1, 10**6))
+            for k in range(4)
+            for _ in range(rng.randint(0, 15))
+        ]
+        # unique (k, rt): ties on the time key would make the match
+        # arbitrary on both engines (the documented caller contract)
+        seen, dedup = set(), []
+        for k, rt, v in rrows:
+            if (k, rt) not in seen:
+                seen.add((k, rt))
+                dedup.append((k, rt, v))
+        rrows = dedup
+        for tol in (None, 7):
+            got = _run(
+                spark, lrows, rrows, direction="nearest", tolerance=tol
+            )
+            want = _pd_asof(lrows, rrows, "nearest", tolerance=tol)
+            assert got == want, f"trial={trial} tol={tol}"
+
+
+def test_asof_backward_forward_match_pandas(spark):
+    """The existing directions hold against pandas merge_asof too —
+    the same randomized frames as the nearest pin."""
+    rng = random.Random(20260901)
+    lrows = [(i, rng.randint(0, 2), rng.randint(0, 60)) for i in range(80)]
+    rrows = []
+    seen = set()
+    for k in range(3):
+        for _ in range(12):
+            rt = rng.randint(0, 60)
+            if (k, rt) not in seen:
+                seen.add((k, rt))
+                rrows.append((k, rt, rng.randint(1, 10**6)))
+    for direction in ("backward", "forward"):
+        for tol in (None, 5):
+            got = _run(
+                spark, lrows, rrows, direction=direction, tolerance=tol
+            )
+            want = _pd_asof(lrows, rrows, direction, tolerance=tol)
+            assert got == want, f"{direction} tol={tol}"
+
+
+def test_asof_nearest_tie_goes_backward_and_single_shuffle(spark):
+    lrows = [(1, 1, 10)]
+    rrows = [(1, 7, 777), (1, 13, 333)]  # equal |gap| = 3
+    assert _run(spark, lrows, rrows, direction="nearest") == {1: 777}
+    # NULL-time left row matches nothing even in nearest mode
+    assert _run(
+        spark, [(1, 1, None)], rrows, direction="nearest"
+    ) == {1: None}
+    left, right = _frames(
+        spark, [(i, i % 3, i) for i in range(50)],
+        [(k, t, t) for k in range(3) for t in range(0, 50, 5)],
+    )
+    out = asof_join(left, right, "k", "k", "t", "rt", ["v"], direction="nearest")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "nearest shares ONE key shuffle between its two sort orders"
+    )
