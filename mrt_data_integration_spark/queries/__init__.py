@@ -1761,11 +1761,11 @@ _WINDOW: list[str] = (
 #     banked POOL_B candidates (13) `sensitivity_scenarios` and (14)
 #     `streaming_rollup_merge` become spendable at the r15 flip for
 #     r15-era registrations (which join POOL_B for forced r16 slots).]
-#     Fresh POOL_A candidates pre-ranked late-r14 for r15-era POOL_A
-#     spends (nothing they would fund exists yet — the standing
-#     discipline; POOL_A spends only become relevant again at the r16
-#     flip, but the arguments are banked now while the seats' twin
-#     structure is fresh):
+#     Fresh POOL_A candidates pre-ranked late-r14 (nothing they would
+#     fund exists yet — the standing discipline): spendable for any
+#     FURTHER r14-era registration (which joins POOL_A) and for
+#     r16-era spends; banked now while the seats' twin structure is
+#     fresh:
 #     (21) `label_centroids` (POOL_A, r13 hash) vs
 #     `embedding_kmeans_cells` (POOL_A, r13 hash — Lloyd's
 #     re-estimation step computes the SAME grouped element-wise
