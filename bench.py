@@ -204,6 +204,10 @@ HEADLINE = [
     # map-side partial-max collapse (tracked per round from its first
     # driver registration, like every ANN-family member)
     "semantic_decontamination_ivf",
+    # late-r14: source-pair Jensen–Shannon divergence — the all-pairs
+    # distributional drift shape (top-V bucketing + bucket-keyed pair
+    # join + three order-pinned folds + closed-form disjoint mass)
+    "source_js_divergence",
 ]
 
 

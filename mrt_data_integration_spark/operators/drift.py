@@ -29,6 +29,8 @@ SQL-replayable.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -260,3 +262,155 @@ def psi_statistic(profile: DataFrame) -> float:
     convention of dropping undefined cells)."""
     row = profile.agg(F.sum("psi_term").alias("psi")).collect()[0]
     return float(row.psi) if row.psi is not None else float("nan")
+
+
+def source_js_matrix(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    top_v: int = 10000,
+) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between every two sources'
+    unigram distributions — the DISTRIBUTIONAL complement of the
+    set-overlap audit (two sources can share most of their vocabulary
+    yet use it at very different rates: the overlap matrix reads
+    similar, THIS matrix reads drifted) and the all-pairs form of the
+    two-slice drift profiles (Lin 1991; JS is symmetric, bounded by
+    ln 2, and defined for zero-probability cells — no smoothing
+    constant to pick). One row per unordered source pair:
+    (source_a < source_b, n_common (shared support buckets), js
+    rounded 6). js = 0 for identical distributions, ln 2 ≈ 0.6931 for
+    disjoint support; pairs sharing nothing still appear (at ln 2).
+
+    VOCABULARY CAP: probabilities are computed over the global
+    top-``top_v`` tokens (freq DESC, token tie — the zipf ranking)
+    with every other token folded into one ``__oov__`` bucket per
+    source. The capped statistic is itself exact and engine-replayable
+    (the capped-universe convention); it lower-bounds the uncapped JS
+    (bucketing is a deterministic coarsening, and coarsening never
+    increases an f-divergence). The cap is what bounds EVERY per-pair
+    structure at a config constant — without it the per-pair fold
+    arrays grow with the open vocabulary.
+
+    Scale shape: one (source, token) hash aggregate (bounded by
+    |S| × vocab), the global top-V via the two-phase bounded_topk
+    (never a vocabulary-wide single-reducer window), a re-aggregate to
+    (source, bucket) ≤ |S|·(V+1) rows, then a bucket-keyed pair join
+    whose fan-out per bucket is ≤ |S|²; the three float sums per pair
+    (Σ term, Σ p_a, Σ p_b over the shared support) fold SEQUENTIALLY
+    over bucket-sorted arrays ≤ V+1 long (order-pinned, the zipf
+    discipline), with the disjoint-support mass closed-form:
+    js = Σ_shared 0.5·[p·ln(2p/(p+q)) + q·ln(2q/(p+q))]
+       + 0.5·(1−P_shared)·ln2 + 0.5·(1−Q_shared)·ln2.
+    Each ln rounds to 12 before combining (the engine's cross-libm
+    log discipline); totals and the |S|²-bounded pair frame never
+    touch corpus-sized data.
+    """
+    from mrt_data_integration_spark.operators.similarity import bounded_topk
+    from mrt_data_integration_spark.operators.text import tokens
+
+    ln2 = round(math.log(2.0), 12)
+    tok = (
+        docs.filter(
+            F.col(text_col).isNotNull() & F.col(source_col).isNotNull()
+        )
+        .select(
+            F.col(source_col).alias("source"),
+            F.explode(tokens(text_col)).alias("token"),
+        )
+    )
+    cnt = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    glob = cnt.groupBy("token").agg(F.sum("n").alias("gn"))
+    top = bounded_topk(
+        glob.withColumn("__k__", F.lit(0)),
+        int(top_v),
+        "gn",
+        rank_col="__r__",
+        key_col="__k__",
+        tie_col="token",
+    ).select("token", F.lit(True).alias("__kept__"))
+    bucketed = (
+        cnt.join(top, "token", "left")
+        .select(
+            "source",
+            F.when(F.col("__kept__"), F.col("token"))
+            .otherwise(F.lit("__oov__"))
+            .alias("bucket"),
+            "n",
+        )
+        .groupBy("source", "bucket")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    totals = bucketed.groupBy("source").agg(
+        F.sum("n").cast("long").alias("t")
+    )
+    p = bucketed.join(totals, "source").select(
+        "source", "bucket", (F.col("n") / F.col("t")).alias("p")
+    )
+    a = p.select(
+        F.col("source").alias("source_a"),
+        "bucket",
+        F.col("p").alias("pa"),
+    )
+    b = p.select(
+        F.col("source").alias("source_b"),
+        "bucket",
+        F.col("p").alias("pb"),
+    )
+    rln = lambda x: F.round(F.log(x), 12)  # noqa: E731
+    term = 0.5 * (
+        F.col("pa") * rln(2 * F.col("pa") / (F.col("pa") + F.col("pb")))
+        + F.col("pb") * rln(2 * F.col("pb") / (F.col("pa") + F.col("pb")))
+    )
+    shared = (
+        a.join(b, "bucket")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select("source_a", "source_b", "bucket", term.alias("term"), "pa", "pb")
+    )
+    # bucket-ordered sequential fold of the three float sums
+    arr = F.sort_array(
+        F.collect_list(F.struct("bucket", "term", "pa", "pb"))
+    )
+    init = F.struct(
+        F.lit(0.0).alias("st"),
+        F.lit(0.0).alias("sa"),
+        F.lit(0.0).alias("sb"),
+    )
+    folded = F.aggregate(
+        arr,
+        init,
+        lambda acc, e: F.struct(
+            (acc["st"] + e["term"]).alias("st"),
+            (acc["sa"] + e["pa"]).alias("sa"),
+            (acc["sb"] + e["pb"]).alias("sb"),
+        ),
+    )
+    stats = shared.groupBy("source_a", "source_b").agg(
+        folded.alias("__s__"),
+        F.count(F.lit(1)).alias("n_common"),
+    )
+    srcs = totals.select("source")
+    pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .join(
+            F.broadcast(srcs.select(F.col("source").alias("source_b"))),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    js = F.round(
+        F.coalesce(F.col("__s__.st"), F.lit(0.0))
+        + 0.5 * (1 - F.coalesce(F.col("__s__.sa"), F.lit(0.0))) * F.lit(ln2)
+        + 0.5 * (1 - F.coalesce(F.col("__s__.sb"), F.lit(0.0))) * F.lit(ln2),
+        6,
+    )
+    return (
+        pairs.join(stats, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            js.alias("js"),
+        )
+    )

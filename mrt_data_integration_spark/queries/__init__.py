@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (146 queries as of r14 —
+# ROTATION POLICY (round 4+): the registry (147 queries as of r14 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r14: 46 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r14: 47 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -87,7 +87,17 @@ _POOL_A: list[str] = [
     # `cosine_topk` — a hash-for-hash swap that makes the APPROXIMATE
     # screen driver-hash-verified)
     "semantic_decontamination_ivf",
-    "label_centroids",
+    # (`label_centroids` was retired late-r14 to fund
+    # `source_js_divergence` — the freshly pre-ranked candidate #21,
+    # argument written in the ledger BEFORE this family existed; see
+    # _RETIRED.)
+    # late-r14 addition (E11+ — pairwise Jensen–Shannon divergence
+    # between source unigram distributions, vocab-capped with an OOV
+    # bucket: the distributional complement of source_overlap_audit
+    # and the all-pairs form of the drift family; zero driver history
+    # → forced into POOL_A's r15 window per rule 2; slot funded by
+    # retiring `label_centroids` — a hash-for-hash swap)
+    "source_js_divergence",
     # (`lsh_bucket_profile` was retired mid-r12 to fund
     # `phrase_search_occurrences` — the r13 plan comment's pre-ranked
     # fresh candidate #5; see _RETIRED.)
@@ -1011,6 +1021,19 @@ _RETIRED: list[str] = [
     # keeps its own DuckDB oracle every CI run
     # (tests/test_oracle_parity.py) and stays bench-tracked.
     "cosine_topk",
+    # late-r14: retired to fund the `source_js_divergence` r15 slot —
+    # the freshly pre-ranked candidate #21, argument written in the
+    # ledger BEFORE the family it funds existed (the standing
+    # discipline). Twin coverage: `embedding_kmeans_cells` (POOL_A,
+    # r13 hash — Lloyd's re-estimation computes the SAME grouped
+    # element-wise vector-mean arithmetic, hash-verified through the
+    # unrolled-CTE oracle every rotation) +
+    # `semantic_decontamination_ivf` (POOL_A, forced r15 hash slot —
+    # consumes those centroids end-to-end); the label grouping itself
+    # is plain groupBy (the brand_part_rollup class). The retiree
+    # keeps its own DuckDB oracle every CI run
+    # (tests/test_oracle_parity.py). A hash-for-hash swap.
+    "label_centroids",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,
@@ -1774,6 +1797,8 @@ _WINDOW: list[str] = (
 #     forced r15 hash slot — consumes those centroids end-to-end);
 #     the label grouping itself is plain groupBy (the
 #     brand_part_rollup class). A hash-for-hash swap.
+#     [(21) SPENT late-r14 funding `source_js_divergence` — see
+#     _RETIRED; (22) remains banked.]
 #     (22) `weighted_doc_sample` (POOL_A, r13 hash) vs
 #     `stratified_fixed_k_sample` (POOL_B, hash — the SAME A-ES
 #     key-and-rank machinery through the fixed-k variant) +

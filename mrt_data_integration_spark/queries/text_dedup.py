@@ -2330,3 +2330,91 @@ def ppmi_word_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return ppmi_op(docs, window=2, min_count=5, threshold=0.2)
+
+
+@query(
+    "source_js_divergence",
+    # Full replay: (source, token) counts, the global top-V ranking
+    # (gn DESC, token — the zipf tie), OOV bucketing, probabilities,
+    # the shared-support terms with ln's rounded 12, the three
+    # bucket-ORDERED folds (Spark sequential aggregate == DuckDB
+    # ordered list_reduce), and the disjoint-mass closed form over
+    # the all-pairs frame.
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKENS}) AS token
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    ),
+    cnt AS (SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2),
+    gcnt AS (SELECT token, sum(n) AS gn FROM cnt GROUP BY token),
+    top AS (
+      SELECT token, true AS kept
+      FROM gcnt ORDER BY gn DESC, token LIMIT 1000
+    ),
+    bucketed AS (
+      SELECT source,
+             CASE WHEN kept THEN token ELSE '__oov__' END AS bucket,
+             CAST(sum(n) AS BIGINT) AS n
+      FROM cnt LEFT JOIN top USING (token)
+      GROUP BY 1, 2
+    ),
+    totals AS (SELECT source, CAST(sum(n) AS BIGINT) AS t
+               FROM bucketed GROUP BY source),
+    p AS (
+      SELECT source, bucket, CAST(n AS DOUBLE) / t AS p
+      FROM bucketed JOIN totals USING (source)
+    ),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b, a.bucket,
+             0.5 * (a.p * round(ln(2 * a.p / (a.p + b.p)), 12)
+                  + b.p * round(ln(2 * b.p / (a.p + b.p)), 12)) AS term,
+             a.p AS pa, b.p AS pb
+      FROM p a JOIN p b ON a.bucket = b.bucket AND a.source < b.source
+    ),
+    stats AS (
+      SELECT source_a, source_b,
+             list_reduce(list(term ORDER BY bucket), (x, y) -> x + y)
+               AS st,
+             list_reduce(list(pa ORDER BY bucket), (x, y) -> x + y)
+               AS sa,
+             list_reduce(list(pb ORDER BY bucket), (x, y) -> x + y)
+               AS sb,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM shared GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM totals a JOIN totals b ON a.source < b.source
+    )
+    SELECT source_a, source_b,
+           coalesce(n_common, 0) AS n_common,
+           round(coalesce(st, 0.0)
+                 + 0.5 * (1 - coalesce(sa, 0.0)) * round(ln(2), 12)
+                 + 0.5 * (1 - coalesce(sb, 0.0)) * round(ln(2), 12), 6)
+             AS js
+    FROM pairs LEFT JOIN stats USING (source_a, source_b)
+    """,
+)
+def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11+ (r14, operators/drift.source_js_matrix): pairwise
+    Jensen–Shannon divergence between every two sources' unigram
+    distributions (Lin 1991) — the DISTRIBUTIONAL complement of the
+    set-overlap audit (shared vocabulary at different rates reads
+    similar there, drifted here) and the all-pairs form of the
+    two-slice drift profiles. Vocabulary-capped at the global top-1000
+    (not binding on this corpus) with the tail folded into a per-source
+    __oov__ bucket — the cap is what bounds every per-pair structure
+    at a config constant, and the bucketed JS lower-bounds the
+    uncapped one (coarsening never increases an f-divergence). Scale
+    shape: one (source, token) hash aggregate, the two-phase
+    bounded_topk (never a vocabulary-wide window), a ≤|S|·(V+1)
+    re-aggregate, a bucket-keyed pair join (≤|S|² fan-out per bucket),
+    the three float sums folded SEQUENTIALLY over bucket-sorted ≤V+1
+    arrays (order-pinned), and the disjoint-support mass in closed
+    form — zero-overlap pairs still appear, at ln 2."""
+    from mrt_data_integration_spark.operators.drift import (
+        source_js_matrix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_js_matrix(docs, top_v=1000)

@@ -199,6 +199,7 @@ OP_INPUTS = {
     "source_overlap": {"docs"},
     "robust_outliers": {"docs"},
     "ppmi_similarity": {"docs"},
+    "source_js": {"docs"},
     "wminhash_sigs": {"docs"},
     "hard_negative": {"emb"},
     "margin_mining": {"emb"},
@@ -565,6 +566,14 @@ def main() -> None:
         n = len(out.collect())  # threshold-output class: forces all folds
         dd2.release_cache(out)
         return n
+
+    def _source_js(d):
+        from mrt_data_integration_spark.operators.drift import (
+            source_js_matrix,
+        )
+
+        # the |S|^2/2-row matrix output forces everything upstream
+        return len(source_js_matrix(d, top_v=1000).collect())
 
     def _quality_canonical(d):
         from mrt_data_integration_spark.cache_registry import (
@@ -1262,6 +1271,10 @@ def main() -> None:
         # (uncapped) params here; the 100× tail runs the PRODUCTION
         # fan-out controls (tails_r14.py).
         "ppmi_similarity": lambda k: _ppmi_similarity(docs(k)),
+        # late-r14: source JS divergence — the (source, token) counts
+        # scan grows with the corpus; everything downstream is bounded
+        # by |S| x (V+1). Expected the category_drift/ks_drift class.
+        "source_js": lambda k: _source_js(docs(k)),
         # r9: streaming SCD2 drain — the versioned-state maintenance
         # path. Expected slope HONESTLY ABOVE the batch collapse's:
         # each micro-batch's publish COPIES untouched closed rows

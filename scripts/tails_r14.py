@@ -97,6 +97,13 @@ def main() -> None:
         dd.release_cache(out)
         return n
 
+    def _source_js():
+        from mrt_data_integration_spark.operators.drift import (
+            source_js_matrix,
+        )
+
+        return len(source_js_matrix(docs, top_v=1000).collect())
+
     only = os.environ.get("SPARK_GRAFT_TAIL_OPS")
     wanted = set(only.split(",")) if only else None
     for name, fn in (
@@ -104,6 +111,7 @@ def main() -> None:
         ("source_overlap", _source_overlap),
         ("robust_outliers", _robust_outliers),
         ("ppmi_similarity", _ppmi_similarity),
+        ("source_js", _source_js),
     ):
         if wanted is not None and name not in wanted:
             continue

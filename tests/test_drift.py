@@ -261,3 +261,174 @@ def test_category_drift_partitioning_invariance_and_plan(spark):
     # strictly cheaper than the KS profile: NO window anywhere —
     # the category grain needs no running sums
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# source_js_matrix (r14) — the all-pairs distributional form
+
+
+def _src_frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+
+
+def _py_js(rows, top_v=1000):
+    import math
+    from collections import Counter
+
+    cnt: dict[str, Counter] = {}
+    for _, src, t in rows:
+        if t is None or src is None:
+            continue
+        cnt.setdefault(src, Counter()).update(t.split(" "))
+    gcnt = Counter()
+    for c in cnt.values():
+        gcnt.update(c)
+    top = {
+        t
+        for t, _ in sorted(gcnt.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :top_v
+        ]
+    }
+    buck = {
+        s: Counter(
+            {(t if t in top else "__oov__"): 0 for t in c}
+        )
+        for s, c in cnt.items()
+    }
+    for s, c in cnt.items():
+        b = Counter()
+        for t, n in c.items():
+            b[t if t in top else "__oov__"] += n
+        buck[s] = b
+    ln2 = round(math.log(2.0), 12)
+    out = {}
+    srcs = sorted(buck)
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            a, b = srcs[i], srcs[j]
+            ta, tb = sum(buck[a].values()), sum(buck[b].values())
+            shared = sorted(set(buck[a]) & set(buck[b]))
+            st = sa = sb = 0.0
+            for k in shared:  # bucket order: the order-pinned fold
+                pa, pb = buck[a][k] / ta, buck[b][k] / tb
+                st += 0.5 * (
+                    pa * round(math.log(2 * pa / (pa + pb)), 12)
+                    + pb * round(math.log(2 * pb / (pa + pb)), 12)
+                )
+                sa += pa
+                sb += pb
+            js = round(
+                st + 0.5 * (1 - sa) * ln2 + 0.5 * (1 - sb) * ln2, 6
+            )
+            out[(a, b)] = (len(shared), js)
+    return out
+
+
+def test_source_js_matches_python_twin(spark):
+    from mrt_data_integration_spark.operators.drift import source_js_matrix
+
+    rng = random.Random(20260902)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = [
+        (
+            i,
+            f"s{rng.randint(0, 4)}",
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))),
+        )
+        for i in range(100)
+    ] + [(900, None, "x y z"), (901, "s0", None)]
+    got = {
+        (r.source_a, r.source_b): (r.n_common, r.js)
+        for r in source_js_matrix(_src_frame(spark, rows)).collect()
+    }
+    assert got == _py_js(rows)
+
+
+def test_source_js_oov_bucket_and_bounds(spark):
+    """A tiny top_v forces the OOV bucket; the python twin must still
+    match exactly, and every js sits in [0, ln 2]."""
+    from mrt_data_integration_spark.operators.drift import source_js_matrix
+
+    rng = random.Random(9)
+    rows = [
+        (
+            i,
+            f"s{i % 4}",
+            " ".join(f"t{rng.randint(0, 40)}" for _ in range(12)),
+        )
+        for i in range(60)
+    ]
+    got = {
+        (r.source_a, r.source_b): (r.n_common, r.js)
+        for r in source_js_matrix(
+            _src_frame(spark, rows), top_v=5
+        ).collect()
+    }
+    assert got == _py_js(rows, top_v=5)
+    import math
+
+    for _, js in got.values():
+        assert -1e-9 <= js <= math.log(2.0) + 1e-9
+
+
+def test_source_js_identical_zero_disjoint_ln2(spark):
+    from mrt_data_integration_spark.operators.drift import source_js_matrix
+
+    same = "a b c a b"
+    rows = (
+        [(i, "x", same) for i in range(10)]
+        + [(100 + i, "y", same) for i in range(10)]
+        + [(200 + i, "z", "q r s q") for i in range(10)]
+    )
+    got = {
+        (r.source_a, r.source_b): (r.n_common, r.js)
+        for r in source_js_matrix(_src_frame(spark, rows)).collect()
+    }
+    assert got[("x", "y")][1] == 0.0  # identical distributions
+    assert got[("x", "z")] == (0, 0.693147)  # disjoint support: ln 2
+    assert got[("y", "z")] == (0, 0.693147)
+    # planted drift: same support, shifted rates -> strictly between
+    rows2 = [(i, "p", "a a a b") for i in range(10)] + [
+        (50 + i, "q", "a b b b") for i in range(10)
+    ]
+    got2 = {
+        (r.source_a, r.source_b): r.js
+        for r in source_js_matrix(_src_frame(spark, rows2)).collect()
+    }
+    assert 0.05 < got2[("p", "q")] < 0.5
+
+
+def test_source_js_partitioning_invariance_and_plan(spark):
+    from mrt_data_integration_spark.operators.drift import source_js_matrix
+
+    rng = random.Random(11)
+    rows = [
+        (
+            i,
+            f"s{i % 5}",
+            " ".join(f"w{rng.randint(0, 30)}" for _ in range(8)),
+        )
+        for i in range(120)
+    ]
+    base = {
+        tuple(r)
+        for r in source_js_matrix(_src_frame(spark, rows)).collect()
+    }
+    for parts in (1, 11):
+        got = {
+            tuple(r)
+            for r in source_js_matrix(
+                _src_frame(spark, rows).repartition(parts)
+            ).collect()
+        }
+        assert got == base
+    plan = (
+        source_js_matrix(_src_frame(spark, rows))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -82,6 +82,7 @@ _HINT_BUDGET = {
     "semantic_decontamination_ivf": 1,  # [batch] benchmark probe rows (r14)
     "sensitivity_scenarios": 3,      # [batch] scenario grids
     "sequence_packing": 1,           # [1row] pack-boundary frame
+    "source_js_divergence": 1,       # [dim] source-domain pair frame (r14)
     "star_join_revenue": 3,          # [dim] region/nation/customer
     "tfidf_top_terms": 1,            # [1row] n_docs (r12 gating fix)
     "training_mix_rebalance": 1,     # [model] per-source mix table
