@@ -1806,6 +1806,34 @@ _WINDOW: list[str] = (
 #     rank-and-take selection shape); ranks behind (21) because
 #     kmeans_diversity_sample's r14 retirement already thinned this
 #     sampling family's driver rows by one. Hash-for-hash.
+#     Further fresh POOL_A candidates pre-ranked mid-r14 continuation
+#     (nothing they would fund exists yet — the standing discipline;
+#     they rank BEHIND (22), which spends first):
+#     (23) `hard_negative_mining` (POOL_A, r13 hash) vs
+#     `margin_mined_pairs` (POOL_B, r12 hash — the SAME brute
+#     scored-pair frame with a different selection rule: margin band
+#     vs per-anchor rank band, both driven by the identical
+#     cosine-scored join) + `hard_negative_ivf_probe` (POOL_B, r12
+#     hash — the same hard-negative selection routed through the IVF
+#     scale path, held at hash strength by its Lloyd's-replay
+#     oracle); the mining-specific rank-band keeps its CI oracle +
+#     tests every run. Hash-for-hash.
+#     (24) `cdc_current_snapshot` (POOL_A, r13 hash) vs
+#     `streaming_scd2_history` (POOL_A, r13 hash — the same
+#     changelog-fold state machinery through the strictly harder
+#     streaming path, whose oracle IS the batch build) + the
+#     fold==collapse fuzz in tests/test_scd.py that pins the type-1
+#     semantics every CI run. Hash-for-hash; ranks behind (23)
+#     because retiring it would leave the SCD family's only driver
+#     rows on the streaming side.
+#     (25) `bm25_doc_search` (POOL_A, r13 hash) vs `tfidf_top_terms`
+#     (CORE, hash every rotation — the same tf/df/idf corpus
+#     statistics at driver-hash strength) + `phrase_search_occurrences`
+#     (POOL_A, r13 hash — the same inverted-index
+#     retrieval-with-verification machinery); the BM25-specific
+#     saturation/length-normalization arithmetic keeps its CI oracle
+#     every run. Hash-for-hash; ranks last because BM25 is the
+#     family's headline retrieval surface.
 #   - no rotation query waits >2 rounds under this plan: POOL_B + the
 #     13 r14-sit-out CORE members (the r13 returners) get r14 rows,
 #     POOL_A + the 13 r15-sit-out CORE members get r15 rows.
