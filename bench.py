@@ -208,6 +208,8 @@ HEADLINE = [
     # distributional drift shape (top-V bucketing + bucket-keyed pair
     # join + three order-pinned folds + closed-form disjoint mass)
     "source_js_divergence",
+    # mid-r14-continuation addition
+    "idf_shingle_neighbors",
 ]
 
 

@@ -1,0 +1,217 @@
+"""Idf-weighted shingle-cosine document similarity (SURVEY.md §2.9,
+E3/E4 extension — the WEIGHTED complement of the set-overlap dedup
+metrics).
+
+Where ``ngram_jaccard_pairs`` treats every shared shingle equally and
+``containment_pairs`` asymmetrically, this family weights each shingle
+by its corpus rarity — idf = ln((1+N)/(1+df)) (the smoothed-idf
+convention of ``tfidf_top_terms``) — and ranks, for every document,
+its k nearest neighbors by cosine between the idf-weighted shingle
+indicator vectors:
+
+    cos(A, B) = Σ_{s∈A∩B} idf(s)² / ( √Σ_{s∈A} idf(s)² · √Σ_{s∈B} idf(s)² )
+
+idf weighting is the SMOOTH alternative to the hard ``max_shingle_df``
+cap for boilerplate control: a near-ubiquitous shingle ("all rights
+reserved") contributes ~0 weight instead of being dropped at an
+arbitrary threshold, so two documents agreeing only on boilerplate
+rank near the bottom while two documents sharing rare content rank at
+the top — exactly the distinction unweighted Jaccard cannot make (the
+separation is pinned in tests/test_docsim.py).
+
+Scale design (the ngram_jaccard/ppmi discipline):
+- Documents shuffle as (md5-prefix shingle key, id) longs/short hex —
+  bodies never shuffle (dedup.py's key discipline).
+- df rides a count window over the shingle key — the SAME Exchange the
+  inverted-index self-join needs, so attaching weights costs no extra
+  shuffle (the n_sh-window precedent in ngram_jaccard_pairs).
+- The pair join is the inverted-index sparse matrix product: fan-out
+  per shingle is df², bounded by Σ df² overall; ``max_shingle_df``
+  remains available as the HARD production fan-out control on top of
+  the smooth idf downweighting (capped mode documented below).
+- Both float reductions (per-doc squared norms, per-pair dots) fold
+  SEQUENTIALLY over shingle-key-sorted arrays — bit-deterministic
+  regardless of partitioning (the zipf/token_diversity discipline).
+- Per-anchor ranking is a row_number window over the ROUNDED cosine
+  (round 6) with the neighbor id as total-order tie-break, so the
+  top-k frontier is engine-independent.
+
+Reference parity: the reference engine ships no document-similarity
+operator (its surface is the MRT estimator suite,
+eastonhuch/mrt-data-integration methods/); this family belongs to the
+mandated training-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mrt_data_integration_spark.cache_registry import (
+    attach_cache as _attach_cache,
+    track_cache,
+)
+from mrt_data_integration_spark.operators.dedup import _spread, word_shingles
+
+
+def idf_shingle_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(id, shingle-key, idf weight) rows — the sparse idf-weighted
+    shingle indicator vectors, one row per (document, distinct shingle).
+
+    ``shingle`` is the 16-hex-char md5 prefix of the n-word shingle
+    (dedup.py's shuffle-payload discipline; collision ~2⁻⁶⁴ per pair);
+    ``w = round(ln((1+N)/(1+df)), 12)`` with N = count of documents
+    with non-NULL text and df = the shingle's document frequency
+    (shingles are distinct per doc, so a per-key count IS df). The ln
+    is rounded 12 — the engine's cross-engine log discipline.
+
+    Zero-weight rows (df == N ⇒ idf exactly 0) are pruned: they move
+    no cosine, and a corpus-wide shingle would otherwise alone fan the
+    pair join out N² — the degenerate case idf weighting exists to
+    defuse. Under ``max_shingle_df`` every reported quantity downstream
+    (weights, norms, dots, n_shared) sees the CAPPED shingle universe —
+    the same-universe convention of the capped dedup metrics.
+    """
+    exploded = _spread(df.filter(F.col(text_col).isNotNull())).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                word_shingles(text_col, shingle_n),
+                lambda s: F.substring(F.md5(s), 1, 16),
+            )
+        ).alias("shingle"),
+    )
+    if max_shingle_df is not None:
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > int(max_shingle_df))
+            .select("shingle")
+        )
+        exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    # N stays IN-PLAN as a 1-row aggregate broadcast (the
+    # tfidf_top_terms/DSIR pattern — no separate .count() action).
+    n = (
+        df.filter(F.col(text_col).isNotNull())
+        .agg(F.count(F.lit(1)).cast("double").alias("__n_docs__"))
+    )
+    # df via a count window over the shingle key: the same Exchange the
+    # downstream self-join reuses (the ngram_jaccard n_sh precedent),
+    # instead of a separate df-table join.
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    w = F.round(
+        F.log((1.0 + F.col("__n_docs__")) / (1.0 + F.col("df"))), 12
+    )
+    return (
+        exploded.withColumn("df", dfreq)
+        .crossJoin(F.broadcast(n))  # 1 row: map-side constant
+        .select(F.col(id_col), "shingle", w.alias("w"))
+        .filter(F.col("w") != 0.0)
+    )
+
+
+def idf_cosine_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.05,
+    shingle_n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Per-document top-k nearest neighbors under idf-weighted shingle
+    cosine: one row per (doc_id, rank) with
+    (doc_id, neighbor_id, rank, n_shared, cosine), cosine rounded 6,
+    rank 1..k over (cosine DESC, neighbor_id ASC) among neighbors with
+    cosine ≥ ``threshold``.
+
+    The pair dots come from ONE undirected inverted-index self-join
+    (a.id < b.id — half the fan-out) symmetrized at pair grain before
+    ranking, so each unordered pair's dot is computed once. Both float
+    reductions (norms, dots) fold sequentially over shingle-key-sorted
+    struct arrays — order-pinned. ``max_shingle_df`` is the hard
+    production fan-out control layered over the smooth idf weighting;
+    the registered query runs uncapped (its oracle computes the
+    textbook uncapped cosine, so the query must too).
+    """
+    vec = idf_shingle_weights(df, id_col, text_col, shingle_n, max_shingle_df)
+    # three consumers (norms, both join sides): persist so the corpus
+    # tokenize+md5+window runs once (the ngram_jaccard discipline).
+    vec = track_cache(vec.persist())
+    sq = F.sort_array(
+        F.collect_list(
+            F.struct(F.col("shingle"), (F.col("w") * F.col("w")).alias("w2"))
+        )
+    )
+    norms = vec.groupBy(id_col).agg(
+        F.aggregate(sq, F.lit(0.0), lambda a, e: a + e["w2"]).alias("n2")
+    )
+    a = vec.select(
+        F.col(id_col).alias("__a__"), "shingle", F.col("w").alias("wa")
+    )
+    b = vec.select(
+        F.col(id_col).alias("__b__"), "shingle", F.col("w").alias("wb")
+    )
+    prods = (
+        a.join(b, "shingle")
+        .filter(F.col("__a__") < F.col("__b__"))
+        .select(
+            "__a__",
+            "__b__",
+            "shingle",
+            (F.col("wa") * F.col("wb")).alias("prod"),
+        )
+    )
+    dp = F.sort_array(F.collect_list(F.struct(F.col("shingle"), F.col("prod"))))
+    dots = prods.groupBy("__a__", "__b__").agg(
+        F.aggregate(dp, F.lit(0.0), lambda acc, e: acc + e["prod"]).alias("dot"),
+        F.count(F.lit(1)).alias("n_shared"),
+    )
+    # symmetrize at pair grain (cheap — pairs ≪ join rows), then attach
+    # norms and rank per anchor.
+    sym = dots.select(
+        F.col("__a__").alias(id_col),
+        F.col("__b__").alias("neighbor_id"),
+        "dot",
+        "n_shared",
+    ).unionByName(
+        dots.select(
+            F.col("__b__").alias(id_col),
+            F.col("__a__").alias("neighbor_id"),
+            "dot",
+            "n_shared",
+        )
+    )
+    na = norms.select(F.col(id_col), F.col("n2").alias("n2_a"))
+    nb = norms.select(
+        F.col(id_col).alias("neighbor_id"), F.col("n2").alias("n2_b")
+    )
+    cos = F.round(
+        F.col("dot") / (F.sqrt(F.col("n2_a")) * F.sqrt(F.col("n2_b"))), 6
+    )
+    scored = (
+        sym.join(na, id_col)
+        .join(nb, "neighbor_id")
+        .select(
+            id_col,
+            "neighbor_id",
+            "n_shared",
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )
+    w_rank = Window.partitionBy(id_col).orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= int(k))
+        .select(id_col, "neighbor_id", "rank", "n_shared", "cosine")
+    )
+    return _attach_cache(out, [vec])

@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (147 queries as of r14 —
+# ROTATION POLICY (round 4+): the registry (148 queries as of r14 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r14: 47 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r14: 48 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -173,7 +173,17 @@ _POOL_A: list[str] = [
     # E3×E6 — streaming ingest dedup; E6 — streaming funnel): registered
     # after the r6 window froze, zero driver history; POOL_A's r7 turn
     # force-includes all seven per exception rule 2.
-    "weighted_doc_sample",
+    # (`weighted_doc_sample` was retired mid-r14-continuation to fund
+    # `idf_shingle_neighbors` — the banked candidate #22, argument
+    # written in the ledger BEFORE this family existed; see _RETIRED.)
+    # mid-r14-continuation addition (E3/E4+ — idf-weighted shingle
+    # cosine top-k neighbors: the WEIGHTED complement of the
+    # set-overlap dedup metrics, and the sparse restoration of the
+    # top-k-similarity seat the dense `cosine_topk` retirement
+    # vacated; zero driver history → forced into POOL_A's r15 window
+    # per rule 2; slot funded by retiring `weighted_doc_sample` — a
+    # hash-for-hash swap)
+    "idf_shingle_neighbors",
     # (`ivfpq_appended_index_topk` was retired r12 to fund
     # `lm_perplexity_filter` — the r13 plan comment's pre-ranked
     # candidate #1, argument written at the flip before building; see
@@ -1034,6 +1044,18 @@ _RETIRED: list[str] = [
     # keeps its own DuckDB oracle every CI run
     # (tests/test_oracle_parity.py). A hash-for-hash swap.
     "label_centroids",
+    # mid-r14-continuation: retired to fund the `idf_shingle_neighbors`
+    # r15 slot — the banked candidate #22, argument written in the
+    # ledger BEFORE the family it funds existed (the standing
+    # discipline; spent first per its ranking, ahead of the freshly
+    # pre-ranked (23)-(25)). Twin coverage:
+    # `stratified_fixed_k_sample` (POOL_B, r14 window — the SAME A-ES
+    # key-and-rank machinery through the fixed-k variant) +
+    # `token_budget_selection` (POOL_B, r14 window — the same
+    # per-group rank-and-take selection shape); the retiree keeps its
+    # own DuckDB oracle every CI run (tests/test_oracle_parity.py). A
+    # hash-for-hash swap.
+    "weighted_doc_sample",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,
@@ -1806,6 +1828,8 @@ _WINDOW: list[str] = (
 #     rank-and-take selection shape); ranks behind (21) because
 #     kmeans_diversity_sample's r14 retirement already thinned this
 #     sampling family's driver rows by one. Hash-for-hash.
+#     [(22) SPENT mid-r14-continuation funding `idf_shingle_neighbors`
+#     — see _RETIRED.]
 #     Further fresh POOL_A candidates pre-ranked mid-r14 continuation
 #     (nothing they would fund exists yet — the standing discipline;
 #     they rank BEHIND (22), which spends first):

@@ -2418,3 +2418,88 @@ def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return source_js_matrix(docs, top_v=1000)
+
+
+@query(
+    "idf_shingle_neighbors",
+    # Full replay: md5-prefix shingle keys, the smoothed idf
+    # ln((1+N)/(1+df)) rounded 12 (N in-plan, zero-weight rows pruned),
+    # BOTH float reductions as shingle-key-ORDERED folds (Spark:
+    # sequential aggregate over sorted struct arrays; DuckDB: ordered
+    # list_reduce), cosine rounded 6 BEFORE the ranking window, and the
+    # per-anchor row_number over (cosine DESC, neighbor_id) — the
+    # total-order tie-break that makes the top-k frontier
+    # engine-independent.
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, substr(md5(unnest({_SHINGLES})), 1, 16) AS s
+      FROM documents WHERE text IS NOT NULL
+    ),
+    nd AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n
+      FROM documents WHERE text IS NOT NULL
+    ),
+    dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+    w AS (
+      SELECT doc_id, sh.s,
+             round(ln((1 + nd.n) / (1 + dfq.df)), 12) AS w
+      FROM sh JOIN dfq USING (s) CROSS JOIN nd
+      WHERE round(ln((1 + nd.n) / (1 + dfq.df)), 12) <> 0
+    ),
+    norms AS (
+      SELECT doc_id AS id,
+             list_reduce(list(w * w ORDER BY s), (a, b) -> a + b) AS n2
+      FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             list_reduce(list(a.w * b.w ORDER BY a.s),
+                         (x, y) -> x + y) AS dot,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT d1 AS doc_id, d2 AS neighbor_id, dot, n_shared FROM dots
+      UNION ALL
+      SELECT d2 AS doc_id, d1 AS neighbor_id, dot, n_shared FROM dots
+    ),
+    cos AS (
+      SELECT sym.doc_id, sym.neighbor_id, sym.n_shared,
+             round(sym.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+      FROM sym
+      JOIN norms na ON na.id = sym.doc_id
+      JOIN norms nb ON nb.id = sym.neighbor_id
+    )
+    SELECT doc_id, neighbor_id, rank, n_shared, cosine
+    FROM (
+      SELECT doc_id, neighbor_id, n_shared, cosine,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY cosine DESC, neighbor_id
+             ) AS rank
+      FROM cos WHERE cosine >= 0.05
+    )
+    WHERE rank <= 3
+    """,
+)
+def idf_shingle_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/E4+ (operators/docsim.idf_cosine_topk): per-document top-k
+    nearest neighbors under idf-weighted shingle cosine — the WEIGHTED
+    complement of `ngram_jaccard_pairs` (equal-weight sets) and
+    `containment_dedup_pairs` (asymmetric sets): corpus-rare shingles
+    dominate the score, boilerplate decays smoothly as ln((1+N)/(1+df))
+    instead of being dropped at the hard df cap. Also restores a
+    top-k-similarity driver seat through genuinely different machinery
+    than the retired dense `cosine_topk` (sparse inverted-index product
+    vs dense dot). Scale shape: bodies never shuffle (md5-prefix
+    keys); df rides the shingle-key count window (the n_sh precedent);
+    ONE undirected self-join symmetrized at pair grain; both float
+    reductions fold order-pinned; `max_shingle_df=None` explicitly —
+    the oracle computes the textbook uncapped cosine, so the query
+    must too (the operator's cap belongs to production corpora)."""
+    from mrt_data_integration_spark.operators.docsim import idf_cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return idf_cosine_topk(
+        docs, k=3, threshold=0.05, shingle_n=3, max_shingle_df=None
+    )
