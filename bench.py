@@ -210,6 +210,7 @@ HEADLINE = [
     "source_js_divergence",
     # mid-r14-continuation addition
     "idf_shingle_neighbors",
+    "relational_quality_audit",
 ]
 
 

@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (148 queries as of r14 —
+# ROTATION POLICY (round 4+): the registry (149 queries as of r14 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r14: 48 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r14: 49 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -112,7 +112,20 @@ _POOL_A: list[str] = [
     # slots funded by the paired retirements of `ivfpq_topk` (the
     # registry's own named consolidation candidate) and `sessionization`
     # (see _RETIRED).
-    "hard_negative_mining",
+    # (`hard_negative_mining` was retired mid-r14-continuation to fund
+    # `relational_quality_audit` — the freshly pre-ranked candidate
+    # #23, argument written in the ledger BEFORE that family existed;
+    # see _RETIRED.)
+    # mid-r14-continuation addition (pipeline-QA — declarative
+    # constraint audit compiled to minimum passes: one scan per table
+    # for all row-level predicates, two-level partial aggregate for
+    # uniqueness, hit-marker membership join for referential
+    # integrity, inner-join conditional count for the cross-table
+    # temporal rule the corpus genuinely violates; zero driver
+    # history → forced into POOL_A's r15 window per rule 2; slot
+    # funded by retiring `hard_negative_mining` — a hash-for-hash
+    # swap)
+    "relational_quality_audit",
     "streaming_scd2_history",
     # late-r9 addition (E3+++ — span-level duplicate REMOVAL, the
     # rewrite half of substring dedup; the oracle replays the whole
@@ -1056,6 +1069,19 @@ _RETIRED: list[str] = [
     # own DuckDB oracle every CI run (tests/test_oracle_parity.py). A
     # hash-for-hash swap.
     "weighted_doc_sample",
+    # mid-r14-continuation: retired to fund the
+    # `relational_quality_audit` r15 slot — the freshly pre-ranked
+    # candidate #23, argument written in the ledger BEFORE the family
+    # it funds existed (the standing discipline; spent after (22) per
+    # the ranking). Twin coverage: `margin_mined_pairs` (POOL_B, r14
+    # window — the SAME brute cosine-scored pair frame with a margin
+    # band instead of a rank band) + `hard_negative_ivf_probe`
+    # (POOL_B, r14 window — the same hard-negative selection routed
+    # through the IVF scale path, held at hash strength by its
+    # Lloyd's-replay oracle); the retiree keeps its own DuckDB oracle
+    # every CI run (tests/test_oracle_parity.py). A hash-for-hash
+    # swap.
+    "hard_negative_mining",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,
@@ -1842,6 +1868,8 @@ _WINDOW: list[str] = (
 #     scale path, held at hash strength by its Lloyd's-replay
 #     oracle); the mining-specific rank-band keeps its CI oracle +
 #     tests every run. Hash-for-hash.
+#     [(23) SPENT mid-r14-continuation funding
+#     `relational_quality_audit` — see _RETIRED.]
 #     (24) `cdc_current_snapshot` (POOL_A, r13 hash) vs
 #     `streaming_scd2_history` (POOL_A, r13 hash — the same
 #     changelog-fold state machinery through the strictly harder

@@ -1179,3 +1179,169 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_col="n_chars",
         tokens_col="__tok__",
     )
+
+
+@query(
+    "relational_quality_audit",
+    # Full replay: each table's row-level predicates as one-pass
+    # conditional sums, uniqueness as count−distinct excess,
+    # referential integrity as parent-key membership, the cross-table
+    # temporal rule over the inner join — all unioned to the
+    # constraint-grain schema with the honest-NULL rate convention
+    # (empty set → NULL rate, vacuously passed).
+    oracle="""
+    WITH li AS (
+      SELECT count(*) AS n,
+        sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS v1,
+        sum(CASE WHEN l_extendedprice IS NULL OR l_extendedprice <= 0 THEN 1 ELSE 0 END) AS v2,
+        sum(CASE WHEN l_discount IS NULL OR l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS v3,
+        sum(CASE WHEN l_tax IS NULL OR l_tax < 0 THEN 1 ELSE 0 END) AS v4,
+        sum(CASE WHEN l_linenumber IS NULL OR l_linenumber < 1 OR l_linenumber > 7 THEN 1 ELSE 0 END) AS v5
+      FROM lineitem
+    ),
+    ords AS (
+      SELECT count(*) AS n,
+        sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END) AS v1,
+        sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS v2
+      FROM orders
+    ),
+    docs AS (
+      SELECT count(*) AS n,
+        sum(CASE WHEN n_chars IS NULL OR text IS NULL OR n_chars <> length(text) THEN 1 ELSE 0 END) AS v1,
+        sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS v2
+      FROM documents
+    ),
+    uniq_ord AS (
+      SELECT count(*) AS n, count(*) - count(DISTINCT o_orderkey) AS v
+      FROM orders
+    ),
+    uniq_cust AS (
+      SELECT count(*) AS n, count(*) - count(DISTINCT c_custkey) AS v
+      FROM customer
+    ),
+    ref_li AS (
+      SELECT count(*) AS n,
+        sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS v
+      FROM lineitem l
+      LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON l.l_orderkey = o.o_orderkey
+    ),
+    ref_ord AS (
+      SELECT count(*) AS n,
+        sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS v
+      FROM orders a
+      LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON a.o_custkey = c.c_custkey
+    ),
+    ship AS (
+      SELECT count(*) AS n,
+        sum(CASE WHEN l.l_shipdate IS NULL OR o.o_orderdate IS NULL
+                      OR l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS v
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    rows_ AS (
+      SELECT 'li_quantity_in_1_50' AS check_name, 'lineitem' AS table_name, n, v1 AS v FROM li
+      UNION ALL SELECT 'li_extendedprice_positive', 'lineitem', n, v2 FROM li
+      UNION ALL SELECT 'li_discount_in_0_1', 'lineitem', n, v3 FROM li
+      UNION ALL SELECT 'li_tax_nonnegative', 'lineitem', n, v4 FROM li
+      UNION ALL SELECT 'li_linenumber_in_1_7', 'lineitem', n, v5 FROM li
+      UNION ALL SELECT 'ord_totalprice_positive', 'orders', n, v1 FROM ords
+      UNION ALL SELECT 'ord_orderdate_not_null', 'orders', n, v2 FROM ords
+      UNION ALL SELECT 'doc_n_chars_consistent', 'documents', n, v1 FROM docs
+      UNION ALL SELECT 'doc_text_nonempty', 'documents', n, v2 FROM docs
+      UNION ALL SELECT 'ord_orderkey_unique', 'orders', n, v FROM uniq_ord
+      UNION ALL SELECT 'cust_custkey_unique', 'customer', n, v FROM uniq_cust
+      UNION ALL SELECT 'li_orderkey_in_orders', 'lineitem', n, v FROM ref_li
+      UNION ALL SELECT 'ord_custkey_in_customer', 'orders', n, v FROM ref_ord
+      UNION ALL SELECT 'li_ships_on_or_after_order', 'lineitem_x_orders', n, v FROM ship
+    )
+    SELECT check_name, table_name,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(v AS BIGINT) AS n_violations,
+           CASE WHEN n > 0 THEN round(CAST(v AS DOUBLE) / n, 6) END AS violation_rate,
+           v = 0 AS passed
+    FROM rows_
+    """,
+)
+def relational_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-QA (operators/quality_audit): declarative constraint
+    suite over the relational tables — the Deequ/Great-Expectations
+    shape compiled to the MINIMUM passes the constraint classes allow:
+    all row-level predicates on a table share ONE aggregate scan
+    (conditional sums unpivoted to constraint grain), uniqueness is a
+    two-level partial aggregate (never a count-distinct expand),
+    referential integrity is one left join against the deduplicated
+    parent key set with a hit marker, and the cross-table temporal
+    rule (every lineitem ships on/after its order's date — the one
+    constraint this corpus genuinely violates, ~49% of joined rows)
+    is one inner join + conditional count. Output is bounded by the
+    constraint count — never by the data."""
+    from mrt_data_integration_spark.operators import quality_audit as qa
+    from mrt_data_integration_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    docs = load_table(spark, sf_dir, "documents")
+    lq = F.col("l_quantity")
+    return qa.combine_audit(
+        qa.row_checks(
+            li,
+            "lineitem",
+            [
+                ("li_quantity_in_1_50", (lq < 1) | (lq > 50)),
+                ("li_extendedprice_positive", F.col("l_extendedprice") <= 0),
+                (
+                    "li_discount_in_0_1",
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+                ),
+                ("li_tax_nonnegative", F.col("l_tax") < 0),
+                (
+                    "li_linenumber_in_1_7",
+                    (F.col("l_linenumber") < 1) | (F.col("l_linenumber") > 7),
+                ),
+            ],
+        ),
+        qa.row_checks(
+            orders,
+            "orders",
+            [
+                ("ord_totalprice_positive", F.col("o_totalprice") <= 0),
+                ("ord_orderdate_not_null", F.col("o_orderdate").isNull()),
+            ],
+        ),
+        qa.row_checks(
+            docs,
+            "documents",
+            [
+                (
+                    "doc_n_chars_consistent",
+                    F.col("n_chars") != F.length("text"),
+                ),
+                (
+                    "doc_text_nonempty",
+                    F.col("text").isNull() | (F.length("text") == 0),
+                ),
+            ],
+        ),
+        qa.uniqueness_check(orders, "orders", "ord_orderkey_unique", ["o_orderkey"]),
+        qa.uniqueness_check(
+            customer, "customer", "cust_custkey_unique", ["c_custkey"]
+        ),
+        qa.referential_check(
+            li, orders, "lineitem", "li_orderkey_in_orders",
+            ["l_orderkey"], ["o_orderkey"],
+        ),
+        qa.referential_check(
+            orders, customer, "orders", "ord_custkey_in_customer",
+            ["o_custkey"], ["c_custkey"],
+        ),
+        qa.join_violation_check(
+            li,
+            orders,
+            [("l_orderkey", "o_orderkey")],
+            "lineitem_x_orders",
+            "li_ships_on_or_after_order",
+            F.col("l_shipdate") < F.col("o_orderdate"),
+        ),
+    )
