@@ -211,6 +211,7 @@ HEADLINE = [
     # mid-r14-continuation addition
     "idf_shingle_neighbors",
     "relational_quality_audit",
+    "lang_agreement_kappa",
 ]
 
 

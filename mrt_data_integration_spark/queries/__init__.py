@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (149 queries as of r14 —
+# ROTATION POLICY (round 4+): the registry (150 queries as of r14 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r14: 49 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r14: 50 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -331,13 +331,18 @@ _POOL_A: list[str] = [
     # retiring `kmeans_diversity_sample` — a hash-for-hash swap, spent
     # after (17)/(18)/(19) per the pre-ranking)
     "ppmi_word_similarity",
-    # r10 addition (J6-type-1 — CDC current-snapshot merge with
-    # upserts + deletes, operators/scd.apply_cdc_changes; the
-    # sequential-fold == one-shot-collapse oracle pattern of
-    # `streaming_scd2_history`, type-1 edition): zero driver history →
-    # forced into POOL_A's r11 window per rule 2; slot funded by
-    # retiring `scd2_priority_history` (see _RETIRED).
-    "cdc_current_snapshot",
+    # (`cdc_current_snapshot` was retired mid-r14-continuation to fund
+    # `lang_agreement_kappa` — the freshly pre-ranked candidate #24,
+    # argument written in the ledger BEFORE that family existed; see
+    # _RETIRED.)
+    # mid-r14-continuation addition (pipeline-QA — Cohen's-kappa
+    # agreement audit between a cheap classifier and reference
+    # labels: one label-domain-bounded (ref, pred) hash aggregate,
+    # label-ordered pe fold, closed-form kappa with honest-NULL
+    # precision/recall/kappa contracts; zero driver history → forced
+    # into POOL_A's r15 window per rule 2; slot funded by retiring
+    # `cdc_current_snapshot` — a hash-for-hash swap)
+    "lang_agreement_kappa",
 ]
 _POOL_B: list[str] = [
     "filter_project",
@@ -1082,6 +1087,18 @@ _RETIRED: list[str] = [
     # every CI run (tests/test_oracle_parity.py). A hash-for-hash
     # swap.
     "hard_negative_mining",
+    # mid-r14-continuation: retired to fund the `lang_agreement_kappa`
+    # r15 slot — the freshly pre-ranked candidate #24, argument
+    # written in the ledger BEFORE the family it funds existed (the
+    # standing discipline; spent after (23) per the ranking). Twin
+    # coverage: `streaming_scd2_history` (POOL_A, r13 hash — the same
+    # changelog-fold state machinery through the strictly harder
+    # streaming path, whose oracle IS the batch build) + the
+    # fold==collapse fuzz in tests/test_scd.py that pins the type-1
+    # semantics every CI run; the retiree keeps its own DuckDB oracle
+    # every CI run (tests/test_oracle_parity.py). A hash-for-hash
+    # swap.
+    "cdc_current_snapshot",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,
@@ -1878,6 +1895,8 @@ _WINDOW: list[str] = (
 #     semantics every CI run. Hash-for-hash; ranks behind (23)
 #     because retiring it would leave the SCD family's only driver
 #     rows on the streaming side.
+#     [(24) SPENT mid-r14-continuation funding `lang_agreement_kappa`
+#     — see _RETIRED.]
 #     (25) `bm25_doc_search` (POOL_A, r13 hash) vs `tfidf_top_terms`
 #     (CORE, hash every rotation — the same tf/df/idf corpus
 #     statistics at driver-hash strength) + `phrase_search_occurrences`

@@ -2503,3 +2503,88 @@ def idf_shingle_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idf_cosine_topk(
         docs, k=3, threshold=0.05, shingle_n=3, max_shingle_df=None
     )
+
+
+@query(
+    "lang_agreement_kappa",
+    # Full replay: binarized reference labels, the stopword-density
+    # predictor, the (ref, pred) cell counts, union-domain marginals
+    # with coalesced zeros, accuracy, the label-ORDERED pe fold
+    # (Spark sequential aggregate == DuckDB ordered list_reduce), the
+    # kappa closed form with its pe==1 NULL contract, and the
+    # per-class precision/recall/F1 honest-NULL rules.
+    oracle=f"""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS r,
+             CASE WHEN CAST(len(list_filter({_TOKENS}, t -> t IN {_STOP_SQL})) AS DOUBLE)
+                       / len({_TOKENS}) >= 0.02
+                  THEN 'en' ELSE 'other' END AS p
+      FROM documents WHERE lang IS NOT NULL
+    ),
+    cells AS (SELECT r, p, count(*) AS n FROM scored GROUP BY 1, 2),
+    refm AS (SELECT r, sum(n) AS n_ref FROM cells GROUP BY 1),
+    predm AS (SELECT p, sum(n) AS n_pred FROM cells GROUP BY 1),
+    diag AS (SELECT r AS label, n AS n_correct FROM cells WHERE r = p),
+    labels AS (SELECT r AS label FROM refm UNION SELECT p FROM predm),
+    per AS (
+      SELECT labels.label AS label,
+        CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+        CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
+        CAST(coalesce(n_correct, 0) AS BIGINT) AS n_correct
+      FROM labels
+      LEFT JOIN refm ON refm.r = labels.label
+      LEFT JOIN predm ON predm.p = labels.label
+      LEFT JOIN diag ON diag.label = labels.label
+    ),
+    tot AS (
+      SELECT CAST(sum(n_ref) AS DOUBLE) AS n,
+             CAST(sum(n_correct) AS DOUBLE) AS diag_n,
+             list_reduce(
+               list(CAST(n_ref AS DOUBLE) * CAST(n_pred AS DOUBLE)
+                    ORDER BY label),
+               (a, b) -> a + b
+             ) AS pesum
+      FROM per
+    )
+    SELECT label, n_ref, n_pred, n_correct,
+      CASE WHEN n_pred > 0
+           THEN round(CAST(n_correct AS DOUBLE) / n_pred, 6) END AS precision,
+      CASE WHEN n_ref > 0
+           THEN round(CAST(n_correct AS DOUBLE) / n_ref, 6) END AS recall,
+      CASE WHEN n_pred > 0 AND n_ref > 0 THEN
+        CASE WHEN n_correct > 0 THEN
+          round(2.0 * (CAST(n_correct AS DOUBLE) / n_pred)
+                    * (CAST(n_correct AS DOUBLE) / n_ref)
+                / ((CAST(n_correct AS DOUBLE) / n_pred)
+                   + (CAST(n_correct AS DOUBLE) / n_ref)), 6)
+        ELSE 0.0 END
+      END AS f1,
+      round(diag_n / n, 6) AS accuracy,
+      CASE WHEN pesum / (n * n) <> 1.0
+           THEN round((diag_n / n - pesum / (n * n))
+                      / (1.0 - pesum / (n * n)), 6) END AS kappa
+    FROM per, tot
+    """,
+)
+def lang_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-QA (operators/agreement.label_agreement): Cohen's-kappa
+    agreement audit between the stopword-density language-ID heuristic
+    and the binarized reference lang label — the standard validation
+    before a cheap classifier drives corpus-scale filtering. The only
+    corpus-scale operation is ONE (ref, pred) hash aggregate
+    (map-side partial, label-domain-bounded output); marginals,
+    accuracy, the label-ordered pe fold, and the kappa closed form
+    all ride the domain-bounded cell frame + a 1-row broadcast.
+    Honest-NULL contracts: precision NULL for never-predicted
+    classes, recall NULL for reference-absent classes, kappa NULL at
+    pe == 1."""
+    from mrt_data_integration_spark.operators.agreement import label_agreement
+
+    docs = load_table(spark, sf_dir, "documents")
+    frame = docs.filter(F.col("lang").isNotNull()).select(
+        F.when(F.col("lang") == "en", F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("ref"),
+        tx.lang_id_heuristic("text").alias("pred"),
+    )
+    return label_agreement(frame, "ref", "pred")
