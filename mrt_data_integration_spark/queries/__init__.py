@@ -34,11 +34,11 @@ from mrt_data_integration_spark.queries import (  # noqa: F401, E402
 # order[:50]).  Import order is therefore load-bearing, and appending new
 # queries at the end silently un-verifies them.
 #
-# ROTATION POLICY (round 4+): the registry (150 queries as of r14 —
+# ROTATION POLICY (round 4+): the registry (151 queries as of r14 —
 # counted by tests/test_window_policy.py, don't trust this comment alone)
 # is split into a CORE of 26 queries (one per physical shape — scan/agg,
 # joins, windows, pivots, dedup, text), two pools (POOL_A: 37,
-# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r14: 50 queries
+# POOL_B: 37) that ALTERNATE rounds, and a RETIRED tier (r14: 51 queries
 # consolidated out of the rotation because a same-shape twin stays in —
 # see _RETIRED; counts above are maintained BY HAND — recount after any
 # add/retire, the r6 off-by-one came from exactly this), so no
@@ -1099,6 +1099,17 @@ _RETIRED: list[str] = [
     # every CI run (tests/test_oracle_parity.py). A hash-for-hash
     # swap.
     "cdc_current_snapshot",
+    # mid-r14-continuation: BORN CI-tier (no driver slot was ever
+    # held or funded — no retirement paired, by design). The ORC
+    # roundtrip's physical shape (write-then-read identity feeding a
+    # grouped aggregate) is pinned in-window by
+    # `partitioned_parquet_roundtrip` (POOL_B, r14 window) and
+    # twin-carried by the csv/jsonl codec retirees; ORC adds a codec,
+    # not a plan shape, so it registers straight into the CI tier
+    # with its own DuckDB oracle (tests/test_oracle_parity.py runs it
+    # every CI sweep — the roundtrip-equality IS the
+    # value-preservation claim).
+    "orc_roundtrip",
 ]
 # Round 7 window: POOL_A's turn (37 queries, including the SEVEN r6
 # additions with zero driver history — `weighted_doc_sample`,

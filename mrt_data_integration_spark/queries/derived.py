@@ -293,3 +293,43 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.md5(F.col("text"))).alias("n_distinct_texts"),
         F.sum(F.length("text")).alias("sum_text_len"),
     )
+
+
+@query(
+    "orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                                   AS n,
+           round(sum(round(o_totalprice, 2)), 2)      AS sum_price,
+           min(strftime(o_orderdate, '%Y-%m-%d'))     AS first_date,
+           max(strftime(o_orderdate, '%Y-%m-%d'))     AS last_date
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2 (mid-r14 continuation): ORC sink + source round-trip —
+    the third columnar interchange codec next to parquet and the text
+    codecs (CSV/JSONL). Spark ships the ORC reader/writer natively;
+    unlike the CSV path there is no schema inference step — ORC
+    carries exact types (DECIMAL-free doubles, DATE), so the
+    round-trip must be bit-value-preserving. The oracle aggregates
+    the ORIGINAL rows directly; equality IS the preservation claim.
+    Born CI-tier (see the ledger note in queries/__init__.py): the
+    roundtrip family's window seats already pin the write-then-read
+    identity shape; a third codec adds no new physical plan."""
+    orders = load_table(spark, sf_dir, "orders")
+    subset = orders.select(
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("price"),
+        "o_orderdate",
+    )
+    out_dir = ephemeral_dir("mrt_orc_roundtrip_")
+    subset.write.mode("overwrite").orc(out_dir)
+    back = spark.read.orc(out_dir)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("price"), 2).alias("sum_price"),
+        F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_date"),
+        F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("last_date"),
+    )
