@@ -144,13 +144,14 @@ def idf_cosine_topk(
     # three consumers (norms, both join sides): persist so the corpus
     # tokenize+md5+window runs once (the ngram_jaccard discipline).
     vec = track_cache(vec.persist())
-    sq = F.sort_array(
-        F.collect_list(
-            F.struct(F.col("shingle"), (F.col("w") * F.col("w")).alias("w2"))
-        )
-    )
+    # order-pinned folds over VALUE-sorted double lists: the summand
+    # (w², resp. wa·wb) alone determines the fold order — equal values
+    # sum the same in any order, so sorting by value is as
+    # deterministic as sorting by shingle key while carrying HALF the
+    # shuffle payload (no struct, no 16-char key per element).
+    sq = F.sort_array(F.collect_list(F.col("w") * F.col("w")))
     norms = vec.groupBy(id_col).agg(
-        F.aggregate(sq, F.lit(0.0), lambda a, e: a + e["w2"]).alias("n2")
+        F.aggregate(sq, F.lit(0.0), lambda a, e: a + e).alias("n2")
     )
     a = vec.select(
         F.col(id_col).alias("__a__"), "shingle", F.col("w").alias("wa")
@@ -164,15 +165,19 @@ def idf_cosine_topk(
         .select(
             "__a__",
             "__b__",
-            "shingle",
             (F.col("wa") * F.col("wb")).alias("prod"),
         )
     )
-    dp = F.sort_array(F.collect_list(F.struct(F.col("shingle"), F.col("prod"))))
+    dp = F.sort_array(F.collect_list(F.col("prod")))
     dots = prods.groupBy("__a__", "__b__").agg(
-        F.aggregate(dp, F.lit(0.0), lambda acc, e: acc + e["prod"]).alias("dot"),
+        F.aggregate(dp, F.lit(0.0), lambda acc, e: acc + e).alias("dot"),
         F.count(F.lit(1)).alias("n_shared"),
     )
+    # the symmetrize union below consumes dots TWICE — without a
+    # persist each branch would re-run the inverted-index join AND the
+    # pair aggregation (the most expensive stages; measured ~2× on the
+    # scaling grid). Pair-grain rows are small by construction.
+    dots = track_cache(dots.persist())
     # symmetrize at pair grain (cheap — pairs ≪ join rows), then attach
     # norms and rank per anchor.
     sym = dots.select(
@@ -214,4 +219,4 @@ def idf_cosine_topk(
         .filter(F.col("rank") <= int(k))
         .select(id_col, "neighbor_id", "rank", "n_shared", "cosine")
     )
-    return _attach_cache(out, [vec])
+    return _attach_cache(out, [vec, dots])

@@ -70,18 +70,16 @@ def _finalize(df: DataFrame) -> DataFrame:
     )
 
 
-def row_checks(
+def row_check_counts(
     df: DataFrame,
     table_name: str,
     checks: list[tuple[str, Column]],
 ) -> DataFrame:
-    """ALL row-level constraints on one table in ONE aggregate scan.
-
-    ``checks`` is a list of (constraint_name, violation_predicate) —
-    the predicate marks VIOLATING rows; a NULL predicate result counts
-    as a violation (checks must decide NULL explicitly or inherit
-    this conservative default).
-    """
+    """The mergeable sufficient statistic of :func:`row_checks`:
+    constraint-grain (check_name, table_name, n_rows, n_violations)
+    rows — counts add, so partial statistics from disjoint slices (or
+    micro-batches; see streaming/audit.py) union-sum to the corpus
+    statistic. ONE aggregate scan for all checks."""
     aggs = [F.count(F.lit(1)).alias("__n__")] + [
         F.coalesce(
             F.sum(F.when(F.coalesce(cond, F.lit(True)), 1).otherwise(0)),
@@ -99,16 +97,52 @@ def row_checks(
             for i, (name, _) in enumerate(checks)
         ]
     )
-    out = (
+    return (
         one.select(F.col("__n__").alias("n_rows"), F.explode(rows).alias("c"))
         .select(
             F.col("c.check_name").alias("check_name"),
             F.lit(table_name).alias("table_name"),
-            "n_rows",
-            F.col("c.n_violations").alias("n_violations"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("c.n_violations").cast("long").alias("n_violations"),
         )
     )
-    return _finalize(out)
+
+
+def merge_check_counts(prev: DataFrame, cur: DataFrame) -> DataFrame:
+    """Union-sum two constraint-grain count frames (counts add — the
+    merge the streaming drain applies per micro-batch)."""
+    return (
+        prev.unionByName(cur)
+        .groupBy("check_name", "table_name")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("n_violations").cast("long").alias("n_violations"),
+        )
+    )
+
+
+def audit_from_counts(counts: DataFrame) -> DataFrame:
+    """Finalize constraint-grain counts into the audit schema — shared
+    VERBATIM between the batch path and the streaming drain (so
+    stream == batch exactly, the drift-family convention)."""
+    return _finalize(counts)
+
+
+def row_checks(
+    df: DataFrame,
+    table_name: str,
+    checks: list[tuple[str, Column]],
+) -> DataFrame:
+    """ALL row-level constraints on one table in ONE aggregate scan.
+
+    ``checks`` is a list of (constraint_name, violation_predicate) —
+    the predicate marks VIOLATING rows; a NULL predicate result counts
+    as a violation (checks must decide NULL explicitly or inherit
+    this conservative default). Predicates should be built from
+    ``F.col`` (not bound to a specific frame) so the same spec drives
+    the streaming drain.
+    """
+    return audit_from_counts(row_check_counts(df, table_name, checks))
 
 
 def uniqueness_check(

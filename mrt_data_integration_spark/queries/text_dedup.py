@@ -2424,9 +2424,11 @@ def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "idf_shingle_neighbors",
     # Full replay: md5-prefix shingle keys, the smoothed idf
     # ln((1+N)/(1+df)) rounded 12 (N in-plan, zero-weight rows pruned),
-    # BOTH float reductions as shingle-key-ORDERED folds (Spark:
-    # sequential aggregate over sorted struct arrays; DuckDB: ordered
-    # list_reduce), cosine rounded 6 BEFORE the ranking window, and the
+    # BOTH float reductions as VALUE-ORDERED folds (Spark: sequential
+    # aggregate over sorted double arrays; DuckDB: ordered list_reduce
+    # — the summand alone determines the fold order, so equal values
+    # sum identically in any order at half the struct-fold payload),
+    # cosine rounded 6 BEFORE the ranking window, and the
     # per-anchor row_number over (cosine DESC, neighbor_id) — the
     # total-order tie-break that makes the top-k frontier
     # engine-independent.
@@ -2448,12 +2450,12 @@ def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     norms AS (
       SELECT doc_id AS id,
-             list_reduce(list(w * w ORDER BY s), (a, b) -> a + b) AS n2
+             list_reduce(list(w * w ORDER BY w * w), (a, b) -> a + b) AS n2
       FROM w GROUP BY doc_id
     ),
     dots AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2,
-             list_reduce(list(a.w * b.w ORDER BY a.s),
+             list_reduce(list(a.w * b.w ORDER BY a.w * b.w),
                          (x, y) -> x + y) AS dot,
              CAST(count(*) AS BIGINT) AS n_shared
       FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id

@@ -111,6 +111,30 @@ def replicate_orders(od, k):
     return out
 
 
+def replicate_lineitem(li, k):
+    """Replica i offsets l_orderkey with replicate_orders' scheme, so
+    lineitem×orders referential structure (and the ship-date rule's
+    violation rate) is preserved while both tables grow k×."""
+    parts = [
+        li.select(
+            (F.col("l_orderkey") + i * 100_000_000).alias("l_orderkey"),
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        )
+        for i in range(k)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def replicate_embeddings(emb, k):
     """Replica i flips a per-replica deterministic sign pattern onto
     every vector: norms (and within-replica geometry) are preserved,
@@ -205,6 +229,9 @@ OP_INPUTS = {
     "margin_mining": {"emb"},
     "streaming_scd2_drain": {"orders", "sscd2_src"},
     "wcls_fit": {"panel"},
+    "idf_topk": {"docs"},
+    "quality_audit": {"orders", "lineitem"},
+    "agreement_kappa": {"docs"},
 }
 
 
@@ -229,6 +256,7 @@ def main() -> None:
 
     datasets = {}
     orders_paths = {}
+    lineitem_paths = {}
     for k in SCALES:
         dpath = os.path.join(work, f"docs_{k}x")
         epath = os.path.join(work, f"events_{k}x")
@@ -247,6 +275,12 @@ def main() -> None:
                 load_table(spark, SF_DIR, "orders"), k
             ).repartition(32).write.parquet(opath)
             orders_paths[k] = opath
+        if "lineitem" in needed:
+            lpath = os.path.join(work, f"lineitem_{k}x")
+            replicate_lineitem(
+                load_table(spark, SF_DIR, "lineitem"), k
+            ).repartition(32).write.parquet(lpath)
+            lineitem_paths[k] = lpath
         datasets[k] = (dpath, epath, vpath)
 
     panel_paths = {}
@@ -574,6 +608,91 @@ def main() -> None:
 
         # the |S|^2/2-row matrix output forces everything upstream
         return len(source_js_matrix(d, top_v=1000).collect())
+
+    def _idf_topk(d):
+        from mrt_data_integration_spark.operators import dedup as dd2
+        from mrt_data_integration_spark.operators.docsim import (
+            idf_cosine_topk,
+        )
+
+        # PRODUCTION fan-out control (the containment-tail precedent:
+        # the registered query is uncapped only to stay oracle-exact
+        # at test scale). replicate_docs truncates its md5 rewrite to
+        # the word's length, so short-word shingles COLLIDE across
+        # replicas — their df grows with k and the uncapped join pays
+        # df² on them (measured: slope 4.6 at 10× uncapped, the
+        # boilerplate degenerate case this knob exists for).
+        out = idf_cosine_topk(d, k=3, threshold=0.05, max_shingle_df=500)
+        n = out.count()
+        dd2.release_cache(out)
+        return n
+
+    def _quality_audit(k):
+        from mrt_data_integration_spark.operators import (
+            quality_audit as qa,
+        )
+
+        li = spark.read.parquet(lineitem_paths[k])
+        od = spark.read.parquet(orders_paths[k])
+        # the registered suite's lineitem/orders legs (the two tables
+        # this harness replicates): one-scan row rules, uniqueness,
+        # referential membership, the ship-date join rule; the
+        # constraint-grain collect forces every pass
+        out = qa.combine_audit(
+            qa.row_checks(
+                li,
+                "lineitem",
+                [
+                    (
+                        "li_quantity_in_1_50",
+                        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+                    ),
+                    (
+                        "li_extendedprice_positive",
+                        F.col("l_extendedprice") <= 0,
+                    ),
+                    (
+                        "li_discount_in_0_1",
+                        (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+                    ),
+                    ("li_tax_nonnegative", F.col("l_tax") < 0),
+                    (
+                        "li_linenumber_in_1_7",
+                        (F.col("l_linenumber") < 1)
+                        | (F.col("l_linenumber") > 7),
+                    ),
+                ],
+            ),
+            qa.uniqueness_check(od, "orders", "ord_orderkey_unique", ["o_orderkey"]),
+            qa.referential_check(
+                li, od, "lineitem", "li_orderkey_in_orders",
+                ["l_orderkey"], ["o_orderkey"],
+            ),
+            qa.join_violation_check(
+                li, od, [("l_orderkey", "o_orderkey")],
+                "lineitem_x_orders", "li_ships_on_or_after_order",
+                F.col("l_shipdate") < F.col("o_orderdate"),
+            ),
+        )
+        return len(out.collect())
+
+    def _agreement_kappa(d):
+        from mrt_data_integration_spark.operators.agreement import (
+            label_agreement,
+        )
+        from mrt_data_integration_spark.operators.text import (
+            lang_id_heuristic,
+        )
+
+        frame = d.filter(F.col("lang").isNotNull()).select(
+            F.when(F.col("lang") == "en", F.lit("en"))
+            .otherwise(F.lit("other"))
+            .alias("ref"),
+            lang_id_heuristic("text").alias("pred"),
+        )
+        # the label-domain output forces the (ref, pred) aggregate and
+        # the pe fold
+        return len(label_agreement(frame, "ref", "pred").collect())
 
     def _quality_canonical(d):
         from mrt_data_integration_spark.cache_registry import (
@@ -1275,6 +1394,21 @@ def main() -> None:
         # scan grows with the corpus; everything downstream is bounded
         # by |S| x (V+1). Expected the category_drift/ks_drift class.
         "source_js": lambda k: _source_js(docs(k)),
+        # mid-r14 continuation: idf-weighted shingle cosine top-k.
+        # replicate_docs' per-replica vocabulary rewrite keeps each
+        # shingle's df at its base value while replicas multiply, so
+        # the inverted-index join's sum(df^2) grows LINEARLY — the
+        # honest scaling axis for a pair join over disjoint replicas.
+        "idf_topk": lambda k: _idf_topk(docs(k)),
+        # mid-r14 continuation: declarative constraint audit
+        # (lineitem/orders legs — the two tables this harness
+        # replicates). Expected linear: every pass is a scan-bound
+        # aggregate or equi-join with constraint-grain output.
+        "quality_audit": lambda k: _quality_audit(k),
+        # mid-r14 continuation: Cohen's-kappa agreement — one
+        # label-domain-bounded (ref, pred) aggregate over the corpus;
+        # expected the category_drift flat-output class.
+        "agreement_kappa": lambda k: _agreement_kappa(docs(k)),
         # r9: streaming SCD2 drain — the versioned-state maintenance
         # path. Expected slope HONESTLY ABOVE the batch collapse's:
         # each micro-batch's publish COPIES untouched closed rows

@@ -27,8 +27,9 @@ def _py_shingles(text, n=3):
 
 def _py_topk(rows, k=3, threshold=0.05, n=3, cap=None):
     """Twin of idf_cosine_topk: smoothed idf ln((1+N)/(1+df)) rounded
-    12, zero-weight prune, hash-key-ordered float folds, cosine rounded
-    6 before ranking, ties (cosine DESC, neighbor ASC)."""
+    12, zero-weight prune, VALUE-ordered float folds (the operator
+    sorts the summands themselves), cosine rounded 6 before ranking,
+    ties (cosine DESC, neighbor ASC)."""
     sh = {i: _py_shingles(t, n) for i, t in rows if t is not None}
     n_docs = len(sh)
     df = Counter(s for ss in sh.values() for s in ss)
@@ -47,8 +48,8 @@ def _py_topk(rows, k=3, threshold=0.05, n=3, cap=None):
     norms = {}
     for i, ss in vec.items():
         acc = 0.0
-        for s in sorted(ss):
-            acc += w[s] * w[s]
+        for v in sorted(w[s] * w[s] for s in ss):
+            acc += v
         norms[i] = acc
     nbrs = {i: [] for i in vec}
     ids = sorted(vec)
@@ -59,8 +60,8 @@ def _py_topk(rows, k=3, threshold=0.05, n=3, cap=None):
             if not inter:
                 continue
             dot = 0.0
-            for s in sorted(inter):
-                dot += w[s] * w[s]
+            for v in sorted(w[s] * w[s] for s in inter):
+                dot += v
             cos = round(dot / (math.sqrt(norms[a]) * math.sqrt(norms[b])), 6)
             if cos >= threshold:
                 nbrs[a].append((b, len(inter), cos))
