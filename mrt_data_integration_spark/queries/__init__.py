@@ -1938,6 +1938,15 @@ _WINDOW: list[str] = (
 # the cross form plus the planted-fragment pin where overlap 1.0
 # finds what Jaccard@0.2 cannot).
 #
+# CI-only coverage ledger note (mid-r14 continuation, the
+# streaming-drift precedent): the streaming constraint-audit drain
+# (streaming/audit.run_constraint_audit_stream) holds no driver query
+# by design — its oracle would be `relational_quality_audit`'s
+# row-rule SQL verbatim (the finalize is shared between batch and
+# stream, operators/quality_audit.audit_from_counts), and stream ==
+# batch is pinned EXACTLY in CI including the cross-batch merge and
+# the loud empty-stream contract (tests/test_streaming_audit.py).
+#
 # CI-only coverage ledger note (r12 verdict item 4, the 0ab3b5b
 # `weighted_minhash_pairs` precedent): `winnow_candidate_pairs`
 # (operators/winnow.py — the corpus self-join + n_shared count half
