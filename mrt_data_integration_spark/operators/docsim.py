@@ -148,16 +148,32 @@ def idf_cosine_topk(
     # (w², resp. wa·wb) alone determines the fold order — equal values
     # sum the same in any order, so sorting by value is as
     # deterministic as sorting by shingle key while carrying HALF the
-    # shuffle payload (no struct, no 16-char key per element).
+    # struct-fold's shuffle payload (no 16-char key per element).
     sq = F.sort_array(F.collect_list(F.col("w") * F.col("w")))
     norms = vec.groupBy(id_col).agg(
         F.aggregate(sq, F.lit(0.0), lambda a, e: a + e).alias("n2")
     )
-    a = vec.select(
-        F.col(id_col).alias("__a__"), "shingle", F.col("w").alias("wa")
+    # attach the (folded, doc-grain) norms to the join INPUTS — the
+    # similarity family's hoist-norms convention: cosine is then
+    # computable INSIDE the pair aggregate and the threshold prunes at
+    # pair grain, before symmetrization. The alternative (joining
+    # norms onto the pair frame after the aggregate) was measured ~2×
+    # worse at 10×: it pushes two joins + the rank input through the
+    # full raw-pair volume (~n_pairs × 2 rows) instead of one
+    # doc-keyed join of the weight frame (AQE broadcasts the
+    # doc-grain norms at any realistic scale).
+    vec_n = vec.join(norms, id_col)
+    a = vec_n.select(
+        F.col(id_col).alias("__a__"),
+        "shingle",
+        F.col("w").alias("wa"),
+        F.col("n2").alias("n2_a"),
     )
-    b = vec.select(
-        F.col(id_col).alias("__b__"), "shingle", F.col("w").alias("wb")
+    b = vec_n.select(
+        F.col(id_col).alias("__b__"),
+        "shingle",
+        F.col("w").alias("wb"),
+        F.col("n2").alias("n2_b"),
     )
     prods = (
         a.join(b, "shingle")
@@ -166,50 +182,41 @@ def idf_cosine_topk(
             "__a__",
             "__b__",
             (F.col("wa") * F.col("wb")).alias("prod"),
+            "n2_a",
+            "n2_b",
         )
     )
     dp = F.sort_array(F.collect_list(F.col("prod")))
-    dots = prods.groupBy("__a__", "__b__").agg(
-        F.aggregate(dp, F.lit(0.0), lambda acc, e: acc + e).alias("dot"),
-        F.count(F.lit(1)).alias("n_shared"),
+    cos = F.round(
+        F.col("dot") / (F.sqrt(F.col("n2_a")) * F.sqrt(F.col("n2_b"))), 6
     )
-    # the symmetrize union below consumes dots TWICE — without a
-    # persist each branch would re-run the inverted-index join AND the
-    # pair aggregation (the most expensive stages; measured ~2× on the
-    # scaling grid). Pair-grain rows are small by construction.
+    dots = (
+        prods.groupBy("__a__", "__b__")
+        .agg(
+            F.aggregate(dp, F.lit(0.0), lambda acc, e: acc + e).alias("dot"),
+            F.count(F.lit(1)).alias("n_shared"),
+            F.first("n2_a").alias("n2_a"),
+            F.first("n2_b").alias("n2_b"),
+        )
+        .select("__a__", "__b__", "n_shared", cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )
+    # the symmetrize union consumes dots TWICE — persist the (already
+    # threshold-pruned) pair frame so neither branch re-runs the
+    # inverted-index join + aggregation (measured ~2× without it).
     dots = track_cache(dots.persist())
-    # symmetrize at pair grain (cheap — pairs ≪ join rows), then attach
-    # norms and rank per anchor.
-    sym = dots.select(
+    scored = dots.select(
         F.col("__a__").alias(id_col),
         F.col("__b__").alias("neighbor_id"),
-        "dot",
         "n_shared",
+        "cosine",
     ).unionByName(
         dots.select(
             F.col("__b__").alias(id_col),
             F.col("__a__").alias("neighbor_id"),
-            "dot",
             "n_shared",
+            "cosine",
         )
-    )
-    na = norms.select(F.col(id_col), F.col("n2").alias("n2_a"))
-    nb = norms.select(
-        F.col(id_col).alias("neighbor_id"), F.col("n2").alias("n2_b")
-    )
-    cos = F.round(
-        F.col("dot") / (F.sqrt(F.col("n2_a")) * F.sqrt(F.col("n2_b"))), 6
-    )
-    scored = (
-        sym.join(na, id_col)
-        .join(nb, "neighbor_id")
-        .select(
-            id_col,
-            "neighbor_id",
-            "n_shared",
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= F.lit(float(threshold)))
     )
     w_rank = Window.partitionBy(id_col).orderBy(
         F.desc("cosine"), F.asc("neighbor_id")

@@ -64,11 +64,12 @@ _HINT_BUDGET = {
     "ivfpq_appended_index_topk": 3,  # [model] centroids/codebooks + [batch]
     "ivfpq_index_topk": 3,           # [model] + [batch]
     "ivfpq_topk": 3,                 # [model] + [batch]
-    # [1row] x6: the doc-count broadcast inside the idf weight frame,
+    # [1row] x8: the doc-count broadcast inside the idf weight frame,
     # repeated through the analyzed-plan copies of the vec subtree
-    # (norms + both join sides, then the dots subtree twice via the
-    # pair-grain symmetrize union) — the ppmi_word_similarity class
-    "idf_shingle_neighbors": 6,
+    # (the norms fold + both norm-attached join sides each carry
+    # vec + its nested norms copy, then the pair-grain symmetrize
+    # union doubles the dots subtree) — the ppmi_word_similarity class
+    "idf_shingle_neighbors": 8,
     "lang_agreement_kappa": 1,       # [1row] N/diag/pe-fold totals
     "lang_category_drift": 1,        # [1row] slice totals (r13)
     "leakage_safe_split": 1,         # [1row] spanning-clusters count
