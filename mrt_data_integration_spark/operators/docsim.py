@@ -134,8 +134,8 @@ def idf_cosine_topk(
     The pair dots come from ONE undirected inverted-index self-join
     (a.id < b.id — half the fan-out) symmetrized at pair grain before
     ranking, so each unordered pair's dot is computed once. Both float
-    reductions (norms, dots) fold sequentially over shingle-key-sorted
-    struct arrays — order-pinned. ``max_shingle_df`` is the hard
+    reductions (norms, dots) fold sequentially over VALUE-sorted
+    double arrays — order-pinned. ``max_shingle_df`` is the hard
     production fan-out control layered over the smooth idf weighting;
     the registered query runs uncapped (its oracle computes the
     textbook uncapped cosine, so the query must too).
@@ -227,3 +227,107 @@ def idf_cosine_topk(
         .select(id_col, "neighbor_id", "rank", "n_shared", "cosine")
     )
     return _attach_cache(out, [vec, dots])
+
+
+def idf_cross_topk(
+    batch: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.05,
+    shingle_n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Cross-corpus form of :func:`idf_cosine_topk` — for every
+    document in ``batch``, its k nearest REFERENCE documents under
+    idf-weighted shingle cosine: the retrieval shape ("which corpus
+    documents does this new batch quote?"), machinery-identical to the
+    within-corpus operator with the self-join replaced by a two-frame
+    equi-join on the same shingle key (the containment_cross_pairs
+    precedent).
+
+    Weighting convention (standard retrieval): idf statistics (N, df,
+    and the ``max_shingle_df`` cap) come from the REFERENCE corpus —
+    the index side. Batch shingles absent from the reference universe
+    carry no weight and are dropped (OOV contract: a batch document
+    with no reference shingles is absent from the output), and batch
+    norms are computed over the reference-weighted shingles only —
+    the consistent-universe convention. A batch document identical to
+    a reference document therefore scores cosine 1.0 against it.
+
+    Output: (doc_id, ref_id, rank, n_shared, cosine), cosine rounded
+    6, rank 1..k per batch document over (cosine DESC, ref_id ASC).
+    """
+    ref_vec = idf_shingle_weights(
+        reference, id_col, text_col, shingle_n, max_shingle_df
+    )
+    # consumers: idf table, reference norms, the join side
+    ref_vec = track_cache(ref_vec.persist())
+    # w is a function of the shingle alone — one row per shingle
+    idf_tab = ref_vec.select("shingle", "w").dropDuplicates(["shingle"])
+    batch_sh = _spread(batch.filter(F.col(text_col).isNotNull())).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                word_shingles(text_col, shingle_n),
+                lambda s: F.substring(F.md5(s), 1, 16),
+            )
+        ).alias("shingle"),
+    )
+    # OOV batch shingles drop here (inner join against the reference
+    # idf table — shingle-keyed, AQE broadcasts it when small)
+    bvec = batch_sh.join(idf_tab, "shingle")
+    bvec = track_cache(bvec.persist())
+    sq = F.sort_array(F.collect_list(F.col("w") * F.col("w")))
+    fold = lambda col: F.aggregate(col, F.lit(0.0), lambda a, e: a + e)  # noqa: E731
+    norms_b = bvec.groupBy(id_col).agg(fold(sq).alias("n2"))
+    norms_r = ref_vec.groupBy(id_col).agg(fold(sq).alias("n2"))
+    a = bvec.join(norms_b, id_col).select(
+        F.col(id_col).alias("__q__"),
+        "shingle",
+        F.col("w").alias("wa"),
+        F.col("n2").alias("n2_a"),
+    )
+    b = ref_vec.join(norms_r, id_col).select(
+        F.col(id_col).alias("__r__"),
+        "shingle",
+        F.col("w").alias("wb"),
+        F.col("n2").alias("n2_b"),
+    )
+    prods = a.join(b, "shingle").select(
+        "__q__",
+        "__r__",
+        (F.col("wa") * F.col("wb")).alias("prod"),
+        "n2_a",
+        "n2_b",
+    )
+    dp = F.sort_array(F.collect_list(F.col("prod")))
+    cos = F.round(
+        F.col("dot") / (F.sqrt(F.col("n2_a")) * F.sqrt(F.col("n2_b"))), 6
+    )
+    scored = (
+        prods.groupBy("__q__", "__r__")
+        .agg(
+            F.aggregate(dp, F.lit(0.0), lambda acc, e: acc + e).alias("dot"),
+            F.count(F.lit(1)).alias("n_shared"),
+            F.first("n2_a").alias("n2_a"),
+            F.first("n2_b").alias("n2_b"),
+        )
+        .select(
+            F.col("__q__").alias(id_col),
+            F.col("__r__").alias("ref_id"),
+            "n_shared",
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )
+    w_rank = Window.partitionBy(id_col).orderBy(
+        F.desc("cosine"), F.asc("ref_id")
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= int(k))
+        .select(id_col, "ref_id", "rank", "n_shared", "cosine")
+    )
+    return _attach_cache(out, [ref_vec, bvec])

@@ -1947,6 +1947,19 @@ _WINDOW: list[str] = (
 # batch is pinned EXACTLY in CI including the cross-batch merge and
 # the loud empty-stream contract (tests/test_streaming_audit.py).
 #
+# CI-only coverage ledger note (mid-r14 continuation, the
+# containment_cross_pairs precedent): `idf_cross_topk`
+# (operators/docsim.py — the batch-vs-reference retrieval form of the
+# idf-weighted shingle cosine) holds no driver query by design. Its
+# machinery is `idf_shingle_neighbors`' (POOL_A, forced r15 hash
+# slot) VERBATIM — the same reference-side idf weights, the same
+# value-ordered dot/norm folds, the same rounded-cosine ranked
+# frontier — with the self-join replaced by a two-frame equi-join on
+# the identical shingle key, and the cross-specific contracts
+# (reference-side statistics, OOV-batch-doc absence, self-query
+# identity at cosine 1.0) are CI-held every run via the python twin
+# and pins in tests/test_docsim.py.
+#
 # CI-only coverage ledger note (r12 verdict item 4, the 0ab3b5b
 # `weighted_minhash_pairs` precedent): `winnow_candidate_pairs`
 # (operators/winnow.py — the corpus self-join + n_shared count half
