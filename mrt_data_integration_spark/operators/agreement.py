@@ -31,25 +31,43 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def label_agreement(
+def confusion_cells(
     df: DataFrame,
     ref_col: Column | str = "ref",
     pred_col: Column | str = "pred",
 ) -> DataFrame:
-    """One row per label in the UNION of the two columns' domains:
-    (label, n_ref, n_pred, n_correct, precision, recall, f1,
-    accuracy, kappa) — the per-class columns rounded 6, accuracy and
-    kappa repeated on every row (the drift family's scalar-on-rows
-    convention). NULL labels are excluded (a NULL is an unlabeled
-    row, not a class)."""
+    """The mergeable sufficient statistic of :func:`label_agreement`:
+    (ref, pred, n) confusion-cell counts — counts add, so partial
+    cells from disjoint slices (or micro-batches; see
+    streaming/agreement.py) union-sum to the corpus statistic. NULL
+    labels are excluded (a NULL is an unlabeled row, not a class).
+    The ONLY corpus-scale operation of the family lives here: one
+    map-side-partial hash aggregate bounded by the label-domain
+    product."""
     ref = F.col(ref_col) if isinstance(ref_col, str) else ref_col
     pred = F.col(pred_col) if isinstance(pred_col, str) else pred_col
-    cells = (
+    return (
         df.select(ref.alias("__r__"), pred.alias("__p__"))
         .filter(F.col("__r__").isNotNull() & F.col("__p__").isNotNull())
         .groupBy("__r__", "__p__")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def merge_confusion_cells(prev: DataFrame, cur: DataFrame) -> DataFrame:
+    """Union-sum two confusion-cell frames (the streaming drain's
+    per-micro-batch merge)."""
+    return (
+        prev.unionByName(cur)
+        .groupBy("__r__", "__p__")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def agreement_from_cells(cells: DataFrame) -> DataFrame:
+    """Finalize confusion cells into the agreement schema — shared
+    VERBATIM between the batch path and the streaming drain (so
+    stream == batch exactly, the drift-family convention)."""
     ref_m = cells.groupBy("__r__").agg(
         F.sum("n").cast("long").alias("n_ref")
     )
@@ -132,3 +150,17 @@ def label_agreement(
         acc.alias("accuracy"),
         kappa.alias("kappa"),
     )
+
+
+def label_agreement(
+    df: DataFrame,
+    ref_col: Column | str = "ref",
+    pred_col: Column | str = "pred",
+) -> DataFrame:
+    """One row per label in the UNION of the two columns' domains:
+    (label, n_ref, n_pred, n_correct, precision, recall, f1,
+    accuracy, kappa) — the per-class columns rounded 6, accuracy and
+    kappa repeated on every row (the drift family's scalar-on-rows
+    convention). NULL labels are excluded (a NULL is an unlabeled
+    row, not a class)."""
+    return agreement_from_cells(confusion_cells(df, ref_col, pred_col))

@@ -1948,6 +1948,16 @@ _WINDOW: list[str] = (
 # the loud empty-stream contract (tests/test_streaming_audit.py).
 #
 # CI-only coverage ledger note (mid-r14 continuation, the
+# streaming-drift precedent): the streaming agreement drain
+# (streaming/agreement.run_agreement_stream) holds no driver query
+# by design — its oracle would be `lang_agreement_kappa`'s SQL
+# verbatim (the finalize is shared between batch and stream,
+# operators/agreement.agreement_from_cells), and stream == batch is
+# pinned EXACTLY in CI including the cross-batch merge with a
+# closed-form kappa check and the loud empty-stream contract
+# (tests/test_streaming_agreement.py).
+#
+# CI-only coverage ledger note (mid-r14 continuation, the
 # containment_cross_pairs precedent): `idf_cross_topk`
 # (operators/docsim.py — the batch-vs-reference retrieval form of the
 # idf-weighted shingle cosine) holds no driver query by design. Its
