@@ -74,6 +74,29 @@ def track_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+def eager_cache(df: DataFrame) -> DataFrame:
+    """``persist`` + :func:`track_cache` + force the cache blocks NOW
+    (one count job over the plan).
+
+    Spark's cache dedups STORAGE, not COMPUTATION: when the first
+    action to touch a persisted frame contains two or more scans of it
+    (a self-join, a symmetrize union, sibling aggregate branches), the
+    scans run as concurrent stages and each computes the un-cached
+    partitions redundantly — whichever task finishes first wins the
+    cache write and the other's work is discarded. Measured on
+    margin_knn_pairs' 1M-pair scored frame: 42.9 → 15.3 executor-CPU-s
+    (2.8×) from materializing before the two ranking consumers (opt
+    r14). The count itself is one pass that the consumers were going
+    to pay anyway; only use this where the first consuming action
+    really does scan the frame more than once — behind a broadcast
+    build the scans are already sequenced and the count is pure
+    overhead (bm25's tf, bloom's gram set, boilerplate's chunking).
+    """
+    df = track_cache(df.persist())
+    df.count()
+    return df
+
+
 def checkpoint_tracked(df: DataFrame) -> DataFrame:
     """``df.localCheckpoint(eager=True)`` with sweep-time release.
 

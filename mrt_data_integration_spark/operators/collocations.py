@@ -187,7 +187,9 @@ def ppmi_vectors(
     )
     # three consumers (marginals, total, the cells themselves): persist
     # the vocab²-bounded matrix so the corpus-wide pair explode runs
-    # once (the pmi_collocations discipline)
+    # once (the pmi_collocations discipline). Deliberately LAZY: the
+    # marginal/total consumers are broadcast builds that sequence the
+    # scans; a 5-pair eager A/B read consistently worse (opt r14).
     cooc = track_cache(cooc.persist())
     marg = cooc.groupBy("w").agg(F.sum("n_wc").cast("long").alias("n_w"))
     tot = cooc.agg(F.sum("n_wc").cast("long").alias("n_t"))
@@ -270,7 +272,8 @@ def ppmi_word_similarity(
     # vocab-bounded PPMI cells so the marginal joins behind them run
     # once, not three times (opt r14 — the idf_cosine_topk discipline;
     # together with the norm hoist below: 48 jobs -> 20 measured at
-    # bench scale, same 301 rows)
+    # bench scale, same 301 rows); lazy — the norms broadcast build
+    # sequences the three scans (eager A/B'd worse, opt r14)
     vec = track_cache(vec.persist())
     cached.append(vec)
     # order-pinned squared norms: fold ppmi² in context order per word

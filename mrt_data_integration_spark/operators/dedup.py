@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 # operator modules historically import them from this module.
 from mrt_data_integration_spark.cache_registry import (  # noqa: F401
     attach_cache as _attach_cache,
+    eager_cache,
     release_cache,
     track_cache,
     untrack,
@@ -544,7 +545,12 @@ def ngram_jaccard_pairs(
     # without a persist each would re-read and re-shingle the corpus.
     # MEMORY_AND_DISK (the default) spills at corpus scale; recomputing
     # a 100 TB tokenize+md5 several times costs more. Released via
-    # release_cache() on the returned frame.
+    # release_cache() on the returned frame. Deliberately LAZY (not
+    # eager_cache): the consumers form a chain, not racing branches —
+    # the n_sh window feeds the join inputs and the two join sides are
+    # identical subtrees sharing one ReusedExchange, so the cache
+    # materializes exactly once; a 5-pair A/B read the eager variant
+    # as wash-to-worse (opt r14).
     exploded = track_cache(exploded.persist())
     if max_shingle_df is not None:
         # Shingles are distinct per doc (array_distinct), so count(1)
@@ -672,7 +678,9 @@ def containment_pairs(
             )
         ).alias("shingle"),
     )
-    # Same multi-consumer persist rationale as ngram_jaccard_pairs.
+    # Same multi-consumer persist rationale as ngram_jaccard_pairs —
+    # and the same deliberate-lazy call (chain + ReusedExchange, no
+    # racing branches; eager A/B'd wash-to-worse, opt r14).
     exploded = track_cache(exploded.persist())
     if max_shingle_df is not None:
         hot = (
@@ -861,7 +869,11 @@ def source_overlap_matrix(
         )
         .distinct()
     )
-    sh = track_cache(sh.persist())
+    # eager: the sizes aggregate and the source-set aggregate are
+    # sibling branches of the final job — unmaterialized they race the
+    # (source, shingle) DISTINCT, this operator's dominant term
+    # (opt r14).
+    sh = eager_cache(sh)
     if max_shingle_sources is not None:
         hot = (
             sh.groupBy("shingle")
@@ -992,7 +1004,8 @@ def ngram_jaccard_pairs_prefix(
         ).alias("shingle"),
     )
     # Feeds the df agg and the rank join → persist once, release via
-    # release_cache() (same discipline as ngram_jaccard_pairs).
+    # release_cache() (same discipline as ngram_jaccard_pairs; the
+    # dfreq broadcast build sequences the scans, so lazy — opt r14).
     exploded = track_cache(exploded.persist())
     dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
     ranked = exploded.join(dfreq, "shingle")
@@ -1154,6 +1167,9 @@ def substring_chunk_pairs(
             .select("__h__")
         )
         chunks = chunks.join(F.broadcast(hot), "__h__", "left_anti")
+    # lazy: the self-join sides are identical subtrees (one
+    # ReusedExchange — no racing branches; eager A/B'd as overhead,
+    # opt r14)
     chunks = track_cache(chunks.persist())
     a = chunks.alias("a")
     b = chunks.alias("b")
@@ -1347,7 +1363,10 @@ def remove_duplicate_spans(
     # operator's dominant CPU term, measured 13× across the r9 design
     # iterations) feeds TWO consumers below (the winner aggregate and
     # the join probe side); without the persist it would execute
-    # twice. Same cache discipline as substring_chunk_pairs.
+    # twice. Same cache discipline as substring_chunk_pairs. Kept LAZY
+    # after an eager A/B read wash-to-worse (opt r14): at bench scale
+    # the doc-grain winners frame rides a broadcast build, which
+    # sequences the two scans anyway.
     chunks = track_cache(
         split_content_chunks(
             df, id_col, text_col, anchor_mod, min_tokens
@@ -1471,7 +1490,12 @@ def remove_boilerplate_spans(
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     # One persisted chunking scan feeds both consumers (frequency
     # aggregate + rewrite) — the dedup half's cache discipline; the
-    # interpreted-HOF chunking is the dominant CPU term.
+    # interpreted-HOF chunking is the dominant CPU term. Deliberately
+    # NOT eager_cache (opt r14): the frequent set rides a broadcast
+    # build, which must complete before the probe stage starts — the
+    # build's scan materializes the cache, so the scans are already
+    # sequenced (census: 28.8 CPU-s here vs 93.6 for the racing
+    # remove_duplicate_spans twin over the same chunking).
     chunks = track_cache(
         split_content_chunks(df, id_col, text_col, anchor_mod, min_tokens)
         .withColumn("__h__", F.md5("chunk"))

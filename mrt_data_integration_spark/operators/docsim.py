@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 
 from mrt_data_integration_spark.cache_registry import (
     attach_cache as _attach_cache,
+    eager_cache,
     track_cache,
 )
 from mrt_data_integration_spark.operators.dedup import _spread, word_shingles
@@ -142,7 +143,9 @@ def idf_cosine_topk(
     """
     vec = idf_shingle_weights(df, id_col, text_col, shingle_n, max_shingle_df)
     # three consumers (norms, both join sides): persist so the corpus
-    # tokenize+md5+window runs once (the ngram_jaccard discipline).
+    # tokenize+md5+window runs once (the ngram_jaccard discipline);
+    # lazy — the norms broadcast build sequences the scans here, and
+    # the eager variant A/B'd as wash (opt r14)
     vec = track_cache(vec.persist())
     # order-pinned folds over VALUE-sorted double lists: the summand
     # (w², resp. wa·wb) alone determines the fold order — equal values
@@ -203,8 +206,13 @@ def idf_cosine_topk(
     )
     # the symmetrize union consumes dots TWICE — persist the (already
     # threshold-pruned) pair frame so neither branch re-runs the
-    # inverted-index join + aggregation (measured ~2× without it).
-    dots = track_cache(dots.persist())
+    # inverted-index join + aggregation (measured ~2× without it), and
+    # MATERIALIZE it before the union: its two branches are concurrent
+    # stages of the final job, and unmaterialized they raced the
+    # join+aggregate redundantly anyway (the margin_knn_pairs lesson,
+    # opt r14 — this query's executor CPU was 96 s in the job census,
+    # ~2× its single-evaluation cost).
+    dots = eager_cache(dots)
     scored = dots.select(
         F.col("__a__").alias(id_col),
         F.col("__b__").alias("neighbor_id"),
@@ -262,7 +270,8 @@ def idf_cross_topk(
     ref_vec = idf_shingle_weights(
         reference, id_col, text_col, shingle_n, max_shingle_df
     )
-    # consumers: idf table, reference norms, the join side
+    # consumers: idf table, reference norms, the join side — all
+    # broadcast-sequenced at realistic sizes, so lazy (opt r14)
     ref_vec = track_cache(ref_vec.persist())
     # w is a function of the shingle alone — one row per shingle
     idf_tab = ref_vec.select("shingle", "w").dropDuplicates(["shingle"])

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from mrt_data_integration_spark.cache_registry import (
     attach_cache,
+    eager_cache,
     track_cache,
 )
 
@@ -1988,7 +1989,11 @@ def margin_knn_pairs(
         F.col(vec_col).alias("__tvec__"),
         norm(vec_col).alias("__tn__"),
     )
-    scored = track_cache(
+    # eager: the two ranking consumers below are concurrent stages of
+    # one job — unmaterialized, they RACE to compute the 1M-pair
+    # cosine fold redundantly (measured 42.9 → 15.3 executor-CPU-s and
+    # 6.6 → 3.0 s wall at bench scale, opt r14)
+    scored = eager_cache(
         t.crossJoin(F.broadcast(s))
         .select(
             "src_id",
@@ -1998,7 +2003,6 @@ def margin_knn_pairs(
                 / (F.col("__sn__") * F.col("__tn__"))
             ).alias("cosine_sim"),
         )
-        .persist()
     )
     fwd = bounded_topk(
         scored, k, "cosine_sim", key_col="src_id", tie_col="tgt_id"
