@@ -111,7 +111,14 @@ def _with_assignment(
             }
         )
 
-    b = best(F.col(vec_col)).alias("__best__")
+    # asNondeterministic: the function IS deterministic, but the marker
+    # stops the optimizer from DUPLICATING it (guide §4.4) — consumers
+    # that filter on an extracted struct field (e.g. the inner join on
+    # `cell` in semantic_decontamination_ivf pushes isnotnull(cell)
+    # below the projection) otherwise get TWO ArrowEvalPython nodes,
+    # each paying the full (batch × k × d) distance kernel (measured:
+    # ops 21+24 in plans/r14/semantic_decontamination_ivf_before.txt).
+    b = best.asNondeterministic()(F.col(vec_col)).alias("__best__")
     return (
         feats.withColumn("__best__", b)
         .withColumn("__d__", F.col("__best__.d"))

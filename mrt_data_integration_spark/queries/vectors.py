@@ -758,8 +758,16 @@ def semantic_decontamination_ivf(
         F.col("embedding").isNotNull()
     )
     assigns, centers = kmeans_lloyd(emb, k=_KMEANS_K, n_iter=_KMEANS_ITER)
-    corpus = emb.filter(F.col("vec_id") % 25 != 0).join(
-        assigns.select("vec_id", "cell"), "vec_id"
-    )
+    # assigns already carries (vec_id, embedding, cell) off the loop's
+    # persisted feature cache — filtering IT is the corpus frame. The
+    # previous form re-joined the raw parquet scan against assigns on
+    # vec_id, which planned an extra BroadcastHashJoin + a second
+    # parquet scan of the embedding column (and a third for the
+    # left-join base inside the operator); embedding values are
+    # identical (the cache holds cast(embedding as array<double>), and
+    # dot()/norm() cast every element to double anyway). Guide §2.4:
+    # remove shuffles/joins outright where the data already carries
+    # what the join would attach.
+    corpus = assigns.filter(F.col("vec_id") % 25 != 0)
     bench = emb.filter(F.col("vec_id") % 25 == 0)
     return sdi_op(corpus, bench, centers, threshold=0.35, n_probe=2)
