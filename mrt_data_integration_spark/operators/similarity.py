@@ -1933,6 +1933,129 @@ def hard_negative_ivf_topk(
     )
 
 
+def _seq_norms(mat):
+    """Sequential-fold row norms of a float64 matrix — bit-identical to
+    ``norm()``'s JVM fold (sqrt of ((0+x0²)+x1²)+…; IEEE doubles are
+    deterministic given the op order, which the column loop pins)."""
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0])
+    for j in range(mat.shape[1]):
+        acc = acc + mat[:, j] * mat[:, j]
+    return np.sqrt(acc)
+
+
+def broadcast_cosine_scores(
+    stream: DataFrame,
+    bcast: DataFrame,
+    stream_out: str,
+    bcast_out: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "cosine_sim",
+) -> DataFrame:
+    """All-pairs cosine of ``stream`` × ``bcast`` as an Arrow kernel —
+    the exact frame ``stream.crossJoin(broadcast(bcast))`` + the
+    ``dot``/``norm`` JVM folds produce, at vectorized-numpy speed
+    (guide §4.2: hand whole batches to native code; measured 14.4 → ~2
+    executor-CPU-s on margin's 1M-pair frame).
+
+    BIT-IDENTITY CONTRACT: the kernel accumulates dot products and
+    squared norms COLUMN-SEQUENTIALLY over float64 (never np.dot/BLAS,
+    whose block orders differ), so every cosine is bit-identical to
+    the ``aggregate(zip_with(...))`` left fold — and therefore to the
+    DuckDB oracle's ``list_dot_product``. Float32 inputs are widened
+    exactly, multiplication/division orders mirror the expression
+    ``dot(a, b) / (norm_a * norm_b)``.
+
+    The ``bcast`` side is collected to the driver and shipped as a
+    Spark broadcast variable — the SAME driver-memory envelope as the
+    ``F.broadcast(bcast)`` hint this replaces (a broadcast hash
+    relation is also built driver-side), so the scale contract is
+    unchanged: the broadcast side must be the small one.
+
+    Rows with NULL embeddings must be filtered by the caller (as the
+    crossJoin form required); element-level NULLs or ragged dimensions
+    raise loudly (the fold silently NULLed those cosines — no engine
+    path feeds such vectors, and silent NaN would be worse).
+    """
+    import numpy as np
+
+    spark = stream.sparkSession
+    b_pdf = bcast.select(F.col(id_col), F.col(vec_col)).toPandas()
+    ids = b_pdf[id_col].to_numpy()
+    if len(ids):
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in b_pdf[vec_col]]
+        )
+        norms = _seq_norms(mat)
+    else:
+        mat = np.zeros((0, 0))
+        norms = np.zeros(0)
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    id_type = stream.schema[id_col].dataType.simpleString()
+    bcast_id_type = bcast.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{bcast_out} {bcast_id_type}, {stream_out} {id_type}, "
+        f"{score_col} double"
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        s_ids, S, s_norms = bc.value
+        ns, d = len(s_ids), (S.shape[1] if S.size else 0)
+        out_fields = [bcast_out, stream_out, score_col]
+        for batch in batches:
+            if ns == 0:
+                continue
+            tid = batch.column(0).to_numpy(zero_copy_only=False)
+            lv = batch.column(1)
+            if lv.null_count:
+                raise ValueError(
+                    "broadcast_cosine_scores: NULL embedding reached "
+                    "the kernel — filter isNotNull upstream"
+                )
+            lens = pa.compute.list_value_length(lv).to_numpy()
+            if len(lens) and not (lens == d).all():
+                raise ValueError(
+                    f"broadcast_cosine_scores: ragged embedding "
+                    f"dimensions (expected {d}, saw "
+                    f"{sorted(set(lens.tolist()))[:5]})"
+                )
+            flat = lv.flatten()
+            if flat.null_count:
+                raise ValueError(
+                    "broadcast_cosine_scores: NULL embedding element "
+                    "— the cosine fold is undefined here"
+                )
+            T = flat.to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            ).reshape(len(tid), d)
+            chunk = max(1, (1 << 20) // ns)
+            for i in range(0, len(tid), chunk):
+                Tc = T[i : i + chunk]
+                tn = _seq_norms(Tc)
+                acc = np.zeros((Tc.shape[0], ns))
+                for j in range(d):
+                    acc = acc + Tc[:, j : j + 1] * S[None, :, j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = acc / (s_norms[None, :] * tn[:, None])
+                yield pa.record_batch(
+                    [
+                        pa.array(np.tile(s_ids, Tc.shape[0])),
+                        pa.array(np.repeat(tid[i : i + chunk], ns)),
+                        pa.array(cos.reshape(-1)),
+                    ],
+                    names=out_fields,
+                )
+
+    return stream.select(F.col(id_col), F.col(vec_col)).mapInArrow(
+        kernel, out_schema
+    )
+
+
 def margin_knn_pairs(
     src: DataFrame,
     tgt: DataFrame,
@@ -1973,36 +2096,29 @@ def margin_knn_pairs(
     exclusion is applied); NULL embeddings are excluded. ``margin`` is
     NULL when both neighborhoods average to exactly zero.
     """
-    s = src.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("src_id"),
-        F.col(vec_col).alias("__svec__"),
-        norm(vec_col).alias("__sn__"),
-    )
-    # fan the target scan before the |src|-per-row cosine fold — a
+    s = src.filter(F.col(vec_col).isNotNull())
+    # fan the target scan before the |src|-per-row cosine kernel — a
     # 1-2 split local table otherwise runs the whole scored frame on
     # one core (the r11 one-split lesson; measured 7.3 → 1.7 s at
     # sf0.1). No-op at corpus scale.
     from mrt_data_integration_spark.operators.dedup import _spread
 
-    t = _spread(tgt.filter(F.col(vec_col).isNotNull())).select(
-        F.col(id_col).alias("tgt_id"),
-        F.col(vec_col).alias("__tvec__"),
-        norm(vec_col).alias("__tn__"),
-    )
+    t = _spread(tgt.filter(F.col(vec_col).isNotNull()))
+    # The scored frame is the Arrow column-sequential kernel — the
+    # exact cosines the crossJoin + interpreted zip_with/aggregate
+    # fold produced (bit-identity pinned in tests), at ~7× less
+    # executor CPU (14.4 → ~2 CPU-s at bench scale, opt r14; guide
+    # §4.2). The broadcast envelope is unchanged: src rode an
+    # F.broadcast hint before, it rides a broadcast variable now.
     # eager: the two ranking consumers below are concurrent stages of
     # one job — unmaterialized, they RACE to compute the 1M-pair
-    # cosine fold redundantly (measured 42.9 → 15.3 executor-CPU-s and
-    # 6.6 → 3.0 s wall at bench scale, opt r14)
+    # cosine kernel redundantly (measured 42.9 → 15.3 executor-CPU-s
+    # and 6.6 → 3.0 s wall on the fold version, opt r14)
     scored = eager_cache(
-        t.crossJoin(F.broadcast(s))
-        .select(
-            "src_id",
-            "tgt_id",
-            (
-                dot("__svec__", "__tvec__")
-                / (F.col("__sn__") * F.col("__tn__"))
-            ).alias("cosine_sim"),
-        )
+        broadcast_cosine_scores(
+            t, s, stream_out="tgt_id", bcast_out="src_id",
+            id_col=id_col, vec_col=vec_col,
+        ).select("src_id", "tgt_id", "cosine_sim")
     )
     fwd = bounded_topk(
         scored, k, "cosine_sim", key_col="src_id", tie_col="tgt_id"

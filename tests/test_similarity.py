@@ -1037,3 +1037,100 @@ def test_margin_ivf_backward_probe_carries_no_broadcast_hint(spark):
         "expected one broadcast hint (the forward probe's query batch);"
         " the backward corpus-side probe must not be hinted"
     )
+
+
+def test_broadcast_cosine_kernel_bit_identical_to_fold(spark):
+    """The Arrow cosine kernel (opt r14) must reproduce the
+    zip_with/aggregate JVM fold BIT-FOR-BIT: same float32→float64
+    widening, same column-sequential accumulation order, same
+    dot/(norm·norm) op order — on signed, non-uniform float32 data."""
+    import random
+
+    from mrt_data_integration_spark.operators.similarity import (
+        broadcast_cosine_scores,
+        dot,
+        norm,
+    )
+
+    random.seed(1412)
+    d = 7  # deliberately odd/non-power-of-two
+    rows = [
+        (i, [random.uniform(-3, 3) * 10 ** random.randint(-3, 3) for _ in range(d)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    s = emb.filter(F.col("vec_id") % 2 == 0)
+    t = emb.filter(F.col("vec_id") % 2 == 1)
+
+    kern = broadcast_cosine_scores(
+        t, s, stream_out="tgt_id", bcast_out="src_id"
+    ).collect()
+    sj = s.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("__sv__"),
+        norm("embedding").alias("__sn__"),
+    )
+    tj = t.select(
+        F.col("vec_id").alias("tgt_id"),
+        F.col("embedding").alias("__tv__"),
+        norm("embedding").alias("__tn__"),
+    )
+    fold = (
+        tj.crossJoin(F.broadcast(sj))
+        .select(
+            "src_id",
+            "tgt_id",
+            (dot("__sv__", "__tv__") / (F.col("__sn__") * F.col("__tn__"))).alias(
+                "cosine_sim"
+            ),
+        )
+        .collect()
+    )
+    kmap = {(r.src_id, r.tgt_id): r.cosine_sim for r in kern}
+    fmap = {(r.src_id, r.tgt_id): r.cosine_sim for r in fold}
+    assert set(kmap) == set(fmap) and len(kmap) == 400
+    for key, fv in fmap.items():
+        assert kmap[key] == fv, (key, kmap[key], fv)  # BIT equality
+
+
+def test_broadcast_cosine_kernel_rejects_ragged_and_null_elements(spark):
+    import pytest
+
+    from mrt_data_integration_spark.operators.similarity import (
+        broadcast_cosine_scores,
+    )
+
+    s = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="ragged"):
+        broadcast_cosine_scores(
+            ragged, s, stream_out="tgt_id", bcast_out="src_id"
+        ).collect()
+    nullelem = spark.createDataFrame(
+        [(1, [1.0, None])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="NULL embedding element"):
+        broadcast_cosine_scores(
+            nullelem, s, stream_out="tgt_id", bcast_out="src_id"
+        ).collect()
+
+
+def test_broadcast_cosine_kernel_empty_broadcast_side(spark):
+    from mrt_data_integration_spark.operators.similarity import (
+        broadcast_cosine_scores,
+    )
+
+    s = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    t = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    assert (
+        broadcast_cosine_scores(
+            t, s, stream_out="tgt_id", bcast_out="src_id"
+        ).count()
+        == 0
+    )
