@@ -165,18 +165,15 @@ def idf_cosine_topk(
     # full raw-pair volume (~n_pairs × 2 rows) instead of one
     # doc-keyed join of the weight frame (AQE broadcasts the
     # doc-grain norms at any realistic scale).
-    vec_n = vec.join(norms, id_col)
-    a = vec_n.select(
+    a = vec.select(
         F.col(id_col).alias("__a__"),
         "shingle",
         F.col("w").alias("wa"),
-        F.col("n2").alias("n2_a"),
     )
-    b = vec_n.select(
+    b = vec.select(
         F.col(id_col).alias("__b__"),
         "shingle",
         F.col("w").alias("wb"),
-        F.col("n2").alias("n2_b"),
     )
     prods = (
         a.join(b, "shingle")
@@ -185,22 +182,31 @@ def idf_cosine_topk(
             "__a__",
             "__b__",
             (F.col("wa") * F.col("wb")).alias("prod"),
-            "n2_a",
-            "n2_b",
         )
     )
     dp = F.sort_array(F.collect_list(F.col("prod")))
     cos = F.round(
         F.col("dot") / (F.sqrt(F.col("n2_a")) * F.sqrt(F.col("n2_b"))), 6
     )
+    # norms attach at PAIR grain, after the aggregate and BEFORE the
+    # eager cache/threshold: the doc-grain norms frame broadcasts into
+    # two map-side joins over the deduped (a, b) frame, so the big
+    # shingle-keyed shuffle above carries (a, b, prod) only — dropping
+    # the two per-row doubles cut its bytes ~40% and removed the two
+    # first() buffers from the pair aggregate (guide §2.3, A/B'd this
+    # round: 41 → 25 MB shuffle write). This is NOT the variant the
+    # hoist-norms note measured 2× worse in the build round — that one
+    # joined norms onto the SYMMETRIZED (n_pairs × 2) frame under the
+    # rank window; here the join lands pre-union inside the cached
+    # frame, so the window still reads the cache.
     dots = (
         prods.groupBy("__a__", "__b__")
         .agg(
             F.aggregate(dp, F.lit(0.0), lambda acc, e: acc + e).alias("dot"),
             F.count(F.lit(1)).alias("n_shared"),
-            F.first("n2_a").alias("n2_a"),
-            F.first("n2_b").alias("n2_b"),
         )
+        .join(norms.select(F.col(id_col).alias("__a__"), F.col("n2").alias("n2_a")), "__a__")
+        .join(norms.select(F.col(id_col).alias("__b__"), F.col("n2").alias("n2_b")), "__b__")
         .select("__a__", "__b__", "n_shared", cos.alias("cosine"))
         .filter(F.col("cosine") >= F.lit(float(threshold)))
     )
@@ -292,36 +298,46 @@ def idf_cross_topk(
     fold = lambda col: F.aggregate(col, F.lit(0.0), lambda a, e: a + e)  # noqa: E731
     norms_b = bvec.groupBy(id_col).agg(fold(sq).alias("n2"))
     norms_r = ref_vec.groupBy(id_col).agg(fold(sq).alias("n2"))
-    a = bvec.join(norms_b, id_col).select(
+    a = bvec.select(
         F.col(id_col).alias("__q__"),
         "shingle",
         F.col("w").alias("wa"),
-        F.col("n2").alias("n2_a"),
     )
-    b = ref_vec.join(norms_r, id_col).select(
+    b = ref_vec.select(
         F.col(id_col).alias("__r__"),
         "shingle",
         F.col("w").alias("wb"),
-        F.col("n2").alias("n2_b"),
     )
     prods = a.join(b, "shingle").select(
         "__q__",
         "__r__",
         (F.col("wa") * F.col("wb")).alias("prod"),
-        "n2_a",
-        "n2_b",
     )
     dp = F.sort_array(F.collect_list(F.col("prod")))
     cos = F.round(
         F.col("dot") / (F.sqrt(F.col("n2_a")) * F.sqrt(F.col("n2_b"))), 6
     )
+    # norms attach at pair grain after the aggregate — the big
+    # shingle-keyed shuffle carries (q, r, prod) only (the
+    # idf_cosine_topk change, same A/B evidence; the doc-grain norm
+    # frames broadcast into two map-side joins here)
     scored = (
         prods.groupBy("__q__", "__r__")
         .agg(
             F.aggregate(dp, F.lit(0.0), lambda acc, e: acc + e).alias("dot"),
             F.count(F.lit(1)).alias("n_shared"),
-            F.first("n2_a").alias("n2_a"),
-            F.first("n2_b").alias("n2_b"),
+        )
+        .join(
+            norms_b.select(
+                F.col(id_col).alias("__q__"), F.col("n2").alias("n2_a")
+            ),
+            "__q__",
+        )
+        .join(
+            norms_r.select(
+                F.col(id_col).alias("__r__"), F.col("n2").alias("n2_b")
+            ),
+            "__r__",
         )
         .select(
             F.col("__q__").alias(id_col),
