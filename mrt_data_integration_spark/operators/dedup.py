@@ -1248,12 +1248,19 @@ def split_content_chunks(
     # two-argument filter lambda: (element, 0-based index). prev of
     # the first anchor is the text start; the index is guarded because
     # element_at(_, 0) throws under ANSI even inside the untaken
-    # when-branch
+    # when-branch. The lambda reads the anchors array through a
+    # CONCRETE COLUMN (__anch__, projected below), never the anchors
+    # expression itself: a captured non-column expression re-evaluates
+    # inside the lambda PER ELEMENT, which re-ran the whole md5 anchor
+    # scan per anchor — O(tokens × anchors) per doc (measured 3.8× on
+    # the boundary compute at sf0.1, opt r14; guide §4/§1.2 per-task
+    # work).
+    anch_col = F.col("__anch__")
     kept = F.filter(
-        anchors,
+        anch_col,
         lambda x, i: x
         - F.when(i == 0, F.lit(1)).otherwise(
-            F.element_at(anchors, F.greatest(i, F.lit(1)))
+            F.element_at(anch_col, F.greatest(i, F.lit(1)))
         )
         >= min_tokens,
     )
@@ -1283,6 +1290,10 @@ def split_content_chunks(
         _spread(df.select(id_col, text_col))
         .filter(text.isNotNull() & (F.length(text) > 0))
         .select(F.col(id_col), F.split(text, " ", -1).alias("__toks__"))
+        # anchors materialized as its own column so the kept-filter's
+        # lambda reads it by reference (see comment above); referenced
+        # twice, so CollapseProject leaves the projection in place
+        .select(F.col(id_col), toks, anchors.alias("__anch__"))
     )
     return with_toks.select(
         F.col(id_col),
