@@ -78,34 +78,6 @@ def weighted_minhash_signatures(
         raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
     term = F.col(term_col)
     weights = weights.filter(F.col(w_col) > 0)
-    keyed = weights.select(
-        F.col(id_col),
-        term,
-        F.col(w_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("seed"),
-                        F.round(
-                            F.pow(
-                                _uniform(s, term, salt),
-                                F.lit(1.0) / F.col(w_col),
-                            ),
-                            12,
-                        ).alias("key"),
-                    )
-                    for s in range(n_hashes)
-                ]
-            )
-        ).alias("__sk__"),
-    ).select(
-        id_col,
-        term_col,
-        w_col,
-        F.col("__sk__.seed").alias("seed"),
-        F.col("__sk__.key").alias("key"),
-    )
     # winner = max (key, reversed-term) — term DESC inside max picks the
     # lexicographically smallest term on key ties only if we invert;
     # instead order by (key, term) with max_by on a struct where the
@@ -113,11 +85,42 @@ def weighted_minhash_signatures(
     # is inexpressible for strings, so rank via min_by on
     # (-key, term)-ordered struct: struct comparison is field-by-field,
     # and (-key ASC, term ASC) min == (key DESC, term ASC) first.
-    ranked = keyed.groupBy(id_col, "seed").agg(
-        F.min_by(
-            F.col(term_col),
-            F.struct((-F.col("key")).alias("nk"), F.col(term_col).alias("t")),
-        ).alias("winner")
+    #
+    # Shape (opt r14): ONE aggregate grouped by id over the UN-EXPLODED
+    # (id, term, w) frame, with n_hashes min_by functions — one per
+    # seed — then a posexplode of the n_hashes winners back to
+    # (id, seed, winner) grain. min_by's struct ordering column forces
+    # a SortAggregate (immutable buffer), so the previous
+    # explode-then-group-by-(id, seed) form SORTED the n_hashes×
+    # exploded frame; grouping by id alone sorts n_hashes× fewer rows
+    # for the identical per-seed argmin (each min_by folds over
+    # exactly the rows of its (id, seed) group). Winner values are
+    # bit-identical; only the aggregation grain changed (guide §1.2 —
+    # fix the shape before the per-task work).
+    def _key(s: int) -> Column:
+        return F.round(
+            F.pow(_uniform(s, term, salt), F.lit(1.0) / F.col(w_col)), 12
+        )
+
+    ranked = (
+        weights.groupBy(id_col)
+        .agg(
+            F.array(
+                *[
+                    F.min_by(
+                        term,
+                        F.struct(
+                            (-_key(s)).alias("nk"), term.alias("t")
+                        ),
+                    )
+                    for s in range(n_hashes)
+                ]
+            ).alias("__winners__")
+        )
+        .select(
+            id_col,
+            F.posexplode("__winners__").alias("seed", "winner"),
+        )
     )
     return ranked
 

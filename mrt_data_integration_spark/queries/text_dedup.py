@@ -280,13 +280,28 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     action."""
     docs = load_table(spark, sf_dir, "documents")
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("__n_docs__"))
-    tok = docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("term"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("term")
+    )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df rides a count window over term (tf is (doc, term)-distinct by
+    # construction, so the count IS countDistinct(doc_id)), and the
+    # final term aggregate reuses the window's partitioning — ONE
+    # tokenize pass and one term-keyed exchange where the join form
+    # re-tokenized the corpus for the df branch and shuffled the tf
+    # frame a third time through the join (opt r14, guide §2.4; plan:
+    # 2 `Scan parquet documents` → 1, the idf_shingle_weights window
+    # precedent). The tf·idf addends are expression-identical to the
+    # join form — only the (already shuffle-order-dependent) summation
+    # grouping changed, absorbed by round(4) exactly as before.
+    from pyspark.sql import Window as W
+
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("term"))
+    )
     idf = F.log((1.0 + F.col("__n_docs__")) / (1.0 + F.col("df")))
     scored = (
-        tf.join(df_, "term")
-        .crossJoin(F.broadcast(n))  # 1 row: map-side constant
+        tf.crossJoin(F.broadcast(n))  # 1 row: map-side constant
         .groupBy("term")
         .agg(
             F.round(F.sum(F.col("tf") * idf), 4).alias("total_tfidf"),
@@ -1570,18 +1585,25 @@ def weighted_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", r"\s+")).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df rides a count window over term — tf is (doc, term)-distinct
+    # by construction, so the count IS countDistinct(doc_id), and the
+    # window replaces the join form's SECOND tokenize scan (the df
+    # branch re-ran scan→explode→aggregate because column pruning made
+    # its subtree non-reusable) plus the join itself (opt r14, guide
+    # §2.4; plan: 2 `Scan parquet documents` → 1 — the
+    # tfidf_top_terms/idf_shingle_weights window precedent)
+    from pyspark.sql import Window as W
+
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("term"))
+    )
     idf = F.round(
         F.log((1.0 + F.col("__n_docs__")) / (1.0 + F.col("df"))), 12
     ) + F.lit(1.0)
-    w = (
-        tf.join(df_, "term")
-        .crossJoin(F.broadcast(n))  # 1 row: map-side constant
-        .select(
-            "doc_id",
-            "term",
-            F.round(F.col("tf") * idf, 6).alias("w"),
-        )
+    w = tf.crossJoin(F.broadcast(n)).select(  # 1 row: map-side constant
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * idf, 6).alias("w"),
     )
     return wmh_op(w, n_hashes=8)
 

@@ -369,7 +369,15 @@ def test_vocabulary_join_carries_no_unconditional_broadcast(
     )
     # and n_docs is in-plan: no separate .count() action means the
     # analyzed plan itself references the aggregate, which the above
-    # already proves; finally the df join must still exist unhinted
-    assert any("count(distinct doc_id" in ln.lower() for ln in lines), (
+    # already proves; finally the df statistic must still exist
+    # unhinted — since opt r14 it is a term-keyed count(1) over the
+    # (doc, term)-distinct tf frame (an Aggregate in wminhash, a
+    # term-partitioned Window in tfidf), value-identical to the old
+    # count(DISTINCT doc_id) re-derivation it replaced
+    assert any(
+        "count(1) AS df" in ln
+        or ("count(1) windowspecdefinition(term" in ln and "AS df" in ln)
+        for ln in lines
+    ), (
         f"{name}: vocabulary df aggregate missing from the plan"
     )
