@@ -433,25 +433,56 @@ def semantic_decontamination(
     benchmark yields an empty frame (no rows to screen against).
 
     Scale shape: the benchmark is SMALL by construction (an eval set),
-    so it broadcasts into a corpus-scan crossJoin whose per-row
-    cosines collapse MAP-SIDE — the partial max aggregate reduces each
-    corpus vector's |benchmark| pairs to one (id, max) row before the
-    exchange, so the one shuffle carries narrow id/double rows, never
-    vectors. ``broadcast_benchmark=False`` is the escape hatch for a
-    benchmark too big to broadcast — at that size use
+    so it ships broadcast into a corpus-scan pass whose per-row max
+    collapses INSIDE the Arrow kernel (opt r14) — one map-side pass,
+    no pair frame, no exchange at all; vectors never shuffle.
+    ``broadcast_benchmark=False`` is the escape hatch for a benchmark
+    too big to broadcast — it keeps the crossJoin + JVM-fold +
+    partial-max-aggregate shape — and at that size use
     :func:`semantic_decontamination_ivf` (cell-bounded candidates)
     instead of an all-pairs crossJoin.
 
-    The cosine is the engine's sequential zip_with fold (bit-identical
-    to DuckDB's list_dot_product — the exactness/speed trade the
-    cosine family settled in r7), so the DuckDB oracle replays this
-    end-to-end.
+    Both paths' cosines are bit-identical to DuckDB's sequential
+    list_dot_product (the exactness/speed trade the cosine family
+    settled in r7): the JVM path folds zip_with/aggregate, the kernel
+    accumulates column-sequentially (pinned in tests/test_similarity
+    .py::test_broadcast_cosine_kernel_bit_identical_to_fold), so the
+    DuckDB oracle replays this end-to-end either way. Output grain on
+    the kernel path is one row per corpus ROW (ids are expected
+    unique; the fold path's groupBy collapsed malformed duplicate ids
+    — duplicates are out of contract on both).
     """
     from mrt_data_integration_spark.operators.similarity import (
+        broadcast_max_cosine,
         dot,
         norm,
     )
 
+    if broadcast_benchmark:
+        # Arrow column-sequential kernel with the max folded inside
+        # (opt r14, guide §4.2): cosines bit-identical to the
+        # zip_with/aggregate fold below (pinned in
+        # tests/test_similarity.py), max order-independent with
+        # Spark-identical NaN propagation — and the per-row collapse
+        # happens IN the kernel, so the pair frame and its partial-max
+        # exchange are gone (plan: crossJoin + HashAggregate×2 +
+        # Exchange → PythonMapInArrow + round/threshold Project).
+        # The benchmark collects to the driver — the same envelope as
+        # the F.broadcast hint this replaces.
+        scored = broadcast_max_cosine(
+            corpus.filter(F.col(vec_col).isNotNull()),
+            benchmark.filter(F.col(vec_col).isNotNull()),
+            id_col=id_col,
+            vec_col=vec_col,
+            score_col="__max__",
+        )
+        return scored.select(
+            id_col,
+            F.round(F.col("__max__"), 4).alias("max_bench_sim"),
+        ).withColumn(
+            "contaminated",
+            F.col("max_bench_sim") >= F.lit(float(threshold)),
+        )
     # norms precomputed BEFORE the crossJoin (the brute_force/margin
     # convention): the per-pair expression is ONE fold + a divide, not
     # three — a post-join cosine() recomputed both norms per pair AND
@@ -461,8 +492,6 @@ def semantic_decontamination(
         F.col(vec_col).alias("__bvec__"),
         norm(vec_col).alias("__bn__"),
     )
-    if broadcast_benchmark:
-        b = F.broadcast(b)
     pairs = (
         corpus.filter(F.col(vec_col).isNotNull())
         .select(

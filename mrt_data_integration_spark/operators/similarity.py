@@ -2056,6 +2056,92 @@ def broadcast_cosine_scores(
     )
 
 
+def broadcast_max_cosine(
+    stream: DataFrame,
+    bcast: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "max_sim",
+) -> DataFrame:
+    """Per-``stream``-row MAX cosine against the collected ``bcast``
+    set — :func:`broadcast_cosine_scores` with the max folded INSIDE
+    the kernel, so the output is one row per stream row and no pair
+    frame ever exists (the semantic-decontamination shape: guide §4.2
+    + §2.4 — the partial-max exchange disappears with the pairs).
+
+    Bit-identity: cosines via the same column-sequential kernel; max
+    is order-independent over doubles, and numpy's max PROPAGATES NaN
+    exactly like Spark's (NaN sorts greatest, so any NaN cosine makes
+    the max NaN in both). Empty ``bcast`` ⇒ empty output (the
+    operator's empty-benchmark contract)."""
+    import numpy as np
+
+    spark = stream.sparkSession
+    b_pdf = bcast.select(F.col(vec_col)).toPandas()
+    if len(b_pdf):
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in b_pdf[vec_col]]
+        )
+        norms = _seq_norms(mat)
+    else:
+        mat = np.zeros((0, 0))
+        norms = np.zeros(0)
+    bc = spark.sparkContext.broadcast((mat, norms))
+    id_type = stream.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, {score_col} double"
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        S, s_norms = bc.value
+        ns, d = S.shape[0], (S.shape[1] if S.size else 0)
+        for batch in batches:
+            if ns == 0:
+                continue
+            tid = batch.column(0).to_numpy(zero_copy_only=False)
+            lv = batch.column(1)
+            if lv.null_count:
+                raise ValueError(
+                    "broadcast_max_cosine: NULL embedding reached the "
+                    "kernel — filter isNotNull upstream"
+                )
+            lens = pa.compute.list_value_length(lv).to_numpy()
+            if len(lens) and not (lens == d).all():
+                raise ValueError(
+                    f"broadcast_max_cosine: ragged embedding "
+                    f"dimensions (expected {d})"
+                )
+            flat = lv.flatten()
+            if flat.null_count:
+                raise ValueError(
+                    "broadcast_max_cosine: NULL embedding element"
+                )
+            T = flat.to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            ).reshape(len(tid), d)
+            chunk = max(1, (1 << 20) // ns)
+            for i in range(0, len(tid), chunk):
+                Tc = T[i : i + chunk]
+                tn = _seq_norms(Tc)
+                acc = np.zeros((Tc.shape[0], ns))
+                for j in range(d):
+                    acc = acc + Tc[:, j : j + 1] * S[None, :, j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = acc / (s_norms[None, :] * tn[:, None])
+                yield pa.record_batch(
+                    [
+                        pa.array(tid[i : i + chunk]),
+                        pa.array(cos.max(axis=1)),
+                    ],
+                    names=[id_col, score_col],
+                )
+
+    return stream.select(F.col(id_col), F.col(vec_col)).mapInArrow(
+        kernel, out_schema
+    )
+
+
 def margin_knn_pairs(
     src: DataFrame,
     tgt: DataFrame,

@@ -468,8 +468,11 @@ def test_semantic_decon_partitioning_and_plan(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan
-    # the map-side collapse: partial max before the exchange
-    assert "partial_max" in plan or "partial" in plan.lower()
+    # the per-row max collapses INSIDE the Arrow kernel (opt r14):
+    # one map-side pass, no pair frame, no exchange — vectors never
+    # shuffle
+    assert "MapInArrow" in plan
+    assert "Exchange" not in plan
 
 
 @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
