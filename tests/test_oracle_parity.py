@@ -76,7 +76,9 @@ _HINT_BUDGET = {
     "length_drift_ks": 1,            # [1row] slice totals
     "lineitem_priority_regime": 1,   # [dim] custkey-slice history
     "lm_perplexity_filter": 4,       # [model] x3 + [1row] token total
-    "margin_mined_pairs": 2,         # [batch] source batch (brute frame)
+    # margin_mined_pairs: 0 since r14-opt — the scored frame's two
+    # F.broadcast hints became a Spark broadcast VARIABLE inside the
+    # mapInArrow cosine kernel (same driver envelope, no join hint).
     "mc_simulation_grid": 1,         # [batch] scenario grid
     "phrase_search_occurrences": 1,  # [batch] unrolled phrase frame
     "pmi_collocations": 2,           # [1row] totals x2
@@ -85,7 +87,8 @@ _HINT_BUDGET = {
     "ppmi_word_similarity": 4,
     "pq_topk": 3,                    # [model] codebooks + [batch]
     "relative_efficiency": 1,        # [1row] reference row
-    "semantic_decontamination": 1,   # [batch] benchmark (gate param)
+    # semantic_decontamination: 0 since r14-opt — benchmark ships as a
+    # broadcast variable in broadcast_max_cosine (crossJoin hint gone).
     "semantic_decontamination_ivf": 1,  # [batch] benchmark probe rows (r14)
     "sensitivity_scenarios": 3,      # [batch] scenario grids
     "sequence_packing": 1,           # [1row] pack-boundary frame
