@@ -102,6 +102,133 @@ _HINT_BUDGET = {
 }
 
 
+# r14 generalization of the HOF-capture lint (the chunker finding, opt
+# round 1): the r13 rule only sees EXPENSIVE SCALAR calls over
+# scalar-invariant arguments. The split_content_chunks regression it
+# missed was an ARRAY captured as an expression: the lambda read the
+# anchors array via `element_at(<whole filter(sequence...md5...) tree>,
+# i)` — every nested call's direct args contained SOME lambda variable
+# (the INNER anchor-bucket lambda's), so the scalar rule passed it, yet
+# the captured collection subtree referenced no variable of any
+# ENCLOSING lambda and was re-computed per element (O(tokens × anchors)
+# per doc; measured 3.8× on the boundary stage). General rule: inside a
+# lambda body, a collection-consuming call whose collection operand is
+# a COMPUTED subtree (not a bare attribute) that references no lambda
+# variable once its OWN nested lambdas are stripped is loop-invariant —
+# it must be projected as a concrete column and captured by reference.
+# Module-level so the broken-shape regression pin below exercises the
+# same detector the registry sweep runs.
+import re as _re_mod
+
+_COLLECTION = _re_mod.compile(
+    r"\b(element_at|transform|filter|aggregate|reduce|exists"
+    r"|forall|zip_with|slice|array_sort|sort_array|array_position"
+    r"|array_contains|arrays_zip)\(",
+)
+
+
+def _balanced_span(plan: str, start: int) -> str:
+    """The balanced-paren span beginning at plan[start] (which must
+    point at the character just past an opening paren)."""
+    i, depth = start, 1
+    while i < len(plan) and depth:
+        depth += {"(": 1, ")": -1}.get(plan[i], 0)
+        i += 1
+    return plan[start:i]
+
+
+def _strip_nested_lambdas(s: str) -> str:
+    out, pos = [], 0
+    while True:
+        i = s.find("lambdafunction(", pos)
+        if i < 0:
+            out.append(s[pos:])
+            return "".join(out)
+        out.append(s[pos:i])
+        span = _balanced_span(s, i + len("lambdafunction("))
+        pos = i + len("lambdafunction(") + len(span)
+
+
+def _first_toplevel_arg(args: str) -> str:
+    depth = 0
+    for j, ch in enumerate(args):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return args[:j]
+    return args
+
+
+def _hof_invariant_collection(plan: str) -> bool:
+    pos = 0
+    while True:
+        start = plan.find("lambdafunction(", pos)
+        if start < 0:
+            return False
+        body = _balanced_span(plan, start + len("lambdafunction("))
+        for m in _COLLECTION.finditer(body):
+            args = _balanced_span(body, m.end())
+            first = _first_toplevel_arg(args)
+            if "(" in first and "lambda" not in _strip_nested_lambdas(
+                first
+            ):
+                return True
+        pos = start + len("lambdafunction(") + len(body)
+
+
+def test_hof_invariant_collection_lint_catches_captured_array(spark):
+    """Regression pin for the generalized lint: rebuild the EXACT
+    pre-fix split_content_chunks shape (the kept-filter lambda reading
+    the anchors EXPRESSION instead of a projected column) and assert
+    the detector fires on it — and passes the fixed shape."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id int, text string"
+    )
+    toks = F.col("__toks__")
+    n = F.size(toks)
+
+    def _anchor_bucket(i):
+        return (
+            F.conv(
+                F.substring(F.md5(F.element_at(toks, i)), 1, 4), 16, 10
+            ).cast("int")
+            % 8
+            == 0
+        )
+
+    anchors = F.when(
+        n >= 2, F.filter(F.sequence(F.lit(2), n), _anchor_bucket)
+    ).otherwise(F.array().cast("array<int>"))
+
+    def _kept(src):
+        return F.filter(
+            src,
+            lambda x, i: x
+            - F.when(i == 0, F.lit(1)).otherwise(
+                F.element_at(src, F.greatest(i, F.lit(1)))
+            )
+            >= 4,
+        )
+
+    base = df.select(
+        F.col("doc_id"), F.split(F.col("text"), " ", -1).alias("__toks__")
+    )
+    broken = base.select("doc_id", _kept(anchors).alias("kept"))
+    fixed = base.select("doc_id", toks, anchors.alias("__anch__")).select(
+        "doc_id", _kept(F.col("__anch__")).alias("kept")
+    )
+    plan_broken = broken._jdf.queryExecution().executedPlan().toString()
+    plan_fixed = fixed._jdf.queryExecution().executedPlan().toString()
+    assert _hof_invariant_collection(plan_broken)
+    assert not _hof_invariant_collection(plan_fixed)
+    # both shapes compute the same boundaries — the lint is about cost
+    assert broken.collect() == fixed.collect()
+
+
 def test_queries_run_on_smoke(spark, sf_smoke):
     # Every registered query must at least execute at sf0.001 — and
     # every query's PHYSICAL PLAN must pass the registry-wide scale
@@ -170,6 +297,8 @@ def test_queries_run_on_smoke(spark, sf_smoke):
                 lint_hits.append((name, marker))
         if _hof_captured_tokenizer(plan):
             lint_hits.append((name, "HOF-captured-tokenizer"))
+        if _hof_invariant_collection(plan):
+            lint_hits.append((name, "HOF-invariant-collection"))
         # broadcast-hint budget (r12): hints live in the ANALYZED
         # plan (the executed plan shows only the resulting join)
         n_hints = (
