@@ -59,6 +59,7 @@ def bounded_topk(
     tie_col: str = "corpus_id",
     tree_fan: int | None = None,
     ascending: bool = False,
+    bounded_key_groups: bool = False,
 ) -> DataFrame:
     """Scale-safe per-key top-k over a scored frame.
 
@@ -86,13 +87,31 @@ def bounded_topk(
     smallest-k selections like hash-ordered sampling — tie asc) makes
     the result independent of the physical partitioning. All JVM window
     exprs — no UDFs.
+
+    ``bounded_key_groups=True`` skips the partition-local pre-rank
+    stage and runs the global window directly (opt r14, guide §2.4):
+    sound ONLY when the caller can prove each key's group is bounded
+    by CONSTRUCTION, independent of corpus size — e.g. ranking the
+    stream side of a stream × broadcast scored frame, where a key's
+    candidates are exactly the broadcast rows, which must already fit
+    in every executor's memory. There the local stage prunes nothing
+    structural (the global sort still sees one bounded group per key)
+    and only adds a second exchange + sort + window pass over the
+    survivors. Identical output either way: the global row_number over
+    (score, tie) is the same total order with or without the local
+    pre-selection.
     """
     def _ord(c):
         return c.asc() if ascending else c.desc()
-    w_local = Window.partitionBy(key_col, "__pid__").orderBy(
+    w_global = Window.partitionBy(key_col).orderBy(
         _ord(F.col(score_col)), F.col(tie_col)
     )
-    w_global = Window.partitionBy(key_col).orderBy(
+    if bounded_key_groups:
+        return (
+            scored.withColumn(rank_col, F.row_number().over(w_global))
+            .filter(F.col(rank_col) <= k)
+        )
+    w_local = Window.partitionBy(key_col, "__pid__").orderBy(
         _ord(F.col(score_col)), F.col(tie_col)
     )
     out = (
@@ -2209,8 +2228,15 @@ def margin_knn_pairs(
     fwd = bounded_topk(
         scored, k, "cosine_sim", key_col="src_id", tie_col="tgt_id"
     )
+    # bwd ranks per-TGT (the stream side): each tgt's candidate set is
+    # exactly the broadcast src block, bounded by the broadcast
+    # envelope by construction — the local pre-rank stage prunes
+    # nothing structural, so skip its extra exchange + sort + window
+    # pass (opt r14, guide §2.4). fwd ranks per-SRC over the unbounded
+    # stream side and keeps the full two-stage ranking.
     bwd = bounded_topk(
-        scored, k, "cosine_sim", key_col="tgt_id", tie_col="src_id"
+        scored, k, "cosine_sim", key_col="tgt_id", tie_col="src_id",
+        bounded_key_groups=True,
     )
     return attach_cache(_margin_assemble(fwd, bwd), [scored])
 

@@ -1134,3 +1134,41 @@ def test_broadcast_cosine_kernel_empty_broadcast_side(spark):
         ).count()
         == 0
     )
+
+
+def test_bounded_topk_bounded_key_groups_identical_and_single_stage(
+    spark, sf_smoke
+):
+    """Opt r14 pin: ``bounded_key_groups=True`` (sound only when each
+    key's group is bounded by construction — margin's bwd ranking over
+    the broadcast side) must return EXACTLY the two-stage ranking's
+    rows while dropping the partition-local pre-rank stage from the
+    plan (no __pid__ / spark_partition_id, one Window instead of two).
+    """
+    emb = load_table(spark, sf_smoke, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    src = emb.filter(F.col("label") % 2 == 0)
+    tgt = emb.filter(F.col("label") % 2 == 1)
+    scored = sim.broadcast_cosine_scores(
+        tgt, src, stream_out="tgt_id", bcast_out="src_id"
+    ).select("src_id", "tgt_id", "cosine_sim")
+    two = sim.bounded_topk(
+        scored, 4, "cosine_sim", key_col="tgt_id", tie_col="src_id"
+    )
+    one = sim.bounded_topk(
+        scored,
+        4,
+        "cosine_sim",
+        key_col="tgt_id",
+        tie_col="src_id",
+        bounded_key_groups=True,
+    )
+    cols = ["tgt_id", "src_id", "cosine_sim", "rk"]
+    assert sorted(map(tuple, two.select(cols).collect())) == sorted(
+        map(tuple, one.select(cols).collect())
+    )
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "__pid__" not in plan and "spark_partition_id" not in plan
+    two_plan = two._jdf.queryExecution().executedPlan().toString()
+    assert two_plan.count("Window") > plan.count("Window")
