@@ -1596,9 +1596,75 @@ _R14_SIT_OUT = (
     "ngram_jaccard_pairs",
     "bpe_ish_token_counts",
 )
+# Round 15 window: POOL_A's turn (37 after the r14 add/retire pairs —
+# the nine r14-era additions `heaps_vocab_growth`,
+# `source_overlap_audit`, `robust_quality_outliers`,
+# `ppmi_word_similarity`, `semantic_decontamination_ivf`,
+# `source_js_divergence`, `idf_shingle_neighbors`,
+# `relational_quality_audit`, `lang_agreement_kappa` have ZERO driver
+# history and are force-included per rule 2; slots funded by the nine
+# pre-ranked retirements recorded in _RETIRED) + the 13 r14 sit-outs
+# above (all CORE, last rows r13, due back) = 37 + 13 = exactly 50 —
+# the r15 plan written at the r14 flip, executed verbatim. No r14 row
+# was red (CORRECTNESS_r14: 43 hash + 7 declared rows-only), so rule 1
+# forces nothing. The THIRTEEN CORE members holding fresh r14 hash
+# rows sit out — shapes stay covered in-window (the r13 delegations,
+# re-based where a named twin was retired since; the rotation map for
+# this flip is published in WINDOW_r15.md per the r14 verdict's
+# "window optics" item):
+# `pricing_summary` (scan + grouped agg) by `brand_part_rollup`
+#   (returning — GROUPING SETS grouped agg over the same lineitem
+#   scan) + `group_best_highlight` (returning),
+# `weighted_gram` (grouped gram) by `wls_normal_equations` (returning)
+#   + `cluster_score_meat` (returning),
+# `relative_efficiency` (reference-row normalization) by
+#   `training_mix_rebalance` (POOL_A — same ratio-to-reference shape),
+# `rollup_hierarchy` (grouping sets) by `brand_part_rollup` (returning
+#   — the same GROUPING SETS physical operator),
+# `exact_percentiles` (global sort percentiles) by `topk_per_group`
+#   (returning — same sort/window machinery),
+# `running_total` (cumulative frame) by `user_activity_lag_features`
+#   (POOL_A — same window-frame machinery),
+# `argmax_per_group` by `group_best_highlight` (returning — same
+#   argmax shape),
+# `regr_by_group` by `wcls_cluster_robust` (returning — per-group
+#   regression),
+# `star_join_revenue` (broadcast star join) by `fact_fact_join`
+#   (returning) + `lineitem_priority_regime` (POOL_A — broadcast
+#   history join); bench-tracked,
+# `anti_join_dormant_customers` by `winnowing_decontamination`
+#   (POOL_A — benchmark exclusion is the same anti-join-shaped
+#   set-difference, routed through fingerprint keys) +
+#   `leakage_safe_split` (POOL_A — the zero-straddle split is
+#   verified by the same anti-join arithmetic),
+# `doc_lang_id` by `lm_perplexity_filter` (POOL_A — the same
+#   char-ngram language-model profile scoring, through the CCNet
+#   filter route) + `doc_quality_stats` (returning)  [re-based: the
+#   old twin `lang_classifier_scores` retired r14],
+# `doc_fingerprint_dedup` (exact hash dedup) by `streaming_dedup_ingest`
+#   (POOL_A — ingest-time exact dedup on the same fingerprints) +
+#   `dedup_clusters` (POOL_A),
+# `tfidf_top_terms` by `bpe_ish_token_counts` (returning) +
+#   `bm25_doc_search` (POOL_A — the same tf/df arithmetic inside the
+#   ranking); bench-tracked.
+_R15_SIT_OUT = (
+    "pricing_summary",
+    "weighted_gram",
+    "relative_efficiency",
+    "rollup_hierarchy",
+    "exact_percentiles",
+    "running_total",
+    "argmax_per_group",
+    "regr_by_group",
+    "star_join_revenue",
+    "anti_join_dormant_customers",
+    "doc_lang_id",
+    "doc_fingerprint_dedup",
+    "tfidf_top_terms",
+)
 _WINDOW: list[str] = (
-    _POOL_B
-    + [n for n in _CORE if n not in _R14_SIT_OUT]
+    _POOL_A
+    + [n for n in _CORE if n not in _R15_SIT_OUT]
 )
 # (The r12 plan written at the r11 flip EXECUTED verbatim:
 # POOL_B's 37 + the 13 r11 sit-outs, zero slack, no red r11 rows —

@@ -8,35 +8,38 @@ from __future__ import annotations
 from mrt_data_integration_spark import queries as q
 from mrt_data_integration_spark.queries import ORACLES
 
-# The r13 registrations with zero driver-row history before r14 — the
-# r13 verdict's promised rotation (item 1). All must hold r14 window
-# slots per exception rule 2 (all five are POOL_B members, so
-# POOL_B's turn includes them automatically; this pins the promise
-# anyway).
-_R14_FORCED = (
-    "lang_category_drift",
-    "token_budget_selection",
-    "token_diversity_stats",
-    "containment_dedup_pairs",
-    "zipf_lexical_profile",
+# The r14-era registrations with zero driver-row history before r15 —
+# the r15 plan's promised rotation. All must hold r15 window slots per
+# exception rule 2 (all nine are POOL_A members, so POOL_A's turn
+# includes them automatically; this pins the promise anyway).
+_R15_FORCED = (
+    "heaps_vocab_growth",
+    "source_overlap_audit",
+    "robust_quality_outliers",
+    "ppmi_word_similarity",
+    "semantic_decontamination_ivf",
+    "source_js_divergence",
+    "idf_shingle_neighbors",
+    "relational_quality_audit",
+    "lang_agreement_kappa",
 )
 
-# The thirteen r13 sit-outs (last driver rows: r12). All must return in
-# the r14 window (none was retired this round).
-_R13_SAT_OUT = (
-    "pricing_summary",
-    "weighted_gram",
-    "relative_efficiency",
-    "rollup_hierarchy",
-    "exact_percentiles",
-    "running_total",
-    "argmax_per_group",
-    "regr_by_group",
-    "star_join_revenue",
-    "anti_join_dormant_customers",
-    "doc_lang_id",
-    "doc_fingerprint_dedup",
-    "tfidf_top_terms",
+# The thirteen r14 sit-outs (last driver rows: r13). All must return in
+# the r15 window (none was retired this round).
+_R14_SAT_OUT = (
+    "cluster_score_meat",
+    "group_best_highlight",
+    "unpivot_long",
+    "topk_per_group",
+    "wls_normal_equations",
+    "wcls_cluster_robust",
+    "fact_fact_join",
+    "brand_part_rollup",
+    "doc_quality_stats",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "bpe_ish_token_counts",
 )
 
 
@@ -59,23 +62,23 @@ def test_window_is_drawn_from_registry_front():
     assert names[:50] == q._WINDOW, "registration order must realize the window"
 
 
-def test_zero_history_rule_r14():
-    """Every query with zero driver-row history at the r14 freeze must
-    sit inside the driver-recorded first 50 (exception rule 2 — the r13
-    verdict's promised rotation, item 1)."""
+def test_zero_history_rule_r15():
+    """Every query with zero driver-row history at the r15 freeze must
+    sit inside the driver-recorded first 50 (exception rule 2 — the r15
+    plan written at the r14 flip)."""
     window = set(q._WINDOW)
-    for name in _R14_FORCED:
-        assert name in window, f"{name} promised a first driver row in r14"
+    for name in _R15_FORCED:
+        assert name in window, f"{name} promised a first driver row in r15"
 
 
 def test_no_query_waits_more_than_two_rounds():
-    """The thirteen r13 sit-outs' last driver rows are r12; every one
-    still in the rotation must return in r14 (a second consecutive
+    """The thirteen r14 sit-outs' last driver rows are r13; every one
+    still in the rotation must return in r15 (a second consecutive
     sit-out breaks the invariant). Retirees would be exempt — they
     leave the rotation, not the verification surface (next test)."""
     window, retired = set(q._WINDOW), set(q._RETIRED)
-    missing = [n for n in _R13_SAT_OUT if n not in window and n not in retired]
-    assert not missing, f"r13 sit-outs neither returned nor retired: {missing}"
+    missing = [n for n in _R14_SAT_OUT if n not in window and n not in retired]
+    assert not missing, f"r14 sit-outs neither returned nor retired: {missing}"
 
 
 def test_r14_sit_outs_hold_fresh_r13_rows():
@@ -87,6 +90,17 @@ def test_r14_sit_outs_hold_fresh_r13_rows():
         assert name in q._CORE, f"r14 sit-out {name} must be a CORE member"
         assert name not in q._R13_SIT_OUT, (
             f"{name} sat out r13 too — two consecutive sit-outs break the "
+            "two-round invariant"
+        )
+
+
+def test_r15_sit_outs_hold_fresh_r14_rows():
+    """Only CORE members that actually got an r14 driver row may sit out
+    the r15 window (same invariant as above, one flip later)."""
+    for name in q._R15_SIT_OUT:
+        assert name in q._CORE, f"r15 sit-out {name} must be a CORE member"
+        assert name not in q._R14_SIT_OUT, (
+            f"{name} sat out r14 too — two consecutive sit-outs break the "
             "two-round invariant"
         )
 
@@ -267,6 +281,19 @@ def test_r15_window_feasibility():
     slot."""
     assert len(q._POOL_A) + len(q._R14_SIT_OUT) == 50, (
         "r15 window over/under-subscribed — pair registry growth with a "
+        "retirement (see _RETIRED in queries/__init__.py)"
+    )
+
+
+def test_r16_window_feasibility():
+    """The r16 window is POOL_B's turn plus the r15 sit-outs (all CORE,
+    due back — their last rows are r14). That sum must be EXACTLY 50:
+    any query registered during r15, or any POOL_B growth, must be
+    paired with a POOL_B retirement of a same-shape twin (the banked
+    candidates (13)/(14) in the r15 plan comment), or the r16 rotation
+    becomes infeasible and a due query silently loses its slot."""
+    assert len(q._POOL_B) + len(q._R15_SIT_OUT) == 50, (
+        "r16 window over/under-subscribed — pair registry growth with a "
         "retirement (see _RETIRED in queries/__init__.py)"
     )
 
