@@ -4,6 +4,8 @@ sessionization, as-of join, JSON extraction — all with DuckDB oracles.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -25,7 +27,11 @@ def _stable_key(sf_dir: str) -> str:
 
 
 def _drain_stream(
-    updates, sink, mode: str = "update", state_partitions: int | None = None
+    updates,
+    sink,
+    mode: str = "update",
+    state_partitions: int | None = None,
+    no_data_batches: bool = True,
 ) -> None:
     """Drain an availableNow stream through a foreachBatch ``sink`` —
     every batch is processed EXECUTOR-side (aggregated or appended to
@@ -52,7 +58,23 @@ def _drain_stream(
     around query START (that's when the count is read) and restored in
     the same ``finally`` as the checkpoint cleanup; drains in this
     engine are sequential per session, so the temporary session-wide
-    setting cannot leak into a concurrent query's plan."""
+    setting cannot leak into a concurrent query's plan.
+
+    ``no_data_batches=False`` (opt r15, guide §1/§5) disables the
+    trailing NO-DATA micro-batch Spark schedules after the last data
+    batch of a stateful availableNow drain (to advance the watermark
+    and evict state). A caller may pass False ONLY with an emission
+    argument: every output row must be emitted by the DATA batches
+    themselves, so the no-data batch can only evict state the drain's
+    termination discards anyway (true for arrival-emitting operators:
+    stream-stream INNER joins, dropDuplicates*, update-mode stateful
+    maps WITHOUT event-time timeouts — and provably false for
+    append-mode windowed aggregations and timeout-emitting maps, whose
+    FINAL results arrive exactly on that watermark advance; leave the
+    default for those). Data micro-batch counts are untouched — the
+    cross-batch state maintenance the drains demonstrate runs
+    identically; measured on the bench box the skipped batch was
+    ~1-2.5 s of pure state-store commit for the interval-join drain."""
     import shutil
     import tempfile
 
@@ -62,12 +84,16 @@ def _drain_stream(
         if state_partitions
         else None
     )
+    _NDB = "spark.sql.streaming.noDataMicroBatches.enabled"
+    orig_ndb = spark.conf.get(_NDB) if not no_data_batches else None
     ck = tempfile.mkdtemp(prefix="graft_drain_ck_")
     try:
         if state_partitions:
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(state_partitions)
             )
+        if not no_data_batches:
+            spark.conf.set(_NDB, "false")
         q = (
             updates.writeStream.foreachBatch(sink)
             .outputMode(mode)
@@ -79,23 +105,47 @@ def _drain_stream(
     finally:
         if orig is not None:
             spark.conf.set("spark.sql.shuffle.partitions", orig)
+        if orig_ndb is not None:
+            spark.conf.set(_NDB, orig_ndb)
         shutil.rmtree(ck, ignore_errors=True)
 
 
-def _sized_state_partitions(spark, src: str, n_batches: int) -> int:
+_MAX_DRAIN_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_MAX_STATE_PARTITIONS", "8")
+)
+
+
+def _sized_state_partitions(
+    spark, src: str, n_batches: int, cap: int | None = None
+) -> int:
     """Size a drain's stateful-shuffle partition count to its per-batch
     row volume: ceil(rows_per_batch / 4000), floored at 8 and capped at
-    the session default. The count is pinned per stream at first start,
-    so it must be chosen up front — an availableNow drain over a staged
-    directory CAN be, because the corpus is known: parquet row counts
-    come from file footers (metadata-only job, no data scan). Measured
-    basis at sf0.1 (30k rows/batch): 8 partitions ≈ 1.0-1.2 s/batch vs
-    1.6-2.4 s at the session's 32 — per-partition fixed costs
-    (state-store commit, Arrow runner setup) dominate small batches. At
-    10× volume a FIXED 8 saturates (super-linear slope measured in
-    scripts/scaling_curve.py), which is why this scales back up to the
-    session default; on a real cluster the same formula lands at
-    O(cores) for firehose-sized batches. The count is cached per
+    the session default AND at ``cap`` (default
+    ``_MAX_DRAIN_STATE_PARTITIONS``). The count is pinned per stream at
+    first start, so it must be chosen up front — an availableNow drain
+    over a staged directory CAN be, because the corpus is known:
+    parquet row counts come from file footers (metadata-only job, no
+    data scan). Measured basis at sf0.1 (30k rows/batch): 8 partitions
+    ≈ 1.0-1.2 s/batch vs 1.6-2.4 s at the session's 32 — per-partition
+    fixed costs (state-store commit, Arrow runner setup) dominate
+    small batches. At 10× volume a FIXED 8 saturates (super-linear
+    slope measured in scripts/scaling_curve.py), which is why the
+    volume term scales back up toward the session default.
+
+    The ``_MAX_DRAIN_STATE_PARTITIONS`` ceiling (opt r15, guide §1/§5;
+    env-overridable for clusters): per-STORE commit cost on the bench
+    box grows super-linearly with the number of concurrent state
+    stores — the dedup drain measured 2.2 s wall at 2 stores / ~90 ms
+    summed commit, 3.0-3.5 s at 8 / ~1 s, and 6.7-13 s at the volume
+    formula's un-capped 25 / 12-19 s summed commit, with the
+    stream-stream join (FOUR stores per partition) blowing up at 8
+    partitions (17-41 s summed commit) vs 3.5 s wall at 4
+    (scripts/stream_state_ab.py). On a cluster ingesting firehose
+    batches the per-store fixed cost amortizes and the right ceiling
+    is O(cores) — raise SPARK_GRAFT_MAX_STATE_PARTITIONS there; the
+    volume term then governs up to cluster width. Callers whose
+    operator multiplies stores per partition (the interval join's 4)
+    pass a proportionally lower ``cap``. The count is cached per
     staged dir (they are immutable once published — _staged_stream_dir)
     so repeat invocations skip even the footer job."""
     import math
@@ -104,11 +154,14 @@ def _sized_state_partitions(spark, src: str, n_batches: int) -> int:
         _STAGED_ROW_COUNTS[src] = spark.read.parquet(src).count()
     total = _STAGED_ROW_COUNTS[src]
     default = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # cap OUTERMOST: on a session whose default is below the floor
+    if cap is None:
+        cap = _MAX_DRAIN_STATE_PARTITIONS
+    # caps OUTERMOST: on a session whose default is below the floor
     # (e.g. a 4-core box), the default wins — the floor exists to keep
     # per-group python iteration parallel, never to exceed the
-    # session's own parallelism ceiling
-    return min(default, max(8, math.ceil(total / n_batches / 4000)))
+    # session's own parallelism ceiling (and never the store-count
+    # ceiling above)
+    return min(cap, default, max(8, math.ceil(total / n_batches / 4000)))
 
 
 _STAGED_ROW_COUNTS: dict[str, int] = {}
@@ -931,7 +984,19 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             joined,
             sink,
             mode="append",
-            state_partitions=_sized_state_partitions(spark, src_c, 2),
+            # cap=4 (opt r15): the stream-stream join runs FOUR state
+            # stores per partition (left/right × keyToNumValues /
+            # keyWithIndexToValue), so its effective store count is
+            # 4× the partition count — measured 3.5 s wall at 4
+            # partitions (16 stores) vs 8.5-22 s at 8 (32 stores,
+            # 17-41 s summed commit; scripts/stream_state_ab.py).
+            state_partitions=_sized_state_partitions(spark, src_c, 2, cap=4),
+            # inner stream-stream joins emit every pair on ARRIVAL —
+            # the trailing no-data batch only evicts state the
+            # availableNow termination discards; measured 1-2.5 s of
+            # pure state-store commit. Output identical (the oracle
+            # hash and tests/test_streaming_join.py pins re-prove it).
+            no_data_batches=False,
         )
         totals = (
             spark.read.parquet(agg_out)

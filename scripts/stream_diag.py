@@ -31,7 +31,9 @@ _PROGRESS: list[dict] = []
 _orig_drain = timeseries._drain_stream
 
 
-def _drain_with_diag(updates, sink, mode="update", state_partitions=None):
+def _drain_with_diag(
+    updates, sink, mode="update", state_partitions=None, no_data_batches=True
+):
     import shutil
     import tempfile
 
@@ -41,12 +43,16 @@ def _drain_with_diag(updates, sink, mode="update", state_partitions=None):
         if state_partitions
         else None
     )
+    _NDB = "spark.sql.streaming.noDataMicroBatches.enabled"
+    orig_ndb = spark.conf.get(_NDB) if not no_data_batches else None
     ck = tempfile.mkdtemp(prefix="graft_drain_ck_")
     try:
         if state_partitions:
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(state_partitions)
             )
+        if not no_data_batches:
+            spark.conf.set(_NDB, "false")
         q = (
             updates.writeStream.foreachBatch(sink)
             .outputMode(mode)
@@ -78,6 +84,8 @@ def _drain_with_diag(updates, sink, mode="update", state_partitions=None):
     finally:
         if orig is not None:
             spark.conf.set("spark.sql.shuffle.partitions", orig)
+        if orig_ndb is not None:
+            spark.conf.set(_NDB, orig_ndb)
         shutil.rmtree(ck, ignore_errors=True)
 
 

@@ -813,22 +813,100 @@ def test_batch_count_sink_replay_idempotent(spark, tmp_path):
 def test_sized_state_partitions_floor_and_cap(spark, tmp_path):
     """Volume-based stateful-shuffle sizing: floored at 8 for small
     batches, ceil(rows/4000) in between, capped OUTERMOST at the
-    session default for firehose batches — and the cap beats the floor
-    on a session whose default is below 8."""
+    session default AND the store-count ceiling (r15 — per-store
+    commit fixed costs grow super-linearly with concurrent stores on
+    small micro-batches); a caller-supplied cap (the interval join's
+    stores-per-partition correction) beats everything."""
     from mrt_data_integration_spark.queries import timeseries as ts
 
     src = str(tmp_path / "staged")
     spark.range(100).write.parquet(src)
     default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ceiling = ts._MAX_DRAIN_STATE_PARTITIONS
     # tiny staged corpus -> floor (test session default is 8+ cores)
-    assert ts._sized_state_partitions(spark, src, 2) == min(default, 8)
+    assert ts._sized_state_partitions(spark, src, 2) == min(
+        ceiling, default, 8
+    )
     # count is cached per (immutable) staged dir — poke the cache to
-    # exercise the formula's middle and capped regimes
+    # exercise the formula's middle and ceiling regimes
     ts._STAGED_ROW_COUNTS[src] = 80_000
-    assert ts._sized_state_partitions(spark, src, 2) == min(default, 10)
+    assert ts._sized_state_partitions(spark, src, 2) == min(
+        ceiling, default, 10
+    )
     ts._STAGED_ROW_COUNTS[src] = 4_000_000
-    assert ts._sized_state_partitions(spark, src, 2) == default
+    assert ts._sized_state_partitions(spark, src, 2) == min(ceiling, default)
+    # per-caller cap (stores-per-partition correction) wins outermost
+    assert ts._sized_state_partitions(spark, src, 2, cap=4) == min(4, default)
     del ts._STAGED_ROW_COUNTS[src]
+
+
+def test_drain_no_data_batches_off_same_output_and_conf_restored(
+    spark, tmp_path
+):
+    """The r15 drain optimization's emission argument, pinned: an
+    arrival-emitting stateful drain (stream-stream INNER join) yields
+    the IDENTICAL pair set with the trailing no-data micro-batch
+    disabled — the skipped batch only evicts state the availableNow
+    termination discards — and the session conf is restored either
+    way."""
+    import datetime as dt
+
+    from mrt_data_integration_spark.queries.timeseries import _drain_stream
+    from mrt_data_integration_spark.streaming.join import (
+        stream_interval_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    left = [(1, t0), (1, t0 + 30 * m), (2, t0)]
+    right = [(1, t0 + 5 * m, 1.0), (1, t0 + 40 * m, 2.0), (2, t0 + 90 * m, 3.0)]
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(left, "k long, lts timestamp").repartition(
+        2
+    ).write.parquet(lsrc)
+    spark.createDataFrame(
+        right, "k long, rts timestamp, v double"
+    ).repartition(2).write.parquet(rsrc)
+
+    def drain(no_data_batches):
+        joined = stream_interval_join(
+            spark.readStream.schema("k long, lts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(lsrc),
+            spark.readStream.schema("k long, rts timestamp, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(rsrc),
+            on="k",
+            left_ts="lts",
+            right_ts="rts",
+            upper="1 hour",
+            left_delay="10 days",
+            right_delay="10 days",
+        )
+        out = str(tmp_path / f"out_{no_data_batches}")
+        _drain_stream(
+            joined,
+            lambda df, bid: df.write.mode("append").parquet(out),
+            mode="append",
+            state_partitions=2,
+            no_data_batches=no_data_batches,
+        )
+        return sorted(
+            (r.k, r.lts, r.rts, r.v)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    ndb_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    before = spark.conf.get(ndb_key)
+    with_batch = drain(True)
+    without_batch = drain(False)
+    assert with_batch == without_batch, (
+        "disabling the trailing no-data batch changed an inner "
+        "stream-stream join's emitted pairs"
+    )
+    # k=1: t0→{+5m,+40m}, t0+30m→{+40m}; k=2's click is outside the hour
+    assert len(with_batch) == 3
+    assert spark.conf.get(ndb_key) == before, "conf must be restored"
 
 
 def test_funnel_compacting_sink_matches_update_log(spark, tmp_path):
