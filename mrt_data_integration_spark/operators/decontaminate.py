@@ -540,43 +540,42 @@ def semantic_decontamination_ivf(
     max_bench_sim NULL with ``contaminated = false`` (nothing probed
     them — the honest boundary, same convention as the margin family's
     backward hole).
+
+    Plan shape (opt r15, guide §4.2 + §2.4): ONE map-side pass — the
+    cell-restricted Arrow max-cosine kernel
+    (similarity.broadcast_cell_max_cosine) folds probe selection, the
+    per-cell candidate bound and the per-row max into the corpus scan,
+    so the former cell equi-join (+ broadcast build), the per-id max
+    aggregate's exchange and the left join-back (two exchanges + a
+    sort-merge join + their AQE job barriers) no longer exist. Probe
+    selection still runs the exact :func:`nearest_cells` expression;
+    cosines are bit-identical to the dot/norm fold form (the kernel
+    family's pinned contract); output grain is one row per corpus ROW
+    with a non-NULL vector (ids are expected unique — the fold path's
+    groupBy collapsed malformed duplicate ids; duplicates are out of
+    contract on both, the broadcast_max_cosine precedent).
     """
     from mrt_data_integration_spark.operators.similarity import (
-        dot,
-        nearest_cells,
-        norm,
+        broadcast_cell_max_cosine,
     )
 
-    probes = benchmark.filter(F.col(vec_col).isNotNull()).select(
-        F.col(vec_col).alias("__bvec__"),
-        norm(vec_col).alias("__bn__"),
-        F.explode(nearest_cells(vec_col, centers, n_probe)).alias(
-            "__cell__"
+    scored = broadcast_cell_max_cosine(
+        corpus_assigned.filter(F.col(vec_col).isNotNull()),
+        benchmark.filter(F.col(vec_col).isNotNull()),
+        centers,
+        n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        cell_col=cell_col,
+        score_col="__max__",
+    )
+    return scored.select(
+        id_col,
+        F.round(F.col("__max__"), 4).alias("max_bench_sim"),
+    ).withColumn(
+        "contaminated",
+        F.coalesce(
+            F.col("max_bench_sim") >= F.lit(float(threshold)),
+            F.lit(False),
         ),
-    )
-    c = corpus_assigned.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col),
-        F.col(vec_col).alias("__cvec__"),
-        norm(vec_col).alias("__cn__"),
-        F.col(cell_col).alias("__cell__"),
-    )
-    cos = dot("__cvec__", "__bvec__") / (
-        F.col("__cn__") * F.col("__bn__")
-    )
-    hits = (
-        c.join(F.broadcast(probes), "__cell__")
-        .groupBy(id_col)
-        .agg(F.round(F.max(cos), 4).alias("max_bench_sim"))
-    )
-    return (
-        corpus_assigned.filter(F.col(vec_col).isNotNull())
-        .select(id_col)
-        .join(hits, id_col, "left")
-        .withColumn(
-            "contaminated",
-            F.coalesce(
-                F.col("max_bench_sim") >= F.lit(float(threshold)),
-                F.lit(False),
-            ),
-        )
     )

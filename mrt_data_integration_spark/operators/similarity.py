@@ -1964,6 +1964,47 @@ def _seq_norms(mat):
     return np.sqrt(acc)
 
 
+# Loud bound on the driver-collected broadcast side of the Arrow cosine
+# kernels (opt r15 — the r14 verdict's "size-guard" item): the
+# `F.broadcast` hint these kernels replaced failed SOFT (AQE could
+# demote an over-sized broadcast to a shuffle); the kernels collect to
+# the driver and would fail only at driver OOM. The guard makes the
+# scale contract ("the broadcast side must be the small one") ENFORCED:
+# collection is row-bounded up front (a LIMIT probe — the driver never
+# materializes more than the budget + 1 rows), and the materialized
+# matrix is byte-bounded after. Budgets mirror the broadcast-hint
+# budget lint's role (tests/test_oracle_parity.py::_HINT_BUDGET) and
+# sit far above every engine call site (benchmarks / query batches /
+# mined-pair blocks) while staying well inside the JVM's own 8 GB /
+# 512M-row broadcast-relation cap. Module-level so tests (and an
+# operator with a bigger certified envelope) can tune them.
+_BCAST_COLLECT_MAX_ROWS = 2_000_000
+_BCAST_COLLECT_MAX_BYTES = 1 << 30
+
+
+def _collect_bcast_bounded(df, label: str):
+    """Collect a kernel's broadcast side with the loud size guard."""
+    pdf = df.limit(_BCAST_COLLECT_MAX_ROWS + 1).toPandas()
+    if len(pdf) > _BCAST_COLLECT_MAX_ROWS:
+        raise ValueError(
+            f"{label}: broadcast side exceeds "
+            f"{_BCAST_COLLECT_MAX_ROWS} rows — it must be the SMALL "
+            "side (an eval benchmark / query batch); at this size use "
+            "the cell-bounded IVF path or a shuffle join instead"
+        )
+    return pdf
+
+
+def _check_bcast_bytes(mat, label: str) -> None:
+    if mat.nbytes > _BCAST_COLLECT_MAX_BYTES:
+        raise ValueError(
+            f"{label}: broadcast side is {mat.nbytes >> 20} MiB of "
+            f"vectors (> {_BCAST_COLLECT_MAX_BYTES >> 20} MiB) — it "
+            "must be the SMALL side; at this size use the cell-bounded "
+            "IVF path or a shuffle join instead"
+        )
+
+
 def broadcast_cosine_scores(
     stream: DataFrame,
     bcast: DataFrame,
@@ -1996,17 +2037,25 @@ def broadcast_cosine_scores(
     Rows with NULL embeddings must be filtered by the caller (as the
     crossJoin form required); element-level NULLs or ragged dimensions
     raise loudly (the fold silently NULLed those cosines — no engine
-    path feeds such vectors, and silent NaN would be worse).
+    path feeds such vectors, and silent NaN would be worse). An
+    over-sized broadcast side raises loudly at collect time
+    (``_BCAST_COLLECT_MAX_ROWS`` / ``_BCAST_COLLECT_MAX_BYTES`` — the
+    enforced form of the envelope the ``F.broadcast`` hint only
+    documented).
     """
     import numpy as np
 
     spark = stream.sparkSession
-    b_pdf = bcast.select(F.col(id_col), F.col(vec_col)).toPandas()
+    b_pdf = _collect_bcast_bounded(
+        bcast.select(F.col(id_col), F.col(vec_col)),
+        "broadcast_cosine_scores",
+    )
     ids = b_pdf[id_col].to_numpy()
     if len(ids):
         mat = np.stack(
             [np.asarray(v, dtype=np.float64) for v in b_pdf[vec_col]]
         )
+        _check_bcast_bytes(mat, "broadcast_cosine_scores")
         norms = _seq_norms(mat)
     else:
         mat = np.zeros((0, 0))
@@ -2092,15 +2141,19 @@ def broadcast_max_cosine(
     is order-independent over doubles, and numpy's max PROPAGATES NaN
     exactly like Spark's (NaN sorts greatest, so any NaN cosine makes
     the max NaN in both). Empty ``bcast`` ⇒ empty output (the
-    operator's empty-benchmark contract)."""
+    operator's empty-benchmark contract). An over-sized ``bcast``
+    raises loudly at collect time (the shared kernel guard)."""
     import numpy as np
 
     spark = stream.sparkSession
-    b_pdf = bcast.select(F.col(vec_col)).toPandas()
+    b_pdf = _collect_bcast_bounded(
+        bcast.select(F.col(vec_col)), "broadcast_max_cosine"
+    )
     if len(b_pdf):
         mat = np.stack(
             [np.asarray(v, dtype=np.float64) for v in b_pdf[vec_col]]
         )
+        _check_bcast_bytes(mat, "broadcast_max_cosine")
         norms = _seq_norms(mat)
     else:
         mat = np.zeros((0, 0))
@@ -2159,6 +2212,142 @@ def broadcast_max_cosine(
     return stream.select(F.col(id_col), F.col(vec_col)).mapInArrow(
         kernel, out_schema
     )
+
+
+def broadcast_cell_max_cosine(
+    stream: DataFrame,
+    bcast: DataFrame,
+    centers: list[list[float]],
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    score_col: str = "max_sim",
+) -> DataFrame:
+    """:func:`broadcast_max_cosine` restricted to an IVF cell probe —
+    the semantic_decontamination_ivf collapse (opt r15, guide §4.2 +
+    §2.4): each ``stream`` row's max cosine is taken over ONLY the
+    ``bcast`` rows whose ``n_probe`` nearest cells (under the literal
+    ``centers``) include the row's ``cell_col``; a row in a cell no
+    bcast row probes gets a NULL score (distinct from NaN — the
+    operator's honest unprobed boundary). Output: one row per stream
+    row, (id_col, score_col nullable double).
+
+    This replaces the cell equi-join + per-id max aggregate + left
+    join-back with ONE map-side pass: the join's exchange, the
+    aggregate's exchange and the join-back (plus their AQE job
+    barriers) no longer exist. Probe-cell selection runs the EXACT
+    :func:`nearest_cells` expression on the bcast frame during the
+    driver-side collect — the selection arithmetic is the engine's
+    JVM fold, merely evaluated once at build time instead of inside a
+    broadcast-exchange build — and the cosines accumulate
+    column-sequentially over the probed SUBSET, so every per-pair dot
+    is bit-identical to the ``dot``/``norm`` fold form (each pair's
+    fold touches exactly its own elements; max over a subset is
+    order-independent; NaN propagates identically). Empty ``bcast`` ⇒
+    every stream row NULL (the operator's empty-benchmark contract at
+    this grain). NULL/ragged stream vectors raise loudly; the
+    collected side is size-guarded like every kernel here."""
+    import numpy as np
+
+    spark = stream.sparkSession
+    b_pdf = _collect_bcast_bounded(
+        bcast.select(
+            F.col(vec_col).alias("__v__"),
+            nearest_cells(vec_col, centers, n_probe).alias("__cells__"),
+        ),
+        "broadcast_cell_max_cosine",
+    )
+    cell_map: dict[int, "np.ndarray"] = {}
+    if len(b_pdf):
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in b_pdf["__v__"]]
+        )
+        _check_bcast_bytes(mat, "broadcast_cell_max_cosine")
+        norms = _seq_norms(mat)
+        by_cell: dict[int, list[int]] = {}
+        for i, cells in enumerate(b_pdf["__cells__"]):
+            for c in cells:
+                by_cell.setdefault(int(c), []).append(i)
+        cell_map = {
+            c: np.asarray(idx, dtype=np.int64)
+            for c, idx in by_cell.items()
+        }
+    else:
+        mat = np.zeros((0, 0))
+        norms = np.zeros(0)
+    bc = spark.sparkContext.broadcast((mat, norms, cell_map))
+    id_type = stream.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, {score_col} double"
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        S, s_norms, probes_by_cell = bc.value
+        d = S.shape[1] if S.size else 0
+        for batch in batches:
+            tid = batch.column(0)
+            lv = batch.column(1)
+            cells = batch.column(2).to_numpy(zero_copy_only=False)
+            n = len(cells)
+            res = np.full(n, np.nan)
+            nulls = np.ones(n, dtype=bool)
+            if probes_by_cell:
+                if lv.null_count:
+                    raise ValueError(
+                        "broadcast_cell_max_cosine: NULL embedding "
+                        "reached the kernel — filter isNotNull upstream"
+                    )
+                lens = pa.compute.list_value_length(lv).to_numpy()
+                if len(lens) and not (lens == d).all():
+                    raise ValueError(
+                        f"broadcast_cell_max_cosine: ragged embedding "
+                        f"dimensions (expected {d})"
+                    )
+                flat = lv.flatten()
+                if flat.null_count:
+                    raise ValueError(
+                        "broadcast_cell_max_cosine: NULL embedding "
+                        "element"
+                    )
+                T = flat.to_numpy(zero_copy_only=False).astype(
+                    np.float64, copy=False
+                ).reshape(n, d)
+                for c in np.unique(cells):
+                    idx = probes_by_cell.get(int(c))
+                    if idx is None:
+                        continue
+                    rows = np.nonzero(cells == c)[0]
+                    S_c, sn_c = S[idx], s_norms[idx]
+                    # chunk the stream rows so the (rows × probes)
+                    # score block stays bounded (the sibling kernels'
+                    # memory envelope)
+                    chunk = max(1, (1 << 20) // max(len(idx), 1))
+                    for i in range(0, len(rows), chunk):
+                        r = rows[i : i + chunk]
+                        Tc = T[r]
+                        tn = _seq_norms(Tc)
+                        acc = np.zeros((len(r), len(idx)))
+                        for j in range(d):
+                            acc = acc + Tc[:, j : j + 1] * S_c[None, :, j]
+                        with np.errstate(
+                            divide="ignore", invalid="ignore"
+                        ):
+                            cos = acc / (sn_c[None, :] * tn[:, None])
+                        res[r] = cos.max(axis=1)
+                        nulls[r] = False
+            yield pa.record_batch(
+                [
+                    tid,
+                    pa.array(res, mask=nulls),
+                ],
+                names=[id_col, score_col],
+            )
+
+    return stream.select(
+        F.col(id_col), F.col(vec_col), F.col(cell_col)
+    ).mapInArrow(kernel, out_schema)
 
 
 def margin_knn_pairs(

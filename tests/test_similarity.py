@@ -1136,6 +1136,119 @@ def test_broadcast_cosine_kernel_empty_broadcast_side(spark):
     )
 
 
+def test_broadcast_kernel_collect_guard_raises_loudly(spark):
+    """r15 size guard (the r14 verdict's item): the kernels' collected
+    broadcast side is ROW- and BYTE-bounded with a loud error — the
+    enforced form of the envelope the F.broadcast hint only documented
+    (the hint failed soft via AQE demotion; the kernel must not fail
+    only at driver OOM). Budgets are module-level so this test can
+    shrink them without collecting anything big."""
+    import pytest
+
+    from mrt_data_integration_spark.operators import similarity as sim_mod
+
+    t = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    big = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    orig_rows = sim_mod._BCAST_COLLECT_MAX_ROWS
+    orig_bytes = sim_mod._BCAST_COLLECT_MAX_BYTES
+    try:
+        sim_mod._BCAST_COLLECT_MAX_ROWS = 4
+        with pytest.raises(ValueError, match="exceeds 4 rows"):
+            sim_mod.broadcast_cosine_scores(
+                t, big, stream_out="tgt_id", bcast_out="src_id"
+            )
+        with pytest.raises(ValueError, match="exceeds 4 rows"):
+            sim_mod.broadcast_max_cosine(t, big)
+        with pytest.raises(ValueError, match="exceeds 4 rows"):
+            sim_mod.broadcast_cell_max_cosine(
+                t.withColumn("cell", F.lit(0)),
+                big,
+                centers=[[0.0, 0.0]],
+                n_probe=1,
+            )
+        sim_mod._BCAST_COLLECT_MAX_ROWS = orig_rows
+        sim_mod._BCAST_COLLECT_MAX_BYTES = 64
+        with pytest.raises(ValueError, match="MiB of"):
+            sim_mod.broadcast_max_cosine(t, big)
+    finally:
+        sim_mod._BCAST_COLLECT_MAX_ROWS = orig_rows
+        sim_mod._BCAST_COLLECT_MAX_BYTES = orig_bytes
+
+
+def test_cell_probe_max_cosine_matches_join_form(spark):
+    """The r15 IVF collapse's identity pin: broadcast_cell_max_cosine
+    == the cell equi-join + per-id max aggregate + left join-back it
+    replaced, bit-for-bit (same nearest_cells selection, same fold
+    cosines, NULL — not NaN — for rows in unprobed cells), with the
+    map-side plan shape (MapInArrow, zero Exchange, zero Join)."""
+    import numpy as np
+
+    from mrt_data_integration_spark.operators.similarity import (
+        broadcast_cell_max_cosine,
+        dot,
+        nearest_cells,
+        norm,
+    )
+
+    rng = np.random.default_rng(23)
+    centers = [[float(x) for x in rng.normal(size=5)] for _ in range(4)]
+    corpus = spark.createDataFrame(
+        [
+            (i, [float(x) for x in rng.normal(size=5)], int(i % 4))
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<double>, cell long",
+    )
+    bench = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=5)]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    kernel = {
+        r.vec_id: r.max_sim
+        for r in broadcast_cell_max_cosine(
+            corpus, bench, centers, n_probe=2
+        ).collect()
+    }
+    probes = bench.select(
+        F.col("embedding").alias("__bvec__"),
+        norm("embedding").alias("__bn__"),
+        F.explode(nearest_cells("embedding", centers, 2)).alias("cell"),
+    )
+    cos = dot("embedding", "__bvec__") / (F.col("__cn__") * F.col("__bn__"))
+    hits = (
+        corpus.withColumn("__cn__", norm("embedding"))
+        .join(F.broadcast(probes), "cell")
+        .groupBy("vec_id")
+        .agg(F.max(cos).alias("max_sim"))
+    )
+    join_form = {
+        r.vec_id: r.max_sim
+        for r in corpus.select("vec_id")
+        .join(hits, "vec_id", "left")
+        .collect()
+    }
+    assert set(kernel) == set(join_form) == set(range(40))
+    for k in kernel:
+        a, b = kernel[k], join_form[k]
+        assert (a is None) == (b is None), f"NULL boundary differs at {k}"
+        if a is not None:
+            assert a == b, f"cosine not bit-identical at {k}: {a} vs {b}"
+    plan = (
+        broadcast_cell_max_cosine(corpus, bench, centers, n_probe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInArrow" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
 def test_bounded_topk_bounded_key_groups_identical_and_single_stage(
     spark, sf_smoke
 ):
