@@ -284,6 +284,53 @@ def main() -> None:
     # of scalar fields (~100 bytes) and can never outgrow the capture.
     print(json.dumps({"spread_min_max": spread, "shots": n_shots, "reps": reps}))
     print(json.dumps({"queries": times}))
+    # Artifact transparency (r14 verdict item): the persisted-store
+    # families (ANN indexes, LSH signature store, training shards,
+    # streamable staging dirs) build /tmp artifacts keyed on
+    # (corpus, mtime) through sources.sinks.build_and_publish; whether
+    # a run PAID a cold build or reused a published artifact changes
+    # how its medians should be read, so say which happened.
+    from mrt_data_integration_spark.sources.sinks import BUILD_EVENTS
+
+    built = sorted({os.path.basename(p) for p, b in BUILD_EVENTS if b})
+    reused = sorted(
+        {os.path.basename(p) for p, b in BUILD_EVENTS if not b} - set(built)
+    )
+    print(json.dumps({"artifacts_built": built, "artifacts_reused": reused}))
+    sys.stdout.flush()
+    # The per-query medians ALSO go out in compact 2-decimal chunks
+    # immediately before the final line (r14 verdict item 1): the
+    # driver keeps only the last ~2000 chars of stdout, and the full
+    # 3-decimal map above is one ~2.5 KB line that lands truncated
+    # mid-object there (r14: PERF per_query empty, judge-side tail
+    # reconstruction). Chunking at <=600 bytes per line keeps each
+    # line a complete JSON object, so the tail always carries the last
+    # ~3 chunks (~60+ queries) parseable + the headline; the chunks
+    # are emitted in HEADLINE order, so WHICH queries fall off the
+    # front is stable round-over-round. The full-precision map above
+    # stays authoritative for committed raw reads.
+    chunk: dict[str, float] = {}
+    chunks: list[dict[str, float]] = []
+    for name, sec in times.items():
+        trial = dict(chunk)
+        trial[name] = round(sec, 2)
+        line = json.dumps(
+            {"queries_part": "99/99", "queries": trial},
+            separators=(",", ":"),
+        )
+        if chunk and len(line) > 580:
+            chunks.append(chunk)
+            chunk = {}
+        chunk[name] = round(sec, 2)
+    if chunk:
+        chunks.append(chunk)
+    for i, part in enumerate(chunks):
+        print(
+            json.dumps(
+                {"queries_part": f"{i + 1}/{len(chunks)}", "queries": part},
+                separators=(",", ":"),
+            )
+        )
     sys.stdout.flush()
     print(
         json.dumps(

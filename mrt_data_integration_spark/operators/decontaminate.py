@@ -85,21 +85,30 @@ def decontaminate(
     Set ``broadcast_benchmark=False`` for corpus-vs-corpus runs; the
     semi-join then shuffles (id, hash) pairs only.
     """
+    # explode_outer + post-filter instead of explode (opt r15): plain
+    # explode makes the optimizer infer a size()>0 filter and push it
+    # below the projection, where it re-runs the whole gram
+    # construction a second time per document (guide §4.4's
+    # filter-duplication class, the exploded-array form; measured ~20%
+    # of the gram pass at sf0.1). explode_outer infers nothing; the
+    # post-filter drops exactly the empty-array rows explode dropped
+    # (md5 gram elements are never NULL), reading the generated column
+    # only. Same rewrite at every gram-explode site in this module.
     c_grams = _spread(corpus).select(
         F.col(id_col),
-        F.explode(
+        F.explode_outer(
             F.array_distinct(
                 F.transform(word_ngrams(text_col, ngram_n), F.md5)
             )
         ).alias("__gh__"),
-    )
+    ).filter(F.col("__gh__").isNotNull())
     b_grams = benchmark.select(
-        F.explode(
+        F.explode_outer(
             F.array_distinct(
                 F.transform(word_ngrams(text_col, ngram_n), F.md5)
             )
         ).alias("__gh__")
-    ).distinct()
+    ).filter(F.col("__gh__").isNotNull()).distinct()
     if broadcast_benchmark:
         b_grams = F.broadcast(b_grams)
     hits = (
@@ -120,13 +129,17 @@ def _distinct_gram_hashes(
     """One column ``__gh__``: the distinct md5 n-gram hashes of a
     corpus — the frame both the bloom build and the exact verify
     consume (compute once, persist across the two)."""
-    return df.select(
-        F.explode(
-            F.array_distinct(
-                F.transform(word_ngrams(text_col, ngram_n), F.md5)
-            )
-        ).alias("__gh__")
-    ).distinct()
+    return (
+        df.select(
+            F.explode_outer(
+                F.array_distinct(
+                    F.transform(word_ngrams(text_col, ngram_n), F.md5)
+                )
+            ).alias("__gh__")
+        )
+        .filter(F.col("__gh__").isNotNull())  # the r15 explode rewrite
+        .distinct()
+    )
 
 
 def build_ngram_bloom(
@@ -290,12 +303,12 @@ def decontaminate_bloom(
     bloom_df = spark.createDataFrame([(bitmap,)], "__bloom__ array<bigint>")
     c_grams = _spread(corpus).select(
         F.col(id_col),
-        F.explode(
+        F.explode_outer(
             F.array_distinct(
                 F.transform(word_ngrams(text_col, ngram_n), F.md5)
             )
         ).alias("__gh__"),
-    )
+    ).filter(F.col("__gh__").isNotNull())  # the r15 explode rewrite
     gate = _bloom_gate("__gh__", "__bloom__", n_bits, n_hashes)
     survivors = (
         c_grams.join(F.broadcast(bloom_df))  # 1 row: map-side constant
@@ -369,15 +382,15 @@ def contamination_overlap(
         .withColumn("__n__", F.size("__gs__"))
     )
     c_grams = doc_grams.select(
-        id_col, "__n__", F.explode("__gs__").alias("__gh__")
-    )
+        id_col, "__n__", F.explode_outer("__gs__").alias("__gh__")
+    ).filter(F.col("__gh__").isNotNull())  # the r15 explode rewrite
     b_grams = benchmark.select(
-        F.explode(
+        F.explode_outer(
             F.array_distinct(
                 F.transform(word_ngrams(text_col, ngram_n), F.md5)
             )
         ).alias("__gh__")
-    ).distinct()
+    ).filter(F.col("__gh__").isNotNull()).distinct()  # r15 explode rewrite
     if broadcast_benchmark:
         b_grams = F.broadcast(b_grams)
     hits = (

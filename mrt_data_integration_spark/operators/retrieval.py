@@ -78,10 +78,20 @@ def bm25_topk(
     # row, folded back with max in the same (doc, term) aggregation) —
     # a separate doc-length frame would cost a second corpus scan AND a
     # fact-fact doc_id join (a 9-exchange plan measured; this shape is
-    # 6 with zero SortMergeJoin)
+    # 6 with zero SortMergeJoin). dl is computed in its OWN projection
+    # BELOW the Generate (opt r15): selecting size(tokens()) as a
+    # SIBLING of the explode plans the size Project ABOVE the Generate,
+    # where it re-tokenizes the document once per TOKEN row (measured
+    # 7× on the raw exploded pass at sf0.1 — the exploded cousin of the
+    # HOF-capture class); split this way the optimizer keeps dl below
+    # the Generate, one tokenize per doc per expression.
     toks = docs.select(
         F.col(id_col),
         F.size(tokens(text_col)).alias("dl"),
+        F.col(text_col),
+    ).select(
+        F.col(id_col),
+        F.col("dl"),
         F.explode(tokens(text_col)).alias("term"),
     )
     # postings for queried terms only — the broadcast semi-join prunes

@@ -337,6 +337,16 @@ def ephemeral_dir(prefix: str) -> str:
     return d
 
 
+# Append-only in-process log of build_and_publish outcomes:
+# (artifact path, built: bool) per call — False when a complete
+# published copy was reused. bench.py reports it per run (the r14
+# verdict's artifact-transparency item) so a bench median over
+# persisted-store queries is self-describing about whether the run
+# paid any cold artifact build. Observability only: never read by
+# engine code.
+BUILD_EVENTS: list[tuple[str, bool]] = []
+
+
 def build_and_publish(path: str, marker: str, build) -> str:
     """Build a shared cache artifact if absent: run ``build(tmp_dir)``
     into a private sibling directory, then :func:`publish_build` it at
@@ -348,9 +358,11 @@ def build_and_publish(path: str, marker: str, build) -> str:
     import uuid
 
     if os.path.exists(os.path.join(path, marker)):
+        BUILD_EVENTS.append((path, False))
         return path
     tmp = f"{path}.build-{uuid.uuid4().hex[:8]}"
     build(tmp)
+    BUILD_EVENTS.append((path, True))
     return publish_build(tmp, path, marker)
 
 

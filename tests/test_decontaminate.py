@@ -297,6 +297,39 @@ def test_contamination_overlap_python_twin(spark, sf_smoke):
             assert abs(got[r.doc_id] - want) < 1e-12, r.doc_id
 
 
+def test_gram_explode_plans_carry_no_duplicating_inferred_filter(spark):
+    """r15 pin: the gram-explode sites use explode_outer + an explicit
+    post-filter, because plain explode makes the optimizer infer a
+    size()>0 filter and push it below the projection — re-running the
+    whole gram construction a second time per document (guide §4.4's
+    filter-duplication class, exploded-array form). No plan in this
+    family may contain a Filter that re-evaluates the construction."""
+    import re
+
+    from mrt_data_integration_spark.operators.decontaminate import (
+        contamination_overlap,
+        decontaminate,
+        decontaminate_bloom,
+    )
+    from mrt_data_integration_spark.operators.dedup import release_cache
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} a b c d e f g h i j") for i in range(12)],
+        "doc_id long, text string",
+    )
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    bench = docs.filter(F.col("doc_id") % 3 == 0)
+    for frame in (
+        decontaminate(corpus, bench, ngram_n=3),
+        contamination_overlap(corpus, bench, ngram_n=3),
+        decontaminate_bloom(corpus, bench, ngram_n=3),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        dups = re.findall(r"Filter \(*size\(array_distinct", plan)
+        assert not dups, plan[:2000]
+        release_cache(frame)
+
+
 def test_contamination_overlap_hits_broadcast_is_gated(spark):
     """broadcast_hits=False must route the join-back through a plain
     shuffle join (the graded hit frame can approach corpus size on a
