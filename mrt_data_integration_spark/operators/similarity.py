@@ -101,6 +101,17 @@ def bounded_topk(
     (score, tie) is the same total order with or without the local
     pre-selection.
     """
+    if bounded_key_groups and tree_fan is not None:
+        # contradictory flags (ADVICE r14): tree_fan exists precisely
+        # because per-key groups are NOT bounded; a caller passing both
+        # has mis-stated one of the two proofs — fail loudly rather
+        # than silently ignoring tree_fan.
+        raise ValueError(
+            "bounded_key_groups=True asserts each key's group is "
+            "bounded by construction, which contradicts tree_fan "
+            "(the unbounded-group mitigation) — pass one or the other"
+        )
+
     def _ord(c):
         return c.asc() if ascending else c.desc()
     w_global = Window.partitionBy(key_col).orderBy(
@@ -393,12 +404,22 @@ def _ivf_probe(
     def probe_cells(vec: Column | str) -> Column:
         return nearest_cells(vec, centers, n_probe)
 
+    # __qn__ is computed in its OWN projection BELOW the Generate (opt
+    # r15, the bm25 dl lesson): as a sibling of the explode it plans
+    # ABOVE the Generate and re-runs the norm fold once per PROBE row
+    # (n_probe× instead of 1× — immaterial for anchor batches, real
+    # for the corpus-side probe callers at scale).
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec__"),
         norm(vec_col).alias("__qn__"),
         *([F.col(label_col).alias("__qlabel__")] if label_col else []),
-        F.explode(probe_cells(vec_col)).alias("__cell__"),
+    ).select(
+        "query_id",
+        "__qvec__",
+        "__qn__",
+        *(["__qlabel__"] if label_col else []),
+        F.explode(probe_cells("__qvec__")).alias("__cell__"),
     )
     pair_ok = (
         F.col("query_id") != F.col("corpus_id")

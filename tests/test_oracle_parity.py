@@ -89,7 +89,10 @@ _HINT_BUDGET = {
     "relative_efficiency": 1,        # [1row] reference row
     # semantic_decontamination: 0 since r14-opt — benchmark ships as a
     # broadcast variable in broadcast_max_cosine (crossJoin hint gone).
-    "semantic_decontamination_ivf": 1,  # [batch] benchmark probe rows (r14)
+    # (semantic_decontamination_ivf's [batch] probe hint removed r15:
+    # the cell-restricted Arrow kernel replaced the probe join — the
+    # collected side is bounded by the kernels' loud collect guard,
+    # the enforced successor of the hint budget for that path)
     "sensitivity_scenarios": 3,      # [batch] scenario grids
     "sequence_packing": 1,           # [1row] pack-boundary frame
     "source_js_divergence": 1,       # [dim] source-domain pair frame (r14)
@@ -149,16 +152,47 @@ def _strip_nested_lambdas(s: str) -> str:
         pos = i + len("lambdafunction(") + len(span)
 
 
-def _first_toplevel_arg(args: str) -> str:
-    depth = 0
+def _toplevel_args(args: str) -> list[str]:
+    """Split a call's argument string at depth-0 commas, treating TYPE
+    angle brackets like parens so commas inside type strings
+    (``map<string,int>``) never split an argument (ADVICE r14).
+    Comparison operators also print as ``<``/``>`` in plans but always
+    space-separated (``(a < b)``); type brackets are space-free, which
+    is how the two are told apart."""
+    out, paren, angle, last = [], 0, 0, 0
     for j, ch in enumerate(args):
         if ch == "(":
-            depth += 1
+            paren += 1
         elif ch == ")":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            return args[:j]
-    return args
+            paren -= 1
+        elif (
+            ch == "<"
+            and 0 < j < len(args) - 1
+            and args[j - 1] not in " <("
+            and args[j + 1] not in " =>"
+        ):
+            angle += 1
+        elif ch == ">" and angle > 0 and j > 0 and args[j - 1] != " ":
+            angle -= 1
+        elif ch == "," and paren == 0 and angle == 0:
+            out.append(args[last:j])
+            last = j + 1
+    out.append(args[last:])
+    return out
+
+
+def _is_cheap_constant_collection(operand: str) -> bool:
+    """Whitelist for the lint (ADVICE r14): a collection operand that
+    is a literal array/map constructor (possibly cast-wrapped) is
+    constant-folded or trivially re-evaluated — flagging it would be a
+    false positive (e.g. ``exists(array(1, 2), ...)`` inside a
+    lambda). "Literal" = no further calls inside the constructor."""
+    s = operand.strip()
+    m = _re_mod.match(r"cast\((.*) as [a-z][a-z0-9_<>, ]*\)$", s)
+    if m:
+        s = m.group(1).strip()
+    m = _re_mod.match(r"(?:array|map)\((.*)\)$", s)
+    return bool(m) and "(" not in m.group(1)
 
 
 def _hof_invariant_collection(plan: str) -> bool:
@@ -170,11 +204,25 @@ def _hof_invariant_collection(plan: str) -> bool:
         body = _balanced_span(plan, start + len("lambdafunction("))
         for m in _COLLECTION.finditer(body):
             args = _balanced_span(body, m.end())
-            first = _first_toplevel_arg(args)
-            if "(" in first and "lambda" not in _strip_nested_lambdas(
-                first
-            ):
-                return True
+            name = m.group(1)
+            split = _toplevel_args(args)
+            # which operands are collections: both sides of zip_with,
+            # every vararg of arrays_zip, the first everywhere else
+            # (ADVICE r14 — the old rule checked only the first and
+            # missed a captured second zip_with operand)
+            if name == "zip_with":
+                operands = split[:2]
+            elif name == "arrays_zip":
+                operands = split
+            else:
+                operands = split[:1]
+            for operand in operands:
+                if (
+                    "(" in operand
+                    and "lambda" not in _strip_nested_lambdas(operand)
+                    and not _is_cheap_constant_collection(operand)
+                ):
+                    return True
         pos = start + len("lambdafunction(") + len(body)
 
 
@@ -227,6 +275,64 @@ def test_hof_invariant_collection_lint_catches_captured_array(spark):
     assert not _hof_invariant_collection(plan_fixed)
     # both shapes compute the same boundaries — the lint is about cost
     assert broken.collect() == fixed.collect()
+
+
+def test_hof_lint_zip_with_second_operand_and_constant_whitelist(spark):
+    """ADVICE r14 closes: (a) a loop-invariant COMPUTED collection in
+    zip_with's SECOND operand must fire the lint (the old rule only
+    read the first); (b) a literal-constant collection operand
+    (``exists(array(1,2), ...)`` inside a lambda) must NOT fire — it is
+    the whitelisted trivially-cheap constructor class."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id int, text string")
+    base = df.select(
+        F.col("doc_id"), F.split(F.col("text"), " ", -1).alias("__toks__")
+    )
+    toks = F.col("__toks__")
+    computed = F.sort_array(F.transform(toks, F.md5))
+    # (a) zip_with second operand captures the computed collection
+    # inside the OUTER transform's lambda body — loop-invariant
+    broken2 = base.select(
+        F.transform(
+            toks,
+            lambda x: F.size(F.zip_with(toks, computed, lambda a, b: a)),
+        ).alias("z")
+    )
+    plan2 = broken2._jdf.queryExecution().executedPlan().toString()
+    assert _hof_invariant_collection(plan2), plan2
+    # (b) constant collection operand: whitelisted, no false positive
+    ok = base.select(
+        F.transform(
+            toks,
+            lambda x: F.exists(
+                F.array(F.lit(1), F.lit(2)), lambda y: y == F.length(x)
+            ),
+        ).alias("e")
+    )
+    plan_ok = ok._jdf.queryExecution().executedPlan().toString()
+    assert not _hof_invariant_collection(plan_ok), plan_ok
+    # the type-string comma fix: splitting survives map<string,int>
+    assert _toplevel_args("cast(a as map<string,int>), b") == [
+        "cast(a as map<string,int>)",
+        " b",
+    ]
+
+
+def test_bounded_key_groups_rejects_tree_fan(spark):
+    """ADVICE r14: the two bounded_topk flags assert contradictory
+    group-size proofs — passing both must fail loudly."""
+    import pytest as _pytest
+
+    from mrt_data_integration_spark.operators.similarity import bounded_topk
+
+    df = spark.createDataFrame(
+        [(1, 2, 0.5)], "query_id long, corpus_id long, s double"
+    )
+    with _pytest.raises(ValueError, match="bounded_key_groups"):
+        bounded_topk(
+            df, 1, "s", bounded_key_groups=True, tree_fan=4
+        )
 
 
 def test_queries_run_on_smoke(spark, sf_smoke):
