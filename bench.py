@@ -292,10 +292,17 @@ def main() -> None:
     # how its medians should be read, so say which happened.
     from mrt_data_integration_spark.sources.sinks import BUILD_EVENTS
 
-    built = sorted({os.path.basename(p) for p, b in BUILD_EVENTS if b})
-    reused = sorted(
-        {os.path.basename(p) for p, b in BUILD_EVENTS if not b} - set(built)
-    )
+    # only the SHARED /tmp store families (mrt_* indexes/stores/shards,
+    # graft_* staging dirs) — versioned-state steps inside per-run
+    # private state dirs also route through build_and_publish but
+    # rebuild by design every run and would drown the signal
+    shared = [
+        (os.path.basename(p), b)
+        for p, b in BUILD_EVENTS
+        if os.path.basename(p).startswith(("mrt_", "graft_"))
+    ]
+    built = sorted({n for n, b in shared if b})
+    reused = sorted({n for n, b in shared if not b} - set(built))
     print(json.dumps({"artifacts_built": built, "artifacts_reused": reused}))
     sys.stdout.flush()
     # The per-query medians ALSO go out in compact 2-decimal chunks
