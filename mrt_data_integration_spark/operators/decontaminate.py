@@ -85,15 +85,19 @@ def decontaminate(
     Set ``broadcast_benchmark=False`` for corpus-vs-corpus runs; the
     semi-join then shuffles (id, hash) pairs only.
     """
-    # explode_outer + post-filter instead of explode (opt r15): plain
-    # explode makes the optimizer infer a size()>0 filter and push it
-    # below the projection, where it re-runs the whole gram
-    # construction a second time per document (guide §4.4's
-    # filter-duplication class, the exploded-array form; measured ~20%
-    # of the gram pass at sf0.1). explode_outer infers nothing; the
-    # post-filter drops exactly the empty-array rows explode dropped
-    # (md5 gram elements are never NULL), reading the generated column
-    # only. Same rewrite at every gram-explode site in this module.
+    # explode_outer + post-filter instead of explode (opt r15): when
+    # the gram array is materialized as a column with a computed
+    # sibling (contamination_overlap's shape), the optimizer infers a
+    # size()>0 filter from the Generate and pushes it below the
+    # projection by SUBSTITUTING the column definition — re-running
+    # the whole gram construction a second time per document (guide
+    # §4.4's filter-duplication class). The inline-explode shape used
+    # here never triggered the inference (before-plans verified), but
+    # every site in this module takes the same rewrite so a future
+    # column-materializing refactor cannot silently introduce it.
+    # explode_outer infers nothing; the post-filter drops exactly the
+    # empty-array rows explode dropped (md5 gram elements are never
+    # NULL), reading the generated column only.
     c_grams = _spread(corpus).select(
         F.col(id_col),
         F.explode_outer(
